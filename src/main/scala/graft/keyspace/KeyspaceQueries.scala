@@ -1,0 +1,124 @@
+package graft.keyspace
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Ora
+
+/** Keyspace data-plane operators O1–O7 (SURVEY.md §2.1), each exposed as a
+  * named query over the deterministic kv fixture plus its DuckDB oracle.
+  *
+  * Range bounds are lexicographic on the raw key bytes — Go compares strings
+  * byte-wise (`internal/shard/shard.go:578-580`), Spark's UTF8String and
+  * DuckDB's default binary collation do too, so `>= start && < end` means the
+  * same thing in all three systems.
+  */
+object KeyspaceQueries {
+  private val RangeStart = "order:2"
+  private val RangeEnd = "order:3"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 — point GET: equality filter on the compacted state; with a
+    // shard_id-partitioned layout this prunes to a single partition, the way
+    // the coordinator routes to a single node (cmd/coordinator/main.go:564).
+    "kv_point_get" -> ((s, dir) =>
+      KvLog.state(s, dir).filter(col("key") === "order:42")
+        .select("key", "value", "shard_id")),
+
+    // O1 — GET of an absent key: empty result, the 404/ErrKeyNotFound path
+    // (internal/storage/store.go:24, cmd/node/main.go:505-513).
+    "kv_point_get_missing" -> ((s, dir) =>
+      KvLog.state(s, dir).filter(col("key") === "order:no-such-key")
+        .select("key", "value")),
+
+    // O2 — PUT upsert, last-write-wins: keys written twice must show the
+    // second value (store.go:81-84 "overwrites without warning").
+    "kv_put_upsert_lww" -> ((s, dir) =>
+      KvLog.state(s, dir).filter(col("value").startsWith("updated:"))
+        .select("key", "value").orderBy("key")),
+
+    // O3 — DELETE + tombstone compaction: deleted keys are absent from the
+    // compacted state; n_tombstoned_present must be 0 (store.go:391-397).
+    "kv_delete_tombstone" -> ((s, dir) => {
+      val log = KvLog.log(s, dir)
+      val deleted = log.filter(col("op") === "delete").select("key").distinct()
+      val state = KvLog.state(s, dir)
+      val present = state.join(deleted, Seq("key"), "left_semi")
+        .agg(count("*").as("n_tombstoned_present"))
+      val total = state.agg(count("*").as("n_keys"))
+      present.crossJoin(total)
+    }),
+
+    // O4 — per-shard key listing (GET /shard/{id}/store,
+    // cmd/node/main.go:617-632). Reference output is unordered; we pin an
+    // order for the oracle compare.
+    "kv_list_keys_shard0" -> ((s, dir) =>
+      KvLog.state(s, dir).filter(col("shard_id") === 0)
+        .select("key").orderBy("key")),
+
+    // O5 — range scan [start, end), sorted (shard.go:573-587).
+    "kv_range_scan" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .filter(col("key") >= RangeStart && col("key") < RangeEnd)
+        .select("key", "value").orderBy("key")),
+
+    // O6 — range delete [start, end): returns the count removed and the
+    // size of the surviving keyspace (shard.go:622-630).
+    "kv_range_delete" -> ((s, dir) => {
+      val inRange = col("key") >= RangeStart && col("key") < RangeEnd
+      KvLog.state(s, dir).agg(
+        sum(when(inRange, 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(inRange, 0L).otherwise(1L)).as("n_remaining"))
+    }),
+
+    // O7 — per-shard stats: key count + byte size, the Stats()/Info()
+    // aggregation (store.go:477-490, shard.go:446-459).
+    "kv_shard_stats" -> ((s, dir) =>
+      KvLog.state(s, dir).groupBy("shard_id")
+        .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"))
+        .orderBy("shard_id")),
+
+    // O7 — operation counters by type, the atomic Gets/Puts/Deletes
+    // counters re-expressed over the op log (shard.go:124-161).
+    "kv_op_counters" -> ((s, dir) =>
+      KvLog.log(s, dir).groupBy("op").agg(count("*").as("n"))
+        .orderBy("op")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "kv_point_get" -> Ora.withState(
+      "SELECT key, value, shard_id FROM kv_state WHERE key = 'order:42'"),
+
+    "kv_point_get_missing" -> Ora.withState(
+      "SELECT key, value FROM kv_state WHERE key = 'order:no-such-key'"),
+
+    "kv_put_upsert_lww" -> Ora.withState(
+      "SELECT key, value FROM kv_state WHERE value LIKE 'updated:%' ORDER BY key"),
+
+    "kv_delete_tombstone" -> Ora.withState(
+      """SELECT
+        |  (SELECT count(*) FROM kv_state WHERE key IN
+        |     (SELECT DISTINCT key FROM kv_log WHERE op = 'delete')) AS n_tombstoned_present,
+        |  (SELECT count(*) FROM kv_state) AS n_keys""".stripMargin),
+
+    "kv_list_keys_shard0" -> Ora.withState(
+      "SELECT key FROM kv_state WHERE shard_id = 0 ORDER BY key"),
+
+    "kv_range_scan" -> Ora.withState(
+      s"SELECT key, value FROM kv_state WHERE key >= '$RangeStart' AND key < '$RangeEnd' ORDER BY key"),
+
+    "kv_range_delete" -> Ora.withState(
+      s"""SELECT
+         |  CAST(sum(CASE WHEN key >= '$RangeStart' AND key < '$RangeEnd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         |  CAST(sum(CASE WHEN key >= '$RangeStart' AND key < '$RangeEnd' THEN 0 ELSE 1 END) AS BIGINT) AS n_remaining
+         |FROM kv_state""".stripMargin),
+
+    "kv_shard_stats" -> Ora.withState(
+      """SELECT shard_id, count(*) AS n_keys,
+        |  CAST(sum(length(value)) AS BIGINT) AS n_bytes
+        |FROM kv_state GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+
+    "kv_op_counters" -> (s"WITH ${Ora.kvLog}\n" +
+      "SELECT op, count(*) AS n FROM kv_log GROUP BY op ORDER BY op"),
+  )
+}

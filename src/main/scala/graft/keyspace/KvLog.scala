@@ -1,0 +1,70 @@
+package graft.keyspace
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hash.Fnv1a32.shardId
+
+/** The keyspace fixture: an append-only operation log and its last-write-wins
+  * compaction into current state.
+  *
+  * The reference engine's only "write path" is upsert-or-tombstone into a
+  * mutable map (`Put` overwrites without warning, `internal/storage/
+  * store.go:348-358`; `Delete` is idempotent, `store.go:391-397`). Spark data
+  * is immutable, so mutation is modeled the way a log-structured store would:
+  * an op log `(seq, op, key, value)` compacted by keeping the highest-`seq`
+  * op per key and dropping keys whose final op is a delete.
+  *
+  * Scale notes (100 TB): compaction is a `groupBy(key).agg(max_by(...))` —
+  * a hash aggregate with map-side partial aggregation, NOT a
+  * `row_number()` window (which would shuffle and sort the full log).
+  * Partial aggregation collapses each key to one row per map task before the
+  * shuffle, so shuffle volume is bounded by distinct keys, not log length.
+  */
+object KvLog {
+
+  /** Deterministic op log derived from `orders` (see FIXTURES.md §1 and
+    * [[graft.oracle.Ora.kvLog]] — the DuckDB mirror; keep in lockstep).
+    */
+  def log(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val key = concat(lit("order:"), col("o_orderkey").cast("string"))
+
+    val puts = orders.select(
+      (col("o_orderkey") * 3).as("seq"),
+      lit("put").as("op"),
+      key.as("key"),
+      concat_ws(":", col("o_orderstatus"), col("o_orderpriority"),
+        col("o_custkey").cast("string")).as("value"))
+
+    val updates = orders.filter(col("o_orderkey") % 97 === 0).select(
+      (col("o_orderkey") * 3 + 1).as("seq"),
+      lit("put").as("op"),
+      key.as("key"),
+      concat(lit("updated:"), col("o_custkey").cast("string")).as("value"))
+
+    val deletes = orders.filter(col("o_orderkey") % 101 === 0).select(
+      (col("o_orderkey") * 3 + 2).as("seq"),
+      lit("delete").as("op"),
+      key.as("key"),
+      lit(null).cast("string").as("value"))
+
+    puts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** LWW compaction → current keyspace `(key, value, shard_id)`.
+    *
+    * `shard_id = fnv1a32(key) % 4` reproduces the coordinator's routing
+    * (`shard_registry.go:372-379`); at scale this column doubles as the
+    * physical partitioning key (`repartition(4, $"shard_id")` or parquet
+    * `partitionBy("shard_id")`) so point lookups prune to one partition the
+    * way the coordinator prunes to one node.
+    */
+  def state(spark: SparkSession, sfDir: String): DataFrame =
+    log(spark, sfDir)
+      .groupBy("key")
+      .agg(max_by(col("value"), col("seq")).as("value"),
+           max_by(col("op"), col("seq")).as("op"))
+      .filter(col("op") === "put")
+      .select(col("key"), col("value"), shardId(col("key")).as("shard_id"))
+}

@@ -1,0 +1,59 @@
+package graft.oracle
+
+/** DuckDB SQL snippet builders shared by every `SparkEntry.oracleSql` entry.
+  *
+  * The driver's correctness gate runs these statements in DuckDB against the
+  * same parquet tables the Spark queries read, then compares row/schema/hash.
+  * Everything here must therefore be (a) valid DuckDB SQL and (b) bit-for-bit
+  * equivalent to the Spark-side derivation.
+  */
+object Ora {
+
+  /** FNV-1a 32-bit over the characters of `e` — DuckDB equivalent of
+    * [[graft.hash.Fnv1a32]]. Uses code points, so it is only byte-exact for
+    * ASCII keys; all oracle-checked fixtures use ASCII keys (Unicode keys are
+    * covered by ScalaTest known-answer vectors instead). */
+  def fnv(e: String): String =
+    s"list_reduce(list_prepend(2166136261::BIGINT, " +
+      s"list_transform(string_split($e, ''), c -> unicode(c)::BIGINT)), " +
+      s"(h, b) -> ((xor(h, b)) * 16777619) % 4294967296)"
+
+  /** key → shard id (numShards = 4), BIGINT. */
+  def shard(e: String): String = s"(${fnv(e)} % 4)"
+
+  /** The kv operation-log fixture, derived deterministically from `orders`.
+    * Mirror of [[graft.keyspace.KvLog.log]] — keep the two in lockstep.
+    *
+    * - every order        → put  (seq = 3k)   key 'order:<k>' value '<status>:<priority>:<custkey>'
+    * - orderkey % 97 = 0  → put  (seq = 3k+1) value 'updated:<custkey>'   (LWW overwrite)
+    * - orderkey % 101 = 0 → delete (seq = 3k+2)                           (tombstone)
+    */
+  val kvLog: String =
+    """kv_log AS (
+      |  SELECT o_orderkey * 3 AS seq, 'put' AS op,
+      |         'order:' || o_orderkey AS key,
+      |         o_orderstatus || ':' || o_orderpriority || ':' || o_custkey AS value
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey * 3 + 1, 'put', 'order:' || o_orderkey,
+      |         'updated:' || o_custkey
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey * 3 + 2, 'delete', 'order:' || o_orderkey, NULL
+      |  FROM orders WHERE o_orderkey % 101 = 0
+      |)""".stripMargin
+
+  /** Last-write-wins compaction of [[kvLog]] → current keyspace state.
+    * Mirror of [[graft.keyspace.KvLog.state]]. */
+  val kvState: String =
+    s"""$kvLog,
+       |kv_state AS (
+       |  SELECT key, value, ${shard("key")} AS shard_id FROM (
+       |    SELECT key, arg_max(value, seq) AS value, arg_max(op, seq) AS op
+       |    FROM kv_log GROUP BY key
+       |  ) WHERE op = 'put'
+       |)""".stripMargin
+
+  /** Full statement with the kv_state CTE prefix. */
+  def withState(body: String): String = s"WITH $kvState\n$body"
+}

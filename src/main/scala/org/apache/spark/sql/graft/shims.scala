@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column↔Expression converters that Spark 4
+  * moved behind the Spark Connect column-node API. Living under
+  * `org.apache.spark.sql` grants the access; this is the standard technique
+  * for third-party Catalyst extensions (same trick frameworks like Delta use).
+  */
+object shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,64 @@
+package graft.keyspace
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Reference-semantics checks over the compacted keyspace (BDD scenarios
+  * from `features/distributed-storage.feature` re-encoded; SURVEY.md §5).
+  */
+class KeyspaceSpec extends SparkSpec {
+
+  lazy val state = KvLog.state(spark, sf).cache()
+  lazy val log = KvLog.log(spark, sf).cache()
+
+  test("point get returns the stored value (store & retrieve)") {
+    val rows = KeyspaceQueries.queries("kv_point_get")(spark, sf).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "order:42")
+    assert(rows.head.getString(1).nonEmpty)
+  }
+
+  test("missing key yields empty result (404 path)") {
+    assert(KeyspaceQueries.queries("kv_point_get_missing")(spark, sf).count() === 0)
+  }
+
+  test("LWW: updated keys show the second value, never the first") {
+    val updated = state.filter(col("key") === "order:97").collect()
+    assert(updated.length === 1)
+    assert(updated.head.getString(1).startsWith("updated:"))
+  }
+
+  test("delete wins when it is the last op; deletes are idempotent") {
+    // orderkey 101 -> tombstoned; absent from state
+    assert(state.filter(col("key") === "order:101").count() === 0)
+    // key 0 gets put(0), update(1), delete(2): delete has highest seq
+    assert(state.filter(col("key") === "order:0").count() === 0)
+  }
+
+  test("compacted state = puts minus tombstoned keys") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val deleted = log.filter(col("op") === "delete").count()
+    assert(state.count() === orders - deleted)
+  }
+
+  test("range scan is sorted and honors [start, end) bounds") {
+    val rows = KeyspaceQueries.queries("kv_range_scan")(spark, sf)
+      .collect().map(_.getString(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(k => k >= "order:2" && k < "order:3"))
+    assert(rows.sameElements(rows.sorted))
+  }
+
+  test("shard stats partition the whole keyspace") {
+    val stats = KeyspaceQueries.queries("kv_shard_stats")(spark, sf).collect()
+    assert(stats.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(stats.map(_.getLong(1)).sum === state.count())
+  }
+
+  test("empty-shard semantics: filtering a never-written shard id is empty, not an error") {
+    // reference: querying a non-existent shard creates it empty
+    // (cmd/node/node_test.go:279-286)
+    assert(state.filter(col("shard_id") === 99).count() === 0)
+  }
+}
