@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.cluster.ClusterQueries
 import graft.keyspace.KeyspaceQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,10 +22,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KeyspaceQueries.queries
+    KeyspaceQueries.queries ++ ClusterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    KeyspaceQueries.oracle
+    KeyspaceQueries.oracle ++ ClusterQueries.oracle
 }

@@ -1,0 +1,331 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.keyspace.KvLog
+import graft.oracle.Ora
+
+/** Cluster control-plane operators O8–O15 (SURVEY.md §2.1): key routing,
+  * shard assignment, round-robin (re)balance, membership upsert, node⋈health
+  * enrichment, and the consecutive-failure health state machine in batch
+  * form (gaps-and-islands).
+  *
+  * Metadata tables (membership log, assignments) are tiny dimensions — at
+  * 100 TB the data-plane side of every join here is the big side and the
+  * dimension broadcasts; Spark's planner picks broadcast-hash automatically
+  * for these (verified via explain in ClusterSpec).
+  */
+object ClusterQueries {
+
+  // ---- fixtures (mirrored literally in the DuckDB oracle) ----------------
+
+  /** Registration log: n1..n3 register, n1 re-registers with a new address
+    * (update-in-place, `cmd/coordinator/main.go:297-308`), n4 registers and
+    * is later marked unhealthy by the health callback (`main.go:322-334`). */
+  def registerLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "n1", "host-a:9001"),
+      (2L, "n2", "host-b:9002"),
+      (3L, "n3", "host-c:9003"),
+      (4L, "n1", "host-a:9011"),
+      (5L, "n4", "host-d:9004")
+    ).toDF("reg_seq", "node_id", "addr")
+  }
+
+  /** Membership status after the unhealthy-callback marked n4
+    * (`cmd/coordinator/main.go:322-334`). */
+  def membershipStatus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("n1", "healthy"), ("n2", "healthy"), ("n3", "healthy"),
+      ("n4", "unhealthy")).toDF("node_id", "m_status")
+  }
+
+  /** Current membership: LWW by reg_seq, keeping first-registration order
+    * (Go keeps slice position on re-register). */
+  def membership(spark: SparkSession): DataFrame =
+    registerLog(spark).groupBy("node_id")
+      .agg(max_by(col("addr"), col("reg_seq")).as("addr"),
+           min(col("reg_seq")).as("first_seq"))
+      .join(membershipStatus(spark), Seq("node_id"), "left")
+
+  /** Healthy nodes indexed by membership order — the round-robin domain
+    * (`cmd/coordinator/main.go:977-983`). */
+  def healthyNodesIndexed(spark: SparkSession): DataFrame =
+    membership(spark).filter(col("m_status") =!= "unhealthy")
+      .withColumn("node_idx",
+        row_number().over(Window.orderBy("first_seq")).cast("long") - 1L)
+
+  /** Partial routing table: shards 0–2 assigned, shard 3 unassigned — the
+    * 503 path (`cmd/coordinator/main.go:565-569`). */
+  def partialAssignments(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0L, "n1"), (1L, "n2"), (2L, "n3")).toDF("shard_id", "node_id")
+  }
+
+  /** Health-probe log derived from `events`: 3 nodes, probe order = event_id,
+    * outcome pattern mixing long failure blocks (≥3 consecutive → unhealthy)
+    * with scattered single failures (< threshold, must NOT transition). */
+  def probes(spark: SparkSession, sfDir: String): DataFrame =
+    // explicit schema: events.parquet carries TIMESTAMP(NANOS) which Spark
+    // rejects at inference; we only need these two columns anyway, and the
+    // pruned schema keeps the scan narrow.
+    spark.read.schema("event_id BIGINT, user_id BIGINT")
+      .parquet(s"$sfDir/events.parquet").select(
+      col("event_id").as("seq"),
+      concat(lit("n"), (col("user_id") % 3 + 1).cast("string")).as("node_id"),
+      (expr("(event_id div 50) % 5") =!= 0 && col("event_id") % 13 =!= 0)
+        .as("ok"))
+
+  /** Per-probe status via the reference's counted-failure state machine
+    * (`internal/coordinator/health_monitor.go:221-254`): 3rd consecutive
+    * failure ⇒ unhealthy; any success ⇒ healthy; before any signal ⇒
+    * unknown. Batch shape: gaps-and-islands windows. */
+  def probeStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val wRun = Window.partitionBy("node_id").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = probes(spark, sfDir)
+      .withColumn("grp", sum(when(col("ok"), 1L).otherwise(0L)).over(wRun))
+    val wGrp = Window.partitionBy("node_id", "grp").orderBy("seq")
+    val consec = runs.withColumn("n_fails",
+      when(col("ok"), 0L).otherwise(
+        row_number().over(wGrp).cast("long") -
+          when(col("grp") > 0, 1L).otherwise(0L)))
+    consec.withColumn("status", coalesce(
+      last(when(col("ok"), "healthy").when(col("n_fails") >= 3, "unhealthy"),
+        ignoreNulls = true).over(wRun),
+      lit("unknown")))
+  }
+
+  // ---- queries -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O12 — node registration with upsert semantics (re-register updates
+    // the address in place; LWW by registration seq).
+    "register_upsert" -> ((s, _) =>
+      membership(s).select("node_id", "addr").orderBy("node_id")),
+
+    // O9 — key→node routing: derived shard_id equi-joined against the
+    // assignment dimension; null node_id = unassigned shard = the 503 path.
+    // The dimension is broadcast; the keyspace side never shuffles for it.
+    "route_key_to_node" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .join(broadcast(partialAssignments(s)), Seq("shard_id"), "left")
+        .groupBy("node_id").agg(count("*").as("n_keys"))
+        .orderBy(col("node_id").asc_nulls_first)),
+
+    // O11 — full rebalance: shard i → healthyNodes[i mod n], all primary
+    // (`internal/coordinator/shard_registry.go:554-577`).
+    "round_robin_rebalance" -> ((s, _) => {
+      val n = healthyNodesIndexed(s).count()
+      s.range(4).select(col("id").as("shard_id"))
+        .withColumn("node_idx", pmod(col("shard_id"), lit(n)))
+        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+        .select(col("shard_id"), col("node_id"), lit(true).as("is_primary"))
+        .orderBy("shard_id")
+    }),
+
+    // O11 — auto-assign: only unassigned shards, round-robin by the RANK of
+    // the unassigned shard over healthy nodes (`cmd/coordinator/
+    // main.go:976-1013`: nodeIndex increments only on assignment).
+    "auto_assign_unassigned" -> ((s, _) => {
+      val n = healthyNodesIndexed(s).count()
+      val current = partialAssignments(s).filter(col("shard_id") === 0L)
+      val unassigned = s.range(4).select(col("id").as("shard_id"))
+        .join(current.select("shard_id"), Seq("shard_id"), "left_anti")
+        .withColumn("rank",
+          row_number().over(Window.orderBy("shard_id")).cast("long") - 1L)
+      unassigned.withColumn("node_idx", pmod(col("rank"), lit(n)))
+        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+        .select("shard_id", "node_id")
+        .unionByName(current)
+        .orderBy("shard_id")
+    }),
+
+    // O9 — GetNodeShards: shards grouped per node after a full rebalance
+    // (`shard_registry.go:465-477`); shard list pinned to a sorted string.
+    "node_shards" -> ((s, _) => {
+      val n = healthyNodesIndexed(s).count()
+      s.range(4).select(col("id").as("shard_id"))
+        .withColumn("node_idx", pmod(col("shard_id"), lit(n)))
+        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+        .groupBy("node_id")
+        .agg(concat_ws(",", sort_array(collect_list(col("shard_id"))))
+          .as("shards"), count("*").as("n_shards"))
+        .orderBy("node_id")
+    }),
+
+    // O13 — the one join-like reference operator: node list enriched with
+    // monitor health; explicit-unhealthy membership wins, never-probed ⇒
+    // unknown (`cmd/coordinator/main.go:368-399`).
+    "nodes_with_health" -> ((s, dir) => {
+      val current = probeStatus(s, dir).groupBy("node_id")
+        .agg(max_by(col("status"), col("seq")).as("h_status"))
+      membership(s).join(current, Seq("node_id"), "left")
+        .select(col("node_id"), col("addr"),
+          when(col("m_status") === "unhealthy", "unhealthy")
+            .otherwise(coalesce(col("h_status"), lit("unknown")))
+            .as("status"))
+        .orderBy("node_id")
+    }),
+
+    // O14 — broadcast fan-out result table: one ack row per registered
+    // node + the SentTo count (`cmd/coordinator/main.go:446-495`).
+    "broadcast_fanout" -> ((s, _) => {
+      val m = membership(s)
+      m.select(col("node_id"), lit("ok").as("result"))
+        .crossJoin(m.agg(count("*").as("sent_to")))
+        .orderBy("node_id")
+    }),
+
+    // O15 — health transitions: only status CHANGES are emitted, mirroring
+    // the transition-only callback (`health_monitor.go:238-243`) and
+    // recovery logging (`health_monitor.go:245-253`).
+    "health_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("node_id").orderBy("seq")
+      probeStatus(s, dir)
+        .withColumn("prev_status", lag(col("status"), 1, "unknown").over(w))
+        .filter(col("status") =!= col("prev_status"))
+        .select("node_id", "seq", "prev_status", "status")
+        .orderBy("node_id", "seq")
+    }),
+
+    // O15 — current health snapshot per node (GetAllNodeHealth,
+    // `health_monitor.go:313-361`).
+    "health_current" -> ((s, dir) =>
+      probeStatus(s, dir).groupBy("node_id")
+        .agg(max_by(col("status"), col("seq")).as("status"),
+          max(col("seq")).as("last_check_seq"))
+        .orderBy("node_id")),
+  )
+
+  // ---- oracles -----------------------------------------------------------
+
+  private val membershipSql =
+    """reg_log(reg_seq, node_id, addr) AS (
+      |  VALUES (1, 'n1', 'host-a:9001'), (2, 'n2', 'host-b:9002'),
+      |         (3, 'n3', 'host-c:9003'), (4, 'n1', 'host-a:9011'),
+      |         (5, 'n4', 'host-d:9004')
+      |),
+      |m_status(node_id, m_status) AS (
+      |  VALUES ('n1', 'healthy'), ('n2', 'healthy'), ('n3', 'healthy'),
+      |         ('n4', 'unhealthy')
+      |),
+      |membership AS (
+      |  SELECT l.node_id, arg_max(addr, reg_seq) AS addr,
+      |         min(reg_seq) AS first_seq, any_value(m_status) AS m_status
+      |  FROM reg_log l JOIN m_status USING (node_id) GROUP BY l.node_id
+      |),
+      |healthy_idx AS (
+      |  SELECT node_id,
+      |         row_number() OVER (ORDER BY first_seq) - 1 AS node_idx
+      |  FROM membership WHERE m_status <> 'unhealthy'
+      |),
+      |partial_assign(shard_id, node_id) AS (
+      |  VALUES (0, 'n1'), (1, 'n2'), (2, 'n3')
+      |)""".stripMargin
+
+  private val probesSql =
+    """probes AS (
+      |  SELECT event_id AS seq,
+      |         'n' || CAST(user_id % 3 + 1 AS VARCHAR) AS node_id,
+      |         ((event_id // 50) % 5 <> 0 AND event_id % 13 <> 0) AS ok
+      |  FROM events
+      |),
+      |runs AS (
+      |  SELECT *, sum(CASE WHEN ok THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY node_id ORDER BY seq
+      |            ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM probes
+      |),
+      |consec AS (
+      |  SELECT *, CASE WHEN ok THEN 0
+      |    ELSE row_number() OVER (PARTITION BY node_id, grp ORDER BY seq)
+      |         - CASE WHEN grp > 0 THEN 1 ELSE 0 END END AS n_fails
+      |  FROM runs
+      |),
+      |statused AS (
+      |  SELECT *, coalesce(
+      |    last_value(CASE WHEN ok THEN 'healthy'
+      |                    WHEN n_fails >= 3 THEN 'unhealthy' END IGNORE NULLS)
+      |      OVER (PARTITION BY node_id ORDER BY seq ROWS UNBOUNDED PRECEDING),
+      |    'unknown') AS status
+      |  FROM consec
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "register_upsert" -> (s"WITH $membershipSql\n" +
+      "SELECT node_id, addr FROM membership ORDER BY node_id"),
+
+    "route_key_to_node" -> (s"WITH ${Ora.kvState},\n" +
+      membershipSql + "\n" +
+      """SELECT a.node_id, count(*) AS n_keys
+        |FROM kv_state k LEFT JOIN partial_assign a ON k.shard_id = a.shard_id
+        |GROUP BY a.node_id ORDER BY a.node_id NULLS FIRST""".stripMargin),
+
+    "round_robin_rebalance" -> (s"WITH $membershipSql\n" +
+      """SELECT s.shard_id, h.node_id, true AS is_primary
+        |FROM (SELECT CAST(range AS BIGINT) AS shard_id FROM range(4)) s
+        |JOIN healthy_idx h
+        |  ON h.node_idx = s.shard_id % (SELECT count(*) FROM healthy_idx)
+        |ORDER BY s.shard_id""".stripMargin),
+
+    "auto_assign_unassigned" -> (s"WITH $membershipSql,\n" +
+      """current AS (SELECT * FROM partial_assign WHERE shard_id = 0),
+        |unassigned AS (
+        |  SELECT shard_id,
+        |         row_number() OVER (ORDER BY shard_id) - 1 AS rnk
+        |  FROM (SELECT CAST(range AS BIGINT) AS shard_id FROM range(4))
+        |  WHERE shard_id NOT IN (SELECT shard_id FROM current)
+        |)
+        |SELECT shard_id, node_id FROM (
+        |  SELECT u.shard_id, h.node_id FROM unassigned u
+        |  JOIN healthy_idx h
+        |    ON h.node_idx = u.rnk % (SELECT count(*) FROM healthy_idx)
+        |  UNION ALL
+        |  SELECT CAST(shard_id AS BIGINT), node_id FROM current
+        |) ORDER BY shard_id""".stripMargin),
+
+    "node_shards" -> (s"WITH $membershipSql\n" +
+      """SELECT h.node_id,
+        |       string_agg(CAST(s.shard_id AS VARCHAR), ',' ORDER BY s.shard_id) AS shards,
+        |       count(*) AS n_shards
+        |FROM (SELECT CAST(range AS BIGINT) AS shard_id FROM range(4)) s
+        |JOIN healthy_idx h
+        |  ON h.node_idx = s.shard_id % (SELECT count(*) FROM healthy_idx)
+        |GROUP BY h.node_id ORDER BY h.node_id""".stripMargin),
+
+    "nodes_with_health" -> (s"WITH $membershipSql,\n$probesSql,\n" +
+      """current AS (
+        |  SELECT node_id, arg_max(status, seq) AS h_status
+        |  FROM statused GROUP BY node_id
+        |)
+        |SELECT m.node_id, m.addr,
+        |       CASE WHEN m.m_status = 'unhealthy' THEN 'unhealthy'
+        |            ELSE coalesce(c.h_status, 'unknown') END AS status
+        |FROM membership m LEFT JOIN current c ON m.node_id = c.node_id
+        |ORDER BY m.node_id""".stripMargin),
+
+    "broadcast_fanout" -> (s"WITH $membershipSql\n" +
+      """SELECT node_id, 'ok' AS result,
+        |       (SELECT count(*) FROM membership) AS sent_to
+        |FROM membership ORDER BY node_id""".stripMargin),
+
+    "health_transitions" -> (s"WITH $probesSql\n" +
+      """SELECT node_id, seq, prev_status, status FROM (
+        |  SELECT node_id, seq,
+        |         lag(status, 1, 'unknown')
+        |           OVER (PARTITION BY node_id ORDER BY seq) AS prev_status,
+        |         status
+        |  FROM statused)
+        |WHERE status <> prev_status
+        |ORDER BY node_id, seq""".stripMargin),
+
+    "health_current" -> (s"WITH $probesSql\n" +
+      """SELECT node_id, arg_max(status, seq) AS status,
+        |       max(seq) AS last_check_seq
+        |FROM statused GROUP BY node_id ORDER BY node_id""".stripMargin),
+  )
+}
