@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.ClusterQueries
 import graft.keyspace.KeyspaceQueries
+import graft.text.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +23,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KeyspaceQueries.queries ++ ClusterQueries.queries
+    KeyspaceQueries.queries ++ ClusterQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    KeyspaceQueries.oracle ++ ClusterQueries.oracle
+    KeyspaceQueries.oracle ++ ClusterQueries.oracle ++ TextQueries.oracle
 }

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hash.Fnv1a32.fnv1a32
+import graft.oracle.Ora
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting (whitespace + regex "BPE-ish"),
+  * quality scoring, stopword-based language ID, and content
+  * fingerprinting.
+  *
+  * All are embarrassingly parallel scalar pipelines — narrow
+  * transformations over the document scan, no shuffle at any scale; the
+  * only wide stage is the final ORDER BY pinned for the oracle compare
+  * (droppable in production).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val tokens: Column = split(col("text"), "\\s+")
+
+  private def hits(words: Seq[String]): Column =
+    size(filter(tokens, w => w.isin(words: _*))).cast("long")
+
+  private val En = Seq("the", "a", "of", "and", "to", "in")
+  private val De = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val Fr = Seq("le", "la", "les", "et", "est", "une")
+  private val Es = Seq("el", "los", "las", "y", "es", "una")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace tokens + a regex word/number tokenizer
+    "text_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(tokens).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long")
+          .as("n_re_tokens"))
+        .orderBy("doc_id")),
+
+    // quality scoring: length/stopword-density composite, same IEEE double
+    // op order as the oracle so the bits match
+    "text_quality_score" -> ((s, dir) => {
+      val nTok = size(tokens).cast("long")
+      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val stopRatio = hits(En).cast("double") / nTok.cast("double")
+      val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        (nAlpha.cast("double") / nTok.cast("double")).as("avg_token_len"),
+        stopRatio.as("stopword_ratio"),
+        (lit(0.6) * lenScore + lit(0.4) * (lit(1.0) - stopRatio))
+          .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // language ID: distinctive-stopword voting with a fixed tie-break
+    // (en > de > fr > es), 'unknown' when nothing votes
+    "text_language_id" -> ((s, dir) => {
+      val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
+      docs(s, dir).select(
+        col("doc_id"),
+        when(greatest(en, de, fr, es) === 0, "unknown")
+          .when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-level language distribution (same vote, aggregated)
+    "text_language_dist" -> ((s, dir) => {
+      val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
+      docs(s, dir).select(
+        when(greatest(en, de, fr, es) === 0, "unknown")
+          .when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es").as("lang_pred"))
+        .groupBy("lang_pred").agg(count("*").as("n"))
+        .orderBy("lang_pred")
+    }),
+
+    // document fingerprinting: content hash via the engine's native
+    // fnv1a32 expression (codegen'd; no UDF in the hot path)
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), fnv1a32(col("text")).as("fp"))
+        .orderBy("doc_id")),
+  )
+
+  private def hitsSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(text, '\\s+'), " +
+      s"w -> list_contains([$lst], w)))"
+  }
+
+  private val predSql: String = {
+    val (en, de, fr, es) = (hitsSql(En), hitsSql(De), hitsSql(Fr), hitsSql(Es))
+    s"""CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'unknown'
+       |     WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |     WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |     WHEN $fr >= $es THEN 'fr'
+       |     ELSE 'es' END""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')) AS avg_token_len,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')) AS stopword_ratio,
+        |  0.6 * least(1.0, CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 100.0)
+        |  + 0.4 * (1.0 - CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+'))) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_language_id" ->
+      s"SELECT doc_id, $predSql AS lang_pred FROM documents ORDER BY doc_id",
+
+    "text_language_dist" ->
+      s"""SELECT lang_pred, count(*) AS n FROM (
+         |  SELECT $predSql AS lang_pred FROM documents)
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "text_fingerprint" ->
+      s"SELECT doc_id, ${Ora.fnv("text")} AS fp FROM documents ORDER BY doc_id",
+  )
+}
