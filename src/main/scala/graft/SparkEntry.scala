@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.ClusterQueries
+import graft.dedup.DedupQueries
 import graft.keyspace.KeyspaceQueries
 import graft.text.TextQueries
 
@@ -23,10 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KeyspaceQueries.queries ++ ClusterQueries.queries ++ TextQueries.queries
+    KeyspaceQueries.queries ++ ClusterQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    KeyspaceQueries.oracle ++ ClusterQueries.oracle ++ TextQueries.oracle
+    KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
+      TextQueries.oracle ++ DedupQueries.oracle
 }

@@ -1,0 +1,286 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hash.Fnv1a32.fnv1a32
+import graft.oracle.Ora
+
+/** Deduplication family for a training-data pipeline over `documents`:
+  *
+  *   - exact:         content-hash groupBy (one shuffle, map-side combine)
+  *   - n-gram Jaccard: inverted-index join on word-3-gram shingles — never
+  *                     builds the N² cross product; candidate pairs are
+  *                     generated only for docs sharing a shingle
+  *   - MinHash + LSH:  16 minhashes, 8 bands × 2 rows; candidates share a
+  *                     band signature, then exact-Jaccard verification.
+  *                     THE 100 TB path: cost scales with Σ band-bucket
+  *                     sizes, not with corpus²
+  *   - SimHash:        32-bit frequency-weighted signature; near-dup pairs
+  *                     via pigeonhole banding (hamming ≤ 3 ⇒ one of 4
+  *                     8-bit chunks equal), again avoiding the cross join
+  *
+  * Everything is deterministic and mirrored bit-for-bit in the DuckDB
+  * oracles (hash kernel = fnv1a32 on both sides).
+  */
+object DedupQueries {
+
+  val JaccardThreshold = 0.5
+  val NumMinhash = 16
+  val NumBands = 8 // 2 rows per band
+  val HammingMax = 3
+  val MinhashPrime = 4294967311L // smallest prime > 2^32
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** (doc_id, shingles) — distinct word 3-grams. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs(s, dir).select(
+      col("doc_id"),
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3)))))
+        .otherwise(array().cast("array<string>")).as("shingles"))
+  }
+
+  /** Exact-Jaccard pairs ≥ threshold via the shingle inverted index. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("shared"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** (doc_id, shingles, h0..h15) minhash signature columns. */
+  private def minhashed(s: SparkSession, dir: String): DataFrame = {
+    val withHashes = shingled(s, dir)
+      .withColumn("hashes", transform(col("shingles"), sh => fnv1a32(sh)))
+    val sigCols = (0 until NumMinhash).map { i =>
+      array_min(transform(col("hashes"), x =>
+        (x * lit(2L * i + 1) + lit(17L * i + 7)) % lit(MinhashPrime)))
+        .as(s"h$i")
+    }
+    withHashes.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content-hash groupBy; summary proves the operator on a
+    // corpus with no exact dups (planted dups are near-dups, caught below)
+    "dedup_exact" -> ((s, dir) => {
+      val hashed = docs(s, dir).select(md5(col("text").cast("binary")).as("h"))
+      hashed.agg(
+        count("*").as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+        .crossJoin(
+          hashed.groupBy("h").count().filter(col("count") > 1)
+            .agg(count("*").as("n_dup_groups")))
+    }),
+
+    // n-gram Jaccard near-dup pairs (exact, inverted-index join)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // MinHash banding: candidates share one of 8 band signatures, then
+    // exact verification — output identical shape to dedup_ngram_jaccard
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val mh = minhashed(s, dir)
+      val bands = (0 until NumBands).map { b =>
+        concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+      }
+      val exploded = mh.select(col("doc_id"),
+        posexplode(array(bands: _*)).as(Seq("band", "sig")))
+      val cand = exploded.as("a").join(exploded.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = shingled(s, dir)
+      cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+            .cast("double") /
+            size(array_union(col("sa.shingles"), col("sb.shingles"))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash signatures: 32-bit, term-frequency weighted
+    "dedup_simhash" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), fnv1a32(col("w")).as("h"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+      tok.groupBy("doc_id", "b")
+        .agg(sum(when(expr("(shiftright(h, CAST(b AS INT)) & 1)") === 1, 1L)
+          .otherwise(-1L))
+          .as("contrib"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("contrib") >= 0,
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) AS BIGINT)"))
+          .otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs via pigeonhole banding on 8-bit chunks
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sig = queries("dedup_simhash")(s, dir)
+      val chunks = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("chunk",
+          expr("shiftright(simhash, CAST(8 * c AS INT)) & 255"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sig_a"),
+          col("b.doc_id").as("doc_b"), col("b.simhash").as("sig_b"))
+        .distinct()
+      cand.withColumn("hamming",
+          expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        .filter(col("hamming") <= HammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+  )
+
+  // ---- oracles -----------------------------------------------------------
+
+  private val shingledSql: String =
+    """toksed AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |shingled AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(range(len(toks) - 2), i ->
+      |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |    ELSE [] END AS shingles
+      |  FROM toksed
+      |)""".stripMargin
+
+  private val jaccardPairsSql: String =
+    s"""$shingledSql,
+       |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+       |  FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |)""".stripMargin
+
+  private val minhashSql: String = {
+    val sigCols = (0 until NumMinhash).map { i =>
+      s"list_min(list_transform(hashes, x -> (x * ${2L * i + 1} + ${17L * i + 7}) % $MinhashPrime)) AS h$i"
+    }.mkString(",\n         ")
+    s"""$shingledSql,
+       |hashed AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, sh -> ${Ora.fnv("sh")}) AS hashes
+       |  FROM shingled
+       |),
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |         $sigCols
+       |  FROM hashed
+       |)""".stripMargin
+  }
+
+  private val simhashSql: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |),
+      |tokh AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(2166136261::BIGINT,
+      |           list_transform(string_split(w, ''), c -> unicode(c)::BIGINT)),
+      |           (h, b) -> ((xor(h, b)) * 16777619) % 4294967296) AS h,
+      |         unnest(range(32)) AS b
+      |  FROM tok
+      |),
+      |contribs AS (
+      |  SELECT doc_id, b,
+      |         CAST(sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS contrib
+      |  FROM tokh GROUP BY doc_id, b
+      |),
+      |simhashed AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN contrib >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM contribs GROUP BY doc_id
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(DISTINCT md5(text)) FROM documents) AS n_distinct,
+        |  (SELECT count(*) FROM (
+        |     SELECT md5(text) AS h FROM documents GROUP BY 1 HAVING count(*) > 1))
+        |    AS n_dup_groups""".stripMargin,
+
+    "dedup_ngram_jaccard" -> (s"WITH $jaccardPairsSql\n" +
+      s"SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $JaccardThreshold " +
+      "ORDER BY doc_a, doc_b"),
+
+    "dedup_minhash_lsh" -> (s"WITH $minhashSql,\n" +
+      (0 until NumBands).map { b =>
+        s"""band$b AS (SELECT doc_id,
+           |  $b AS band, CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS sig
+           |  FROM sigs)""".stripMargin
+      }.mkString(",\n") + ",\n" +
+      s"""bands AS (${(0 until NumBands).map(b => s"SELECT * FROM band$b").mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |FROM cand
+         |JOIN sigs sa ON doc_a = sa.doc_id
+         |JOIN sigs sb ON doc_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_simhash" -> (s"WITH $simhashSql\n" +
+      "SELECT doc_id, simhash FROM simhashed ORDER BY doc_id"),
+
+    "dedup_simhash_pairs" -> (s"WITH $simhashSql,\n" +
+      """chunks AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (8 * CAST(c AS INT))) & 255 AS chunk
+        |  FROM simhashed, (SELECT unnest(range(4)) AS c)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+        |         b.doc_id AS doc_b, b.simhash AS sig_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+}
