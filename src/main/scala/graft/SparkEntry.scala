@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cluster.ClusterQueries
 import graft.dedup.DedupQueries
 import graft.keyspace.KeyspaceQueries
+import graft.sim.SimilarityQueries
 import graft.text.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,11 +26,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KeyspaceQueries.queries ++ ClusterQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle
+      TextQueries.oracle ++ DedupQueries.oracle ++ SimilarityQueries.oracle
 }

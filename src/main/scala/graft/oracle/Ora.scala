@@ -56,4 +56,22 @@ object Ora {
 
   /** Full statement with the kv_state CTE prefix. */
   def withState(body: String): String = s"WITH $kvState\n$body"
+
+  /** Ordered left-fold dot product of two 64-dim FLOAT lists in DOUBLE —
+    * the exact op sequence of [[graft.sim.SimilarityQueries.dot]], so the
+    * resulting doubles are bit-identical across engines. */
+  def dot64(a: String, b: String): String =
+    s"list_reduce(list_transform(range(64), i -> " +
+      s"$a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x, y) -> x + y)"
+
+  /** Same fold against a literal ±1 hyperplane. */
+  def dotLit64(a: String, w: Seq[Double]): String = {
+    val lst = w.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    s"list_reduce(list_transform(range(64), i -> " +
+      s"$a[i+1]::DOUBLE * ($lst)[i+1]), (x, y) -> x + y)"
+  }
+
+  /** Cosine similarity matching [[graft.sim.SimilarityQueries.cosine]]. */
+  def cos64(a: String, b: String): String =
+    s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
 }

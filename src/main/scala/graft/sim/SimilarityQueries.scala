@@ -1,0 +1,159 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hash.Fnv1a32
+import graft.oracle.Ora
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  *
+  *   - brute-force cosine top-k: the correctness baseline — a broadcast of
+  *     the query vector against a full scan; one pass, no shuffle except
+  *     the global top-k (TakeOrderedAndProject, never a full sort at scale)
+  *   - random-hyperplane LSH: 8 deterministic ±1 hyperplanes → 8-bit
+  *     buckets; ANN search only scans the query's bucket — the 100 TB path
+  *     (expected bucket size = N/256; hyperplanes derived from the fnv1a32
+  *     kernel so Spark and the oracle agree exactly)
+  *   - embedding near-dup pairs: cosine ≥ threshold; quadratic here for
+  *     oracle verification, with the LSH bucket join as the scale variant
+  *
+  * All float math is double-precision ordered left-folds so results are
+  * bit-identical to the DuckDB oracle (see [[graft.oracle.Ora.dot64]]).
+  */
+object SimilarityQueries {
+
+  val Dim = 64
+  val NumPlanes = 8
+  val TopK = 10
+  val CosineThreshold = 0.45
+
+  /** Deterministic ±1 hyperplanes from the engine's hash kernel. Uses bit
+    * 16 of the hash: FNV-1a's LOW bit is just the XOR of input-byte parities
+    * (multiplying by an odd prime preserves parity mod 2), so `hash % 2`
+    * would yield structured, mutually-correlated planes that collapse all
+    * vectors into two complementary buckets. High bits mix properly. */
+  val hyperplanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanes).map { j =>
+      (0 until Dim).map { k =>
+        if (((Fnv1a32.hashString(s"hp:$j:$k") >> 16) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Ordered left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def dotLit(a: Column, w: Seq[Double]): Column =
+    aggregate(zip_with(a, typedLit(w), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** (vec_id, embedding, bucket) with the 8-bit LSH bucket. */
+  def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until NumPlanes).map { j =>
+      when(dotLit(col("embedding"), hyperplanes(j)) >= 0, 1L << j)
+        .otherwise(0L)
+    }
+    emb(s, dir).withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vector norms: the shared fold machinery, checkable in isolation
+    "embed_norms" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("l2_norm"))
+        .orderBy("vec_id")),
+
+    // brute-force cosine top-k against query vector vec_id = 0
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      emb(s, dir).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(TopK)
+    }),
+
+    // LSH bucket histogram: the partitioning the ANN path prunes with
+    "sim_lsh_buckets" -> ((s, dir) =>
+      bucketed(s, dir).groupBy("bucket").agg(count("*").as("n"))
+        .orderBy("bucket")),
+
+    // ANN via LSH: scan ONLY the query's bucket, then exact cosine top-5.
+    // At 100 TB the bucket column is the partition key; this join prunes
+    // the corpus before any distance math. Probes on the coarser 4-plane
+    // prefix (16 buckets) — the precision/recall knob: more prefix bits =
+    // smaller scan, lower recall.
+    "sim_ann_lsh" -> ((s, dir) => {
+      val b = bucketed(s, dir)
+        .withColumn("coarse", col("bucket") % 16)
+      val q = b.filter(col("vec_id") === 0)
+        .select(col("coarse"), col("embedding").as("q_emb"))
+      b.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), "coarse")
+        .select(col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // embedding near-dup pairs: cosine >= threshold (quadratic baseline;
+    // LSH-bucketed variant is the scale path)
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        .filter(col("cos_sim") >= CosineThreshold)
+        .orderBy("vec_a", "vec_b")
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    val bitsSql = (0 until NumPlanes).map { j =>
+      s"CASE WHEN ${Ora.dotLit64("embedding", hyperplanes(j))} >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    val bucketedSql =
+      s"bucketed AS (SELECT vec_id, embedding, $bitsSql AS bucket FROM embeddings)"
+
+    Map(
+      "embed_norms" ->
+        s"""SELECT vec_id, sqrt(${Ora.dot64("embedding", "embedding")}) AS l2_norm
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "sim_topk_bruteforce" ->
+        s"""SELECT e.vec_id, ${Ora.cos64("e.embedding", "q.embedding")} AS cos_sim
+           |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           |WHERE e.vec_id <> 0
+           |ORDER BY cos_sim DESC, e.vec_id LIMIT $TopK""".stripMargin,
+
+      "sim_lsh_buckets" -> (s"WITH $bucketedSql\n" +
+        "SELECT bucket, count(*) AS n FROM bucketed GROUP BY bucket ORDER BY bucket"),
+
+      "sim_ann_lsh" -> (s"WITH $bucketedSql\n" +
+        s"""SELECT e.vec_id, ${Ora.cos64("e.embedding", "q.embedding")} AS cos_sim
+           |FROM bucketed e,
+           |     (SELECT bucket % 16 AS coarse, embedding FROM bucketed
+           |      WHERE vec_id = 0) q
+           |WHERE e.vec_id <> 0 AND e.bucket % 16 = q.coarse
+           |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin),
+
+      "dedup_embedding_cosine" ->
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       ${Ora.cos64("a.embedding", "b.embedding")} AS cos_sim
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${Ora.cos64("a.embedding", "b.embedding")} >= $CosineThreshold
+           |ORDER BY vec_a, vec_b""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+        acc + p.toDouble * q.toDouble
+      }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("brute-force top-k matches a driver-side reference ranking") {
+    val vs = vecs
+    val q = vs(0L)
+    val expected = vs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosRef(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(SimilarityQueries.TopK)
+    val got = SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("top-k plan is TakeOrdered, not a full global sort") {
+    val plan = SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("LSH buckets spread the corpus and partition it exactly") {
+    val rows = SimilarityQueries.queries("sim_lsh_buckets")(spark, sf)
+      .collect()
+    assert(rows.length > 16, s"only ${rows.length} buckets used")
+    assert(rows.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
+
+  test("ANN candidates come from the query's coarse bucket with exact cosines") {
+    val vs = vecs
+    val got = SimilarityQueries.queries("sim_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - cosRef(vs(0L), vs(id))) < 1e-12)
+    }
+  }
+
+  test("embedding near-dup pairs are canonical and above threshold") {
+    val pairs = SimilarityQueries.queries("dedup_embedding_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= SimilarityQueries.CosineThreshold)
+    }
+  }
+}
