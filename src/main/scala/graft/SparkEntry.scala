@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cluster.ClusterQueries
 import graft.dedup.DedupQueries
 import graft.keyspace.KeyspaceQueries
+import graft.multimodal.Multimodal
 import graft.sim.SimilarityQueries
 import graft.text.TextQueries
 
@@ -26,11 +27,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KeyspaceQueries.queries ++ ClusterQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle ++ SimilarityQueries.oracle
+      TextQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ Multimodal.oracle
 }

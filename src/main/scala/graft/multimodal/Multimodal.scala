@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hash.Fnv1a32
+import graft.oracle.Ora
+
+/** A multimodal asset row: opaque binary payload + typed metadata. At scale
+  * this is the schema for image/audio/video columns — payloads stay opaque
+  * `binary`, metadata is columnar and prunable, and decode runs batched per
+  * partition so a real decoder amortizes init cost across a partition. */
+case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
+    width: Int, height: Int)
+
+/** Features extracted by the (stubbed) decoder. */
+case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+    byte_sum: Long, checksum: Long)
+
+/** Multimodal-column plumbing: schema, partitioning, and batched decode.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs, so
+  * `decodeStub` computes deterministic byte-level statistics in place of a
+  * real decoder. Everything AROUND the stub is real and tested: the binary
+  * column derivation, the typed-metadata schema, the per-partition batch
+  * shape (`mapPartitions` over a `Dataset[MediaRow]`, the Scala analog of a
+  * vectorized/pandas UDF), the media-type partitioning, and the downstream
+  * aggregation — which is exactly the plumbing a 100 TB pipeline needs to
+  * get right before swapping in a real codec.
+  */
+object Multimodal {
+
+  /** REAL DECODER GOES HERE. The stub derives features deterministically
+    * from the payload bytes so the pipeline stays oracle-checkable. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    var byteSum = 0L
+    var i = 0
+    while (i < r.payload.length) {
+      byteSum += r.payload(i) & 0xff
+      i += 1
+    }
+    MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, byteSum,
+      Fnv1a32.hashBytes(r.payload))
+  }
+
+  /** Catalog of media assets derived from `documents`: payload = the raw
+    * text bytes standing in for encoded media; metadata deterministic. */
+  def catalog(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("int"))
+        .as("media_type"),
+      col("text").cast("binary").as("payload"),
+      (lit(64) + (col("doc_id") % 16) * 32).cast("int").as("width"),
+      (lit(48) + (col("doc_id") % 9) * 24).cast("int").as("height"))
+
+  /** The batched decode pipeline: repartition by media type (a real decoder
+    * is initialized once per partition per type), then mapPartitions. */
+  def decoded(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    catalog(s, dir).repartition(col("media_type")).as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the typed catalog: binary payload + prunable metadata
+    "media_catalog" -> ((s, dir) =>
+      catalog(s, dir)
+        .select(col("doc_id"), col("media_type"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("doc_id")),
+
+    // through the batched decode stub, then aggregate per media type
+    "media_decode_stats" -> ((s, dir) =>
+      decoded(s, dir).groupBy("media_type").agg(
+        count("*").as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("byte_sum")).as("total_byte_sum"),
+        min(col("checksum")).as("min_checksum"),
+        max(col("checksum")).as("max_checksum"))
+        .orderBy("media_type")),
+  )
+
+  private val mediaTypeSql =
+    "(['image', 'audio', 'video'])[CAST(substr(source, 4) AS INT) % 3 + 1]"
+
+  val oracle: Map[String, String] = Map(
+    "media_catalog" ->
+      s"""SELECT doc_id, $mediaTypeSql AS media_type,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
+         |  CAST(48 + (doc_id % 9) * 24 AS BIGINT) AS height
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "media_decode_stats" ->
+      s"""SELECT $mediaTypeSql AS media_type,
+         |  count(*) AS n_assets,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+         |  CAST(sum(list_sum(list_transform(string_split(text, ''),
+         |    c -> unicode(c)::BIGINT))) AS BIGINT) AS total_byte_sum,
+         |  min(${Ora.fnv("text")}) AS min_checksum,
+         |  max(${Ora.fnv("text")}) AS max_checksum
+         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
+  )
+}

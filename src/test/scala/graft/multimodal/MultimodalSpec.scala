@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.hash.Fnv1a32
+
+class MultimodalSpec extends SparkSpec {
+
+  test("catalog: binary payload with typed, prunable metadata") {
+    val df = Multimodal.catalog(spark, sf)
+    val sch = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(sch("payload") === "binary")
+    assert(sch("media_type") === "string")
+    assert(sch("width") === "int" && sch("height") === "int")
+    val types = df.select("media_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("image", "audio", "video"))
+  }
+
+  test("decode stub runs batched per partition and preserves every row") {
+    val feats = Multimodal.decoded(spark, sf)
+    assert(feats.count() ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // checksum really is the payload hash: cross-check one row end-to-end
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("doc_id", "text").first()
+    val f = feats.filter(col("doc_id") === doc.getLong(0)).collect().head
+    assert(f.checksum === Fnv1a32.hashString(doc.getString(1)))
+    assert(f.n_bytes === doc.getString(1).length.toLong)
+  }
+
+  test("pipeline partitions by media_type before decoding") {
+    val plan = Multimodal.decoded(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(media_type"), plan.take(1500))
+  }
+}
