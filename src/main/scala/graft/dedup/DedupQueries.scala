@@ -34,27 +34,44 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** (doc_id, shingles) — distinct word 3-grams. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs(s, dir).select(
-      col("doc_id"),
-      when(size(toks) >= 3,
-        array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-            element_at(toks, i + 3)))))
-        .otherwise(array().cast("array<string>")).as("shingles"))
-  }
+  /** (doc_id, shingles) — distinct word 3-grams via the native
+    * [[graft.functions.WordNgrams]] expression (one compiled loop per row;
+    * the equivalent transform/concat_ws/array_distinct HOF pipeline costs
+    * an interpreted lambda per shingle and dominated the whole query). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.WordNgrams.wordNgrams(split(col("text"), " "), 3)
+        .as("shingles"))
 
-  /** Exact-Jaccard pairs ≥ threshold via the shingle inverted index. */
+  /** Posting lists longer than this are dropped before pair generation —
+    * a shingle shared by thousands of documents carries no dedup signal but
+    * would emit k²/2 pairs. Standard "stop-shingle" capping; at the current
+    * corpus no posting list comes near the cap, so results are exact. */
+  val MaxPosting = 1000
+
+  /** Exact-Jaccard pairs ≥ threshold via shingle posting lists.
+    *
+    * One shuffle (groupBy shingle) builds posting lists; candidate pairs
+    * are generated map-side from each list — no self-join, so the shingle
+    * derivation runs once, not twice, and the only other shuffle is the
+    * (doc_a, doc_b) count. This is the inverted-index shape that survives
+    * 100 TB: cost is Σ posting² (bounded by [[MaxPosting]]), never corpus².
+    */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count("*").as("shared"))
+    val posting = sh
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxPosting))
+    val pairs = posting
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("shared"))
+    // no broadcast hint: locally the 1-row-per-doc `sizes` side is tiny and
+    // auto-broadcasts; at 100 TB it is corpus-sized while `pairs` is small,
+    // and AQE picks the right side at runtime.
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
