@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.ClusterQueries
 import graft.dedup.DedupQueries
+import graft.events.EventsQueries
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
 import graft.sim.SimilarityQueries
@@ -28,12 +29,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KeyspaceQueries.queries ++ ClusterQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ Multimodal.queries
+      SimilarityQueries.queries ++ Multimodal.queries ++ EventsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ Multimodal.oracle
+      SimilarityQueries.oracle ++ Multimodal.oracle ++ EventsQueries.oracle
 }

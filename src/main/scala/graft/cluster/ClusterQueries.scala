@@ -199,6 +199,24 @@ object ClusterQueries {
         .agg(max_by(col("status"), col("seq")).as("status"),
           max(col("seq")).as("last_check_seq"))
         .orderBy("node_id")),
+
+    // O10 — validated assignment upsert: rows outside 0 ≤ shard < 4 or with
+    // an empty node are rejected (`shard_registry.go:173-193`), survivors
+    // upsert LWW per shard; removal idempotence is the absent-shard row.
+    "shard_assign_validate" -> ((s, _) => {
+      import s.implicits._
+      val log = Seq(
+        (1L, 0L, "n1"), (2L, 7L, "n2"), (3L, 1L, ""), (4L, 1L, "n2"),
+        (5L, 0L, "n3"), (6L, -1L, "n1")
+      ).toDF("seq", "shard_id", "node_id")
+      val valid = log.filter(col("shard_id") >= 0 && col("shard_id") < 4 &&
+        col("node_id") =!= "")
+      val rejected = log.exceptAll(valid).agg(count("*").as("n_rejected"))
+      valid.groupBy("shard_id")
+        .agg(max_by(col("node_id"), col("seq")).as("node_id"))
+        .crossJoin(rejected)
+        .orderBy("shard_id")
+    }),
   )
 
   // ---- oracles -----------------------------------------------------------
@@ -327,5 +345,20 @@ object ClusterQueries {
       """SELECT node_id, arg_max(status, seq) AS status,
         |       max(seq) AS last_check_seq
         |FROM statused GROUP BY node_id ORDER BY node_id""".stripMargin),
+
+    "shard_assign_validate" ->
+      """WITH assign_log(seq, shard_id, node_id) AS (
+        |  VALUES (1, 0, 'n1'), (2, 7, 'n2'), (3, 1, ''), (4, 1, 'n2'),
+        |         (5, 0, 'n3'), (6, -1, 'n1')
+        |),
+        |valid AS (
+        |  SELECT * FROM assign_log
+        |  WHERE shard_id >= 0 AND shard_id < 4 AND node_id <> ''
+        |)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |       arg_max(node_id, seq) AS node_id,
+        |       (SELECT count(*) FROM assign_log) -
+        |         (SELECT count(*) FROM valid) AS n_rejected
+        |FROM valid GROUP BY shard_id ORDER BY shard_id""".stripMargin,
   )
 }

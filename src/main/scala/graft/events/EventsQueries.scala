@@ -1,0 +1,117 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (600 K rows at sf0.1) —
+  * the batch forms of the streaming-shaped operators: tumbling-window
+  * aggregation, gap-based sessionization, and grouped rollups. The
+  * Structured Streaming twin of the tumbling window lives in
+  * [[graft.streaming.EventStream]].
+  *
+  * `ts` is read as raw epoch-nanos BIGINT (the file's TIMESTAMP(NANOS)
+  * type is rejected by Spark's reader) then truncated to microseconds so
+  * every derivation stays integer-exact and oracle-stable. Money-like
+  * doubles are summed as DECIMAL(18,2) then converted, so no
+  * float-summation-order issue exists on either engine.
+  */
+object EventsQueries {
+
+  val SessionGapUs: Long = 30L * 60 * 1000000L // 30 minutes
+  val WindowUs: Long = 10L * 60 * 1000000L // 10 minutes
+
+  /** Event time is truncated to MICROseconds: DuckDB's parquet reader
+    * downcasts TIMESTAMP(NANOS) to its native µs TIMESTAMP, so µs is the
+    * finest granularity both engines can agree on. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 10-minute windows per event type: the batch form of a
+    // watermarked streaming window agg; partial aggregation map-side, one
+    // shuffle on (window, type)
+    "events_tumbling_agg" -> ((s, dir) =>
+      events(s, dir)
+        // integer div: ts is ~2^61, double division would lose precision
+        .withColumn("window_start", expr(s"(ts div $WindowUs) * $WindowUs"))
+        .groupBy("window_start", "event_type")
+        .agg(count("*").as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    // sessionization: 30-minute-gap sessions per user via lag + running
+    // sum (gaps-and-islands); all-integer arithmetic, exact on both engines
+    "events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(wRun))
+        .groupBy("user_id", "session_idx")
+        .agg(count("*").as("n_events"),
+          min(col("ts")).as("start_us"),
+          (max(col("ts")) - min(col("ts"))).as("duration_us"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // grouped rollup: count, distinct users, exact decimal totals
+    "events_type_stats" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(count("*").as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")),
+  )
+
+  private val eventsSql =
+    """ev AS (
+      |  SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value
+      |  FROM events
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "events_tumbling_agg" -> (s"WITH $eventsSql\n" +
+      s"""SELECT (ts // $WindowUs) * $WindowUs AS window_start, event_type,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+
+    "events_sessionize" -> (s"WITH $eventsSql,\n" +
+      s"""lagged AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev
+         |),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > $SessionGapUs
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged
+         |),
+         |sessions AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |       min(ts) AS start_us, max(ts) - min(ts) AS duration_us
+         |FROM sessions GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin),
+
+    "events_type_stats" -> (s"WITH $eventsSql\n" +
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+}

@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** An event with µs event time (mirror of the batch-side derivation in
+  * [[graft.events.EventsQueries.events]]). */
+case class Event(eventId: Long, tsUs: Long, userId: Long, eventType: String,
+    value: Double)
+
+/** Structured Streaming twin of `events_tumbling_agg`: watermarked
+  * event-time tumbling windows. In append mode a window emits exactly once,
+  * when the watermark (max event time − 30 min) passes its end — late
+  * events beyond the watermark are dropped, the streaming analog of the
+  * batch query's closed-world grouping. State is per-(window, type) and
+  * hash-partitioned across executors; at scale this is the canonical
+  * shuffle-once streaming aggregation.
+  */
+object EventStream {
+
+  val Watermark = "30 minutes"
+  val WindowLen = "10 minutes"
+
+  def tumblingCounts(events: Dataset[Event]): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", Watermark)
+      .groupBy(window(col("event_time"), WindowLen), col("eventType"))
+      .agg(count("*").as("n"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("eventType").as("event_type"), col("n"))
+}

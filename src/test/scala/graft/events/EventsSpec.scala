@@ -1,0 +1,64 @@
+package graft.events
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.{Event, EventStream}
+
+class EventsSpec extends SparkSpec {
+
+  test("tumbling windows partition all events; totals are exact decimals") {
+    val agg = EventsQueries.queries("events_tumbling_agg")(spark, sf).collect()
+    assert(agg.map(_.getLong(2)).sum === EventsQueries.events(spark, sf).count())
+    assert(agg.forall(r => r.getLong(0) % EventsQueries.WindowUs === 0))
+  }
+
+  test("sessions: positive durations, gap law holds within a user") {
+    val sessions = EventsQueries.queries("events_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(_._5 >= 0)) // duration
+    // consecutive sessions of one user start > gap apart
+    sessions.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aEnd = a._4 + a._5
+          assert(b._4 - aEnd > EventsQueries.SessionGapUs,
+            s"sessions $a and $b are closer than the gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("streaming tumbling agg matches batch counts once watermark closes windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val all = EventsQueries.events(spark, sf).orderBy("ts").collect()
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val sentinelTs = all.map(_.tsUs).max + 2L * 3600 * 1000000
+    val sentinel = Event(-1L, sentinelTs, 0L, "sentinel", 0.0)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.tumblingCounts(input.toDS())
+      .writeStream.format("memory").queryName("ev_out")
+      .outputMode("append").start()
+    val batches = all.grouped(math.max(1, all.length / 3)).toSeq
+    for (b <- batches) { input.addData(b); q.processAllAvailable() }
+    input.addData(Seq(sentinel)) // advances watermark past every real window
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ev_out")
+      .filter(col("event_type") =!= "sentinel")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = EventsQueries.queries("events_tumbling_agg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+}
