@@ -7,6 +7,7 @@ import graft.dedup.DedupQueries
 import graft.events.EventsQueries
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
+import graft.relational.RelationalQueries
 import graft.sim.SimilarityQueries
 import graft.text.TextQueries
 
@@ -29,12 +30,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KeyspaceQueries.queries ++ ClusterQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ Multimodal.queries ++ EventsQueries.queries
+      SimilarityQueries.queries ++ Multimodal.queries ++
+      EventsQueries.queries ++ RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ Multimodal.oracle ++ EventsQueries.oracle
+      SimilarityQueries.oracle ++ Multimodal.oracle ++
+      EventsQueries.oracle ++ RelationalQueries.oracle
 }

@@ -1,0 +1,121 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the star schema — the beyond-reference
+  * workload that exercises the engine at real data volume (lineitem is the
+  * fact table: ~600 K rows at sf0.1, the 100 TB table in production).
+  *
+  * Scale design, per query:
+  *   - scans read only referenced columns (ReadSchema pruning) and push
+  *     filters into the parquet reader (PushedFilters);
+  *   - dimension joins (nation/region/customer at TPC-H ratios) broadcast —
+  *     the fact side never shuffles for them;
+  *   - aggregates are partial map-side before the single shuffle;
+  *   - top-k is TakeOrderedAndProject, never a global sort.
+  *
+  * Money sums go through DECIMAL(18,4) so totals are exact and independent
+  * of float summation order (the per-row product is a single double op,
+  * deterministic on both engines).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** revenue term: exact decimal of the per-row double product. */
+  private val revenue =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: single scan, partial agg, one shuffle
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          count("*").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // revenue by nation: fact ⋈ three broadcast dimensions, one shuffle agg
+    "q5_nation_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count("*").as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // top-10 customers by revenue: fact ⋈ orders ⋈ customer, then top-k
+    "top_customers_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // selective filter + projection: the pushdown showcase (PushedFilters
+    // carries both predicates into the parquet row groups)
+    "filter_pushdown_scan" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_brand") === "Brand#23")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "top_customers_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "filter_pushdown_scan" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_size = 15 AND p_brand = 'Brand#23'
+        |ORDER BY p_partkey""".stripMargin,
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.keyspace.{KvLog, PartitionedLayout}
+import graft.relational.RelationalQueries
+
+/** Plan-shape assertions: the optimizations the 100 TB design depends on
+  * must be visible in the executed plans, not just hoped for.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    RelationalQueries.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter is pushed into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(3000))
+  }
+
+  test("q1: scan reads only the referenced columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      readSchema)
+  }
+
+  test("q1: aggregation is partial before the shuffle (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q5: all three dimension joins broadcast; fact side never shuffles for them") {
+    val p = plan("q5_nation_revenue")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n === 3, s"expected 3 broadcast joins, got $n")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join expected")
+  }
+
+  test("pushdown scan carries both predicates to the reader") {
+    val p = plan("filter_pushdown_scan")
+    assert(p.contains("EqualTo(p_size,15)") && p.contains("EqualTo(p_brand,Brand#23)"),
+      p.take(3000))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("top_customers_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("whole-stage codegen spans cover the scan+filter+project pipeline") {
+    // AQE finalizes (and codegen-wraps) the plan only on execution
+    val df = RelationalQueries.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
+  test("partitioned keyspace layout: point GET prunes to one shard directory") {
+    val dir = Files.createTempDirectory("graft_kv_layout").toString
+    try {
+      // coalesce(1): one file per shard directory, so file counts in the
+      // scan metrics directly reflect partition pruning
+      PartitionedLayout.write(KvLog.state(spark, sf).coalesce(1), dir)
+      val q = PartitionedLayout.pointGet(spark, dir, "order:42")
+      val p = q.queryExecution.executedPlan.toString
+      // constant-folded fnv1a32('order:42') % 4 = 1 arrives as a literal
+      // partition filter
+      assert(p.contains("PartitionFilters"), p.take(3000))
+      assert(p.contains("(shard_id#") && p.contains("= 1)"), p.take(3000))
+      // and the key predicate is pushed to the reader
+      assert(p.contains("EqualTo(key,order:42)"), p.take(3000))
+      val rows = q.collect()
+      assert(rows.length === 1 && rows.head.getString(0) === "order:42")
+      // partition pruning: only 1 of the 4 shard directories is read
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+      assert(scanned === 1, s"expected 1 file scanned, got $scanned")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
