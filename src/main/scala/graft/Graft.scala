@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.graft.shims
+
+import graft.functions.WordNgrams
+import graft.hash.Fnv1a32
+import graft.sim.Dot64
+
+/** SQL surface for the engine's custom expressions, so `spark.sql` users
+  * get them alongside the Column API:
+  *
+  *   - `fnv1a32(str)`          → BIGINT hash in [0, 2^32)
+  *   - `dot64(arr, arr)`       → DOUBLE ordered-fold dot product
+  *   - `word_ngrams(arr, n)`   → distinct n-gram shingles (n literal)
+  *
+  * Register per-session with [[Graft.register]], or session-wide via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object Graft {
+
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "fnv1a32" -> { es => Fnv1a32(es.head) },
+      "dot64" -> { es => Dot64(es(0), es(1)) },
+      "word_ngrams" -> { es =>
+        es(1) match {
+          case IntegerLiteral(n) => WordNgrams(es(0), n)
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams(tokens, n): n must be an integer literal, got $other")
+        }
+      })
+
+  def register(spark: SparkSession): Unit = {
+    val reg = shims.functionRegistry(spark)
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    Graft.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}

@@ -52,6 +52,15 @@ object KvLog {
     puts.unionByName(updates).unionByName(deletes)
   }
 
+  /** LWW compaction of any `(seq, op, key, value)` log → current state
+    * `(key, value)`: keep the highest-seq op per key, drop final deletes. */
+  def compact(log: DataFrame): DataFrame =
+    log.groupBy("key")
+      .agg(max_by(col("value"), col("seq")).as("value"),
+           max_by(col("op"), col("seq")).as("op"))
+      .filter(col("op") === "put")
+      .select(col("key"), col("value"))
+
   /** LWW compaction → current keyspace `(key, value, shard_id)`.
     *
     * `shard_id = fnv1a32(key) % 4` reproduces the coordinator's routing
@@ -61,10 +70,6 @@ object KvLog {
     * way the coordinator prunes to one node.
     */
   def state(spark: SparkSession, sfDir: String): DataFrame =
-    log(spark, sfDir)
-      .groupBy("key")
-      .agg(max_by(col("value"), col("seq")).as("value"),
-           max_by(col("op"), col("seq")).as("op"))
-      .filter(col("op") === "put")
+    compact(log(spark, sfDir))
       .select(col("key"), col("value"), shardId(col("key")).as("shard_id"))
 }
