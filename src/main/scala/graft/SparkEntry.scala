@@ -30,6 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KeyspaceQueries.queries ++ ClusterQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
+      graft.dedup.DedupComponents.queries ++
+      graft.relational.AsOfQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
       EventsQueries.queries ++ RelationalQueries.queries
 
@@ -38,6 +40,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
+      graft.dedup.DedupComponents.oracle ++
+      graft.relational.AsOfQueries.oracle ++
       SimilarityQueries.oracle ++ Multimodal.oracle ++
       EventsQueries.oracle ++ RelationalQueries.oracle
 }

@@ -1,0 +1,104 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over the near-duplicate pair graph — the step that
+  * turns pairwise dedup hits into keep/drop decisions: every document in a
+  * component keeps the component's minimum doc_id as its canonical
+  * representative, and only the representative survives.
+  *
+  * Implementation is iterative min-label propagation on DataFrames: each
+  * round every vertex takes the min of its own label and its neighbors'
+  * labels; convergence in O(component diameter) rounds (near-dup
+  * components are overwhelmingly small cliques → 1–2 rounds). Each round
+  * is one shuffle join; `localCheckpoint` truncates the growing plan. This
+  * is the same computation GraphX's connectedComponents runs, expressed on
+  * Datasets so it stays inside Catalyst/Tungsten.
+  */
+object DedupComponents {
+
+  /** edges: (doc_a, doc_b) undirected. Returns (doc_id, component). */
+  def components(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = adj
+        .join(labels.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // components of the exact-Jaccard near-dup graph + keep/drop verdict
+    "dedup_components" -> ((s, dir) => {
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      components(pairs)
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // transitive closure by recursive CTE, then min label per vertex
+    "dedup_components" -> (
+      s"""WITH RECURSIVE
+         |toksed AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |shingled AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |    list_distinct(list_transform(range(len(toks) - 2), i ->
+         |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+         |    ELSE [] END AS shingles
+         |  FROM toksed
+         |),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
+         |        >= ${DedupQueries.JaccardThreshold}
+         |),
+         |und AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges
+         |),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM und
+         |  UNION
+         |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS component,
+         |       id = min(r) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+  )
+}

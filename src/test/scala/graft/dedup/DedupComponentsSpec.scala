@@ -1,0 +1,28 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("label propagation: chains collapse to the min id, islands stay apart") {
+    // chain 1-2-3 (diameter 2, needs >1 round) + isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = DedupComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("near-dup components: every paired doc labeled, one canonical per component") {
+    val rows = DedupComponents.queries("dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._3) === 1, s"component $comp canonical count")
+      assert(members.map(_._1).min === comp, s"component id is min doc_id")
+    }
+    val paired = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_._1).toSet === paired)
+  }
+}
