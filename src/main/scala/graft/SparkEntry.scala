@@ -29,7 +29,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KeyspaceQueries.queries ++ ClusterQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++
+      TextQueries.queries ++ graft.text.PipelineQueries.queries ++
+      DedupQueries.queries ++
       graft.dedup.DedupComponents.queries ++
       graft.relational.AsOfQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
@@ -39,7 +40,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle ++
+      TextQueries.oracle ++ graft.text.PipelineQueries.oracle ++
+      DedupQueries.oracle ++
       graft.dedup.DedupComponents.oracle ++
       graft.relational.AsOfQueries.oracle ++
       SimilarityQueries.oracle ++ Multimodal.oracle ++

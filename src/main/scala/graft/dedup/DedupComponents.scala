@@ -62,43 +62,53 @@ object DedupComponents {
     }),
   )
 
+  /** Recursive-CTE chain computing (doc_id, component, is_canonical) from
+    * the documents table — shared by the components oracle and the
+    * pipeline oracle. Must follow a `WITH RECURSIVE` header. */
+  val componentsCteSql: String =
+    s"""toksed AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shingled AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |    list_distinct(list_transform(range(len(toks) - 2), i ->
+       |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+       |    ELSE [] END AS shingles
+       |  FROM toksed
+       |),
+       |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
+       |        >= ${DedupQueries.JaccardThreshold}
+       |),
+       |und AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges
+       |),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM und
+       |  UNION
+       |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+       |),
+       |components AS (
+       |  SELECT id AS doc_id, min(r) AS component,
+       |         id = min(r) AS is_canonical
+       |  FROM reach GROUP BY id
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // transitive closure by recursive CTE, then min label per vertex
     "dedup_components" -> (
       s"""WITH RECURSIVE
-         |toksed AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |shingled AS (
-         |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-         |    list_distinct(list_transform(range(len(toks) - 2), i ->
-         |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-         |    ELSE [] END AS shingles
-         |  FROM toksed
-         |),
-         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
-         |edges AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  JOIN sizes sa ON doc_a = sa.doc_id
-         |  JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
-         |        >= ${DedupQueries.JaccardThreshold}
-         |),
-         |und AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM edges
-         |  UNION ALL SELECT doc_b, doc_a FROM edges
-         |),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM und
-         |  UNION
-         |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
-         |)
-         |SELECT id AS doc_id, min(r) AS component,
-         |       id = min(r) AS is_canonical
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+         |$componentsCteSql
+         |SELECT doc_id, component, is_canonical
+         |FROM components ORDER BY doc_id""".stripMargin),
   )
 }

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{DedupComponents, DedupQueries}
+import graft.hash.Fnv1a32.fnv1a32
+import graft.oracle.Ora
+
+/** End-to-end corpus curation — the composed pipeline a training-data user
+  * actually runs, built entirely from this engine's operators:
+  *
+  *   quality score → language vote → near-dup components → keep/drop
+  *   verdict, plus deterministic hash sampling for training-mix draws.
+  *
+  * The cascade is ordered (low_quality before wrong_lang before near_dup),
+  * so every document gets exactly one verdict and the counts are a
+  * partition of the corpus.
+  */
+object PipelineQueries {
+
+  val QualityThreshold = 0.55
+  val SampleRate = 10 // percent
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the full cleaning cascade, summarized as verdict counts
+    "corpus_clean_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextQueries.qualityCol.as("quality"),
+          TextQueries.langPredCol.as("lang_pred"))
+      val dupDrops = DedupComponents.components(
+        DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+          .select("doc_a", "doc_b"))
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id"), lit(true).as("is_dup"))
+      docs.join(dupDrops, Seq("doc_id"), "left")
+        .select(
+          when(col("quality") < QualityThreshold, "low_quality")
+            .when(col("lang_pred") =!= "en", "wrong_lang")
+            .when(coalesce(col("is_dup"), lit(false)), "near_dup")
+            .otherwise("kept").as("verdict"))
+        .groupBy("verdict").agg(count("*").as("n"))
+        .orderBy("verdict")
+    }),
+
+    // deterministic hash sampling, stratified by source language: the
+    // distributed sampling method (no RNG state, reproducible, pushes to
+    // any engine)
+    "corpus_hash_sample" -> ((s, dir) => {
+      val sampled = pmod(
+        fnv1a32(concat(lit("sample:"), col("doc_id").cast("string"))),
+        lit(100L)) < SampleRate
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang")
+        .agg(count("*").as("n"),
+          sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "corpus_clean_pipeline" -> (
+      s"""WITH RECURSIVE
+         |${DedupComponents.componentsCteSql},
+         |scored AS (
+         |  SELECT doc_id,
+         |    ${TextQueries.qualitySqlExpr} AS quality,
+         |    ${TextQueries.predSql} AS lang_pred
+         |  FROM documents
+         |),
+         |dup_drops AS (
+         |  SELECT doc_id FROM components WHERE doc_id <> component
+         |)
+         |SELECT verdict, count(*) AS n FROM (
+         |  SELECT CASE
+         |    WHEN quality < $QualityThreshold THEN 'low_quality'
+         |    WHEN lang_pred <> 'en' THEN 'wrong_lang'
+         |    WHEN doc_id IN (SELECT doc_id FROM dup_drops) THEN 'near_dup'
+         |    ELSE 'kept' END AS verdict
+         |  FROM scored)
+         |GROUP BY verdict ORDER BY verdict""".stripMargin),
+
+    "corpus_hash_sample" -> (
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(CASE WHEN ${Ora.fnv("'sample:' || doc_id")} % 100 < $SampleRate
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+}

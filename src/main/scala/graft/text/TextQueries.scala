@@ -93,13 +93,38 @@ object TextQueries {
         .orderBy("doc_id")),
   )
 
+  /** Column form of the quality composite (shared with PipelineQueries). */
+  private[graft] def qualityCol: Column = {
+    val nTok = size(tokens).cast("long")
+    val stopRatio = hits(En).cast("double") / nTok.cast("double")
+    val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    lit(0.6) * lenScore + lit(0.4) * (lit(1.0) - stopRatio)
+  }
+
+  /** Column form of the language vote (shared with PipelineQueries). */
+  private[graft] def langPredCol: Column = {
+    val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
+    when(greatest(en, de, fr, es) === 0, "unknown")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
   private def hitsSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split_regex(text, '\\s+'), " +
       s"w -> list_contains([$lst], w)))"
   }
 
-  private val predSql: String = {
+  /** SQL form of the quality composite (mirror of [[qualityCol]]). */
+  private[graft] val qualitySqlExpr: String =
+    """0.6 * least(1.0, CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 100.0)
+      |  + 0.4 * (1.0 - CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |         w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+      |    / len(string_split_regex(text, '\s+')))""".stripMargin
+
+  private[graft] val predSql: String = {
     val (en, de, fr, es) = (hitsSql(En), hitsSql(De), hitsSql(Fr), hitsSql(Es))
     s"""CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'unknown'
        |     WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
