@@ -13,10 +13,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: initialize parquet reader, codegen, shuffle machinery
-    // so the first timed query doesn't absorb one-time JVM costs
+    // (and the kv-derivation codegen paths via the flagship query) so the
+    // first timed query doesn't absorb one-time JVM costs
     try {
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").count().count()
+      SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

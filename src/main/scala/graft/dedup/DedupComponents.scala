@@ -36,16 +36,17 @@ object DedupComponents {
         .join(labels.withColumnRenamed("id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // carry a changed flag instead of re-joining the old labels: one
+      // materialization (localCheckpoint) and one cheap count per round
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("new_label"),
+          col("label").as("old_label"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("new_label") =!= col("old_label")).count()
+      labels = next.select(col("id"), col("new_label").as("label"))
       rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("component"))

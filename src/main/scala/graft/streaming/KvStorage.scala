@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.hash.Fnv1a32.shardId
+import graft.keyspace.KvLog
+
+/** The full storage-engine loop, closed: a stream of PUT/DELETE ops lands
+  * append-only in a parquet op log (`foreachBatch`, exactly-once per
+  * micro-batch), current state is the LWW compaction of that log, and the
+  * compacted state can be laid out shard-partitioned for pruned point
+  * reads ([[graft.keyspace.PartitionedLayout]]).
+  *
+  * This is the reference's whole data plane — HTTP PUT → in-memory map →
+  * HTTP GET (`cmd/node/main.go`) — restated durably: the op log is the
+  * write path (sequential, no read-modify-write), compaction is deferred
+  * and batchable (run it on a schedule, exactly like a log-structured
+  * store), and reads prune by `shard_id` the way the coordinator routes
+  * to one node. Unlike the reference ("memory-only, lost on restart"),
+  * every layer here survives restarts.
+  */
+object KvStorage {
+
+  /** Append each micro-batch of ops to the log directory. */
+  def applyStream(ops: Dataset[KvOp], logDir: String,
+      checkpointDir: String): StreamingQuery =
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[KvOp], _: Long) =>
+        batch.write.mode("append").parquet(logDir)
+      }
+      .start()
+
+  /** Current keyspace state from the accumulated log. */
+  def currentState(spark: SparkSession, logDir: String): DataFrame =
+    KvLog.compact(
+      spark.read.parquet(logDir)
+        .select(col("seq"), col("op"), col("key"), col("value")))
+      .select(col("key"), col("value"), shardId(col("key")).as("shard_id"))
+}
