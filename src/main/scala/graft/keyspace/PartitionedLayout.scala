@@ -3,7 +3,7 @@ package graft.keyspace
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.hash.Fnv1a32.{fnv1a32, shardId}
+import graft.hash.Fnv1a32.shardId
 
 /** Physical layout for the keyspace at scale: parquet partitioned by
   * `shard_id`, so a point GET prunes to one partition directory before a
@@ -41,7 +41,4 @@ object PartitionedLayout {
   def route(keys: DataFrame, assignments: DataFrame): DataFrame =
     keys.withColumn("shard_id", shardId(col("key")))
       .join(broadcast(assignments), Seq("shard_id"), "left")
-
-  // touch fnv1a32 to make the import explicit for readers
-  private val _ = fnv1a32 _
 }

@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.hash.Fnv1a32
@@ -27,6 +28,9 @@ object SimilarityQueries {
   val NumPlanes = 8
   val TopK = 10
   val CosineThreshold = 0.45
+  val NumCells = 8 // IVF coarse cells
+  val NProbe = 2 // IVF cells probed per query
+  val QueryVec = 42L
 
   /** Deterministic ±1 hyperplanes from the engine's hash kernel. Uses bit
     * 16 of the hash: FNV-1a's LOW bit is just the XOR of input-byte parities
@@ -105,6 +109,39 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    // IVF-flat ANN: assign every vector to its nearest of 8 coarse
+    // centroids (deterministically the first 8 vectors — a training-free
+    // stand-in for k-means cells), then search only the query's nprobe=2
+    // nearest cells with exact cosine. At 100 TB the cell id is the
+    // partition key: nprobe/num_cells of the corpus is scanned per query,
+    // and the centroid table stays a broadcast dimension.
+    "sim_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine(col("embedding"), col("c_emb")).as("cos_c"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val queryCells = assigned.filter(col("vec_id") === QueryVec)
+        .select(col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centroids))
+        .select(col("cell"), col("q_emb"),
+          cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+        .orderBy(col("cos_c").desc, col("cell")).limit(NProbe)
+        .select(col("cell"), col("q_emb"))
+      assigned.filter(col("vec_id") =!= QueryVec)
+        .join(broadcast(queryCells), "cell")
+        .select(col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // embedding near-dup pairs: cosine >= threshold (quadratic baseline;
     // LSH-bucketed variant is the scale path). Norms are computed once per
     // vector and joined in — one dot product per pair instead of three;
@@ -150,6 +187,30 @@ object SimilarityQueries {
            |      WHERE vec_id = 0) q
            |WHERE e.vec_id <> 0 AND e.bucket % 16 = q.coarse
            |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin),
+
+      "sim_ivf_ann" ->
+        s"""WITH centroids AS (
+           |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+           |  WHERE vec_id < $NumCells
+           |),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC, c.cell) AS rk
+           |  FROM embeddings e, centroids c
+           |),
+           |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1),
+           |qcells AS (
+           |  SELECT c.cell, q.embedding AS q_emb
+           |  FROM (SELECT embedding FROM embeddings WHERE vec_id = $QueryVec) q,
+           |       centroids c
+           |  ORDER BY ${Ora.cos64("q.embedding", "c.c_emb")} DESC, c.cell
+           |  LIMIT $NProbe
+           |)
+           |SELECT a.vec_id, ${Ora.cos64("a.embedding", "qc.q_emb")} AS cos_sim
+           |FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+           |WHERE a.vec_id <> $QueryVec
+           |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
 
       "dedup_embedding_cosine" ->
         s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

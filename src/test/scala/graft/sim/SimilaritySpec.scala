@@ -53,6 +53,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: exact cosines, query vector excluded, nonempty probe") {
+    val vs = vecs
+    val got = SimilarityQueries.queries("sim_ivf_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    assert(!got.exists(_._1 == SimilarityQueries.QueryVec))
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - cosRef(vs(SimilarityQueries.QueryVec), vs(id))) < 1e-12)
+    }
+    // scores descend
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sortBy(-_))
+  }
+
   test("embedding near-dup pairs are canonical and above threshold") {
     val pairs = SimilarityQueries.queries("dedup_embedding_cosine")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
