@@ -34,7 +34,8 @@ object SparkEntry {
       graft.dedup.DedupComponents.queries ++
       graft.relational.AsOfQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
-      EventsQueries.queries ++ RelationalQueries.queries
+      EventsQueries.queries ++ RelationalQueries.queries ++
+      graft.relational.RangeJoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.dedup.DedupComponents.oracle ++
       graft.relational.AsOfQueries.oracle ++
       SimilarityQueries.oracle ++ Multimodal.oracle ++
-      EventsQueries.oracle ++ RelationalQueries.oracle
+      EventsQueries.oracle ++ RelationalQueries.oracle ++
+      graft.relational.RangeJoinQueries.oracle
 }

@@ -62,6 +62,17 @@ object EventsQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // exact distribution statistics: Spark's `percentile` and DuckDB's
+    // `quantile_cont` share the linear-interpolation definition, so even
+    // the interpolated doubles match bit-for-bit. (At 100 TB swap in
+    // approx_percentile — exact percentile holds all values per group.)
+    "events_value_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy("event_type")),
+
     // grouped rollup: count, distinct users, exact decimal totals
     "events_type_stats" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
@@ -106,6 +117,13 @@ object EventsQueries {
          |       min(ts) AS start_us, max(ts) - min(ts) AS duration_us
          |FROM sessions GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin),
+
+    "events_value_quantiles" -> (s"WITH $eventsSql\n" +
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "events_type_stats" -> (s"WITH $eventsSql\n" +
       """SELECT event_type, count(*) AS n,
