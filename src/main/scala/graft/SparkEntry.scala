@@ -35,7 +35,8 @@ object SparkEntry {
       graft.relational.AsOfQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
       EventsQueries.queries ++ RelationalQueries.queries ++
-      graft.relational.RangeJoinQueries.queries
+      graft.relational.RangeJoinQueries.queries ++
+      graft.relational.PageRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.relational.AsOfQueries.oracle ++
       SimilarityQueries.oracle ++ Multimodal.oracle ++
       EventsQueries.oracle ++ RelationalQueries.oracle ++
-      graft.relational.RangeJoinQueries.oracle
+      graft.relational.RangeJoinQueries.oracle ++
+      graft.relational.PageRank.oracle
 }

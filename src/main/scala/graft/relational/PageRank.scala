@@ -1,0 +1,97 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics on DataFrames: PageRank over the customer↔supplier
+  * trade graph (edge when a customer's order contains a supplier's part,
+  * both directions so the bipartite graph has no sinks).
+  *
+  * Each iteration is one join + one aggregation — the standard distributed
+  * PageRank shape (GraphX runs the same dataflow over RDDs; staying in
+  * DataFrames keeps Tungsten and AQE). Ranks are rounded to 12 decimals
+  * after every iteration: the per-node contribution sum is
+  * order-dependent in the last float bits, and rounding well above that
+  * noise floor (~1e-16) makes the result partitioning-invariant AND
+  * bit-equal to the unrolled-SQL oracle.
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val Iterations = 3
+  val TopN = 20
+
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  def ranks(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint()
+    val deg = e.groupBy("src").agg(count("*").as("deg"))
+    val n = deg.count()
+    var r = deg.select(col("src").as("node"),
+      round(lit(1.0) / n, 12).as("pr"))
+    for (_ <- 1 to Iterations) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst"), col("pr"), col("src"))
+        .join(deg, "src")
+        .groupBy("dst").agg(sum(col("pr") / col("deg")).as("inflow"))
+      r = deg.select(col("src").as("node"))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1.0 - Damping)) / n +
+            lit(Damping) * coalesce(col("inflow"), lit(0.0)), 12).as("pr"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank_trade_graph" -> ((s, dir) =>
+      ranks(s, dir).orderBy(col("pr").desc, col("node")).limit(TopN)),
+  )
+
+  val oracle: Map[String, String] = {
+    val base =
+      """edges AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION ALL SELECT dst, src FROM edges
+        |),
+        |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node,
+        |       round(1.0::DOUBLE / (SELECT n FROM n), 12) AS pr FROM deg)""".stripMargin
+    val iters = (1 to Iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT d.src AS node,
+         |         round((1.0::DOUBLE - $Damping) / (SELECT n FROM n) +
+         |               $Damping::DOUBLE * coalesce(inflow, 0.0::DOUBLE), 12) AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT u.dst, sum(r.pr / dg.deg) AS inflow
+         |    FROM und u
+         |    JOIN r${i - 1} r ON u.src = r.node
+         |    JOIN deg dg ON u.src = dg.src
+         |    GROUP BY u.dst
+         |  ) c ON d.src = c.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    Map("pagerank_trade_graph" ->
+      s"""WITH $base,
+         |$iters
+         |SELECT node, pr FROM r$Iterations
+         |ORDER BY pr DESC, node LIMIT $TopN""".stripMargin)
+  }
+}
