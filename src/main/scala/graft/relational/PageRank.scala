@@ -35,17 +35,19 @@ object PageRank {
   }
 
   def ranks(s: SparkSession, dir: String): DataFrame = {
+    // degree is attached to the edge list ONCE; each iteration is then a
+    // single join (edges ⋈ ranks) + one aggregation + the dangling-node
+    // left join — half the shuffles of the naive per-round deg join
     val e = edges(s, dir).localCheckpoint()
-    val deg = e.groupBy("src").agg(count("*").as("deg"))
-    val n = deg.count()
-    var r = deg.select(col("src").as("node"),
-      round(lit(1.0) / n, 12).as("pr"))
+    val deg = e.groupBy("src").agg(count("*").as("deg")).localCheckpoint()
+    val eDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    val n = nodes.count()
+    var r = nodes.select(col("node"), round(lit(1.0) / n, 12).as("pr"))
     for (_ <- 1 to Iterations) {
-      val contrib = e.join(r, e("src") === r("node"))
-        .select(col("dst"), col("pr"), col("src"))
-        .join(deg, "src")
+      val contrib = eDeg.join(r, eDeg("src") === r("node"))
         .groupBy("dst").agg(sum(col("pr") / col("deg")).as("inflow"))
-      r = deg.select(col("src").as("node"))
+      r = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           round(lit((1.0 - Damping)) / n +
