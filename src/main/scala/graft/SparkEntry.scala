@@ -34,7 +34,8 @@ object SparkEntry {
       graft.dedup.DedupComponents.queries ++
       graft.relational.AsOfQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
-      EventsQueries.queries ++ RelationalQueries.queries ++
+      EventsQueries.queries ++ EventsQueries.moreQueries ++
+      RelationalQueries.queries ++
       graft.relational.RangeJoinQueries.queries ++
       graft.relational.PageRank.queries
 
@@ -47,7 +48,8 @@ object SparkEntry {
       graft.dedup.DedupComponents.oracle ++
       graft.relational.AsOfQueries.oracle ++
       SimilarityQueries.oracle ++ Multimodal.oracle ++
-      EventsQueries.oracle ++ RelationalQueries.oracle ++
+      EventsQueries.oracle ++ EventsQueries.moreOracle ++
+      RelationalQueries.oracle ++
       graft.relational.RangeJoinQueries.oracle ++
       graft.relational.PageRank.oracle
 }

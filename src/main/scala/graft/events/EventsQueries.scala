@@ -73,6 +73,16 @@ object EventsQueries {
           expr("percentile(value, 0.99)").as("p99"))
         .orderBy("event_type")),
 
+    // sketch path: HyperLogLog++ distinct counts — at 100 TB exact
+    // countDistinct shuffles every distinct value; the sketch is fixed-size
+    // per group and merges associatively. No DuckDB oracle (sketch
+    // estimates are engine-specific); EventsSpec bounds the error vs exact.
+    "events_approx_users" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count("*").as("n"))
+        .orderBy("event_type")),
+
     // grouped rollup: count, distinct users, exact decimal totals
     "events_type_stats" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
@@ -83,6 +93,61 @@ object EventsQueries {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy("event_type")),
+  )
+
+  val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hierarchical totals in one pass: ROLLUP emits (type, bucket),
+    // (type, NULL) and (NULL, NULL) grand-total rows from a single shuffle
+    "events_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("value_bucket",
+          when(col("value") < 50, "low").when(col("value") < 150, "mid")
+            .otherwise("high"))
+        .rollup("event_type", "value_bucket")
+        .agg(count("*").as("n"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("value_bucket").asc_nulls_first)),
+
+    // set operation: users who signed up but never purchased (EXCEPT)
+    "events_signup_no_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // pivot: op counts as columns (the reference's Gets/Puts/Deletes
+    // counter struct, one row)
+    "kv_op_counters_pivot" -> ((s, dir) =>
+      graft.keyspace.KvLog.log(s, dir).agg(
+        sum(when(col("op") === "put", 1L).otherwise(0L)).as("n_put"),
+        sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_delete"))),
+  )
+
+  // lazy: eventsSql is declared below; a strict val would capture null
+  lazy val moreOracle: Map[String, String] = Map(
+    "events_rollup" -> (s"WITH ${eventsSql},\n" +
+      """bucketed AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 50 THEN 'low'
+        |              WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_bucket
+        |  FROM ev
+        |)
+        |SELECT event_type, value_bucket, count(*) AS n
+        |FROM bucketed GROUP BY ROLLUP (event_type, value_bucket)
+        |ORDER BY event_type NULLS FIRST, value_bucket NULLS FIRST""".stripMargin),
+
+    "events_signup_no_purchase" -> (s"WITH ${eventsSql}\n" +
+      """SELECT user_id FROM ev WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT user_id FROM ev WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin),
+
+    "kv_op_counters_pivot" -> (s"WITH ${graft.oracle.Ora.kvLog}\n" +
+      """SELECT
+        |  CAST(sum(CASE WHEN op = 'put' THEN 1 ELSE 0 END) AS BIGINT) AS n_put,
+        |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+        |FROM kv_log""".stripMargin),
   )
 
   private val eventsSql =

@@ -33,6 +33,18 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch distinct counts land within the configured error bound") {
+    val approx = EventsQueries.queries("events_approx_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = EventsQueries.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, ex) =>
+      val ap = approx(t)
+      assert(math.abs(ap - ex).toDouble / ex < 0.10, s"$t: approx $ap vs exact $ex")
+    }
+  }
+
   test("streaming tumbling agg matches batch counts once watermark closes windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
