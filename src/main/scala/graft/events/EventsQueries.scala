@@ -108,12 +108,16 @@ object EventsQueries {
         .orderBy(col("event_type").asc_nulls_first,
           col("value_bucket").asc_nulls_first)),
 
-    // set operation: users who signed up but never purchased (EXCEPT)
-    "events_signup_no_purchase" -> ((s, dir) => {
+    // set operation: (user, day) pairs that clicked but never purchased
+    // that day (EXCEPT; user-level alone is empty — every user eventually
+    // does everything in this fixture)
+    "events_click_no_purchase_day" -> ((s, dir) => {
       val ev = events(s, dir)
-      ev.filter(col("event_type") === "signup").select("user_id")
-        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
-        .orderBy("user_id")
+        .withColumn("day", expr("ts div 86400000000"))
+      ev.filter(col("event_type") === "click").select("user_id", "day")
+        .except(ev.filter(col("event_type") === "purchase")
+          .select("user_id", "day"))
+        .orderBy("user_id", "day")
     }),
 
     // pivot: op counts as columns (the reference's Gets/Puts/Deletes
@@ -137,11 +141,12 @@ object EventsQueries {
         |FROM bucketed GROUP BY ROLLUP (event_type, value_bucket)
         |ORDER BY event_type NULLS FIRST, value_bucket NULLS FIRST""".stripMargin),
 
-    "events_signup_no_purchase" -> (s"WITH ${eventsSql}\n" +
-      """SELECT user_id FROM ev WHERE event_type = 'signup'
+    "events_click_no_purchase_day" -> (s"WITH ${eventsSql},\n" +
+      """evd AS (SELECT user_id, event_type, ts // 86400000000 AS day FROM ev)
+        |SELECT user_id, day FROM evd WHERE event_type = 'click'
         |EXCEPT
-        |SELECT user_id FROM ev WHERE event_type = 'purchase'
-        |ORDER BY user_id""".stripMargin),
+        |SELECT user_id, day FROM evd WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin),
 
     "kv_op_counters_pivot" -> (s"WITH ${graft.oracle.Ora.kvLog}\n" +
       """SELECT

@@ -73,10 +73,11 @@ object RelationalQueries {
     }),
 
     // selective filter + projection: the pushdown showcase (PushedFilters
-    // carries both predicates into the parquet row groups)
+    // carries the equality AND the string-contains predicate into the
+    // parquet reader; predicates chosen to stay non-empty at every SF)
     "filter_pushdown_scan" -> ((s, dir) =>
       t(s, dir, "part")
-        .filter(col("p_size") === 15 && col("p_brand") === "Brand#23")
+        .filter(col("p_size") === 15 && col("p_name").contains("a"))
         .select("p_partkey", "p_name", "p_retailprice")
         .orderBy("p_partkey")),
   )
@@ -115,7 +116,7 @@ object RelationalQueries {
 
     "filter_pushdown_scan" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        |WHERE p_size = 15 AND p_brand = 'Brand#23'
+        |WHERE p_size = 15 AND p_name LIKE '%a%'
         |ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -42,7 +42,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("pushdown scan carries both predicates to the reader") {
     val p = plan("filter_pushdown_scan")
-    assert(p.contains("EqualTo(p_size,15)") && p.contains("EqualTo(p_brand,Brand#23)"),
+    assert(p.contains("EqualTo(p_size,15)") && p.contains("StringContains(p_name,a)"),
       p.take(3000))
   }
 
