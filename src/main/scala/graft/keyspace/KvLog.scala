@@ -1,6 +1,6 @@
 package graft.keyspace
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.hash.Fnv1a32.shardId
@@ -30,26 +30,30 @@ object KvLog {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val key = concat(lit("order:"), col("o_orderkey").cast("string"))
 
-    val puts = orders.select(
-      (col("o_orderkey") * 3).as("seq"),
-      lit("put").as("op"),
-      key.as("key"),
-      concat_ws(":", col("o_orderstatus"), col("o_orderpriority"),
-        col("o_custkey").cast("string")).as("value"))
+    // one scan, not three: a union of three filtered selects would read
+    // the orders file once per branch; instead each order row explodes
+    // into its 1–3 log ops (base put, conditional update, conditional
+    // tombstone) from a single pass
+    def op(seq: Column, opName: String, value: Column) =
+      struct(seq.as("seq"), lit(opName).as("op"), key.as("key"),
+        value.as("value"))
+    val emptyOps = array().cast(
+      "array<struct<seq:bigint,op:string,key:string,value:string>>")
 
-    val updates = orders.filter(col("o_orderkey") % 97 === 0).select(
-      (col("o_orderkey") * 3 + 1).as("seq"),
-      lit("put").as("op"),
-      key.as("key"),
-      concat(lit("updated:"), col("o_custkey").cast("string")).as("value"))
-
-    val deletes = orders.filter(col("o_orderkey") % 101 === 0).select(
-      (col("o_orderkey") * 3 + 2).as("seq"),
-      lit("delete").as("op"),
-      key.as("key"),
-      lit(null).cast("string").as("value"))
-
-    puts.unionByName(updates).unionByName(deletes)
+    orders.select(explode(concat(
+        array(op(col("o_orderkey") * 3, "put",
+          concat_ws(":", col("o_orderstatus"), col("o_orderpriority"),
+            col("o_custkey").cast("string")))),
+        when(col("o_orderkey") % 97 === 0,
+          array(op(col("o_orderkey") * 3 + 1, "put",
+            concat(lit("updated:"), col("o_custkey").cast("string")))))
+          .otherwise(emptyOps),
+        when(col("o_orderkey") % 101 === 0,
+          array(op(col("o_orderkey") * 3 + 2, "delete",
+            lit(null).cast("string"))))
+          .otherwise(emptyOps))).as("r"))
+      .select(col("r.seq").as("seq"), col("r.op").as("op"),
+        col("r.key").as("key"), col("r.value").as("value"))
   }
 
   /** LWW compaction of any `(seq, op, key, value)` log → current state
