@@ -32,6 +32,7 @@ object SparkEntry {
       TextQueries.queries ++ graft.text.PipelineQueries.queries ++
       DedupQueries.queries ++
       graft.dedup.DedupComponents.queries ++
+      graft.graph.GraphXAnalytics.queries ++
       graft.relational.AsOfQueries.queries ++
       SimilarityQueries.queries ++ Multimodal.queries ++
       EventsQueries.queries ++ EventsQueries.moreQueries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       TextQueries.oracle ++ graft.text.PipelineQueries.oracle ++
       DedupQueries.oracle ++
       graft.dedup.DedupComponents.oracle ++
+      graft.graph.GraphXAnalytics.oracle ++
       graft.relational.AsOfQueries.oracle ++
       SimilarityQueries.oracle ++ Multimodal.oracle ++
       EventsQueries.oracle ++ EventsQueries.moreOracle ++

@@ -188,7 +188,7 @@ object DedupQueries {
       |  FROM toksed
       |)""".stripMargin
 
-  private val jaccardPairsSql: String =
+  private[graft] val jaccardPairsSql: String =
     s"""$shingledSql,
        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
        |pairs AS (

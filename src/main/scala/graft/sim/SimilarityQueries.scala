@@ -142,6 +142,24 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    // cross-modal agreement: the text-level near-dup pairs annotated with
+    // the embedding cosine of the same documents (vec_id aligns with
+    // doc_id in the fixtures) — the validation join a curation pipeline
+    // runs before trusting one modality's dedup verdict
+    "crossmodal_dup_agreement" -> ((s, dir) => {
+      val pairs = graft.dedup.DedupQueries
+        .queries("dedup_ngram_jaccard")(s, dir)
+      val e = emb(s, dir)
+      pairs
+        .join(e.select(col("vec_id").as("doc_a"),
+          col("embedding").as("emb_a")), Seq("doc_a"))
+        .join(e.select(col("vec_id").as("doc_b"),
+          col("embedding").as("emb_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // embedding near-dup pairs: cosine >= threshold (quadratic baseline;
     // LSH-bucketed variant is the scale path). Norms are computed once per
     // vector and joined in — one dot product per pair instead of three;
@@ -211,6 +229,16 @@ object SimilarityQueries {
            |FROM assigned a JOIN qcells qc ON a.cell = qc.cell
            |WHERE a.vec_id <> $QueryVec
            |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
+
+      "crossmodal_dup_agreement" -> (
+        s"WITH ${graft.dedup.DedupQueries.jaccardPairsSql}\n" +
+        s"""SELECT j.doc_a, j.doc_b, j.jaccard,
+           |       ${Ora.cos64("ea.embedding", "eb.embedding")} AS cos_sim
+           |FROM jac j
+           |JOIN embeddings ea ON j.doc_a = ea.vec_id
+           |JOIN embeddings eb ON j.doc_b = eb.vec_id
+           |WHERE j.jaccard >= ${graft.dedup.DedupQueries.JaccardThreshold}
+           |ORDER BY j.doc_a, j.doc_b""".stripMargin),
 
       "dedup_embedding_cosine" ->
         s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
