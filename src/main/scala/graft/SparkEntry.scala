@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.ClusterQueries
-import graft.dedup.DedupQueries
+import graft.dedup.{DedupComponents, DedupQueries}
 import graft.events.EventsQueries
+import graft.graph.GraphXAnalytics
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
-import graft.relational.RelationalQueries
+import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries}
 import graft.sim.SimilarityQueries
-import graft.text.TextQueries
+import graft.text.{PipelineQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,32 +27,33 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     KeyspaceQueries.queries("kv_point_get")(spark, "/root/testdata/sf0.001")
 
+  private val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    Seq(KeyspaceQueries.queries, ClusterQueries.queries, TextQueries.queries,
+      PipelineQueries.queries, DedupQueries.queries, DedupComponents.queries,
+      GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
+      Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
+      RelationalQueries.queries, RangeJoinQueries.queries, PageRank.queries)
+
+  private val oracleModules: Seq[Map[String, String]] =
+    Seq(KeyspaceQueries.oracle, ClusterQueries.oracle, TextQueries.oracle,
+      PipelineQueries.oracle, DedupQueries.oracle, DedupComponents.oracle,
+      GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
+      Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
+      RelationalQueries.oracle, RangeJoinQueries.oracle, PageRank.oracle)
+
+  private def merged[V](modules: Seq[Map[String, V]]): Map[String, V] = {
+    val total = modules.map(_.size).sum
+    val m = modules.reduce(_ ++ _)
+    require(m.size == total,
+      s"query name collision across modules: ${total - m.size} shadowed")
+    m
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KeyspaceQueries.queries ++ ClusterQueries.queries ++
-      TextQueries.queries ++ graft.text.PipelineQueries.queries ++
-      DedupQueries.queries ++
-      graft.dedup.DedupComponents.queries ++
-      graft.graph.GraphXAnalytics.queries ++
-      graft.relational.AsOfQueries.queries ++
-      SimilarityQueries.queries ++ Multimodal.queries ++
-      EventsQueries.queries ++ EventsQueries.moreQueries ++
-      RelationalQueries.queries ++
-      graft.relational.RangeJoinQueries.queries ++
-      graft.relational.PageRank.queries
+    merged(queryModules)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    KeyspaceQueries.oracle ++ ClusterQueries.oracle ++
-      TextQueries.oracle ++ graft.text.PipelineQueries.oracle ++
-      DedupQueries.oracle ++
-      graft.dedup.DedupComponents.oracle ++
-      graft.graph.GraphXAnalytics.oracle ++
-      graft.relational.AsOfQueries.oracle ++
-      SimilarityQueries.oracle ++ Multimodal.oracle ++
-      EventsQueries.oracle ++ EventsQueries.moreOracle ++
-      RelationalQueries.oracle ++
-      graft.relational.RangeJoinQueries.oracle ++
-      graft.relational.PageRank.oracle
+  def oracleSql: Map[String, String] = merged(oracleModules)
 }
