@@ -18,6 +18,10 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").count().count()
+      // touch the bench-SF fact tables so no timed query pays the first
+      // cold read of their footers/pages
+      spark.read.parquet(s"$sfDir/orders.parquet").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -41,7 +41,8 @@ object PageRank {
     val e = edges(s, dir).localCheckpoint()
     val deg = e.groupBy("src").agg(count("*").as("deg")).localCheckpoint()
     val eDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    // deg is checkpointed and small; nodes recomputes from it for free
+    val nodes = deg.select(col("src").as("node"))
     val n = nodes.count()
     var r = nodes.select(col("node"), round(lit(1.0) / n, 12).as("pr"))
     for (_ <- 1 to Iterations) {
