@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.events.EventsQueries
+
+class StreamJoinSpec extends SparkSpec {
+
+  test("stream-stream interval join matches the batch join on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = EventsQueries.events(spark, sf).orderBy("ts").collect()
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val clicks = ev.filter(_.eventType == "click")
+    val purchases = ev.filter(_.eventType == "purchase")
+
+    val cIn = MemoryStream[Event]
+    val pIn = MemoryStream[Event]
+    val q = StreamJoin.clickToPurchase(cIn.toDS(), pIn.toDS())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    // interleave both streams across batches in TIME order — batches that
+    // jump around in event time would advance the watermark past
+    // not-yet-fed events and (correctly) drop them as late
+    val tMin = ev.head.tsUs
+    val tMax = ev.last.tsUs
+    val cut1 = tMin + (tMax - tMin) / 3
+    val cut2 = tMin + 2 * (tMax - tMin) / 3
+    val bounds = Seq((tMin, cut1), (cut1 + 1, cut2), (cut2 + 1, tMax))
+    for ((lo, hi) <- bounds) {
+      cIn.addData(clicks.filter(c => c.tsUs >= lo && c.tsUs <= hi).toSeq)
+      pIn.addData(purchases.filter(p => p.tsUs >= lo && p.tsUs <= hi).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("attrib_out")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val windowUs = 30L * 60 * 1000000
+    val expected = (for {
+      c <- clicks
+      p <- purchases
+      if p.userId == c.userId && p.tsUs >= c.tsUs && p.tsUs <= c.tsUs + windowUs
+    } yield (c.eventId, p.eventId)).toSet
+
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}
