@@ -91,6 +91,28 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), fnv1a32(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // winnowing fingerprints (MOSS-style): hash every char 8-gram, keep
+    // the minimum of each 4-hash window, dedupe — near-identical docs
+    // share most fingerprints even under small edits, unlike the
+    // whole-text hash. Bounded to doc_id < 200 so the oracle's
+    // per-k-gram hash fold stays cheap; the Spark side registers
+    // fnv1a32 for the SQL lambda.
+    "text_winnow_fingerprint" -> ((s, dir) => {
+      graft.Graft.register(s)
+      docs(s, dir).filter(col("doc_id") < 200)
+        .withColumn("kgram_hashes",
+          expr("transform(sequence(0, length(text) - 8), i -> " +
+            "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
+        .withColumn("fps", array_distinct(
+          expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
+            "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Column form of the quality composite (shared with PipelineQueries). */
@@ -165,5 +187,22 @@ object TextQueries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, ${Ora.fnv("text")} AS fp FROM documents ORDER BY doc_id",
+
+    "text_winnow_fingerprint" -> (
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    list_transform(range(length(text) - 7), i ->
+         |      ${Ora.fnv("substr(text, i + 1, 8)")}) AS kgram_hashes
+         |  FROM documents WHERE doc_id < 200
+         |),
+         |winnowed AS (
+         |  SELECT doc_id, list_distinct(
+         |    list_transform(range(len(kgram_hashes) - 3), j ->
+         |      list_min(kgram_hashes[j + 1 : j + 4]))) AS fps
+         |  FROM hashed
+         |)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM winnowed ORDER BY doc_id""".stripMargin),
   )
 }
