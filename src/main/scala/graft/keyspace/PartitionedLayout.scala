@@ -24,10 +24,15 @@ object PartitionedLayout {
     state.write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
   /** Point GET against the partitioned layout: shard filter (pruned at
-    * planning) + key filter (pushed into the parquet reader). */
-  def pointGet(spark: SparkSession, path: String, key: String): DataFrame =
+    * planning) + key filter (pushed into the parquet reader). `numShards`
+    * must match the layout's writer — it is a layout parameter, not a
+    * semantic (the reference hard-codes 4, `cmd/coordinator/
+    * main.go:219-232`). */
+  def pointGet(spark: SparkSession, path: String, key: String,
+      numShards: Int = 4): DataFrame =
     spark.read.parquet(path)
-      .filter(col("shard_id") === shardId(lit(key)) && col("key") === key)
+      .filter(col("shard_id") === shardId(lit(key), numShards) &&
+        col("key") === key)
       .select("key", "value", "shard_id")
 
   /** Per-shard listing: reads exactly one partition directory. */
