@@ -171,11 +171,15 @@ object ClusterQueries {
         .orderBy("node_id")
     }),
 
-    // O14 — broadcast fan-out result table: one ack row per registered
-    // node + the SentTo count (`cmd/coordinator/main.go:446-495`).
+    // O14 — broadcast fan-out result table: one row per registered node
+    // with per-node error capture (unreachable nodes error, the rest ack —
+    // partial failure tolerated) + the SentTo count
+    // (`cmd/coordinator/main.go:446-495`, errors collected at 481-486).
     "broadcast_fanout" -> ((s, _) => {
       val m = membership(s)
-      m.select(col("node_id"), lit("ok").as("result"))
+      m.select(col("node_id"),
+          when(col("m_status") === "unhealthy", "error: unreachable")
+            .otherwise("ok").as("result"))
         .crossJoin(m.agg(count("*").as("sent_to")))
         .orderBy("node_id")
     }),
@@ -327,7 +331,9 @@ object ClusterQueries {
         |ORDER BY m.node_id""".stripMargin),
 
     "broadcast_fanout" -> (s"WITH $membershipSql\n" +
-      """SELECT node_id, 'ok' AS result,
+      """SELECT node_id,
+        |       CASE WHEN m_status = 'unhealthy' THEN 'error: unreachable'
+        |            ELSE 'ok' END AS result,
         |       (SELECT count(*) FROM membership) AS sent_to
         |FROM membership ORDER BY node_id""".stripMargin),
 

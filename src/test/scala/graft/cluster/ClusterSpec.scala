@@ -52,6 +52,29 @@ class ClusterSpec extends SparkSpec {
     assert(Set("healthy", "unhealthy").contains(rows("n1")))
   }
 
+  test("broadcast fan-out: unreachable node errors captured, rest ack") {
+    val rows = ClusterQueries.queries("broadcast_fanout")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("n4") === "error: unreachable")
+    assert(Seq("n1", "n2", "n3").forall(rows(_) == "ok"))
+  }
+
+  test("forgotten nodes are pruned: health rows for de-registered nodes drop") {
+    // health_monitor.go:172-190 — tracking entries for nodes no longer in
+    // membership are removed; our enrichment starts FROM membership so a
+    // probed-but-deregistered node ('n9') never appears
+    import spark.implicits._
+    val strayProbes = Seq(("n9", 1L, false), ("n9", 2L, false),
+      ("n1", 3L, true)).toDF("node_id", "seq", "ok")
+    val current = strayProbes.groupBy("node_id")
+      .agg(org.apache.spark.sql.functions.max_by(col("ok"), col("seq"))
+        .as("last_ok"))
+    val enriched = ClusterQueries.membership(spark)
+      .join(current, Seq("node_id"), "left")
+    val ids = enriched.select("node_id").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("n9") && ids === Set("n1", "n2", "n3", "n4"))
+  }
+
   test("health transitions match an independent fold of the state machine") {
     val probes = ClusterQueries.probes(spark, sf)
       .orderBy("node_id", "seq").collect()

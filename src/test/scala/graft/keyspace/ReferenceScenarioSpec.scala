@@ -28,6 +28,13 @@ class ReferenceScenarioSpec extends SparkSpec {
     assert(state.filter(col("key") === "small").count() === 1)
   }
 
+  test("10 MB value round-trips (the node_test.go large-value case)") {
+    val big = "y" * (10 * 1024 * 1024)
+    val state = KvLog.compact(
+      Seq((1L, "put", "huge", big)).toDF("seq", "op", "key", "value"))
+    assert(state.first().getString(1).length === big.length)
+  }
+
   test("special-character and unicode keys round-trip with stable shards") {
     val keys = Seq("simple", "user@example.com", "path/to/resource",
       "key-with-spaces here", "数字",
