@@ -10,6 +10,7 @@ columns sorted by name). Prints a per-query PASS/FAIL table and diffs.
 """
 import json
 import math
+import struct
 import sys
 from pathlib import Path
 
@@ -25,7 +26,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # EXACT bits, like the driver's hash compare — looser rounding here
+        # would hide mismatches the real gate catches
+        return struct.pack("<d", v).hex()
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
