@@ -204,6 +204,92 @@ object ClusterQueries {
           max(col("seq")).as("last_check_seq"))
         .orderBy("node_id")),
 
+    // O11+ — failure-triggered redistribution that actually MOVES shards:
+    // the reference's callback only re-runs auto-assign over unassigned
+    // shards, a documented P0 gap (ISSUES_AND_SOLUTIONS.md:75-127,
+    // PROJECT_STATUS.md:51-65) — this is the fixed variant: on an unhealthy
+    // transition, the dead node's shards are reassigned round-robin over
+    // the surviving healthy set; healthy nodes keep their shards.
+    "redistribute_on_failure" -> ((s, _) => {
+      // before the failure all four nodes were healthy: full round-robin
+      val all = membership(s).withColumn("node_idx",
+        row_number().over(Window.orderBy("first_seq")).cast("long") - 1L)
+      val nAll = all.count()
+      val before = s.range(4).select(col("id").as("shard_id"))
+        .withColumn("node_idx", pmod(col("shard_id"), lit(nAll)))
+        .join(all.select("node_idx", "node_id", "m_status"), "node_idx")
+        .select(col("shard_id"), col("node_id").as("old_node"),
+          col("m_status"))
+      val healthy = healthyNodesIndexed(s)
+      val nH = healthy.count()
+      val moved = before.filter(col("m_status") === "unhealthy")
+        .withColumn("rank",
+          row_number().over(Window.orderBy("shard_id")).cast("long") - 1L)
+        .withColumn("node_idx", pmod(col("rank"), lit(nH)))
+        .join(healthy.select("node_idx", "node_id"), "node_idx")
+        .select(col("shard_id"), col("old_node"),
+          col("node_id").as("new_node"))
+      val kept = before.filter(col("m_status") =!= "unhealthy")
+        .select(col("shard_id"), col("old_node"),
+          col("old_node").as("new_node"))
+      kept.unionByName(moved)
+        .withColumn("moved", col("old_node") =!= col("new_node"))
+        .orderBy("shard_id")
+    }),
+
+    // Shard lifecycle states active|migrating|deleted (shard.go:26-52;
+    // SetState shard.go:507-536): LWW over a transition log, with routing
+    // gated per state — migrating still serves reads but not writes,
+    // deleted is out of the routing table entirely.
+    "shard_lifecycle_routing" -> ((s, dir) => {
+      import s.implicits._
+      val transitions = Seq(
+        (1L, 0L, "active"), (2L, 1L, "active"),
+        (3L, 2L, "active"), (4L, 3L, "active"),
+        (5L, 1L, "migrating"),                    // 1: being moved
+        (6L, 2L, "migrating"), (7L, 2L, "active"), // 2: move completed
+        (8L, 3L, "deleted")                        // 3: decommissioned
+      ).toDF("seq", "shard_id", "state")
+      val current = transitions.groupBy("shard_id")
+        .agg(max_by(col("state"), col("seq")).as("state"))
+        .withColumn("serves_reads", col("state").isin("active", "migrating"))
+        .withColumn("serves_writes", col("state") === "active")
+      KvLog.state(s, dir).groupBy("shard_id").agg(count("*").as("n_keys"))
+        .join(broadcast(current), Seq("shard_id"))
+        .select(col("shard_id"), col("state"),
+          col("serves_reads"), col("serves_writes"),
+          when(col("serves_reads"), col("n_keys")).otherwise(0L)
+            .as("n_routable_keys"))
+        .orderBy("shard_id")
+    }),
+
+    // O14 — broadcast request semantics: path validation (empty or not
+    // starting with '/' ⇒ 400, cmd/coordinator/main.go:455) and raw-JSON
+    // payload passthrough to addr+path on every node
+    // (internal/cluster/types.go:103-115, post at main.go:479-480).
+    "broadcast_payload" -> ((s, _) => {
+      import s.implicits._
+      val reqs = Seq(
+        (1L, "/cluster/state", """{"nodes":["n1","n2"]}"""),
+        (2L, "", """{"x":1}"""),
+        (3L, "config/reload", "{}"),
+        (4L, "/shards/reassign", """{"shard":3}""")
+      ).toDF("req_id", "path", "payload")
+      val valid = col("path").startsWith("/")
+      val accepted = reqs.filter(valid).crossJoin(membership(s))
+        .select(col("req_id"), col("path"), col("node_id"),
+          concat(col("addr"), col("path")).as("url"), col("payload"),
+          when(col("m_status") === "unhealthy", "error: unreachable")
+            .otherwise("ok").as("result"))
+      val rejected = reqs.filter(!valid)
+        .select(col("req_id"), col("path"),
+          lit(null).cast("string").as("node_id"),
+          lit(null).cast("string").as("url"), col("payload"),
+          lit("400 invalid path").as("result"))
+      accepted.unionByName(rejected)
+        .orderBy(col("req_id"), col("node_id").asc_nulls_first)
+    }),
+
     // O10 — validated assignment upsert: rows outside 0 ≤ shard < 4 or with
     // an empty node are rejected (`shard_registry.go:173-193`), survivors
     // upsert LWW per shard; removal idempotence is the absent-shard row.
@@ -351,6 +437,75 @@ object ClusterQueries {
       """SELECT node_id, arg_max(status, seq) AS status,
         |       max(seq) AS last_check_seq
         |FROM statused GROUP BY node_id ORDER BY node_id""".stripMargin),
+
+    "redistribute_on_failure" -> (s"WITH $membershipSql,\n" +
+      """all_idx AS (
+        |  SELECT node_id, m_status,
+        |         row_number() OVER (ORDER BY first_seq) - 1 AS node_idx
+        |  FROM membership
+        |),
+        |before_assign AS (
+        |  SELECT s.shard_id, a.node_id AS old_node, a.m_status
+        |  FROM (SELECT CAST(range AS BIGINT) AS shard_id FROM range(4)) s
+        |  JOIN all_idx a ON a.node_idx = s.shard_id % (SELECT count(*) FROM all_idx)
+        |),
+        |failed AS (
+        |  SELECT shard_id, old_node,
+        |         row_number() OVER (ORDER BY shard_id) - 1 AS rnk
+        |  FROM before_assign WHERE m_status = 'unhealthy'
+        |)
+        |SELECT shard_id, old_node, new_node, old_node <> new_node AS moved
+        |FROM (
+        |  SELECT f.shard_id, f.old_node, h.node_id AS new_node
+        |  FROM failed f JOIN healthy_idx h
+        |    ON h.node_idx = f.rnk % (SELECT count(*) FROM healthy_idx)
+        |  UNION ALL
+        |  SELECT shard_id, old_node, old_node AS new_node
+        |  FROM before_assign WHERE m_status <> 'unhealthy'
+        |) ORDER BY shard_id""".stripMargin),
+
+    "shard_lifecycle_routing" -> (s"WITH ${Ora.kvState},\n" +
+      """lifecycle_log(seq, shard_id, state) AS (
+        |  VALUES (1, 0, 'active'), (2, 1, 'active'),
+        |         (3, 2, 'active'), (4, 3, 'active'),
+        |         (5, 1, 'migrating'),
+        |         (6, 2, 'migrating'), (7, 2, 'active'),
+        |         (8, 3, 'deleted')
+        |),
+        |lifecycle AS (
+        |  SELECT shard_id, arg_max(state, seq) AS state
+        |  FROM lifecycle_log GROUP BY shard_id
+        |),
+        |keys_per AS (
+        |  SELECT shard_id, count(*) AS n_keys FROM kv_state GROUP BY shard_id
+        |)
+        |SELECT CAST(c.shard_id AS BIGINT) AS shard_id, c.state,
+        |       c.state IN ('active', 'migrating') AS serves_reads,
+        |       c.state = 'active' AS serves_writes,
+        |       CAST(CASE WHEN c.state IN ('active', 'migrating')
+        |                 THEN k.n_keys ELSE 0 END AS BIGINT) AS n_routable_keys
+        |FROM lifecycle c JOIN keys_per k ON k.shard_id = c.shard_id
+        |ORDER BY shard_id""".stripMargin),
+
+    "broadcast_payload" -> (s"WITH $membershipSql,\n" +
+      """reqs(req_id, path, payload) AS (
+        |  VALUES (1, '/cluster/state', '{"nodes":["n1","n2"]}'),
+        |         (2, '', '{"x":1}'),
+        |         (3, 'config/reload', '{}'),
+        |         (4, '/shards/reassign', '{"shard":3}')
+        |)
+        |SELECT CAST(req_id AS BIGINT) AS req_id, path, node_id, url, payload, result
+        |FROM (
+        |  SELECT r.req_id, r.path, m.node_id, m.addr || r.path AS url,
+        |         r.payload,
+        |         CASE WHEN m.m_status = 'unhealthy' THEN 'error: unreachable'
+        |              ELSE 'ok' END AS result
+        |  FROM reqs r CROSS JOIN membership m
+        |  WHERE r.path LIKE '/%'
+        |  UNION ALL
+        |  SELECT req_id, path, NULL, NULL, payload, '400 invalid path'
+        |  FROM reqs WHERE path NOT LIKE '/%'
+        |) ORDER BY req_id, node_id NULLS FIRST""".stripMargin),
 
     "shard_assign_validate" ->
       """WITH assign_log(seq, shard_id, node_id) AS (

@@ -82,16 +82,19 @@ object DedupQueries {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  /** (doc_id, shingles, h0..h15) minhash signature columns. */
-  private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val withHashes = shingled(s, dir)
-      .withColumn("hashes", transform(col("shingles"), sh => fnv1a32(sh)))
+  /** (doc_id, h0..h15) minhash signatures over an already-shingled frame.
+    * Takes the frame as input (rather than re-deriving it) so the caller can
+    * checkpoint/persist the shingle pipeline once and reuse it for both
+    * signature generation and candidate verification. */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val withHashes =
+      sh.withColumn("hashes", transform(col("shingles"), x => fnv1a32(x)))
     val sigCols = (0 until NumMinhash).map { i =>
       array_min(transform(col("hashes"), x =>
         (x * lit(2L * i + 1) + lit(17L * i + 7)) % lit(MinhashPrime)))
         .as(s"h$i")
     }
-    withHashes.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+    withHashes.select(col("doc_id") +: sigCols: _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -112,20 +115,31 @@ object DedupQueries {
       jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // MinHash banding: candidates share one of 8 band signatures, then
-    // exact verification — output identical shape to dedup_ngram_jaccard
+    // exact verification — output identical shape to dedup_ngram_jaccard.
+    //
+    // Plan shape (the 100 TB path): the shingle pipeline is checkpointed
+    // ONCE and reused by both the signature derivation and the two
+    // verification probes, and candidate pairs come from band-bucket
+    // posting lists (groupBy(band, sig) → pairs map-side from each list)
+    // instead of a self-join of the exploded bands — so the whole
+    // shingle→minhash derivation runs exactly once, and the LSH stage
+    // costs Σ bucket², never corpus².
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val mh = minhashed(s, dir)
+      val sh = shingled(s, dir).localCheckpoint()
+      val mh = minhashSigs(sh)
       val bands = (0 until NumBands).map { b =>
         concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
       }
-      val exploded = mh.select(col("doc_id"),
-        posexplode(array(bands: _*)).as(Seq("band", "sig")))
-      val cand = exploded.as("a").join(exploded.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // same posting-list shape as jaccardPairs; MaxPosting caps a
+      // degenerate bucket (none at the current corpus, so results exact)
+      val cand = mh.select(col("doc_id"),
+          posexplode(array(bands: _*)).as(Seq("band", "sig")))
+        .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, MaxPosting))
+        .select(explode(col("ids")).as("doc_a"), col("ids"))
+        .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
         .distinct()
-      val sh = shingled(s, dir)
       cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -138,20 +152,25 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash signatures: 32-bit, term-frequency weighted
+    // SimHash signatures: 32-bit, term-frequency weighted.
+    //
+    // One hash aggregate with 32 ±1 accumulators (one per bit) — no
+    // bit-explode before the shuffle, so shuffle input is one row per
+    // (map partition, doc) after partial aggregation instead of the
+    // 32×token-count inflation of the explode(0..31) formulation.
     "dedup_simhash" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), fnv1a32(col("w")).as("h"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-      tok.groupBy("doc_id", "b")
-        .agg(sum(when(expr("(shiftright(h, CAST(b AS INT)) & 1)") === 1, 1L)
-          .otherwise(-1L))
-          .as("contrib"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("contrib") >= 0,
-          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) AS BIGINT)"))
-          .otherwise(0L)).as("simhash"))
+        .select(col("doc_id"), fnv1a32(col("w")).as("h"))
+      val contribs = (0 until 32).map { b =>
+        sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1L).otherwise(-1L))
+          .as(s"c$b")
+      }
+      tok.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map { b =>
+            when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -120,10 +120,11 @@ object EventsQueries {
         .orderBy("user_id", "day")
     }),
 
-    // pivot: op counts as columns (the reference's Gets/Puts/Deletes
-    // counter struct, one row)
+    // pivot: op counts as columns — the reference's full Gets/Puts/Deletes
+    // OperationStats struct (internal/shard/shard.go:124-161), one row
     "kv_op_counters_pivot" -> ((s, dir) =>
       graft.keyspace.KvLog.log(s, dir).agg(
+        sum(when(col("op") === "get", 1L).otherwise(0L)).as("n_get"),
         sum(when(col("op") === "put", 1L).otherwise(0L)).as("n_put"),
         sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_delete"))),
   )
@@ -150,6 +151,7 @@ object EventsQueries {
 
     "kv_op_counters_pivot" -> (s"WITH ${graft.oracle.Ora.kvLog}\n" +
       """SELECT
+        |  CAST(sum(CASE WHEN op = 'get' THEN 1 ELSE 0 END) AS BIGINT) AS n_get,
         |  CAST(sum(CASE WHEN op = 'put' THEN 1 ELSE 0 END) AS BIGINT) AS n_put,
         |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
         |FROM kv_log""".stripMargin),

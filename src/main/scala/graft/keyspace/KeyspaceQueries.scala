@@ -79,7 +79,9 @@ object KeyspaceQueries {
         .orderBy("shard_id")),
 
     // O7 — operation counters by type, the atomic Gets/Puts/Deletes
-    // counters re-expressed over the op log (shard.go:124-161).
+    // counters re-expressed over the op log (shard.go:124-161; Get
+    // increment at shard.go:258) — the log carries read traffic too, so
+    // all three counters of OperationStats are populated.
     "kv_op_counters" -> ((s, dir) =>
       KvLog.log(s, dir).groupBy("op").agg(count("*").as("n"))
         .orderBy("op")),

@@ -41,15 +41,22 @@ object KvLog {
       "array<struct<seq:bigint,op:string,key:string,value:string>>")
 
     orders.select(explode(concat(
-        array(op(col("o_orderkey") * 3, "put",
+        array(op(col("o_orderkey") * 4, "put",
           concat_ws(":", col("o_orderstatus"), col("o_orderpriority"),
             col("o_custkey").cast("string")))),
         when(col("o_orderkey") % 97 === 0,
-          array(op(col("o_orderkey") * 3 + 1, "put",
+          array(op(col("o_orderkey") * 4 + 1, "put",
             concat(lit("updated:"), col("o_custkey").cast("string")))))
           .otherwise(emptyOps),
         when(col("o_orderkey") % 101 === 0,
-          array(op(col("o_orderkey") * 3 + 2, "delete",
+          array(op(col("o_orderkey") * 4 + 2, "delete",
+            lit(null).cast("string"))))
+          .otherwise(emptyOps),
+        // read traffic: Gets are counted in the reference's OperationStats
+        // (internal/shard/shard.go:124-161, increment at shard.go:258) but
+        // never touch state — compact() ignores them.
+        when(col("o_orderkey") % 5 === 0,
+          array(op(col("o_orderkey") * 4 + 3, "get",
             lit(null).cast("string"))))
           .otherwise(emptyOps))).as("r"))
       .select(col("r.seq").as("seq"), col("r.op").as("op"),
@@ -57,9 +64,12 @@ object KvLog {
   }
 
   /** LWW compaction of any `(seq, op, key, value)` log → current state
-    * `(key, value)`: keep the highest-seq op per key, drop final deletes. */
+    * `(key, value)`: keep the highest-seq WRITE op per key, drop final
+    * deletes. Reads (`get`) are op-counter traffic only — they never
+    * mutate state, exactly as in the reference store. */
   def compact(log: DataFrame): DataFrame =
-    log.groupBy("key")
+    log.filter(col("op").isin("put", "delete"))
+      .groupBy("key")
       .agg(max_by(col("value"), col("seq")).as("value"),
            max_by(col("op"), col("seq")).as("op"))
       .filter(col("op") === "put")

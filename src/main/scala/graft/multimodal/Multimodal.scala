@@ -56,11 +56,24 @@ object Multimodal {
       (lit(64) + (col("doc_id") % 16) * 32).cast("int").as("width"),
       (lit(48) + (col("doc_id") % 9) * 24).cast("int").as("height"))
 
-  /** The batched decode pipeline: repartition by media type (a real decoder
-    * is initialized once per partition per type), then mapPartitions. */
+  /** Decode-stage parallelism. Repartitioning by `media_type` alone would
+    * cap the stage at #media-types tasks (3) no matter the corpus size — a
+    * serialization point at scale. At 100 TB set this to the cluster's
+    * total core count. */
+  val DecodeParallelism = 32
+
+  /** The batched decode pipeline: repartition on a composite
+    * (media_type, hash-salt) key for full parallelism, then sort each
+    * partition by media type so rows of one type are contiguous — a real
+    * decoder is (re)initialized only on type change, at most #types times
+    * per partition, while the stage runs [[DecodeParallelism]]-wide. */
   def decoded(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
-    catalog(s, dir).repartition(col("media_type")).as[MediaRow]
+    catalog(s, dir)
+      .repartition(DecodeParallelism, col("media_type"),
+        pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+      .sortWithinPartitions("media_type")
+      .as[MediaRow]
       .mapPartitions(_.map(decodeStub))
   }
 

@@ -24,33 +24,38 @@ object Ora {
   /** The kv operation-log fixture, derived deterministically from `orders`.
     * Mirror of [[graft.keyspace.KvLog.log]] — keep the two in lockstep.
     *
-    * - every order        → put  (seq = 3k)   key 'order:<k>' value '<status>:<priority>:<custkey>'
-    * - orderkey % 97 = 0  → put  (seq = 3k+1) value 'updated:<custkey>'   (LWW overwrite)
-    * - orderkey % 101 = 0 → delete (seq = 3k+2)                           (tombstone)
+    * - every order        → put  (seq = 4k)   key 'order:<k>' value '<status>:<priority>:<custkey>'
+    * - orderkey % 97 = 0  → put  (seq = 4k+1) value 'updated:<custkey>'   (LWW overwrite)
+    * - orderkey % 101 = 0 → delete (seq = 4k+2)                           (tombstone)
+    * - orderkey % 5 = 0   → get  (seq = 4k+3)                             (read traffic; no state effect)
     */
   val kvLog: String =
     """kv_log AS (
-      |  SELECT o_orderkey * 3 AS seq, 'put' AS op,
+      |  SELECT o_orderkey * 4 AS seq, 'put' AS op,
       |         'order:' || o_orderkey AS key,
       |         o_orderstatus || ':' || o_orderpriority || ':' || o_custkey AS value
       |  FROM orders
       |  UNION ALL
-      |  SELECT o_orderkey * 3 + 1, 'put', 'order:' || o_orderkey,
+      |  SELECT o_orderkey * 4 + 1, 'put', 'order:' || o_orderkey,
       |         'updated:' || o_custkey
       |  FROM orders WHERE o_orderkey % 97 = 0
       |  UNION ALL
-      |  SELECT o_orderkey * 3 + 2, 'delete', 'order:' || o_orderkey, NULL
+      |  SELECT o_orderkey * 4 + 2, 'delete', 'order:' || o_orderkey, NULL
       |  FROM orders WHERE o_orderkey % 101 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey * 4 + 3, 'get', 'order:' || o_orderkey, NULL
+      |  FROM orders WHERE o_orderkey % 5 = 0
       |)""".stripMargin
 
   /** Last-write-wins compaction of [[kvLog]] → current keyspace state.
-    * Mirror of [[graft.keyspace.KvLog.state]]. */
+    * Mirror of [[graft.keyspace.KvLog.state]] — writes only; `get` ops are
+    * counter traffic and never reach compaction. */
   val kvState: String =
     s"""$kvLog,
        |kv_state AS (
        |  SELECT key, value, ${shard("key")} AS shard_id FROM (
        |    SELECT key, arg_max(value, seq) AS value, arg_max(op, seq) AS op
-       |    FROM kv_log GROUP BY key
+       |    FROM kv_log WHERE op IN ('put', 'delete') GROUP BY key
        |  ) WHERE op = 'put'
        |)""".stripMargin
 

@@ -30,6 +30,9 @@ object KvStream {
 
   def step(state: Option[KvKeyState], op: KvOp)
       : (Option[KvKeyState], Option[KvChange]) = {
+    // reads never mutate keyed state or emit changes — the op log carries
+    // get traffic for the operation counters, but only writes compact
+    if (op.op == "get") return (state, None)
     val stale = state.exists(_.seq >= op.seq)
     if (stale) (state, None)
     else {

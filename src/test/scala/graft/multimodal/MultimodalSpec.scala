@@ -35,4 +35,16 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(media_type"), plan.take(1500))
   }
+
+  test("decode stage runs wider than #media-types with type-contiguous rows") {
+    val perPart = Multimodal.decoded(spark, sf).rdd.mapPartitions { it =>
+      val types = it.map(_.media_type).toArray
+      Iterator.single((types.length, types.sameElements(types.sorted)))
+    }.collect()
+    val nonEmpty = perPart.count(_._1 > 0)
+    assert(nonEmpty > 3,
+      s"decode parallelism capped at $nonEmpty partitions — must exceed the 3 media types")
+    assert(perPart.forall(_._2),
+      "rows within each partition must be contiguous (sorted) by media_type")
+  }
 }
