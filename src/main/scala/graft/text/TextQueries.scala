@@ -95,12 +95,15 @@ object TextQueries {
     // winnowing fingerprints (MOSS-style): hash every char 8-gram, keep
     // the minimum of each 4-hash window, dedupe — near-identical docs
     // share most fingerprints even under small edits, unlike the
-    // whole-text hash. Bounded to doc_id < 200 so the oracle's
-    // per-k-gram hash fold stays cheap; the Spark side registers
+    // whole-text hash. Full-corpus coverage; the Spark side registers
     // fnv1a32 for the SQL lambda.
     "text_winnow_fingerprint" -> ((s, dir) => {
       graft.Graft.register(s)
-      docs(s, dir).filter(col("doc_id") < 200)
+      docs(s, dir)
+        // a doc needs ≥ 11 chars for one 4-window of 8-grams; below that
+        // Spark's sequence() would run DESCENDING (DuckDB's range is
+        // empty), so the guard also pins cross-engine parity on short docs
+        .filter(length(col("text")) >= 11)
         .withColumn("kgram_hashes",
           expr("transform(sequence(0, length(text) - 8), i -> " +
             "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
@@ -193,7 +196,7 @@ object TextQueries {
          |  SELECT doc_id,
          |    list_transform(range(length(text) - 7), i ->
          |      ${Ora.fnv("substr(text, i + 1, 8)")}) AS kgram_hashes
-         |  FROM documents WHERE doc_id < 200
+         |  FROM documents WHERE length(text) >= 11
          |),
          |winnowed AS (
          |  SELECT doc_id, list_distinct(
