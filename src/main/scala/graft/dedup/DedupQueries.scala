@@ -97,6 +97,27 @@ object DedupQueries {
     withHashes.select(col("doc_id") +: sigCols: _*)
   }
 
+  /** (doc_id, simhash) 32-bit term-frequency-weighted signatures.
+    *
+    * One hash aggregate with 32 ±1 accumulators (one per bit) — no
+    * bit-explode before the shuffle, so shuffle input is one row per
+    * (map partition, doc) after partial aggregation instead of the
+    * 32×token-count inflation of the explode(0..31) formulation. */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), fnv1a32(col("w")).as("h"))
+    val contribs = (0 until 32).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1L).otherwise(-1L))
+        .as(s"c$b")
+    }
+    tok.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map { b =>
+          when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groupBy; summary proves the operator on a
     // corpus with no exact dups (planted dups are near-dups, caught below)
@@ -152,39 +173,33 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash signatures: 32-bit, term-frequency weighted.
-    //
-    // One hash aggregate with 32 ±1 accumulators (one per bit) — no
-    // bit-explode before the shuffle, so shuffle input is one row per
-    // (map partition, doc) after partial aggregation instead of the
-    // 32×token-count inflation of the explode(0..31) formulation.
-    "dedup_simhash" -> ((s, dir) => {
-      val tok = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), fnv1a32(col("w")).as("h"))
-      val contribs = (0 until 32).map { b =>
-        sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1L).otherwise(-1L))
-          .as(s"c$b")
-      }
-      tok.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
-        .select(col("doc_id"),
-          (0 until 32).map { b =>
-            when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L))
-          }.reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
-    }),
+    // SimHash signatures: 32-bit, term-frequency weighted
+    "dedup_simhash" -> ((s, dir) =>
+      simhashSigs(s, dir).orderBy("doc_id")),
 
-    // SimHash near-dup pairs via pigeonhole banding on 8-bit chunks
+    // SimHash near-dup pairs via pigeonhole banding on 8-bit chunks.
+    //
+    // The signature aggregation is checkpointed once (the self-join
+    // formulation recomputed it twice), and candidates come from
+    // bucket posting lists like the other banding dedups. NOTE on scale:
+    // an 8-bit chunk space saturates (buckets grow linearly with corpus ⇒
+    // pairs quadratically); at real 100 TB scale use a 64-bit simhash
+    // with 16-bit chunks — same plan shape, 256× the bucket space.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val sig = queries("dedup_simhash")(s, dir)
+      val sig = simhashSigs(s, dir).localCheckpoint()
       val chunks = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
         .withColumn("chunk",
           expr("shiftright(simhash, CAST(8 * c AS INT)) & 255"))
-      val cand = chunks.as("a").join(chunks.as("b"),
-          col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
+      val cand = chunks.groupBy("c", "chunk")
+        .agg(collect_list(struct(col("doc_id"), col("simhash")))
+          .as("members"))
+        .filter(size(col("members")).between(2, MaxPosting))
+        .select(explode(col("members")).as("a"), col("members"))
         .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sig_a"),
+          explode(col("members")).as("b"))
+        .filter(col("doc_a") < col("b.doc_id"))
+        .select(col("doc_a"), col("sig_a"),
           col("b.doc_id").as("doc_b"), col("b.simhash").as("sig_b"))
         .distinct()
       cand.withColumn("hamming",

@@ -39,14 +39,20 @@ object KeyspaceQueries {
 
     // O3 — DELETE + tombstone compaction: deleted keys are absent from the
     // compacted state; n_tombstoned_present must be 0 (store.go:391-397).
+    // Single-pass shape: one scan of the write log, one groupBy(key)
+    // carrying (last write op, ever-deleted flag) — the join formulation
+    // derived the log twice and shuffled three times for the same answer.
     "kv_delete_tombstone" -> ((s, dir) => {
-      val log = KvLog.log(s, dir)
-      val deleted = log.filter(col("op") === "delete").select("key").distinct()
-      val state = KvLog.state(s, dir)
-      val present = state.join(deleted, Seq("key"), "left_semi")
-        .agg(count("*").as("n_tombstoned_present"))
-      val total = state.agg(count("*").as("n_keys"))
-      present.crossJoin(total)
+      val byKey = KvLog.log(s, dir)
+        .filter(col("op").isin("put", "delete"))
+        .groupBy("key")
+        .agg(max_by(col("op"), col("seq")).as("last_op"),
+          max(when(col("op") === "delete", 1L).otherwise(0L))
+            .as("ever_deleted"))
+      byKey.agg(
+        sum(when(col("last_op") === "put" && col("ever_deleted") === 1L, 1L)
+          .otherwise(0L)).as("n_tombstoned_present"),
+        sum(when(col("last_op") === "put", 1L).otherwise(0L)).as("n_keys"))
     }),
 
     // O4 — per-shard key listing (GET /shard/{id}/store,

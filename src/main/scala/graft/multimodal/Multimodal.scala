@@ -17,6 +17,10 @@ case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
 case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
     byte_sum: Long, checksum: Long)
 
+/** Per-asset frame-sampling summary (video pipeline). */
+case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
+    checksum_sum: Long)
+
 /** Multimodal-column plumbing: schema, partitioning, and batched decode.
   *
   * The decode step is a STUB — this container has no image/audio codecs, so
@@ -77,6 +81,35 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub))
   }
 
+  /** Frame geometry for the sampling stub: fixed-size byte "frames",
+    * every [[FrameStep]]-th one decoded. A real video pipeline swaps the
+    * frame boundaries for container keyframes and the checksum for a
+    * decoded-frame feature; the Spark shape (filter pushdown on
+    * media_type, batched per-partition extraction, per-asset summary) is
+    * the part that must be right at 100 TB. */
+  val FrameBytes = 16
+  val FrameStep = 4
+
+  /** REAL FRAME DECODER GOES HERE — deterministic byte-level stand-in. */
+  def sampleFrames(r: MediaRow): FrameSample = {
+    val len = r.payload.length
+    val nFrames = (len + FrameBytes - 1) / FrameBytes
+    var i = 0
+    var sampled = 0L
+    var sum = 0L
+    while (i < nFrames) {
+      if (i % FrameStep == 0) {
+        val start = i * FrameBytes
+        val end = math.min(start + FrameBytes, len)
+        sum += Fnv1a32.hashBytes(
+          java.util.Arrays.copyOfRange(r.payload, start, end))
+        sampled += 1
+      }
+      i += 1
+    }
+    FrameSample(r.doc_id, nFrames.toLong, sampled, sum)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the typed catalog: binary payload + prunable metadata
     "media_catalog" -> ((s, dir) =>
@@ -86,6 +119,20 @@ object Multimodal {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy("doc_id")),
+
+    // frame sampling over the video subset: media_type filter pushes to
+    // the catalog scan, extraction runs batched per partition, output is
+    // one summary row per asset
+    "media_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      catalog(s, dir).filter(col("media_type") === "video")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map(sampleFrames))
+        .toDF()
+        .orderBy("doc_id")
+    }),
 
     // through the batched decode stub, then aggregate per media type
     "media_decode_stats" -> ((s, dir) =>
@@ -108,6 +155,18 @@ object Multimodal {
          |  CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
          |  CAST(48 + (doc_id % 9) * 24 AS BIGINT) AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "media_frame_sample" ->
+      s"""SELECT doc_id,
+         |  CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
+         |  CAST(ceil(ceil(length(text) / 16.0) / 4.0) AS BIGINT) AS n_sampled,
+         |  CAST(list_sum(list_transform(
+         |    list_filter(range(CAST(ceil(length(text) / 16.0) AS BIGINT)),
+         |                i -> i % 4 = 0),
+         |    i -> ${Ora.fnv("substr(text, CAST(i * 16 + 1 AS INT), 16)")}))
+         |    AS BIGINT) AS checksum_sum
+         |FROM documents WHERE $mediaTypeSql = 'video'
+         |ORDER BY doc_id""".stripMargin,
 
     "media_decode_stats" ->
       s"""SELECT $mediaTypeSql AS media_type,

@@ -95,27 +95,23 @@ object TextQueries {
     // winnowing fingerprints (MOSS-style): hash every char 8-gram, keep
     // the minimum of each 4-hash window, dedupe — near-identical docs
     // share most fingerprints even under small edits, unlike the
-    // whole-text hash. Full-corpus coverage; the Spark side registers
-    // fnv1a32 for the SQL lambda.
-    "text_winnow_fingerprint" -> ((s, dir) => {
-      graft.Graft.register(s)
+    // whole-text hash. Full-corpus coverage through the native
+    // [[graft.functions.WinnowFingerprints]] kernel (one compiled loop
+    // per row; the transform/slice lambda pipeline went super-linear at
+    // the 10× scale rehearsal).
+    "text_winnow_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         // a doc needs ≥ 11 chars for one 4-window of 8-grams; below that
         // Spark's sequence() would run DESCENDING (DuckDB's range is
         // empty), so the guard also pins cross-engine parity on short docs
         .filter(length(col("text")) >= 11)
-        .withColumn("kgram_hashes",
-          expr("transform(sequence(0, length(text) - 8), i -> " +
-            "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
-        .withColumn("fps", array_distinct(
-          expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
-            "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
+        .withColumn("fps",
+          graft.functions.WinnowFingerprints.winnow(col("text"), 8, 4))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
           array_min(col("fps")).as("min_fp"),
           array_max(col("fps")).as("max_fp"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
   )
 
   /** Column form of the quality composite (shared with PipelineQueries). */

@@ -33,6 +33,31 @@ class ExpressionLawSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("WinnowFingerprints ≡ the transform/slice lambda pipeline on real docs") {
+    graft.Graft.register(spark)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) >= 11)
+      .withColumn("kgram_hashes",
+        expr("transform(sequence(0, length(text) - 8), i -> " +
+          "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
+      .withColumn("ref", array_distinct(
+        expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
+          "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
+      .withColumn("fast", WinnowFingerprints.winnow(col("text"), 8, 4))
+    assert(df.filter(not(col("fast") === col("ref"))).count() === 0)
+    // multi-byte code points hash like fnv1a32(substring(...)) too
+    val uni = Seq("héllo wörld exträ texte für tests", "日本語のテキストです長さが十分ある")
+      .toDF("text")
+      .withColumn("kgram_hashes",
+        expr("transform(sequence(0, length(text) - 8), i -> " +
+          "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
+      .withColumn("ref", array_distinct(
+        expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
+          "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
+      .withColumn("fast", WinnowFingerprints.winnow(col("text"), 8, 4))
+    assert(uni.filter(not(col("fast") === col("ref"))).count() === 0)
+  }
+
   test("Dot64 ≡ aggregate(zip_with(*, +)) bit-for-bit on random vectors") {
     val rnd = new Random(11)
     val vecs = (0 until 50).map { _ =>
