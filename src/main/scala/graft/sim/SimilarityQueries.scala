@@ -86,6 +86,30 @@ object SimilarityQueries {
         .limit(TopK)
     }),
 
+    // int8 symmetric quantization — the storage path for a 100 TB
+    // embedding corpus (4 bytes → 1 byte per dim before ANN indexing).
+    // Per-vector scale = max|x|/127; q_i = floor(x_i/scale + 0.5), which
+    // is bit-stable across engines (round() half-away ties differ).
+    // Summary per vector keeps the oracle compact; the ≤ scale/2
+    // reconstruction bound is asserted in SimilaritySpec.
+    "embed_quantize_int8" -> ((s, dir) => {
+      val absmax =
+        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      emb(s, dir)
+        .withColumn("scale", absmax / lit(127.0))
+        .withColumn("q",
+          when(col("scale") === 0.0,
+            transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"),
+            v => floor(v.cast("double") / col("scale") + lit(0.5))
+              .cast("long"))))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy("vec_id")
+    }),
+
     // LSH bucket histogram: the partitioning the ANN path prunes with
     "sim_lsh_buckets" -> ((s, dir) =>
       bucketed(s, dir).groupBy("bucket").agg(count("*").as("n"))
@@ -194,6 +218,25 @@ object SimilarityQueries {
            |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
            |WHERE e.vec_id <> 0
            |ORDER BY cos_sim DESC, e.vec_id LIMIT $TopK""".stripMargin,
+
+      "embed_quantize_int8" ->
+        """WITH scaled AS (
+          |  SELECT vec_id, embedding,
+          |         list_max(list_transform(embedding, v -> abs(v::DOUBLE)))
+          |           / 127.0 AS scale
+          |  FROM embeddings
+          |),
+          |quant AS (
+          |  SELECT vec_id, scale,
+          |         CASE WHEN scale = 0
+          |              THEN list_transform(embedding, v -> 0::BIGINT)
+          |              ELSE list_transform(embedding, v ->
+          |                CAST(floor(v::DOUBLE / scale + 0.5) AS BIGINT)) END AS q
+          |  FROM scaled
+          |)
+          |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
+          |       list_min(q) AS q_min, list_max(q) AS q_max
+          |FROM quant ORDER BY vec_id""".stripMargin,
 
       "sim_lsh_buckets" -> (s"WITH $bucketedSql\n" +
         "SELECT bucket, count(*) AS n FROM bucketed GROUP BY bucket ORDER BY bucket"),

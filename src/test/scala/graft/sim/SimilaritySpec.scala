@@ -74,4 +74,28 @@ class SimilaritySpec extends SparkSpec {
       assert(c >= SimilarityQueries.CosineThreshold)
     }
   }
+
+  test("int8 quantization: codes bounded, dequantized error ≤ scale/2") {
+    import org.apache.spark.sql.functions._
+    val q = SimilarityQueries.queries("embed_quantize_int8")(spark, sf)
+      .collect()
+    assert(q.length ===
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+    q.foreach { r =>
+      assert(r.getLong(3) >= -127L && r.getLong(4) <= 127L) // q_min, q_max
+    }
+    // per-element reconstruction bound on a sample of vectors
+    val vs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vs.foreach { case (_, v) =>
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      val scale = mx / 127.0
+      if (scale > 0) v.foreach { x =>
+        val q8 = math.floor(x.toDouble / scale + 0.5)
+        assert(math.abs(q8 * scale - x.toDouble) <= scale / 2 + 1e-12)
+        assert(q8 >= -127 && q8 <= 127)
+      }
+    }
+  }
 }
