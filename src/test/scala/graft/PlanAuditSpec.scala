@@ -60,6 +60,34 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("minhash LSH derives the shingle pipeline exactly once (checkpointed)") {
+    // the round-1 plan recomputed shingles+minhash ~5× via a self-join;
+    // after the checkpoint, the final plan must contain NO WordNgrams —
+    // every consumer reads the materialized checkpoint instead
+    val p = graft.dedup.DedupQueries.queries("dedup_minhash_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("word_ngrams"), p.take(3000))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "expected the checkpointed shingle scan in the plan")
+  }
+
+  test("simhash pairs derive the signature aggregation exactly once") {
+    // tokenize+hash+aggregate must not appear in the pair plan at all —
+    // only the checkpointed signature scan
+    val p = graft.dedup.DedupQueries.queries("dedup_simhash_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("fnv1a32"), p.take(3000))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"expected no parquet scans post-checkpoint, got $scans")
+  }
+
+  test("tombstone audit reads the orders fixture exactly once") {
+    val p = graft.keyspace.KeyspaceQueries.queries("kv_delete_tombstone")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"single-pass shape requires 1 scan, got $scans\n${p.take(2000)}")
+  }
+
   test("partitioned keyspace layout: point GET prunes to one shard directory") {
     val dir = Files.createTempDirectory("graft_kv_layout").toString
     try {
