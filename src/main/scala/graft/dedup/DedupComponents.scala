@@ -20,9 +20,14 @@ object DedupComponents {
 
   /** edges: (doc_a, doc_b) undirected. Returns (doc_id, component). */
   def components(edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // checkpoint the edge derivation BEFORE the two-orientation union —
+    // without this the caller's whole pair pipeline (e.g. the Jaccard
+    // posting-list join) appears as two subtrees of the union and is
+    // computed twice in the adj job
+    val e = edges.localCheckpoint()
+    val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
-        edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
 

@@ -26,10 +26,13 @@ object PageRank {
       .select("l_orderkey", "l_suppkey")
     val ord = s.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_custkey")
+    // materialize the join+distinct once — both union orientations read
+    // the checkpoint instead of re-running the lineitem⋈orders join
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
         concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
       .distinct()
+      .localCheckpoint()
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
