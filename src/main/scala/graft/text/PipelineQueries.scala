@@ -25,7 +25,8 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the full cleaning cascade, summarized as verdict counts
     "corpus_clean_pipeline" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TextQueries.tokenize(
+          s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"),
           TextQueries.qualityCol.as("quality"),
           TextQueries.langPredCol.as("lang_pred"))

@@ -23,8 +23,20 @@ object TextQueries {
 
   private val tokens: Column = split(col("text"), "\\s+")
 
+  /** documents + a materialized token-array column. Keeping tokenization
+    * in its own projection matters: inlined, the regex split re-runs once
+    * per consumer (4× in the language vote — the dominant cost of the
+    * text family at scale); as a separate non-cheap alias it is evaluated
+    * once per row (CollapseProject keeps it). */
+  private def toksed(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("__toks", tokens)
+
+  private val toks: Column = col("__toks")
+
+  // native hash-set probe per token; the filter/isin HOF form pays an
+  // interpreted lambda per token and runs 4× per doc in the language vote
   private def hits(words: Seq[String]): Column =
-    size(filter(tokens, w => w.isin(words: _*))).cast("long")
+    graft.functions.WordSetHits.wordSetHits(toks, words)
 
   private val En = Seq("the", "a", "of", "and", "to", "in")
   private val De = Seq("der", "die", "das", "und", "ist", "nicht")
@@ -34,9 +46,9 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace tokens + a regex word/number tokenizer
     "text_token_counts" -> ((s, dir) =>
-      docs(s, dir).select(
+      toksed(s, dir).select(
         col("doc_id"),
-        size(tokens).cast("long").as("n_ws_tokens"),
+        size(toks).cast("long").as("n_ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long")
           .as("n_re_tokens"))
         .orderBy("doc_id")),
@@ -44,11 +56,11 @@ object TextQueries {
     // quality scoring: length/stopword-density composite, same IEEE double
     // op order as the oracle so the bits match
     "text_quality_score" -> ((s, dir) => {
-      val nTok = size(tokens).cast("long")
+      val nTok = size(toks).cast("long")
       val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
       val stopRatio = hits(En).cast("double") / nTok.cast("double")
       val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
-      docs(s, dir).select(
+      toksed(s, dir).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nTok.as("n_tokens"),
@@ -63,7 +75,7 @@ object TextQueries {
     // (en > de > fr > es), 'unknown' when nothing votes
     "text_language_id" -> ((s, dir) => {
       val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
-      docs(s, dir).select(
+      toksed(s, dir).select(
         col("doc_id"),
         when(greatest(en, de, fr, es) === 0, "unknown")
           .when(en >= de && en >= fr && en >= es, "en")
@@ -76,7 +88,7 @@ object TextQueries {
     // corpus-level language distribution (same vote, aggregated)
     "text_language_dist" -> ((s, dir) => {
       val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
-      docs(s, dir).select(
+      toksed(s, dir).select(
         when(greatest(en, de, fr, es) === 0, "unknown")
           .when(en >= de && en >= fr && en >= es, "en")
           .when(de >= fr && de >= es, "de")
@@ -114,15 +126,22 @@ object TextQueries {
         .orderBy("doc_id")),
   )
 
-  /** Column form of the quality composite (shared with PipelineQueries). */
+  /** Attach the materialized token column (for consumers of [[qualityCol]]
+    * / [[langPredCol]], which read it). */
+  private[graft] def tokenize(df: DataFrame): DataFrame =
+    df.withColumn("__toks", tokens)
+
+  /** Column form of the quality composite (shared with PipelineQueries;
+    * input must be [[tokenize]]d). */
   private[graft] def qualityCol: Column = {
-    val nTok = size(tokens).cast("long")
+    val nTok = size(toks).cast("long")
     val stopRatio = hits(En).cast("double") / nTok.cast("double")
     val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
     lit(0.6) * lenScore + lit(0.4) * (lit(1.0) - stopRatio)
   }
 
-  /** Column form of the language vote (shared with PipelineQueries). */
+  /** Column form of the language vote (shared with PipelineQueries;
+    * input must be [[tokenize]]d). */
   private[graft] def langPredCol: Column = {
     val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
     when(greatest(en, de, fr, es) === 0, "unknown")

@@ -58,6 +58,24 @@ class ExpressionLawSpec extends SparkSpec {
     assert(uni.filter(not(col("fast") === col("ref"))).count() === 0)
   }
 
+  test("WordSetHits ≡ size(filter(tokens, isin)) on real docs and random token soups") {
+    val words = Seq("the", "a", "of", "and", "to", "in")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(col("text"), "\\s+").as("toks"))
+    val rnd = new Random(13)
+    val soup = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ =>
+        if (rnd.nextBoolean()) words(rnd.nextInt(words.size)) else s"w${rnd.nextInt(9)}")
+    }.toDF("toks")
+    for (df <- Seq(docs, soup)) {
+      val bad = df.select(
+          WordSetHits.wordSetHits(col("toks"), words).as("fast"),
+          size(filter(col("toks"), w => w.isin(words: _*))).cast("long").as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad === 0)
+    }
+  }
+
   test("Dot64 ≡ aggregate(zip_with(*, +)) bit-for-bit on random vectors") {
     val rnd = new Random(11)
     val vecs = (0 until 50).map { _ =>
