@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graft.shims
 
-import graft.functions.WordNgrams
+import graft.functions.{WinnowFingerprints, WordNgrams}
 import graft.hash.Fnv1a32
 import graft.sim.Dot64
 
@@ -15,6 +15,7 @@ import graft.sim.Dot64
   *   - `fnv1a32(str)`          → BIGINT hash in [0, 2^32)
   *   - `dot64(arr, arr)`       → DOUBLE ordered-fold dot product
   *   - `word_ngrams(arr, n)`   → distinct n-gram shingles (n literal)
+  *   - `winnow(str, k, w)`     → winnowing fingerprints (k, w literals)
   *
   * Register per-session with [[Graft.register]], or session-wide via
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -30,6 +31,14 @@ object Graft {
           case IntegerLiteral(n) => WordNgrams(es(0), n)
           case other => throw new IllegalArgumentException(
             s"word_ngrams(tokens, n): n must be an integer literal, got $other")
+        }
+      },
+      "winnow" -> { es =>
+        (es(1), es(2)) match {
+          case (IntegerLiteral(k), IntegerLiteral(w)) =>
+            WinnowFingerprints(es(0), k, w)
+          case other => throw new IllegalArgumentException(
+            s"winnow(text, k, w): k and w must be integer literals, got $other")
         }
       })
 

@@ -14,6 +14,17 @@ class GraftSqlSpec extends SparkSpec {
       .first().getSeq[String](0) === Seq("a b c", "b c d"))
   }
 
+  test("winnow registered for SQL and matches the Column API") {
+    Graft.register(spark)
+    val viaSql = spark.sql("SELECT winnow('abcdefghijklmno', 8, 4)")
+      .first().getSeq[Long](0)
+    val viaCol = spark.range(1).select(
+      graft.functions.WinnowFingerprints.winnow(
+        org.apache.spark.sql.functions.lit("abcdefghijklmno"), 8, 4))
+      .first().getSeq[Long](0)
+    assert(viaSql.nonEmpty && viaSql === viaCol)
+  }
+
   test("word_ngrams rejects a non-literal n") {
     Graft.register(spark)
     val e = intercept[Exception] {
