@@ -98,6 +98,21 @@ object TextQueries {
         .orderBy("lang_pred")
     }),
 
+    // PII pattern flags — the scrub/filter stage of a training-data
+    // pipeline: email and long-digit-run counts per doc (patterns kept to
+    // the regex subset Java and RE2/DuckDB interpret identically)
+    "text_pii_flags" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"),
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).cast("long")
+          .as("n_emails"),
+        regexp_count(col("text"), lit("[0-9]{6,}")).cast("long")
+          .as("n_long_numbers"))
+        .withColumn("has_pii",
+          col("n_emails") > 0 || col("n_long_numbers") > 0)
+        .orderBy("doc_id")),
+
     // document fingerprinting: content hash via the engine's native
     // fnv1a32 expression (codegen'd; no UDF in the hot path)
     "text_fingerprint" -> ((s, dir) =>
@@ -202,6 +217,14 @@ object TextQueries {
       s"""SELECT lang_pred, count(*) AS n FROM (
          |  SELECT $predSql AS lang_pred FROM documents)
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "text_pii_flags" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0
+        |    OR len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"SELECT doc_id, ${Ora.fnv("text")} AS fp FROM documents ORDER BY doc_id",

@@ -38,4 +38,26 @@ class TextSpec extends SparkSpec {
     val dist = TextQueries.queries("text_language_dist")(spark, sf).collect()
     assert(dist.map(_.getLong(1)).sum === docs.count())
   }
+
+  test("pii flags count planted emails and long digit runs") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pii").toString
+    try {
+      Seq(
+        (1L, "contact bob@example.com or ops@corp.io today", "en", "srsay", 44L),
+        (2L, "serial 1234567 and zip 12345 appear here", "en", "srbey", 40L),
+        (3L, "a perfectly clean sentence", "en", "srcey", 26L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = TextQueries.queries("text_pii_flags")(spark, dir)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      assert(got(1L) === ((2L, 0L, true)))
+      assert(got(2L) === ((0L, 1L, true))) // 5-digit run is below threshold
+      assert(got(3L) === ((0L, 0L, false)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
