@@ -67,7 +67,64 @@ object SimilarityQueries {
     emb(s, dir).withColumn("bucket", bits.reduce(_ + _))
   }
 
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** Nearest centroid per vector: squared-L2 via three deterministic
+    * dot-product folds, ties broken by cluster id. The 8-row centroid side
+    * broadcasts; the corpus never shuffles. */
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val d = dot(col("embedding"), col("embedding")) -
+      lit(2.0) * dot(col("embedding"), col("c")) + dot(col("c"), col("c"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cluster")
+  }
+
+  /** Fixed-point scale for centroid means: elements quantize to multiples
+    * of 2^-20 (~1e-6 — far below any clustering-relevant signal). */
+  val KmeansFp = 1048576.0 // 2^20
+
+  /** Per-dimension member mean over 2^-20 fixed-point quantized elements.
+    * The scaled values are exact integers, so the sum is EXACT and
+    * order-independent, and the single division is correctly rounded —
+    * the resulting doubles are bit-identical across partitionings and
+    * engines. (A plain double sum leaks shuffle order into the last bits;
+    * a DECIMAL sum is exact too, but DuckDB's wide-decimal→double
+    * conversion is not correctly rounded, drifting 1 ulp from Spark's.) */
+  private def kmeansUpdate(assigned: DataFrame, vecs: DataFrame): DataFrame =
+    assigned.join(vecs, "vec_id")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("cluster", "i")
+      .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
+        (count("*") * lit(KmeansFp))).as("val"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
+        x => x.getField("val")).as("c"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // distributed k-means (Lloyd's): the clustering that trains IVF cells
+    // and drives data-curation mixes. Deterministic seeds (vec_id < k),
+    // fixed iteration count, decimal-exact centroid means — bit-equal to
+    // the unrolled DuckDB oracle. Per iteration: one broadcast join + one
+    // aggregation; nothing quadratic, nothing driver-side.
+    "sim_kmeans_cells" -> ((s, dir) => {
+      val vecs = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
+      var cents = vecs.filter(col("vec_id") < KmeansK)
+        .select(col("vec_id").cast("long").as("cluster"),
+          col("embedding").as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to KmeansIters)
+        cents = kmeansUpdate(kmeansAssign(vecs, cents), vecs).localCheckpoint()
+      kmeansAssign(vecs, cents)
+        .groupBy("cluster").agg(count("*").as("n_members"))
+        .join(cents.select(col("cluster"),
+          dot(col("c"), col("c")).as("c_norm_sq")), "cluster")
+        .orderBy("cluster")
+    }),
     // vector norms: the shared fold machinery, checkable in isolation
     "embed_norms" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
@@ -208,7 +265,41 @@ object SimilarityQueries {
     val bucketedSql =
       s"bucketed AS (SELECT vec_id, embedding, $bitsSql AS bucket FROM embeddings)"
 
+    def distSql(v: String, c: String) =
+      s"${Ora.dot64(v, v)} - 2 * ${Ora.dot64(v, c)} + ${Ora.dot64(c, c)}"
+    def assignSql(cents: String) =
+      s"""SELECT vec_id, cluster FROM (
+         |  SELECT v.vec_id, c.cluster,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${distSql("v.embedding", "c.c")}, c.cluster) AS rn
+         |  FROM embeddings v CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def updateSql(assign: String) =
+      s"""SELECT cluster, list(val ORDER BY i) AS c FROM (
+         |  SELECT a.cluster, ii.i,
+         |         sum(floor(v.embedding[ii.i + 1]::DOUBLE * $KmeansFp + 0.5))
+         |           / (count(*) * $KmeansFp) AS val
+         |  FROM $assign a JOIN embeddings v USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+         |  GROUP BY a.cluster, ii.i
+         |) GROUP BY cluster""".stripMargin
+    val kmeansIterCtes = (1 to KmeansIters).map { i =>
+      s"a$i AS (${assignSql(s"c${i - 1}")}),\nc$i AS (${updateSql(s"a$i")})"
+    }.mkString(",\n")
+    val kmeansSql =
+      s"""WITH c0 AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cluster, embedding AS c
+         |  FROM embeddings WHERE vec_id < $KmeansK
+         |),
+         |$kmeansIterCtes,
+         |af AS (${assignSql(s"c$KmeansIters")}),
+         |sizes AS (SELECT cluster, count(*) AS n_members FROM af GROUP BY cluster)
+         |SELECT s.cluster, s.n_members, ${Ora.dot64("c.c", "c.c")} AS c_norm_sq
+         |FROM sizes s JOIN c$KmeansIters c USING (cluster)
+         |ORDER BY s.cluster""".stripMargin
+
     Map(
+      "sim_kmeans_cells" -> kmeansSql,
+
       "embed_norms" ->
         s"""SELECT vec_id, sqrt(${Ora.dot64("embedding", "embedding")}) AS l2_norm
            |FROM embeddings ORDER BY vec_id""".stripMargin,

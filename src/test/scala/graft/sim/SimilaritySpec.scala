@@ -75,6 +75,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means cells partition the corpus and rerun bit-identically") {
+    val run1 = SimilarityQueries.queries("sim_kmeans_cells")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(run1.map(_._2).sum === total, "every vector lands in one cell")
+    assert(run1.length <= SimilarityQueries.KmeansK)
+    assert(run1.forall(_._3 > 0.0))
+    val run2 = SimilarityQueries.queries("sim_kmeans_cells")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(run1.toSeq === run2.toSeq, "fixed-point means must be deterministic")
+  }
+
   test("int8 quantization: codes bounded, dequantized error ≤ scale/2") {
     import org.apache.spark.sql.functions._
     val q = SimilarityQueries.queries("embed_quantize_int8")(spark, sf)
