@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational analytics over the star schema — the beyond-reference
@@ -72,6 +73,28 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // top-3 customers per nation: the windowed top-k-per-group pattern —
+    // one shuffle on the partition key, per-partition sort, rank filter;
+    // unlike the global top-k there is no TakeOrdered shortcut, so this
+    // is the shape that matters when "top k" is per-entity at scale
+    "top_customers_per_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(sum(revenue).cast("double").as("revenue"))
+      rev.withColumn("rnk", row_number().over(
+          Window.partitionBy("n_name")
+            .orderBy(col("revenue").desc, col("c_custkey"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("n_name"), col("rnk"), col("c_custkey"), col("revenue"))
+        .orderBy("n_name", "rnk")
+    }),
+
     // selective filter + projection: the pushdown showcase (PushedFilters
     // carries the equality AND the string-contains predicate into the
     // parquet reader; predicates chosen to stay non-empty at every SF)
@@ -113,6 +136,22 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "top_customers_per_nation" ->
+      """WITH rev AS (
+        |  SELECT n_name, c_custkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_custkey
+        |)
+        |SELECT n_name, rnk, c_custkey, revenue FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY n_name
+        |    ORDER BY revenue DESC, c_custkey) AS rnk
+        |  FROM rev)
+        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
 
     "filter_pushdown_scan" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
