@@ -43,8 +43,9 @@ object Bench {
       // queries that localCheckpoint intermediates (dedup family) leave
       // blocks behind; dropping them between queries keeps each timing
       // independent instead of degrading late queries under accumulated
-      // storage-memory pressure (untimed — harness hygiene, not work)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // storage-memory pressure. blocking=true so the removal itself
+      // finishes outside the next query's timed region.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

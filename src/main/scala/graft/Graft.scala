@@ -27,18 +27,18 @@ object Graft {
       "fnv1a32" -> { es => Fnv1a32(es.head) },
       "dot64" -> { es => Dot64(es(0), es(1)) },
       "word_ngrams" -> { es =>
-        es(1) match {
-          case IntegerLiteral(n) => WordNgrams(es(0), n)
+        es match {
+          case Seq(toks, IntegerLiteral(n)) => WordNgrams(toks, n)
           case other => throw new IllegalArgumentException(
-            s"word_ngrams(tokens, n): n must be an integer literal, got $other")
+            s"word_ngrams(tokens, n) takes 2 arguments with n an integer literal, got $other")
         }
       },
       "winnow" -> { es =>
-        (es(1), es(2)) match {
-          case (IntegerLiteral(k), IntegerLiteral(w)) =>
-            WinnowFingerprints(es(0), k, w)
+        es match {
+          case Seq(text, IntegerLiteral(k), IntegerLiteral(w)) =>
+            WinnowFingerprints(text, k, w)
           case other => throw new IllegalArgumentException(
-            s"winnow(text, k, w): k and w must be integer literals, got $other")
+            s"winnow(text, k, w) takes 3 arguments with k, w integer literals, got $other")
         }
       })
 

@@ -24,7 +24,7 @@ object Verify {
       }
       // drop localCheckpoint blocks so one query's cached intermediates
       // don't squeeze the next query's execution memory
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

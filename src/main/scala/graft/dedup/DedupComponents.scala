@@ -81,9 +81,14 @@ object DedupComponents {
        |  FROM toksed
        |),
        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+       |ok_sh AS (
+       |  SELECT sh FROM ex GROUP BY sh
+       |  HAVING count(*) BETWEEN 2 AND ${DedupQueries.MaxPosting}
+       |),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN ok_sh ON a.sh = ok_sh.sh
        |  GROUP BY 1, 2
        |),
        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),

@@ -43,10 +43,12 @@ object DedupQueries {
       graft.functions.WordNgrams.wordNgrams(split(col("text"), " "), 3)
         .as("shingles"))
 
-  /** Posting lists longer than this are dropped before pair generation —
-    * a shingle shared by thousands of documents carries no dedup signal but
-    * would emit k²/2 pairs. Standard "stop-shingle" capping; at the current
-    * corpus no posting list comes near the cap, so results are exact. */
+  /** Posting lists / band buckets longer than this are dropped before pair
+    * generation — a shingle or signature shared by thousands of documents
+    * carries no dedup signal but would emit k²/2 pairs. Standard
+    * "stop-shingle" capping, and part of the operator CONTRACT: every
+    * DuckDB oracle applies the same cap, so Spark and oracle agree at any
+    * corpus, not just ones where no bucket reaches the cap. */
   val MaxPosting = 1000
 
   /** Exact-Jaccard pairs ≥ threshold via shingle posting lists.
@@ -151,8 +153,8 @@ object DedupQueries {
       val bands = (0 until NumBands).map { b =>
         concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
       }
-      // same posting-list shape as jaccardPairs; MaxPosting caps a
-      // degenerate bucket (none at the current corpus, so results exact)
+      // same posting-list shape as jaccardPairs; the MaxPosting bucket
+      // cap is mirrored in the DuckDB oracle (contract, not approximation)
       val cand = mh.select(col("doc_id"),
           posexplode(array(bands: _*)).as(Seq("band", "sig")))
         .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
@@ -225,9 +227,14 @@ object DedupQueries {
   private[graft] val jaccardPairsSql: String =
     s"""$shingledSql,
        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+       |ok_sh AS (
+       |  SELECT sh FROM ex GROUP BY sh
+       |  HAVING count(*) BETWEEN 2 AND $MaxPosting
+       |),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN ok_sh ON a.sh = ok_sh.sh
        |  GROUP BY 1, 2
        |),
        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
@@ -299,10 +306,15 @@ object DedupQueries {
            |  FROM sigs)""".stripMargin
       }.mkString(",\n") + ",\n" +
       s"""bands AS (${(0 until NumBands).map(b => s"SELECT * FROM band$b").mkString(" UNION ALL ")}),
+         |ok_buckets AS (
+         |  SELECT band, sig FROM bands GROUP BY band, sig
+         |  HAVING count(*) BETWEEN 2 AND $MaxPosting
+         |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  JOIN ok_buckets o ON a.band = o.band AND a.sig = o.sig
          |)
          |SELECT doc_a, doc_b,
          |       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -318,15 +330,20 @@ object DedupQueries {
       "SELECT doc_id, simhash FROM simhashed ORDER BY doc_id"),
 
     "dedup_simhash_pairs" -> (s"WITH $simhashSql,\n" +
-      """chunks AS (
+      s"""chunks AS (
         |  SELECT doc_id, simhash, c, (simhash >> (8 * CAST(c AS INT))) & 255 AS chunk
         |  FROM simhashed, (SELECT unnest(range(4)) AS c)
+        |),
+        |ok_chunks AS (
+        |  SELECT c, chunk FROM chunks GROUP BY c, chunk
+        |  HAVING count(*) BETWEEN 2 AND $MaxPosting
         |),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
         |         b.doc_id AS doc_b, b.simhash AS sig_b
         |  FROM chunks a JOIN chunks b
         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  JOIN ok_chunks o ON a.c = o.c AND a.chunk = o.chunk
         |)
         |SELECT doc_a, doc_b,
         |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming

@@ -72,16 +72,20 @@ object SimilarityQueries {
 
   /** Nearest centroid per vector: squared-L2 via three deterministic
     * dot-product folds, ties broken by cluster id. The 8-row centroid side
-    * broadcasts; the corpus never shuffles. */
+    * broadcasts, and the argmin is a `min_by` hash aggregate — a vector's
+    * K candidate rows are co-located after the broadcast join, so partial
+    * aggregation collapses them map-side and only one row per vector
+    * reaches the shuffle (a row_number window would shuffle AND sort all
+    * N×K rows). The (dist, cluster) ordering key is unique per vector, so
+    * min_by is deterministic and equals the oracle's row_number pick. */
   private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val d = dot(col("embedding"), col("embedding")) -
       lit(2.0) * dot(col("embedding"), col("c")) + dot(col("c"), col("c"))
     vecs.crossJoin(broadcast(cents))
-      .withColumn("dist", d)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cluster")
+      .select(col("vec_id"), col("cluster"), d.as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
+        .as("cluster"))
   }
 
   /** Fixed-point scale for centroid means: elements quantize to multiples

@@ -22,26 +22,45 @@ case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
   * `last_event + gap` (timeout close); the two paths together produce
   * exactly the batch gaps-and-islands result for an in-order feed.
   *
-  * State is one small struct per ACTIVE user, hash-partitioned across
-  * executors and checkpointed — at 100 TB/day event volume, state size
-  * tracks concurrent users, not history.
+  * State is one small struct per user seen within the marker TTL
+  * ([[SessionStream.MarkerTtlMs]]), hash-partitioned across executors and
+  * checkpointed — at 100 TB/day event volume, state size tracks the
+  * recently-active user set, not all history.
   */
 object SessionStream {
 
   val GapUs: Long = EventsQueries.SessionGapUs
+
+  /** How long a closed-session marker (which preserves the user's session
+    * counter) survives after its timeout before being garbage-collected.
+    * Bounds keyed state to users active within this horizon — the price is
+    * that a user idle longer restarts session numbering at 1. */
+  val MarkerTtlMs: Long = 24L * 3600 * 1000
 
   private def fn(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     def close(s: SessionState) =
       SessionOut(userId, s.sessionIdx, s.n, s.startUs, s.lastUs - s.startUs)
 
+    // a timeout timestamp in the past would throw; clamp to just past the
+    // current watermark (late events can legitimately produce one)
+    def armTimeout(atMs: Long): Unit =
+      state.setTimeoutTimestamp(
+        math.max(atMs, state.getCurrentWatermarkMs() + 1))
+
     if (state.hasTimedOut) {
-      // emit the open session but KEEP the session counter: a closed
-      // marker (n = 0) with no re-armed timeout, so the user's next
-      // session continues the index sequence instead of restarting at 1
-      val out = state.getOption.filter(_.n > 0).map(close).iterator
-      state.getOption.foreach(s => state.update(s.copy(n = 0)))
-      return out
+      state.getOption match {
+        case Some(s) if s.n > 0 =>
+          // emit the open session but KEEP the session counter as a
+          // closed marker (n = 0) so the user's next session continues
+          // the index sequence; the marker itself is GC'd after its TTL
+          state.update(s.copy(n = 0))
+          armTimeout(state.getCurrentWatermarkMs() + MarkerTtlMs)
+          return Iterator.single(close(s))
+        case _ =>
+          state.remove() // marker TTL expired — drop the counter
+          return Iterator.empty
+      }
     }
 
     var st = state.getOption
@@ -62,7 +81,7 @@ object SessionStream {
       state.update(s)
       if (s.n > 0)
         // fire when no on-time event can extend the session any more
-        state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000 + 1)
+        armTimeout((s.lastUs + GapUs) / 1000 + 1)
     }
     closed.result().iterator
   }

@@ -29,7 +29,7 @@ object TextQueries {
     * text family at scale); as a separate non-cheap alias it is evaluated
     * once per row (CollapseProject keeps it). */
   private def toksed(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("__toks", tokens)
+    tokenize(docs(s, dir))
 
   private val toks: Column = col("__toks")
 
