@@ -58,6 +58,25 @@ class ExpressionLawSpec extends SparkSpec {
     assert(uni.filter(not(col("fast") === col("ref"))).count() === 0)
   }
 
+  test("WinnowFingerprints ≡ lambda pipeline on random strings incl. multi-byte") {
+    graft.Graft.register(spark)
+    val rnd = new Random(17)
+    val alphabet = "abc XYZ 0189.,é漢"
+    val strs = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.filter(_.length >= 11)
+    val df = strs.toDF("text")
+      .withColumn("kgram_hashes",
+        expr("transform(sequence(0, length(text) - 8), i -> " +
+          "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
+      .withColumn("ref", array_distinct(
+        expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
+          "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
+      .withColumn("fast", WinnowFingerprints.winnow(col("text"), 8, 4))
+    assert(df.filter(not(col("fast") === col("ref"))).count() === 0)
+  }
+
   test("WordSetHits ≡ size(filter(tokens, isin)) on real docs and random token soups") {
     val words = Seq("the", "a", "of", "and", "to", "in")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
