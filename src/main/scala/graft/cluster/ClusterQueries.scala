@@ -222,26 +222,24 @@ object ClusterQueries {
           col("m_status"))
       val healthy = healthyNodesIndexed(s)
       val nH = healthy.count()
+      def stayPut(df: DataFrame) =
+        df.select(col("shard_id"), col("old_node"),
+          col("old_node").as("new_node"))
+      val unhealthy = before.filter(col("m_status") === "unhealthy")
       // no survivors ⇒ nothing can move: shards stay on their dead nodes
       // (matches streaming.RedistributeStream.applyTransition — without
       // this guard pmod(_, 0) is null and the join would silently DROP
       // the failed shards from the routing table)
       val moved =
-        if (nH == 0)
-          before.filter(col("m_status") === "unhealthy")
-            .select(col("shard_id"), col("old_node"),
-              col("old_node").as("new_node"))
-        else
-          before.filter(col("m_status") === "unhealthy")
-            .withColumn("rank",
-              row_number().over(Window.orderBy("shard_id")).cast("long") - 1L)
-            .withColumn("node_idx", pmod(col("rank"), lit(nH)))
-            .join(healthy.select("node_idx", "node_id"), "node_idx")
-            .select(col("shard_id"), col("old_node"),
-              col("node_id").as("new_node"))
-      val kept = before.filter(col("m_status") =!= "unhealthy")
-        .select(col("shard_id"), col("old_node"),
-          col("old_node").as("new_node"))
+        if (nH == 0) stayPut(unhealthy)
+        else unhealthy
+          .withColumn("rank",
+            row_number().over(Window.orderBy("shard_id")).cast("long") - 1L)
+          .withColumn("node_idx", pmod(col("rank"), lit(nH)))
+          .join(healthy.select("node_idx", "node_id"), "node_idx")
+          .select(col("shard_id"), col("old_node"),
+            col("node_id").as("new_node"))
+      val kept = stayPut(before.filter(col("m_status") =!= "unhealthy"))
       kept.unionByName(moved)
         .withColumn("moved", col("old_node") =!= col("new_node"))
         .orderBy("shard_id")

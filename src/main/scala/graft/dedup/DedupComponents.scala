@@ -70,34 +70,15 @@ object DedupComponents {
 
   /** Recursive-CTE chain computing (doc_id, component, is_canonical) from
     * the documents table — shared by the components oracle and the
-    * pipeline oracle. Must follow a `WITH RECURSIVE` header. */
+    * pipeline oracle. Must follow a `WITH RECURSIVE` header. Composes the
+    * SAME `jaccardPairsSql` chain the pairwise oracle uses (non-recursive
+    * CTEs are legal under WITH RECURSIVE), so shingling, the MaxPosting
+    * cap, and the similarity formula exist in exactly one place. */
   val componentsCteSql: String =
-    s"""toksed AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |shingled AS (
-       |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-       |    list_distinct(list_transform(range(len(toks) - 2), i ->
-       |      toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-       |    ELSE [] END AS shingles
-       |  FROM toksed
-       |),
-       |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
-       |ok_sh AS (
-       |  SELECT sh FROM ex GROUP BY sh
-       |  HAVING count(*) BETWEEN 2 AND ${DedupQueries.MaxPosting}
-       |),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  JOIN ok_sh ON a.sh = ok_sh.sh
-       |  GROUP BY 1, 2
-       |),
-       |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+    s"""${DedupQueries.jaccardPairsSql},
        |edges AS (
-       |  SELECT doc_a, doc_b FROM pairs
-       |  JOIN sizes sa ON doc_a = sa.doc_id
-       |  JOIN sizes sb ON doc_b = sb.doc_id
-       |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
-       |        >= ${DedupQueries.JaccardThreshold}
+       |  SELECT doc_a, doc_b FROM jac
+       |  WHERE jaccard >= ${DedupQueries.JaccardThreshold}
        |),
        |und AS (
        |  SELECT doc_a AS s, doc_b AS d FROM edges

@@ -53,9 +53,11 @@ object SessionStream {
         case Some(s) if s.n > 0 =>
           // emit the open session but KEEP the session counter as a
           // closed marker (n = 0) so the user's next session continues
-          // the index sequence; the marker itself is GC'd after its TTL
+          // the index sequence; the marker's expiry is anchored to the
+          // session's own close time — a pure function of the event
+          // feed, so numbering cannot depend on micro-batch chunking
           state.update(s.copy(n = 0))
-          armTimeout(state.getCurrentWatermarkMs() + MarkerTtlMs)
+          armTimeout((s.lastUs + GapUs) / 1000 + MarkerTtlMs)
           return Iterator.single(close(s))
         case _ =>
           state.remove() // marker TTL expired — drop the counter

@@ -33,28 +33,25 @@ class ExpressionLawSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  /** The reference winnow pipeline (interpreted lambdas) the native
+    * kernel must equal: fnv of each 8-gram, min per 4-window, distinct. */
+  private def withWinnowRef(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("kgram_hashes",
+      expr("transform(sequence(0, length(text) - 8), i -> " +
+        "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
+    .withColumn("ref", array_distinct(
+      expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
+        "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
+    .withColumn("fast", WinnowFingerprints.winnow(col("text"), 8, 4))
+
   test("WinnowFingerprints ≡ the transform/slice lambda pipeline on real docs") {
     graft.Graft.register(spark)
-    val df = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(length(col("text")) >= 11)
-      .withColumn("kgram_hashes",
-        expr("transform(sequence(0, length(text) - 8), i -> " +
-          "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
-      .withColumn("ref", array_distinct(
-        expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
-          "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
-      .withColumn("fast", WinnowFingerprints.winnow(col("text"), 8, 4))
+    val df = withWinnowRef(spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) >= 11))
     assert(df.filter(not(col("fast") === col("ref"))).count() === 0)
     // multi-byte code points hash like fnv1a32(substring(...)) too
-    val uni = Seq("héllo wörld exträ texte für tests", "日本語のテキストです長さが十分ある")
-      .toDF("text")
-      .withColumn("kgram_hashes",
-        expr("transform(sequence(0, length(text) - 8), i -> " +
-          "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
-      .withColumn("ref", array_distinct(
-        expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
-          "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
-      .withColumn("fast", WinnowFingerprints.winnow(col("text"), 8, 4))
+    val uni = withWinnowRef(
+      Seq("héllo wörld exträ texte für tests", "日本語のテキストです長さが十分ある").toDF("text"))
     assert(uni.filter(not(col("fast") === col("ref"))).count() === 0)
   }
 
@@ -66,14 +63,7 @@ class ExpressionLawSpec extends SparkSpec {
       (0 until rnd.nextInt(40)).map(_ =>
         alphabet(rnd.nextInt(alphabet.length))).mkString
     }.filter(_.length >= 11)
-    val df = strs.toDF("text")
-      .withColumn("kgram_hashes",
-        expr("transform(sequence(0, length(text) - 8), i -> " +
-          "fnv1a32(substring(text, CAST(i + 1 AS INT), 8)))"))
-      .withColumn("ref", array_distinct(
-        expr("transform(sequence(0, size(kgram_hashes) - 4), j -> " +
-          "array_min(slice(kgram_hashes, CAST(j + 1 AS INT), 4)))")))
-      .withColumn("fast", WinnowFingerprints.winnow(col("text"), 8, 4))
+    val df = withWinnowRef(strs.toDF("text"))
     assert(df.filter(not(col("fast") === col("ref"))).count() === 0)
   }
 
