@@ -76,7 +76,11 @@ object RelationalQueries {
     // top-3 customers per nation: the windowed top-k-per-group pattern —
     // one shuffle on the partition key, per-partition sort, rank filter;
     // unlike the global top-k there is no TakeOrdered shortcut, so this
-    // is the shape that matters when "top k" is per-entity at scale
+    // is the shape that matters when "top k" is per-entity at scale.
+    // The pre-aggregation (groupBy before the window) bounds the sorted
+    // data to one row per (nation, customer); note window parallelism is
+    // capped at #nations — with huge groups and few keys, switch to a
+    // per-partition-heap + merge two-stage top-k instead
     "top_customers_per_nation" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
