@@ -108,6 +108,20 @@ object EventsQueries {
         .orderBy(col("event_type").asc_nulls_first,
           col("value_bucket").asc_nulls_first)),
 
+    // CUBE: all four grouping combinations of (type, bucket) from one
+    // shuffle — the cross-tab twin of events_rollup's hierarchy
+    "events_cube" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("value_bucket",
+          when(col("value") < 50, "low").when(col("value") < 150, "mid")
+            .otherwise("high"))
+        .cube("event_type", "value_bucket")
+        .agg(count("*").as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("value_bucket").asc_nulls_first)),
+
     // set operation: (user, day) pairs that clicked but never purchased
     // that day (EXCEPT; user-level alone is empty — every user eventually
     // does everything in this fixture)
@@ -140,6 +154,19 @@ object EventsQueries {
         |)
         |SELECT event_type, value_bucket, count(*) AS n
         |FROM bucketed GROUP BY ROLLUP (event_type, value_bucket)
+        |ORDER BY event_type NULLS FIRST, value_bucket NULLS FIRST""".stripMargin),
+
+    "events_cube" -> (s"WITH ${eventsSql},\n" +
+      """bucketed AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 50 THEN 'low'
+        |              WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_bucket,
+        |         value
+        |  FROM ev
+        |)
+        |SELECT event_type, value_bucket, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM bucketed GROUP BY CUBE (event_type, value_bucket)
         |ORDER BY event_type NULLS FIRST, value_bucket NULLS FIRST""".stripMargin),
 
     "events_click_no_purchase_day" -> (s"WITH ${eventsSql},\n" +
