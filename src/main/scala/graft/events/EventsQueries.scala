@@ -83,6 +83,19 @@ object EventsQueries {
           count("*").as("n"))
         .orderBy("event_type")),
 
+    // sketch path, ORACLE-CHECKED: KMV bottom-k distinct estimate over the
+    // engine's own fnv1a32 hashes — deterministic, so unlike the HLL row
+    // above DuckDB reproduces the estimate exactly (kth smallest distinct
+    // hash). Custom TypedImperativeAggregate: fixed k-long state per
+    // group, associative merge, map-side partial aggregation.
+    "events_kmv_users" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(graft.sketch.KmvDistinct.kmvDistinct(
+            graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")), 64)
+          .as("kmv_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
     // grouped rollup: count, distinct users, exact decimal totals
     "events_type_stats" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
@@ -223,6 +236,34 @@ object EventsQueries {
         |       quantile_cont(value, 0.9) AS p90,
         |       quantile_cont(value, 0.99) AS p99
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "events_kmv_users" -> (s"WITH $eventsSql,\n" +
+      s"""h AS (
+         |  SELECT DISTINCT event_type,
+         |         ${graft.oracle.Ora.fnv("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM ev
+         |),
+         |ranked AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h
+         |),
+         |kmv AS (
+         |  SELECT event_type,
+         |         CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |              ELSE 63.0 * 4294967296.0 /
+         |                   CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+         |         END AS kmv_users
+         |  FROM ranked GROUP BY event_type
+         |),
+         |exact AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_users FROM ev
+         |  GROUP BY event_type
+         |)
+         |SELECT k.event_type, k.kmv_users, e.exact_users
+         |FROM kmv k JOIN exact e USING (event_type)
+         |ORDER BY k.event_type""".stripMargin),
 
     "events_type_stats" -> (s"WITH $eventsSql\n" +
       """SELECT event_type, count(*) AS n,
