@@ -31,4 +31,21 @@ class KmvSketchSpec extends SparkSpec {
     val dup = estimate((base ++ base ++ base).toDF("v"), 64)
     assert(once === dup)
   }
+
+  test("the aggregate runs in Structured Streaming and equals the batch sketch") {
+    // mergeable fixed-size state is exactly what a streaming aggregation
+    // needs; the same TypedImperativeAggregate drives both modes
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (1 to 3000).map(i => s"u${i % 700}")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = input.toDF().select(col("value").as("v"))
+      .agg(KmvDistinct.kmvDistinct(fnv1a32(col("v")), 64).as("est"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    for (chunk <- vals.grouped(1000)) { input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("kmv_stream").first().getDouble(0)
+    val batch = estimate(vals.toDF("v"), 64)
+    assert(streamed === batch)
+  }
 }
