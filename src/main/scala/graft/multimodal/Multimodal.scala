@@ -21,6 +21,10 @@ case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
 case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
     checksum_sum: Long)
 
+/** Per-asset resize summary (image pipeline). */
+case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
+    pixel_sum: Long)
+
 /** Multimodal-column plumbing: schema, partitioning, and batched decode.
   *
   * The decode step is a STUB — this container has no image/audio codecs, so
@@ -110,6 +114,34 @@ object Multimodal {
     FrameSample(r.doc_id, nFrames.toLong, sampled, sum)
   }
 
+  /** Resize target (a thumbnail). */
+  val OutW = 32
+  val OutH = 24
+
+  /** REAL RESIZE GOES HERE — nearest-neighbor over the payload treated as
+    * a `width`×`height` byte grid (wrapping past the payload end, since
+    * the stub's metadata dims are synthetic). The real thing decodes
+    * pixels; the Spark-side shape — metadata-driven geometry, typed
+    * batched execution, one summary row per asset — is what the pipeline
+    * has to get right. */
+  def resizeStub(r: MediaRow): ResizedImage = {
+    val len = r.payload.length
+    var sum = 0L
+    var ty = 0
+    while (ty < OutH) {
+      val srcY = ty * r.height / OutH
+      var tx = 0
+      while (tx < OutW) {
+        val srcX = tx * r.width / OutW
+        val pos = (srcY * r.width + srcX) % len
+        sum += r.payload(pos) & 0xff
+        tx += 1
+      }
+      ty += 1
+    }
+    ResizedImage(r.doc_id, OutW, OutH, sum)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the typed catalog: binary payload + prunable metadata
     "media_catalog" -> ((s, dir) =>
@@ -119,6 +151,19 @@ object Multimodal {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy("doc_id")),
+
+    // thumbnail resize over the image subset: metadata (width/height)
+    // drives the geometry, extraction runs batched per partition
+    "media_resize" -> ((s, dir) => {
+      import s.implicits._
+      catalog(s, dir).filter(col("media_type") === "image")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map(resizeStub))
+        .toDF()
+        .orderBy("doc_id")
+    }),
 
     // frame sampling over the video subset: media_type filter pushes to
     // the catalog scan, extraction runs batched per partition, output is
@@ -155,6 +200,25 @@ object Multimodal {
          |  CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
          |  CAST(48 + (doc_id % 9) * 24 AS BIGINT) AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "media_resize" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         64 + (doc_id % 16) * 32 AS w, 48 + (doc_id % 9) * 24 AS h
+         |  FROM documents WHERE $mediaTypeSql = 'image'
+         |),
+         |px AS (
+         |  SELECT i.doc_id,
+         |         unicode(substr(i.text,
+         |           CAST((((ty.y * i.h) // 24) * i.w + ((tx.x * i.w) // 32))
+         |                % i.len + 1 AS INT), 1)) AS v
+         |  FROM imgs i,
+         |       (SELECT range AS y FROM range(24)) ty,
+         |       (SELECT range AS x FROM range(32)) tx
+         |)
+         |SELECT doc_id, 32 AS out_w, 24 AS out_h,
+         |       CAST(sum(v) AS BIGINT) AS pixel_sum
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "media_frame_sample" ->
       s"""SELECT doc_id,
