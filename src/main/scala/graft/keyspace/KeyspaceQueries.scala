@@ -84,6 +84,16 @@ object KeyspaceQueries {
         .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"))
         .orderBy("shard_id")),
 
+    // O2 edge — empty-value PUT (`store.go:84`, `cmd/node/node_test.go`):
+    // an empty string is a real value distinct from a tombstone; it
+    // survives LWW compaction (n_empty > 0) and contributes 0 to byte
+    // sums without nulling them.
+    "kv_empty_value_edge" -> ((s, dir) =>
+      KvLog.state(s, dir).agg(
+        sum(when(col("value") === "", 1L).otherwise(0L)).as("n_empty"),
+        count("*").as("n_keys"),
+        sum(length(col("value"))).as("n_bytes"))),
+
     // O7 — operation counters by type, the atomic Gets/Puts/Deletes
     // counters re-expressed over the op log (shard.go:124-161; Get
     // increment at shard.go:258) — the log carries read traffic too, so
@@ -125,6 +135,13 @@ object KeyspaceQueries {
       """SELECT shard_id, count(*) AS n_keys,
         |  CAST(sum(length(value)) AS BIGINT) AS n_bytes
         |FROM kv_state GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+
+    "kv_empty_value_edge" -> Ora.withState(
+      """SELECT
+        |  CAST(sum(CASE WHEN value = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  count(*) AS n_keys,
+        |  CAST(sum(length(value)) AS BIGINT) AS n_bytes
+        |FROM kv_state""".stripMargin),
 
     "kv_op_counters" -> (s"WITH ${Ora.kvLog}\n" +
       "SELECT op, count(*) AS n FROM kv_log GROUP BY op ORDER BY op"),

@@ -30,10 +30,11 @@ object KvLog {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val key = concat(lit("order:"), col("o_orderkey").cast("string"))
 
-    // one scan, not three: a union of three filtered selects would read
-    // the orders file once per branch; instead each order row explodes
-    // into its 1–3 log ops (base put, conditional update, conditional
-    // tombstone) from a single pass
+    // one scan, not five: a union of filtered selects would read the
+    // orders file once per branch; instead each order row explodes into
+    // its 1–5 log ops (base put, conditional update, conditional
+    // empty-value put, conditional tombstone, conditional get) from a
+    // single pass
     def op(seq: Column, opName: String, value: Column) =
       struct(seq.as("seq"), lit(opName).as("op"), key.as("key"),
         value.as("value"))
@@ -41,22 +42,28 @@ object KvLog {
       "array<struct<seq:bigint,op:string,key:string,value:string>>")
 
     orders.select(explode(concat(
-        array(op(col("o_orderkey") * 4, "put",
+        array(op(col("o_orderkey") * 8, "put",
           concat_ws(":", col("o_orderstatus"), col("o_orderpriority"),
             col("o_custkey").cast("string")))),
         when(col("o_orderkey") % 97 === 0,
-          array(op(col("o_orderkey") * 4 + 1, "put",
+          array(op(col("o_orderkey") * 8 + 1, "put",
             concat(lit("updated:"), col("o_custkey").cast("string")))))
           .otherwise(emptyOps),
+        // empty-value PUT: legal in the reference (`store.go:84`, tested at
+        // `cmd/node/node_test.go`) — an empty string is a real value, NOT a
+        // tombstone; it must survive LWW compaction and count 0 bytes.
+        when(col("o_orderkey") % 103 === 0,
+          array(op(col("o_orderkey") * 8 + 2, "put", lit(""))))
+          .otherwise(emptyOps),
         when(col("o_orderkey") % 101 === 0,
-          array(op(col("o_orderkey") * 4 + 2, "delete",
+          array(op(col("o_orderkey") * 8 + 4, "delete",
             lit(null).cast("string"))))
           .otherwise(emptyOps),
         // read traffic: Gets are counted in the reference's OperationStats
         // (internal/shard/shard.go:124-161, increment at shard.go:258) but
         // never touch state — compact() ignores them.
         when(col("o_orderkey") % 5 === 0,
-          array(op(col("o_orderkey") * 4 + 3, "get",
+          array(op(col("o_orderkey") * 8 + 6, "get",
             lit(null).cast("string"))))
           .otherwise(emptyOps))).as("r"))
       .select(col("r.seq").as("seq"), col("r.op").as("op"),

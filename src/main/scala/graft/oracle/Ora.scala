@@ -24,26 +24,30 @@ object Ora {
   /** The kv operation-log fixture, derived deterministically from `orders`.
     * Mirror of [[graft.keyspace.KvLog.log]] — keep the two in lockstep.
     *
-    * - every order        → put  (seq = 4k)   key 'order:<k>' value '<status>:<priority>:<custkey>'
-    * - orderkey % 97 = 0  → put  (seq = 4k+1) value 'updated:<custkey>'   (LWW overwrite)
-    * - orderkey % 101 = 0 → delete (seq = 4k+2)                           (tombstone)
-    * - orderkey % 5 = 0   → get  (seq = 4k+3)                             (read traffic; no state effect)
+    * - every order        → put  (seq = 8k)   key 'order:<k>' value '<status>:<priority>:<custkey>'
+    * - orderkey % 97 = 0  → put  (seq = 8k+1) value 'updated:<custkey>'   (LWW overwrite)
+    * - orderkey % 103 = 0 → put  (seq = 8k+2) value ''                    (empty value — legal, store.go:84)
+    * - orderkey % 101 = 0 → delete (seq = 8k+4)                           (tombstone)
+    * - orderkey % 5 = 0   → get  (seq = 8k+6)                             (read traffic; no state effect)
     */
   val kvLog: String =
     """kv_log AS (
-      |  SELECT o_orderkey * 4 AS seq, 'put' AS op,
+      |  SELECT o_orderkey * 8 AS seq, 'put' AS op,
       |         'order:' || o_orderkey AS key,
       |         o_orderstatus || ':' || o_orderpriority || ':' || o_custkey AS value
       |  FROM orders
       |  UNION ALL
-      |  SELECT o_orderkey * 4 + 1, 'put', 'order:' || o_orderkey,
+      |  SELECT o_orderkey * 8 + 1, 'put', 'order:' || o_orderkey,
       |         'updated:' || o_custkey
       |  FROM orders WHERE o_orderkey % 97 = 0
       |  UNION ALL
-      |  SELECT o_orderkey * 4 + 2, 'delete', 'order:' || o_orderkey, NULL
+      |  SELECT o_orderkey * 8 + 2, 'put', 'order:' || o_orderkey, ''
+      |  FROM orders WHERE o_orderkey % 103 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey * 8 + 4, 'delete', 'order:' || o_orderkey, NULL
       |  FROM orders WHERE o_orderkey % 101 = 0
       |  UNION ALL
-      |  SELECT o_orderkey * 4 + 3, 'get', 'order:' || o_orderkey, NULL
+      |  SELECT o_orderkey * 8 + 6, 'get', 'order:' || o_orderkey, NULL
       |  FROM orders WHERE o_orderkey % 5 = 0
       |)""".stripMargin
 

@@ -16,7 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     only, convert on arrival;
   *   - csv: needs quoting for free-form values (keys contain spaces,
   *     colons, unicode; values are opaque) — enabled below, and the
-  *     round-trip spec pins that quoting survives.
+  *     round-trip spec pins that quoting survives. Empty-string values
+  *     are LEGAL keyspace values (store.go:84), but Spark's CSV reader
+  *     defaults `nullValue` to "" and would silently turn them into
+  *     nulls — the read re-points nullValue at a sentinel that cannot
+  *     occur in the data.
   */
 object Sources {
 
@@ -37,7 +41,9 @@ object Sources {
       case "orc" => spark.read.schema(KvSchema).orc(s"$base/orc")
       case "json" => spark.read.schema(KvSchema).json(s"$base/json")
       case "csv" => spark.read.schema(KvSchema)
-        .option("header", "true").csv(s"$base/csv")
+        .option("header", "true")
+        .option("nullValue", "\u0001") // sentinel: "" must stay an empty string, not null
+        .csv(s"$base/csv")
       case other => throw new IllegalArgumentException(s"format: $other")
     }
 }

@@ -42,6 +42,17 @@ class KeyspaceSpec extends SparkSpec {
     assert(state.count() === orders - deleted)
   }
 
+  test("empty-value PUT is a real value, not a tombstone (store.go:84)") {
+    // orderkey 103: base put then the empty-value put (no update, no
+    // delete) — the empty string must win LWW and stay present
+    val v = state.filter(col("key") === "order:103").collect()
+    assert(v.length === 1, "empty-value key must survive compaction")
+    assert(v.head.getString(1) === "")
+    val r = KeyspaceQueries.queries("kv_empty_value_edge")(spark, sf).first()
+    assert(r.getLong(0) > 0, "empty values present in compacted state")
+    assert(r.getLong(2) > 0, "byte sum not nulled by 0-length values")
+  }
+
   test("range scan is sorted and honors [start, end) bounds") {
     val rows = KeyspaceQueries.queries("kv_range_scan")(spark, sf)
       .collect().map(_.getString(0))
