@@ -79,14 +79,35 @@ object ClusterQueries {
       (expr("(event_id div 50) % 5") =!= 0 && col("event_id") % 13 =!= 0)
         .as("ok"))
 
+  /** Probe-log variant with a 4th node that DE-REGISTERS mid-log at
+    * [[DeregSeq]]: the monitor stops probing a removed node (its provider
+    * snapshot no longer contains it), so n4 has no probes past that seq,
+    * and [[queries]]' `health_current_pruned` drops its tracking row
+    * entirely — mirroring the per-tick prune of removed nodes
+    * (`internal/coordinator/health_monitor.go:172-190`). */
+  val DeregSeq = 30000L
+
+  def probesWithDereg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema("event_id BIGINT, user_id BIGINT")
+      .parquet(s"$sfDir/events.parquet").select(
+      col("event_id").as("seq"),
+      concat(lit("n"), (col("user_id") % 4 + 1).cast("string")).as("node_id"),
+      (expr("(event_id div 50) % 5") =!= 0 && col("event_id") % 13 =!= 0)
+        .as("ok"))
+      .filter(col("node_id") =!= "n4" || col("seq") < DeregSeq)
+
   /** Per-probe status via the reference's counted-failure state machine
     * (`internal/coordinator/health_monitor.go:221-254`): 3rd consecutive
     * failure ⇒ unhealthy; any success ⇒ healthy; before any signal ⇒
     * unknown. Batch shape: gaps-and-islands windows. */
-  def probeStatus(spark: SparkSession, sfDir: String): DataFrame = {
+  def probeStatus(spark: SparkSession, sfDir: String): DataFrame =
+    probeStatusOf(probes(spark, sfDir))
+
+  /** Same state machine over any `(seq, node_id, ok)` probe log. */
+  def probeStatusOf(probeLog: DataFrame): DataFrame = {
     val wRun = Window.partitionBy("node_id").orderBy("seq")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val runs = probes(spark, sfDir)
+    val runs = probeLog
       .withColumn("grp", sum(when(col("ok"), 1L).otherwise(0L)).over(wRun))
     val wGrp = Window.partitionBy("node_id", "grp").orderBy("seq")
     val consec = runs.withColumn("n_fails",
@@ -203,6 +224,40 @@ object ClusterQueries {
         .agg(max_by(col("status"), col("seq")).as("status"),
           max(col("seq")).as("last_check_seq"))
         .orderBy("node_id")),
+
+    // O15 — health snapshot with the reference's prune of de-registered
+    // nodes (`health_monitor.go:172-190`): n4 accumulates tracking rows
+    // until it de-registers mid-log, after which the per-tick prune drops
+    // its row — the snapshot contains only currently-registered nodes.
+    "health_current_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val deregistered = Seq("n4").toDF("node_id")
+      probeStatusOf(probesWithDereg(s, dir)).groupBy("node_id")
+        .agg(max_by(col("status"), col("seq")).as("status"),
+          max(col("seq")).as("last_check_seq"))
+        .join(broadcast(deregistered), Seq("node_id"), "left_anti")
+        .orderBy("node_id")
+    }),
+
+    // O7+ — per-node stats rollup, the node `/info` aggregation
+    // (`cmd/node/main.go:750-773`): shard infos grouped per node with
+    // total keys/bytes, over the full round-robin assignment table. The
+    // assignment dimension broadcasts; the keyspace aggregates per shard
+    // first (4 rows), so the rollup join moves no data-plane rows.
+    "node_info_rollup" -> ((s, dir) => {
+      val n = healthyNodesIndexed(s).count()
+      val assigns = s.range(4).select(col("id").as("shard_id"))
+        .withColumn("node_idx", pmod(col("shard_id"), lit(n)))
+        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+        .select("shard_id", "node_id")
+      KvLog.state(s, dir).groupBy("shard_id")
+        .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"))
+        .join(broadcast(assigns), Seq("shard_id"))
+        .groupBy("node_id")
+        .agg(count("*").as("n_shards"), sum(col("n_keys")).as("total_keys"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy("node_id")
+    }),
 
     // O11+ — failure-triggered redistribution that actually MOVES shards:
     // the reference's callback only re-runs auto-assign over unassigned
@@ -343,14 +398,20 @@ object ClusterQueries {
       |  VALUES (0, 'n1'), (1, 'n2'), (2, 'n3')
       |)""".stripMargin
 
-  private val probesSql =
-    """probes AS (
-      |  SELECT event_id AS seq,
-      |         'n' || CAST(user_id % 3 + 1 AS VARCHAR) AS node_id,
-      |         ((event_id // 50) % 5 <> 0 AND event_id % 13 <> 0) AS ok
-      |  FROM events
-      |),
-      |runs AS (
+  /** Gaps-and-islands probe-status CTE chain for an `nNodes`-node probe
+    * log, optionally filtered (the de-registration variant). */
+  private def probesSqlFor(nNodes: Int, filter: String): String =
+    s"""probes AS (
+      |  SELECT * FROM (
+      |    SELECT event_id AS seq,
+      |           'n' || CAST(user_id % $nNodes + 1 AS VARCHAR) AS node_id,
+      |           ((event_id // 50) % 5 <> 0 AND event_id % 13 <> 0) AS ok
+      |    FROM events
+      |  ) WHERE $filter
+      |),""".stripMargin + "\n" + probeMachineSql
+
+  private val probeMachineSql =
+    """runs AS (
       |  SELECT *, sum(CASE WHEN ok THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY node_id ORDER BY seq
       |            ROWS UNBOUNDED PRECEDING) AS grp
@@ -370,6 +431,12 @@ object ClusterQueries {
       |    'unknown') AS status
       |  FROM consec
       |)""".stripMargin
+
+  private val probesSql = probesSqlFor(3, "true")
+
+  /** 4-node probe log; n4's probes stop at its de-registration. */
+  private val probesDeregSql =
+    probesSqlFor(4, s"(node_id <> 'n4' OR seq < $DeregSeq)")
 
   val oracle: Map[String, String] = Map(
     "register_upsert" -> (s"WITH $membershipSql\n" +
@@ -446,6 +513,23 @@ object ClusterQueries {
         |       max(seq) AS last_check_seq
         |FROM statused GROUP BY node_id ORDER BY node_id""".stripMargin),
 
+    "health_current_pruned" -> (s"WITH $probesDeregSql\n" +
+      """SELECT node_id, arg_max(status, seq) AS status,
+        |       max(seq) AS last_check_seq
+        |FROM statused WHERE node_id NOT IN ('n4')
+        |GROUP BY node_id ORDER BY node_id""".stripMargin),
+
+    "node_info_rollup" -> (s"WITH ${Ora.kvState},\n$membershipSql\n" +
+      """SELECT h.node_id, count(*) AS n_shards,
+        |       CAST(sum(k.n_keys) AS BIGINT) AS total_keys,
+        |       CAST(sum(k.n_bytes) AS BIGINT) AS total_bytes
+        |FROM (SELECT shard_id, count(*) AS n_keys,
+        |             sum(length(value)) AS n_bytes
+        |      FROM kv_state GROUP BY shard_id) k
+        |JOIN healthy_idx h
+        |  ON h.node_idx = k.shard_id % (SELECT count(*) FROM healthy_idx)
+        |GROUP BY h.node_id ORDER BY h.node_id""".stripMargin),
+
     "redistribute_on_failure" -> (s"WITH $membershipSql,\n" +
       """all_idx AS (
         |  SELECT node_id, m_status,
@@ -464,9 +548,15 @@ object ClusterQueries {
         |)
         |SELECT shard_id, old_node, new_node, old_node <> new_node AS moved
         |FROM (
-        |  SELECT f.shard_id, f.old_node, h.node_id AS new_node
-        |  FROM failed f JOIN healthy_idx h
-        |    ON h.node_idx = f.rnk % (SELECT count(*) FROM healthy_idx)
+        |  -- LEFT JOIN + COALESCE mirrors the Spark side's no-survivors
+        |  -- guard: with zero healthy nodes the modulus is NULL, nothing
+        |  -- joins, and failed shards STAY on their dead nodes instead of
+        |  -- silently dropping out of the routing table.
+        |  SELECT f.shard_id, f.old_node,
+        |         coalesce(h.node_id, f.old_node) AS new_node
+        |  FROM failed f LEFT JOIN healthy_idx h
+        |    ON h.node_idx = f.rnk %
+        |       NULLIF((SELECT count(*) FROM healthy_idx), 0)
         |  UNION ALL
         |  SELECT shard_id, old_node, old_node AS new_node
         |  FROM before_assign WHERE m_status <> 'unhealthy'

@@ -52,6 +52,27 @@ class ClusterSpec extends SparkSpec {
     assert(Set("healthy", "unhealthy").contains(rows("n1")))
   }
 
+  test("de-registered node is pruned from the health snapshot (health_monitor.go:172-190)") {
+    val pre = ClusterQueries.probesWithDereg(spark, sf)
+    // n4 accumulated real tracking rows before de-registering…
+    assert(pre.filter(col("node_id") === "n4").count() > 0)
+    // …and the monitor stopped probing it at the de-registration
+    assert(pre.filter(col("node_id") === "n4").agg(max("seq"))
+      .first().getLong(0) < ClusterQueries.DeregSeq)
+    // the snapshot prunes it; the registered nodes all remain
+    val rows = ClusterQueries.queries("health_current_pruned")(spark, sf)
+      .collect().map(_.getString(0))
+    assert(rows.toSet === Set("n1", "n2", "n3"), rows.mkString(","))
+  }
+
+  test("node info rollup covers every shard exactly once") {
+    val rows = ClusterQueries.queries("node_info_rollup")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 4L, "4 shards accounted")
+    val stats = graft.keyspace.KvLog.state(spark, sf)
+    assert(rows.map(_.getLong(2)).sum === stats.count(),
+      "per-node key totals partition the keyspace")
+  }
+
   test("broadcast fan-out: unreachable node errors captured, rest ack") {
     val rows = ClusterQueries.queries("broadcast_fanout")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
