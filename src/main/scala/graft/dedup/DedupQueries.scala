@@ -120,18 +120,49 @@ object DedupQueries {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** (doc_id, simhash64) — the 64-bit signature the 32-bit variant's own
+    * scale note calls for: at real corpus size the 8-bit chunk space of a
+    * 32-bit simhash saturates (buckets grow linearly with corpus ⇒ pairs
+    * quadratically); 64 bits with 16-bit chunks gives 256× the bucket
+    * space with the identical posting-list plan.
+    *
+    * Bits 0–31 come from `fnv1a32(w)`, bits 32–63 from `fnv1a32(w ⊕ '#')`
+    * — two independent 32-bit hashes of the same token, both of which the
+    * DuckDB oracle reproduces bit-for-bit (a native 64-bit FNV fold would
+    * need unsigned 64-bit arithmetic DuckDB's BIGINT can't express).
+    * Bit 63 is materialized as `Long.MinValue` on both engines, since
+    * neither Spark's `1L << 63` semantics nor DuckDB (which raises on
+    * `1::BIGINT << 63`) can build it by shifting. */
+  private[graft] def simhash64Sigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), fnv1a32(col("w")).as("h1"),
+        fnv1a32(concat(col("w"), lit("#"))).as("h2"))
+    val contribs = (0 until 64).map { b =>
+      val (src, bit) = if (b < 32) ("h1", b) else ("h2", b - 32)
+      sum(when(expr(s"(shiftright($src, $bit) & 1)") === 1, 1L).otherwise(-1L))
+        .as(s"c$b")
+    }
+    tok.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { b =>
+          when(col(s"c$b") >= 0,
+            lit(if (b == 63) Long.MinValue else 1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash64"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groupBy; summary proves the operator on a
-    // corpus with no exact dups (planted dups are near-dups, caught below)
-    "dedup_exact" -> ((s, dir) => {
-      val hashed = docs(s, dir).select(md5(col("text").cast("binary")).as("h"))
-      hashed.agg(
-        count("*").as("n_docs"),
-        countDistinct(col("h")).as("n_distinct"))
-        .crossJoin(
-          hashed.groupBy("h").count().filter(col("count") > 1)
-            .agg(count("*").as("n_dup_groups")))
-    }),
+    // corpus with no exact dups (planted dups are near-dups, caught below).
+    // ONE corpus scan: groupBy(h).count() then a single agg over the group
+    // counts derives all three numbers — the countDistinct + crossJoin
+    // formulation scanned (and md5'd) the corpus twice for a 1-row summary.
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir).select(md5(col("text").cast("binary")).as("h"))
+        .groupBy("h").agg(count("*").as("cnt"))
+        .agg(sum(col("cnt")).as("n_docs"),
+          count("*").as("n_distinct"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"))),
 
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -203,6 +234,36 @@ object DedupQueries {
         .filter(col("doc_a") < col("b.doc_id"))
         .select(col("doc_a"), col("sig_a"),
           col("b.doc_id").as("doc_b"), col("b.simhash").as("sig_b"))
+        .distinct()
+      cand.withColumn("hamming",
+          expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        .filter(col("hamming") <= HammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 64-bit SimHash near-dup pairs with 16-bit pigeonhole chunks — the
+    // declared 100 TB variant of dedup_simhash_pairs: same checkpointed
+    // signature, same bucket posting-list plan, 65536 buckets per chunk
+    // position instead of 256. Arithmetic shift + mask extracts chunks
+    // identically on both engines (the sign-extended high bits are masked
+    // off), so the negative top-bit signature is safe.
+    "dedup_simhash64_pairs" -> ((s, dir) => {
+      val sig = simhash64Sigs(s, dir).localCheckpoint()
+      val chunks = sig.select(col("doc_id"), col("simhash64"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("chunk",
+          expr("shiftright(simhash64, CAST(16 * c AS INT)) & 65535"))
+      val cand = chunks.groupBy("c", "chunk")
+        .agg(collect_list(struct(col("doc_id"), col("simhash64")))
+          .as("members"))
+        .filter(size(col("members")).between(2, MaxPosting))
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a.doc_id").as("doc_a"), col("a.simhash64").as("sig_a"),
+          explode(col("members")).as("b"))
+        .filter(col("doc_a") < col("b.doc_id"))
+        .select(col("doc_a"), col("sig_a"),
+          col("b.doc_id").as("doc_b"), col("b.simhash64").as("sig_b"))
         .distinct()
       cand.withColumn("hamming",
           expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
@@ -286,6 +347,33 @@ object DedupQueries {
       |  FROM contribs GROUP BY doc_id
       |)""".stripMargin
 
+  private val simhash64Sql: String =
+    s"""tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |),
+      |tokh64 AS (
+      |  SELECT doc_id,
+      |         ${Ora.fnv("w")} AS h1,
+      |         ${Ora.fnv("(w || '#')")} AS h2,
+      |         unnest(range(64)) AS b
+      |  FROM tok
+      |),
+      |contribs64 AS (
+      |  SELECT doc_id, b,
+      |         CAST(sum(CASE WHEN (CASE WHEN b < 32 THEN (h1 >> b)
+      |                               ELSE (h2 >> (b - 32)) END) & 1 = 1
+      |                  THEN 1 ELSE -1 END) AS BIGINT) AS contrib
+      |  FROM tokh64 GROUP BY doc_id, b
+      |),
+      |simhashed64 AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN contrib >= 0 THEN
+      |           CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+      |                ELSE (1::BIGINT << b) END
+      |           ELSE 0 END) AS BIGINT) AS simhash64
+      |  FROM contribs64 GROUP BY doc_id
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT
@@ -349,6 +437,29 @@ object DedupQueries {
         |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         |FROM cand
         |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_simhash64_pairs" -> (s"WITH $simhash64Sql,\n" +
+      s"""chunks AS (
+        |  SELECT doc_id, simhash64, c,
+        |         (simhash64 >> (16 * CAST(c AS INT))) & 65535 AS chunk
+        |  FROM simhashed64, (SELECT unnest(range(4)) AS c)
+        |),
+        |ok_chunks AS (
+        |  SELECT c, chunk FROM chunks GROUP BY c, chunk
+        |  HAVING count(*) BETWEEN 2 AND $MaxPosting
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash64 AS sig_a,
+        |         b.doc_id AS doc_b, b.simhash64 AS sig_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  JOIN ok_chunks o ON a.c = o.c AND a.chunk = o.chunk
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sig_a, sig_b)) <= $HammingMax
         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }

@@ -227,6 +227,69 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    // ANN recall@5: the measurement that closes the ANN story — for a
+    // 10-query sample (vec_id % 50 = 0), compare each variant's top-5
+    // against the exact brute-force top-5 and emit per-query recall.
+    // The brute-force leg is Q×N — that is the measurement harness (Q is
+    // a fixed small sample), not the serving path; the candidates legs
+    // reuse the pruned bucket/cell scans that ARE the serving path.
+    "sim_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def top5(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select("q_id", "vec_id")
+      }
+      val truth = top5(e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim")))
+      // LSH leg: candidates share the query's coarse bucket
+      val b = bucketed(s, dir).withColumn("coarse", col("bucket") % 16)
+      val qb = b.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("coarse"),
+          col("embedding").as("q_emb"))
+      val lsh = top5(b.join(broadcast(qb), "coarse")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim")))
+      // IVF leg: candidates in the query's nprobe nearest cells
+      val centroids = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine(col("embedding"), col("c_emb")).as("cos_c"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val qcells = qs.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("q_emb"), col("cell"),
+          cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos_c").desc, col("cell"))))
+        .filter(col("rk") <= NProbe)
+        .select("q_id", "q_emb", "cell")
+      val ivf = top5(assigned.join(broadcast(qcells), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim")))
+      def recallOf(pred: DataFrame, method: String): DataFrame =
+        qs.select("q_id").join(
+            truth.join(pred, Seq("q_id", "vec_id"))
+              .groupBy("q_id").agg(count("*").as("hits")),
+            Seq("q_id"), "left")
+          .select(col("q_id"), lit(method).as("method"),
+            coalesce(col("hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall_at_5"))
+      recallOf(lsh, "lsh").unionByName(recallOf(ivf, "ivf"))
+        .orderBy("method", "q_id")
+    }),
+
     // cross-modal agreement: the text-level near-dup pairs annotated with
     // the embedding cosine of the same documents (vec_id aligns with
     // doc_id in the fixtures) — the validation join a curation pipeline
@@ -367,6 +430,83 @@ object SimilarityQueries {
            |FROM assigned a JOIN qcells qc ON a.cell = qc.cell
            |WHERE a.vec_id <> $QueryVec
            |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
+
+      "sim_ann_recall" -> (s"WITH $bucketedSql,\n" +
+        s"""qs AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           |  WHERE vec_id % 50 = 0
+           |),
+           |truth AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, e.vec_id,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${Ora.cos64("e.embedding", "q.q_emb")} DESC,
+           |                      e.vec_id) AS rk
+           |    FROM embeddings e, qs q WHERE e.vec_id <> q.q_id
+           |  ) WHERE rk <= 5
+           |),
+           |qb AS (
+           |  SELECT vec_id AS q_id, bucket % 16 AS coarse, embedding AS q_emb
+           |  FROM bucketed WHERE vec_id % 50 = 0
+           |),
+           |lsh_cand AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, e.vec_id,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${Ora.cos64("e.embedding", "q.q_emb")} DESC,
+           |                      e.vec_id) AS rk
+           |    FROM bucketed e JOIN qb q
+           |      ON e.bucket % 16 = q.coarse AND e.vec_id <> q.q_id
+           |  ) WHERE rk <= 5
+           |),
+           |centroids AS (
+           |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+           |  WHERE vec_id < $NumCells
+           |),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
+           |                    c.cell) AS rk
+           |  FROM embeddings e, centroids c
+           |),
+           |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1),
+           |qcells AS (
+           |  SELECT q_id, q_emb, cell FROM (
+           |    SELECT q.q_id, q.q_emb, c.cell,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${Ora.cos64("q.q_emb", "c.c_emb")} DESC,
+           |                      c.cell) AS rk
+           |    FROM qs q, centroids c
+           |  ) WHERE rk <= $NProbe
+           |),
+           |ivf_cand AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT qc.q_id, a.vec_id,
+           |           row_number() OVER (PARTITION BY qc.q_id
+           |             ORDER BY ${Ora.cos64("a.embedding", "qc.q_emb")} DESC,
+           |                      a.vec_id) AS rk
+           |    FROM assigned a JOIN qcells qc
+           |      ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+           |  ) WHERE rk <= 5
+           |),
+           |hits_lsh AS (
+           |  SELECT t.q_id, count(*) AS n_hits FROM truth t
+           |  JOIN lsh_cand c ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+           |  GROUP BY t.q_id
+           |),
+           |hits_ivf AS (
+           |  SELECT t.q_id, count(*) AS n_hits FROM truth t
+           |  JOIN ivf_cand c ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+           |  GROUP BY t.q_id
+           |)
+           |SELECT q_id, method, n_hits, n_hits / 5.0 AS recall_at_5 FROM (
+           |  SELECT q.q_id, 'lsh' AS method, coalesce(h.n_hits, 0) AS n_hits
+           |  FROM qs q LEFT JOIN hits_lsh h USING (q_id)
+           |  UNION ALL
+           |  SELECT q.q_id, 'ivf' AS method, coalesce(h.n_hits, 0) AS n_hits
+           |  FROM qs q LEFT JOIN hits_ivf h USING (q_id)
+           |) ORDER BY method, q_id""".stripMargin),
 
       "crossmodal_dup_agreement" -> (
         s"WITH ${graft.dedup.DedupQueries.jaccardPairsSql}\n" +

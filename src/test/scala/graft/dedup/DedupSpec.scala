@@ -1,5 +1,7 @@
 package graft.dedup
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
@@ -42,5 +44,45 @@ class DedupSpec extends SparkSpec {
     assert(sigs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 32)))
     val again = DedupQueries.queries("dedup_simhash")(spark, sf).collect()
     assert(sigs.map(_.getLong(1)).toSeq === again.map(_.getLong(1)).toSeq)
+  }
+
+  test("64-bit simhash: 16-bit chunk space de-saturates the 8-bit buckets") {
+    // the scale claim behind dedup_simhash64_pairs: pigeonhole pair cost
+    // is Σ bucket², so the 256×-larger chunk space must show (a) more
+    // distinct occupied buckets and (b) a smaller worst bucket
+    def buckets(sigs: org.apache.spark.sql.DataFrame, sigCol: String,
+        bits: Int, mask: Int) =
+      sigs.select(col(sigCol), explode(sequence(lit(0), lit(3))).as("c"))
+        .select(expr(s"shiftright($sigCol, CAST($bits * c AS INT)) & $mask")
+          .as("chunk"), col("c"))
+        .groupBy("c", "chunk").count()
+    val b32 = buckets(DedupQueries.queries("dedup_simhash")(spark, sf),
+      "simhash", 8, 255)
+    val b64 = buckets(DedupQueries.simhash64Sigs(spark, sf),
+      "simhash64", 16, 65535)
+    val (n32, max32) = (b32.count(), b32.agg(max("count")).first().getLong(0))
+    val (n64, max64) = (b64.count(), b64.agg(max("count")).first().getLong(0))
+    assert(n64 > n32, s"occupied buckets: 64-bit $n64 vs 32-bit $n32")
+    assert(max64 < max32, s"worst bucket: 64-bit $max64 vs 32-bit $max32")
+  }
+
+  test("64-bit pairs are a strict-precision subset of the 32-bit pairs") {
+    // the low 32 bits of simhash64 ARE simhash32 (same h1 contributions),
+    // so hamming64(a,b) >= hamming32(a,b): every 64-bit pair must also be
+    // a 32-bit pair — the 64-bit variant trades recall at the same
+    // threshold for a bucket space that stays sub-quadratic at corpus
+    // scale. (The signature low-word identity is asserted directly too.)
+    val low32 = DedupQueries.simhash64Sigs(spark, sf)
+      .select(col("doc_id"), expr("simhash64 & 4294967295").as("lo"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sig32 = DedupQueries.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(low32 === sig32)
+    val p64 = DedupQueries.queries("dedup_simhash64_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p32 = DedupQueries.queries("dedup_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p64.nonEmpty)
+    assert((p64 -- p32).isEmpty, s"not a subset: ${(p64 -- p32).take(5)}")
   }
 }
