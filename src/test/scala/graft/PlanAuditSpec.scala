@@ -81,6 +81,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 0, s"expected no parquet scans post-checkpoint, got $scans")
   }
 
+  test("exact dedup hashes the corpus exactly once (single FileScan)") {
+    // the round-2 form fed two separate md5 subtrees into a crossJoin —
+    // a full extra corpus scan at 100 TB for a 1-row summary
+    val p = graft.dedup.DedupQueries.queries("dedup_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one-pass shape requires 1 scan, got $scans\n${p.take(2000)}")
+  }
+
+  test("pagerank: per-iteration join re-uses the edge table's layout") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (eDeg, nodes) = graft.relational.PageRank.prepared(spark, sf)
+    try {
+      val r = nodes.select(col("node"), lit(1.0).as("pr"))
+      val contrib = eDeg.join(r, eDeg("src") === r("node"))
+        .groupBy("dst").agg(sum(col("pr") / col("deg")).as("inflow"))
+      contrib.collect()
+      val finalPlan = contrib.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the big side must arrive through the cached pre-partitioned scan…
+      assert(finalPlan.toString.contains("InMemoryTableScan"),
+        finalPlan.toString.take(3000))
+      // …and the only exchanges are the ranks-side co-partition and the
+      // dst aggregation; a third would mean the edge table re-shuffled
+      val n = finalPlan.collect { case s: ShuffleExchangeLike => s }.size
+      assert(n <= 2,
+        s"edge side must not re-shuffle: got $n exchanges\n${finalPlan.toString.take(3000)}")
+    } finally eDeg.unpersist()
+  }
+
   test("tombstone audit reads the orders fixture exactly once") {
     val p = graft.keyspace.KeyspaceQueries.queries("kv_delete_tombstone")(spark, sf)
       .queryExecution.executedPlan.toString
