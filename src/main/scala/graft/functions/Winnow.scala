@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,9 +27,14 @@ import graft.hash.Fnv1a32
   * Hashes are computed over the UTF-8 bytes of each k-char window via a
   * per-char byte-offset table, so multi-byte code points hash exactly like
   * `fnv1a32(substring(...))` does.
+  *
+  * `doGenCode` splices a static call to [[WinnowFingerprints.compute]]
+  * into WholeStageCodegen — the row stays inside the generated stage (no
+  * interpreted `eval` dispatch, no boxing at a codegen boundary); the
+  * kernel itself is one JIT-compiled method either way.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1 && w >= 1, s"window sizes must be >= 1, got k=$k w=$w")
 
@@ -37,8 +42,23 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnow_fingerprints"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u =>
+      s"${ev.value} = graft.functions.WinnowFingerprints$$.MODULE$$" +
+        s".compute($u, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  /** The winnowing kernel — called from both the interpreted `eval` path
+    * and the generated code (one static-shaped call per row). */
+  def compute(u: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = u.getBytes
     val numChars = u.numChars()
     val m = numChars - k + 1 // k-gram count
@@ -87,11 +107,6 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
-    copy(child = newChild)
-}
-
-object WinnowFingerprints {
   /** Winnowing fingerprints of `text`: k-gram size `k`, window `w`. */
   def winnow(text: Column, k: Int, w: Int): Column =
     shims.column(WinnowFingerprints(shims.expression(text), k, w))

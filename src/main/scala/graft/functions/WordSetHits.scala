@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -15,11 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * scan) per token; language-ID votes run it four times per document, so
   * it is the hottest kernel of the text-analysis family. Here the set is
   * a hash set built once per expression instance and each token is one
-  * probe. Counts OCCURRENCES (duplicates included), exactly like the
-  * `list_filter`/`list_contains` DuckDB oracle.
+  * probe, and `doGenCode` inlines the probe loop into WholeStageCodegen
+  * (the set rides along as a reference object), so rows never cross an
+  * interpreted-eval boundary. Counts OCCURRENCES (duplicates included),
+  * exactly like the `list_filter`/`list_contains` DuckDB oracle.
   */
 case class WordSetHits(child: Expression, words: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(words.nonEmpty, "word set must not be empty")
 
@@ -43,6 +45,25 @@ case class WordSetHits(child: Expression, words: Seq[String])
       i += 1
     }
     n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, toks => {
+      val i = ctx.freshName("i")
+      val num = ctx.freshName("num")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $num = $toks.numElements();
+         |long $cnt = 0L;
+         |for (int $i = 0; $i < $num; $i++) {
+         |  if (!$toks.isNullAt($i) && $setRef.contains($toks.getUTF8String($i))) {
+         |    $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordSetHits =

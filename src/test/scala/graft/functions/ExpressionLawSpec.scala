@@ -85,6 +85,36 @@ class ExpressionLawSpec extends SparkSpec {
     }
   }
 
+  test("Winnow/WordSetHits doGenCode compiles and agrees with interpreted eval") {
+    // GenerateUnsafeProjection.generate does PURE codegen (no interpreted
+    // fallback) — it throws if the generated Java doesn't compile, so this
+    // is the proof the kernels really codegen instead of CodegenFallback
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenFallback, GenerateUnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val wExpr = WinnowFingerprints(BoundReference(0, StringType, nullable = true), 8, 4)
+    assert(!wExpr.isInstanceOf[CodegenFallback])
+    val wProj = GenerateUnsafeProjection.generate(Seq(wExpr))
+    val row = InternalRow(
+      UTF8String.fromString("the quick brown fox jumps over the lazy dog"))
+    assert(wProj(row).getArray(0).toLongArray.toSeq ===
+      wExpr.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq)
+
+    val hExpr = WordSetHits(
+      BoundReference(0, ArrayType(StringType), nullable = true), Seq("the", "fox"))
+    assert(!hExpr.isInstanceOf[CodegenFallback])
+    val hProj = GenerateUnsafeProjection.generate(Seq(hExpr))
+    val hRow = InternalRow(new GenericArrayData(Array[Any](
+      UTF8String.fromString("the"), UTF8String.fromString("cat"),
+      UTF8String.fromString("the"))))
+    assert(hProj(hRow).getLong(0) === 2L)
+    assert(hProj(hRow).getLong(0) === hExpr.eval(hRow))
+  }
+
   test("Dot64 ≡ aggregate(zip_with(*, +)) bit-for-bit on random vectors") {
     val rnd = new Random(11)
     val vecs = (0 until 50).map { _ =>
