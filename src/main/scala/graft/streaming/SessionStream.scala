@@ -32,10 +32,22 @@ object SessionStream {
   val GapUs: Long = EventsQueries.SessionGapUs
 
   /** How long a closed-session marker (which preserves the user's session
-    * counter) survives after its timeout before being garbage-collected.
-    * Bounds keyed state to users active within this horizon — the price is
-    * that a user idle longer restarts session numbering at 1. */
-  val MarkerTtlMs: Long = 24L * 3600 * 1000
+    * counter) survives past the session's close before being
+    * garbage-collected. Bounds keyed state to users active within this
+    * horizon — the price is that a user idle longer restarts session
+    * numbering at 1.
+    *
+    * The restart is decided in EVENT TIME (next event vs the marker's
+    * close + TTL), never by when the physical timeout happened to fire:
+    * the physical expiry can only lag the event-time one (the watermark
+    * when an event is processed is ≤ its timestamp), so numbering is a
+    * pure function of the feed, not of micro-batch chunking — asserted
+    * across random replays in SessionStreamSpec. Size it above the
+    * longest idle gap that should keep its numbering (7 days here, above
+    * the fixture's inter-session gaps). */
+  val MarkerTtlMs: Long = 7L * 24 * 3600 * 1000
+
+  private val MarkerTtlUs: Long = MarkerTtlMs * 1000
 
   private def fn(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -74,7 +86,14 @@ object SessionStream {
           st = Some(s.copy(lastUs = math.max(s.lastUs, e.tsUs), n = s.n + 1))
         case Some(s) =>
           if (s.n > 0) closed += close(s)
-          st = Some(SessionState(s.sessionIdx + 1, e.tsUs, e.tsUs, 1))
+          // continue the index only within the marker's EVENT-TIME TTL
+          // window ((prev close) + TTL); deciding by event time — not by
+          // whether the physical timeout already removed the marker —
+          // keeps numbering feed-deterministic under any chunking
+          val base =
+            if (e.tsUs - (s.lastUs + GapUs) > MarkerTtlUs) 0L
+            else s.sessionIdx
+          st = Some(SessionState(base + 1, e.tsUs, e.tsUs, 1))
         case None =>
           st = Some(SessionState(1, e.tsUs, e.tsUs, 1))
       }
