@@ -126,6 +126,9 @@ object Multimodal {
     * has to get right. */
   def resizeStub(r: MediaRow): ResizedImage = {
     val len = r.payload.length
+    // zero-byte payload: nothing to sample — pixel_sum 0, not a crash
+    // (the oracle's `% 0` would yield NULL; both engines pin 0 instead)
+    if (len == 0) return ResizedImage(r.doc_id, OutW, OutH, 0L)
     var sum = 0L
     var ty = 0
     while (ty < OutH) {
@@ -209,9 +212,10 @@ object Multimodal {
          |),
          |px AS (
          |  SELECT i.doc_id,
-         |         unicode(substr(i.text,
-         |           CAST((((ty.y * i.h) // 24) * i.w + ((tx.x * i.w) // 32))
-         |                % i.len + 1 AS INT), 1)) AS v
+         |         CASE WHEN i.len = 0 THEN 0 ELSE
+         |           unicode(substr(i.text,
+         |             CAST((((ty.y * i.h) // 24) * i.w + ((tx.x * i.w) // 32))
+         |                  % i.len + 1 AS INT), 1)) END AS v
          |  FROM imgs i,
          |       (SELECT range AS y FROM range(24)) ty,
          |       (SELECT range AS x FROM range(32)) tx

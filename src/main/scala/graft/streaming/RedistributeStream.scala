@@ -56,7 +56,19 @@ object RedistributeStream {
 
   /** Wire the loop: each micro-batch of transitions updates the registry
     * via `onUpdate` (the coordinator's single-threaded callback, exactly
-    * like the reference's mutex-guarded registry mutation). */
+    * like the reference's mutex-guarded registry mutation).
+    *
+    * RECOVERY CONTRACT: the registry lives in a driver-local var, NOT in
+    * the streaming checkpoint. On restart-from-checkpoint the stream
+    * resumes past already-consumed transitions, but `reg` restarts from
+    * `initial` — so a checkpointed deployment must either persist the
+    * registry in `onUpdate` (snapshot per batch, e.g. to the metadata
+    * store the coordinator serves from) and pass the last snapshot back
+    * as `initial`, or replay the full transition log from seq 0. This
+    * mirrors the reference, whose in-memory `ShardRegistry` also loses
+    * state on coordinator restart (no persistent metadata,
+    * `internal/coordinator/shard_registry.go:35-103`); `RecoverySpec`
+    * exercises the snapshot-and-resume path for the kv stream. */
   def start(transitions: Dataset[Transition], initial: Registry)(
       onUpdate: Registry => Unit): StreamingQuery = {
     var reg = initial
