@@ -19,6 +19,9 @@ import graft.oracle.Ora
   */
 object ClusterQueries {
 
+  /** The broadcast's total time budget (`cmd/coordinator/main.go:473`). */
+  val BroadcastBudgetMs = 4000L
+
   // ---- fixtures (mirrored literally in the DuckDB oracle) ----------------
 
   /** Registration log: n1..n3 register, n1 re-registers with a new address
@@ -99,7 +102,14 @@ object ClusterQueries {
   /** Per-probe status via the reference's counted-failure state machine
     * (`internal/coordinator/health_monitor.go:221-254`): 3rd consecutive
     * failure ⇒ unhealthy; any success ⇒ healthy; before any signal ⇒
-    * unknown. Batch shape: gaps-and-islands windows. */
+    * unknown. Batch shape: gaps-and-islands windows.
+    *
+    * SCALE NOTE: the windows partition by `node_id`, so this batch form's
+    * parallelism ceiling is the node count — fine for control-plane probe
+    * volume (the reference polls each node every 5 s), but the form that
+    * runs at scale is the keyed-state streaming twin
+    * ([[graft.streaming.HealthMonitor]]), where state is O(nodes) and
+    * throughput scales with executors, not with per-node history. */
   def probeStatus(spark: SparkSession, sfDir: String): DataFrame =
     probeStatusOf(probes(spark, sfDir))
 
@@ -353,6 +363,28 @@ object ClusterQueries {
         .orderBy(col("req_id"), col("node_id").asc_nulls_first)
     }),
 
+    // O14 — broadcast TIME-BUDGET semantics (`cmd/coordinator/
+    // main.go:473-486`): the fan-out is SEQUENTIAL under one shared 4 s
+    // context, so a slow node eats the budget of every node after it in
+    // membership order; later posts fail with deadline errors captured
+    // per node (partial completion tolerated). Modeled with a
+    // deterministic per-node latency dimension and a running-sum window.
+    // The unpartitioned window is 4 metadata rows — control-plane, like
+    // the reference's in-memory node slice, never data-plane.
+    "broadcast_time_budget" -> ((s, _) => {
+      import s.implicits._
+      val lat = Seq(("n1", 900L), ("n2", 1400L), ("n3", 1500L),
+        ("n4", 700L)).toDF("node_id", "latency_ms")
+      val w = Window.orderBy("first_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      membership(s).join(lat, "node_id")
+        .withColumn("cum_ms", sum(col("latency_ms")).over(w))
+        .select(col("node_id"), col("latency_ms"), col("cum_ms"),
+          when(col("cum_ms") <= BroadcastBudgetMs, "ok")
+            .otherwise("error: deadline exceeded").as("result"))
+        .orderBy("node_id")
+    }),
+
     // O10 — validated assignment upsert: rows outside 0 ≤ shard < 4 or with
     // an empty node are rejected (`shard_registry.go:173-193`), survivors
     // upsert LWW per shard; removal idempotence is the absent-shard row.
@@ -604,6 +636,21 @@ object ClusterQueries {
         |  SELECT req_id, path, NULL, NULL, payload, '400 invalid path'
         |  FROM reqs WHERE path NOT LIKE '/%'
         |) ORDER BY req_id, node_id NULLS FIRST""".stripMargin),
+
+    "broadcast_time_budget" -> (s"WITH $membershipSql,\n" +
+      s"""lat(node_id, latency_ms) AS (
+        |  VALUES ('n1', 900), ('n2', 1400), ('n3', 1500), ('n4', 700)
+        |)
+        |SELECT node_id, CAST(latency_ms AS BIGINT) AS latency_ms,
+        |       CAST(cum_ms AS BIGINT) AS cum_ms,
+        |       CASE WHEN cum_ms <= $BroadcastBudgetMs THEN 'ok'
+        |            ELSE 'error: deadline exceeded' END AS result
+        |FROM (
+        |  SELECT m.node_id, l.latency_ms,
+        |         sum(l.latency_ms) OVER (ORDER BY m.first_seq
+        |           ROWS UNBOUNDED PRECEDING) AS cum_ms
+        |  FROM membership m JOIN lat l USING (node_id)
+        |) ORDER BY node_id""".stripMargin),
 
     "shard_assign_validate" ->
       """WITH assign_log(seq, shard_id, node_id) AS (

@@ -73,6 +73,17 @@ class ClusterSpec extends SparkSpec {
       "per-node key totals partition the keyspace")
   }
 
+  test("broadcast budget: sequential fan-out degrades partially, in membership order") {
+    val rows = ClusterQueries.queries("broadcast_time_budget")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    // n1 (900) + n2 (1400) + n3 (1500) = 3800 <= 4000; n4 blows the budget
+    assert(rows("n1")._2 === "ok" && rows("n2")._2 === "ok" &&
+      rows("n3")._2 === "ok")
+    assert(rows("n4")._2 === "error: deadline exceeded")
+    assert(rows("n4")._1 > ClusterQueries.BroadcastBudgetMs)
+  }
+
   test("broadcast fan-out: unreachable node errors captured, rest ack") {
     val rows = ClusterQueries.queries("broadcast_fanout")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
