@@ -20,6 +20,8 @@ object EventsQueries {
 
   val SessionGapUs: Long = 30L * 60 * 1000000L // 30 minutes
   val WindowUs: Long = 10L * 60 * 1000000L // 10 minutes
+  val SlideUs: Long = 15L * 60 * 1000000L // sliding-window slide
+  val SlideCopies = 4 // 1-hour window / 15-minute slide
 
   /** Event time is truncated to MICROseconds: DuckDB's parquet reader
     * downcasts TIMESTAMP(NANOS) to its native µs TIMESTAMP, so µs is the
@@ -43,6 +45,24 @@ object EventsQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("total_value"))
         .orderBy("window_start", "event_type")),
+
+    // SLIDING 1-hour windows every 15 minutes: each event belongs to
+    // window/slide = 4 overlapping windows — the standard explode-by-k
+    // sliding shape (same dataflow as Spark's window(col, "1 hour",
+    // "15 minutes")), kept in integer µs for oracle exactness. Partial
+    // aggregation collapses the 4× inflation map-side; shuffle volume is
+    // one row per (map partition, window), not 4× the events.
+    "events_sliding_agg" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("ts"), col("value"),
+          explode(sequence(lit(0), lit(SlideCopies - 1))).as("k"))
+        .withColumn("window_start",
+          expr(s"((ts div $SlideUs) - k) * $SlideUs"))
+        .groupBy("window_start")
+        .agg(count("*").as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("window_start")),
 
     // sessionization: 30-minute-gap sessions per user via lag + running
     // sum (gaps-and-islands); all-integer arithmetic, exact on both engines
@@ -209,6 +229,15 @@ object EventsQueries {
          |       count(*) AS n,
          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+
+    "events_sliding_agg" -> (s"WITH $eventsSql,\n" +
+      s"""expanded AS (
+         |  SELECT ((ts // $SlideUs) - k.k) * $SlideUs AS window_start, value
+         |  FROM ev, (SELECT unnest(range($SlideCopies)) AS k) k
+         |)
+         |SELECT window_start, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM expanded GROUP BY 1 ORDER BY window_start""".stripMargin),
 
     "events_sessionize" -> (s"WITH $eventsSql,\n" +
       s"""lagged AS (

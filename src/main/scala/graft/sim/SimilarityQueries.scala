@@ -228,14 +228,16 @@ object SimilarityQueries {
     }),
 
     // ANN recall@5: the measurement that closes the ANN story — for a
-    // 10-query sample (vec_id % 50 = 0), compare each variant's top-5
-    // against the exact brute-force top-5 and emit per-query recall.
-    // The brute-force leg is Q×N — that is the measurement harness (Q is
-    // a fixed small sample), not the serving path; the candidates legs
-    // reuse the pruned bucket/cell scans that ARE the serving path.
+    // FIXED 10-query sample (vec_id % 50 = 0 below 500; fixed so the
+    // brute-force leg stays Q×N with constant Q at any corpus size,
+    // never N²/50), compare each variant's top-5 against the exact
+    // brute-force top-5 and emit per-query recall. The brute-force leg
+    // is the measurement harness, not the serving path; the candidates
+    // legs reuse the pruned bucket/cell scans that ARE the serving path.
     "sim_ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") % 50 === 0)
+      val sampled = col("vec_id") % 50 === 0 && col("vec_id") < 500
+      val qs = e.filter(sampled)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       def top5(scored: DataFrame): DataFrame = {
         val w = Window.partitionBy("q_id")
@@ -249,7 +251,7 @@ object SimilarityQueries {
           cosine(col("embedding"), col("q_emb")).as("cos_sim")))
       // LSH leg: candidates share the query's coarse bucket
       val b = bucketed(s, dir).withColumn("coarse", col("bucket") % 16)
-      val qb = b.filter(col("vec_id") % 50 === 0)
+      val qb = b.filter(sampled)
         .select(col("vec_id").as("q_id"), col("coarse"),
           col("embedding").as("q_emb"))
       val lsh = top5(b.join(broadcast(qb), "coarse")
@@ -434,7 +436,7 @@ object SimilarityQueries {
       "sim_ann_recall" -> (s"WITH $bucketedSql,\n" +
         s"""qs AS (
            |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-           |  WHERE vec_id % 50 = 0
+           |  WHERE vec_id % 50 = 0 AND vec_id < 500
            |),
            |truth AS (
            |  SELECT q_id, vec_id FROM (
@@ -447,7 +449,7 @@ object SimilarityQueries {
            |),
            |qb AS (
            |  SELECT vec_id AS q_id, bucket % 16 AS coarse, embedding AS q_emb
-           |  FROM bucketed WHERE vec_id % 50 = 0
+           |  FROM bucketed WHERE vec_id % 50 = 0 AND vec_id < 500
            |),
            |lsh_cand AS (
            |  SELECT q_id, vec_id FROM (

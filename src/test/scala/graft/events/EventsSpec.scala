@@ -14,6 +14,18 @@ class EventsSpec extends SparkSpec {
     assert(agg.forall(r => r.getLong(0) % EventsQueries.WindowUs === 0))
   }
 
+  test("sliding windows: every event lands in exactly window/slide windows") {
+    val agg = EventsQueries.queries("events_sliding_agg")(spark, sf).collect()
+    val nEvents = EventsQueries.events(spark, sf).count()
+    assert(agg.map(_.getLong(1)).sum === EventsQueries.SlideCopies * nEvents)
+    assert(agg.forall(r => r.getLong(0) % EventsQueries.SlideUs === 0))
+    // adjacent windows overlap: starts are slide apart, spans are 4 slides
+    val starts = agg.map(_.getLong(0)).sorted
+    assert(starts.sliding(2).forall {
+      case Array(a, b) => b - a >= EventsQueries.SlideUs; case _ => true
+    })
+  }
+
   test("sessions: positive durations, gap law holds within a user") {
     val sessions = EventsQueries.queries("events_sessionize")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
