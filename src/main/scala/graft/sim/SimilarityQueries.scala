@@ -32,6 +32,18 @@ object SimilarityQueries {
   val NProbe = 2 // IVF cells probed per query
   val QueryVec = 42L
 
+  /** Banded-LSH geometry for ANN near-dup PAIR generation (not point
+    * lookup): 16 hyperplanes → 4 bands × 4 bits. A single 8-bit bucket
+    * match (p_bit^8) would find almost no 0.45-cosine pairs; 4 chances at
+    * a 4-bit match is the standard OR-of-ANDs recall amplification. 4-bit
+    * bands ⇒ 16 buckets per band position, so expected bucket size is
+    * corpus/16 per band — the [[graft.dedup.DedupQueries.MaxPosting]] cap
+    * (mirrored in the oracle, same contract as the text dedups) bounds
+    * pair generation when a band bucket degenerates. */
+  val NumPlanesAnn = 16
+  val AnnBands = 4
+  val AnnBandBits = 4
+
   /** Deterministic ±1 hyperplanes from the engine's hash kernel. Uses bit
     * 16 of the hash: FNV-1a's LOW bit is just the XOR of input-byte parities
     * (multiplying by an odd prime preserves parity mod 2), so `hash % 2`
@@ -65,6 +77,28 @@ object SimilarityQueries {
         .otherwise(0L)
     }
     emb(s, dir).withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** The first [[NumPlanes]] ANN-banding planes coincide with
+    * [[hyperplanes]] (same seed strings), so the 16-bit signature's low
+    * byte IS the point-lookup bucket — one signature serves both paths. */
+  val annPlanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanesAnn).map { j =>
+      (0 until Dim).map { k =>
+        if (((Fnv1a32.hashString(s"hp:$j:$k") >> 16) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** (vec_id, embedding, nrm, sig16) — 16-bit banded-LSH signature plus
+    * the precomputed L2 norm the pair verification divides by. */
+  private def annSigned(s: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until NumPlanesAnn).map { j =>
+      when(dotLit(col("embedding"), annPlanes(j)) >= 0, 1L << j)
+        .otherwise(0L)
+    }
+    emb(s, dir)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("sig16", bits.reduce(_ + _))
   }
 
   val KmeansK = 8
@@ -324,6 +358,39 @@ object SimilarityQueries {
         .filter(col("cos_sim") >= CosineThreshold)
         .orderBy("vec_a", "vec_b")
     }),
+
+    // embedding near-dup pairs via banded LSH — the sub-linear scale path
+    // that dedup_embedding_cosine's comment names. Same plan family as the
+    // simhash pair dedups: one signature pass (checkpointed), band-bucket
+    // posting lists (cost Σ bucket², capped, never corpus²), exact cosine
+    // verification of candidates only. Precision is exactly 1 vs the
+    // quadratic baseline (verification is the same fold-exact cosine);
+    // recall is the banding probability — SimilaritySpec measures it
+    // against dedup_embedding_cosine on the fixture.
+    "dedup_embedding_ann" -> ((s, dir) => {
+      val e = annSigned(s, dir).localCheckpoint()
+      val cand = e.select(col("vec_id"), col("sig16"),
+          explode(sequence(lit(0), lit(AnnBands - 1))).as("c"))
+        .withColumn("chunk",
+          expr(s"shiftright(sig16, CAST($AnnBandBits * c AS INT)) & ${(1 << AnnBandBits) - 1}"))
+        .groupBy("c", "chunk").agg(collect_list(col("vec_id")).as("ids"))
+        .filter(size(col("ids"))
+          .between(2, graft.dedup.DedupQueries.MaxPosting))
+        .select(explode(col("ids")).as("vec_a"), col("ids"))
+        .select(col("vec_a"), explode(col("ids")).as("vec_b"))
+        .filter(col("vec_a") < col("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= CosineThreshold)
+        .orderBy("vec_a", "vec_b")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -526,6 +593,37 @@ object SimilarityQueries {
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            |WHERE ${Ora.cos64("a.embedding", "b.embedding")} >= $CosineThreshold
            |ORDER BY vec_a, vec_b""".stripMargin,
+
+      "dedup_embedding_ann" -> {
+        val bits16 = (0 until NumPlanesAnn).map { j =>
+          s"CASE WHEN ${Ora.dotLit64("embedding", annPlanes(j))} >= 0 " +
+            s"THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH signed16 AS (
+           |  SELECT vec_id, embedding, $bits16 AS sig16 FROM embeddings
+           |),
+           |chunks AS (
+           |  SELECT vec_id, (sig16 >> ($AnnBandBits * CAST(c AS INT))) & ${(1 << AnnBandBits) - 1} AS chunk, c
+           |  FROM signed16, (SELECT unnest(range($AnnBands)) AS c)
+           |),
+           |ok_chunks AS (
+           |  SELECT c, chunk FROM chunks GROUP BY c, chunk
+           |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+           |  JOIN ok_chunks o ON a.c = o.c AND a.chunk = o.chunk
+           |)
+           |SELECT vec_a, vec_b,
+           |       ${Ora.cos64("ea.embedding", "eb.embedding")} AS cos_sim
+           |FROM cand
+           |JOIN embeddings ea ON vec_a = ea.vec_id
+           |JOIN embeddings eb ON vec_b = eb.vec_id
+           |WHERE ${Ora.cos64("ea.embedding", "eb.embedding")} >= $CosineThreshold
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
     )
   }
 }

@@ -75,6 +75,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("banded-LSH near-dup: precision 1 vs the exact baseline, recall measured") {
+    val exact = SimilarityQueries.queries("dedup_embedding_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = SimilarityQueries.queries("dedup_embedding_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty)
+    // precision 1: every ANN pair is an exact-baseline pair, bit-equal score
+    ann.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"$pair not in exact baseline")
+      assert(exact(pair) === c, s"$pair cosine differs from baseline")
+    }
+    // recall: banding theory says ≥ ~1-(1-p^4)^4 per pair (p grows with
+    // cosine); planted near-dups are high-cosine, so corpus recall on the
+    // fixture sits well above the 0.45-threshold floor. Deterministic
+    // planes + data ⇒ a fixed number; bound it loosely as a regression pin.
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.5, f"banded-LSH recall collapsed: $recall%.2f")
+  }
+
   test("k-means cells partition the corpus and rerun bit-identically") {
     val run1 = SimilarityQueries.queries("sim_kmeans_cells")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
