@@ -29,4 +29,27 @@ object EventStream {
       .agg(count("*").as("n"))
       .select(unix_micros(col("window.start")).as("window_start"),
         col("eventType").as("event_type"), col("n"))
+
+  val SlideWindowLen = "1 hour"
+  val SlideLen = "15 minutes"
+
+  /** Structured Streaming twin of `events_sliding_agg`: Spark's native
+    * sliding `window()` assigns each event to its window/slide = 4
+    * overlapping epoch-aligned windows — the same window set the batch
+    * query derives by explode-by-k — and the decimal partial sums make
+    * the incremental aggregation exact, so a window's emitted total is
+    * bit-equal to the batch result regardless of how the feed is
+    * micro-batched. State is per-window (4 live rows per slide period
+    * plus the watermark lag), hash-partitioned; append mode emits each
+    * window exactly once when the watermark passes its end. */
+  def slidingTotals(events: Dataset[Event]): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", Watermark)
+      .groupBy(window(col("event_time"), SlideWindowLen, SlideLen))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("n"), col("total_value"))
 }

@@ -119,6 +119,35 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), fnv1a32(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // TF-IDF keyword extraction: top-3 terms per document. Two hash
+    // aggregates build the term-frequency and document-frequency tables
+    // (both with map-side combine), one shuffle join on term attaches
+    // df, and the per-doc top-k is a row_number window keyed by doc_id —
+    // parallelism = #docs, the right 100 TB shape. The idf factor is the
+    // RATIONAL N/df (exact integer values through the product, then one
+    // correctly-rounded division ⇒ bit-identical across engines) rather
+    // than ln(N/df), whose transcendental rounding is not portable; the
+    // rational variant is the engine's defined scoring, mirrored exactly
+    // in the oracle, with (score desc, term) as the deterministic order.
+    "text_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term").agg(count("*").as("tf"))
+      val df = tf.groupBy("term").agg(count("*").as("df"))
+      val n = docs(s, dir).count()
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") * lit(n.toDouble) /
+            col("df").cast("double")).as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // winnowing fingerprints (MOSS-style): hash every char 8-gram, keep
     // the minimum of each 4-hash window, dedupe — near-identical docs
     // share most fingerprints even under small edits, unlike the
@@ -228,6 +257,28 @@ object TextQueries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, ${Ora.fnv("text")} AS fp FROM documents ORDER BY doc_id",
+
+    "text_tfidf_keywords" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE term <> '' GROUP BY doc_id, term
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(tf AS DOUBLE) * (SELECT count(*) FROM documents)
+        |           / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id, term, tf, df, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "text_winnow_fingerprint" -> (
       s"""WITH hashed AS (

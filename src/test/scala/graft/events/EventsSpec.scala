@@ -85,4 +85,35 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === expected)
   }
+
+  test("streaming sliding agg matches batch windows bit-exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val all = EventsQueries.events(spark, sf).orderBy("ts").collect()
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // sentinel far enough out that its own 4 windows never close (no
+    // later event advances the watermark past them), while every real
+    // window's end falls behind the watermark and emits
+    val sentinelTs = all.map(_.tsUs).max + 2L * 3600 * 1000000
+    val sentinel = Event(-1L, sentinelTs, 0L, "sentinel", 0.0)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.slidingTotals(input.toDS())
+      .writeStream.format("memory").queryName("ev_slide_out")
+      .outputMode("append").start()
+    val batches = all.grouped(math.max(1, all.length / 3)).toSeq
+    for (b <- batches) { input.addData(b); q.processAllAvailable() }
+    input.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ev_slide_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = EventsQueries.queries("events_sliding_agg")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+  }
 }

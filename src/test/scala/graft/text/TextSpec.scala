@@ -39,6 +39,26 @@ class TextSpec extends SparkSpec {
     assert(dist.map(_.getLong(1)).sum === docs.count())
   }
 
+  test("tfidf keywords: rank law, score law, rarer-term dominance") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = TextQueries.queries("text_tfidf_keywords")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // score is exactly tf * N / df, and df can never exceed the corpus
+    rows.foreach { case (_, _, tf, df, score, _) =>
+      assert(df >= 1 && df <= n)
+      assert(score === tf.toDouble * n.toDouble / df.toDouble)
+    }
+    // per doc: ranks are 1..k (k ≤ 3) and scores weakly descend with rank
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._5).toSeq === sorted.map(_._5).toSeq.sortBy(-_))
+    }
+  }
+
   test("pii flags count planted emails and long digit runs") {
     import java.nio.file.Files
     import spark.implicits._
