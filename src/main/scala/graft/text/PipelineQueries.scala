@@ -21,6 +21,7 @@ object PipelineQueries {
 
   val QualityThreshold = 0.55
   val SampleRate = 10 // percent
+  val MixCap = 20 // max docs per language in the balanced mix
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the full cleaning cascade, summarized as verdict counts
@@ -43,6 +44,29 @@ object PipelineQueries {
             .otherwise("kept").as("verdict"))
         .groupBy("verdict").agg(count("*").as("n"))
         .orderBy("verdict")
+    }),
+
+    // balanced training mix: cap each language at MixCap documents,
+    // chosen by deterministic hash rank (no RNG state — the same docs are
+    // picked on any engine, any partitioning, any rerun). kept_id_sum is
+    // a selection checksum: the oracle agreeing on it means both engines
+    // picked the IDENTICAL documents, not merely the same count. The
+    // row_number window's parallelism is #langs — fine for a language
+    // mix; for high-cardinality groups use the two-stage per-partition
+    // heap + merge named on top_customers_per_nation.
+    "corpus_balanced_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("__h",
+          fnv1a32(concat(lit("mix:"), col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .groupBy("lang")
+        .agg(count("*").as("n_total"),
+          sum(when(col("rk") <= MixCap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= MixCap, col("doc_id"))).as("kept_id_sum"))
+        .orderBy("lang")
     }),
 
     // deterministic hash sampling, stratified by source language: the
@@ -81,6 +105,18 @@ object PipelineQueries {
          |    ELSE 'kept' END AS verdict
          |  FROM scored)
          |GROUP BY verdict ORDER BY verdict""".stripMargin),
+
+    "corpus_balanced_mix" -> (
+      s"""WITH ranked AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${Ora.fnv("'mix:' || doc_id")}, doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN rk <= $MixCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rk <= $MixCap THEN doc_id END) AS BIGINT) AS kept_id_sum
+         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
 
     "corpus_hash_sample" -> (
       s"""SELECT lang, count(*) AS n,

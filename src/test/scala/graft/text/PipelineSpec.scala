@@ -13,6 +13,29 @@ class PipelineSpec extends SparkSpec {
     assert(verdicts.getOrElse("near_dup", 0L) > 0, "planted dups must drop")
   }
 
+  test("balanced mix: per-lang cap honored, exact hash-minimal selection") {
+    import graft.hash.Fnv1a32
+    val rows = PipelineQueries.queries("corpus_balanced_mix")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTotal, nKept, _) =>
+      assert(nKept === math.min(nTotal, PipelineQueries.MixCap.toLong))
+    }
+    // the kept set must be exactly the MixCap hash-smallest docs per lang
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      lang -> ds.map(_._1)
+        .sortBy(id => (Fnv1a32.hashString(s"mix:$id"), id))
+        .take(PipelineQueries.MixCap).sum
+    }
+    rows.foreach { case (lang, _, _, keptSum) =>
+      assert(keptSum === expected(lang), s"selection differs for $lang")
+    }
+  }
+
   test("hash sampling is deterministic and near the target rate") {
     val a = PipelineQueries.queries("corpus_hash_sample")(spark, sf).collect()
     val b = PipelineQueries.queries("corpus_hash_sample")(spark, sf).collect()
