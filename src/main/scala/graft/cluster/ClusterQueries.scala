@@ -61,6 +61,15 @@ object ClusterQueries {
       .withColumn("node_idx",
         row_number().over(Window.orderBy("first_seq")).cast("long") - 1L)
 
+  /** Driver-side snapshot of [[healthyNodesIndexed]], in index order —
+    * the coordinator's in-memory healthy slice (`shard_registry.go` holds
+    * exactly this list in RAM). ≤ #nodes rows of control-plane metadata;
+    * collecting it once replaces re-deriving the windowed frame for a
+    * count() and again for a join. */
+  def healthyNodesSnapshot(spark: SparkSession): Seq[String] =
+    healthyNodesIndexed(spark).orderBy("node_idx").select("node_id")
+      .collect().map(_.getString(0)).toIndexedSeq
+
   /** Partial routing table: shards 0–2 assigned, shard 3 unassigned — the
     * 503 path (`cmd/coordinator/main.go:565-569`). */
   def partialAssignments(spark: SparkSession): DataFrame = {
@@ -148,12 +157,19 @@ object ClusterQueries {
         .orderBy(col("node_id").asc_nulls_first)),
 
     // O11 — full rebalance: shard i → healthyNodes[i mod n], all primary
-    // (`internal/coordinator/shard_registry.go:554-577`).
+    // (`internal/coordinator/shard_registry.go:554-577`). The healthy list
+    // is collected once as a driver-side snapshot — exactly the in-memory
+    // slice the reference's registry iterates (≤ #nodes rows, coordinator
+    // metadata, same class as the blessed dimension count()s) — and the
+    // shard domain maps over it with a literal lookup: zero shuffles,
+    // zero joins, so the rebalance costs one narrow map at ANY shard
+    // count (the count()-plus-rederive form paid three windowed
+    // micro-jobs whose scheduling noise dwarfed the actual work).
     "round_robin_rebalance" -> ((s, _) => {
-      val n = healthyNodesIndexed(s).count()
+      val nodes = healthyNodesSnapshot(s)
       s.range(4).select(col("id").as("shard_id"))
-        .withColumn("node_idx", pmod(col("shard_id"), lit(n)))
-        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+        .withColumn("node_id", element_at(typedLit(nodes),
+          pmod(col("shard_id"), lit(nodes.size.toLong)).cast("int") + 1))
         .select(col("shard_id"), col("node_id"), lit(true).as("is_primary"))
         .orderBy("shard_id")
     }),
