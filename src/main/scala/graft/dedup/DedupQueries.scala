@@ -38,7 +38,7 @@ object DedupQueries {
     * [[graft.functions.WordNgrams]] expression (one compiled loop per row;
     * the equivalent transform/concat_ws/array_distinct HOF pipeline costs
     * an interpreted lambda per shingle and dominated the whole query). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       graft.functions.WordNgrams.wordNgrams(split(col("text"), " "), 3)
         .as("shingles"))
@@ -275,7 +275,7 @@ object DedupQueries {
 
   // ---- oracles -----------------------------------------------------------
 
-  private val shingledSql: String =
+  private[graft] val shingledSql: String =
     """toksed AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |shingled AS (
       |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN

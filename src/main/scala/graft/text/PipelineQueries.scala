@@ -22,6 +22,8 @@ object PipelineQueries {
   val QualityThreshold = 0.55
   val SampleRate = 10 // percent
   val MixCap = 20 // max docs per language in the balanced mix
+  val BenchDocs = 5L // doc_id < 5 stands in for the held-out eval set
+  val ContaminationFrac = 0.5 // overlap fraction that flags a doc
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the full cleaning cascade, summarized as verdict counts
@@ -44,6 +46,32 @@ object PipelineQueries {
             .otherwise("kept").as("verdict"))
         .groupBy("verdict").agg(count("*").as("n"))
         .orderBy("verdict")
+    }),
+
+    // benchmark decontamination: the overlap check a training pipeline
+    // runs before trusting its corpus — every corpus doc is scored by how
+    // many of its word-3-gram shingles appear in the held-out benchmark
+    // set (docs 0..4 stand in for an eval suite). The benchmark shingle
+    // set is DISTINCT'd and broadcast — eval suites are tiny against a
+    // 100 TB corpus, so the probe never shuffles the corpus side; the
+    // per-doc overlap count is one hash aggregate. Only docs with ≥ 1
+    // overlapping shingle are emitted; `contaminated` flags overlap
+    // above [[ContaminationFrac]] of the doc's own shingles.
+    "corpus_contamination" -> ((s, dir) => {
+      val sh = DedupQueries.shingled(s, dir)
+      val bench = sh.filter(col("doc_id") < BenchDocs)
+        .select(explode(col("shingles")).as("sh")).distinct()
+      val corpus = sh.filter(col("doc_id") >= BenchDocs)
+      val hits = corpus
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count("*").as("n_overlap"))
+      corpus.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+        .join(hits, Seq("doc_id"))
+        .withColumn("overlap_frac",
+          col("n_overlap").cast("double") / col("n_sh"))
+        .withColumn("contaminated", col("overlap_frac") >= ContaminationFrac)
+        .orderBy("doc_id")
     }),
 
     // balanced training mix: cap each language at MixCap documents,
@@ -105,6 +133,29 @@ object PipelineQueries {
          |    ELSE 'kept' END AS verdict
          |  FROM scored)
          |GROUP BY verdict ORDER BY verdict""".stripMargin),
+
+    "corpus_contamination" -> (
+      s"""WITH ${DedupQueries.shingledSql},
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS sh FROM shingled
+         |  WHERE doc_id < $BenchDocs
+         |),
+         |corpus AS (
+         |  SELECT doc_id, shingles FROM shingled WHERE doc_id >= $BenchDocs
+         |),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_overlap
+         |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM corpus) c
+         |  JOIN bench USING (sh)
+         |  GROUP BY c.doc_id
+         |)
+         |SELECT c.doc_id, CAST(len(c.shingles) AS BIGINT) AS n_sh,
+         |       h.n_overlap,
+         |       CAST(h.n_overlap AS DOUBLE) / len(c.shingles) AS overlap_frac,
+         |       CAST(h.n_overlap AS DOUBLE) / len(c.shingles)
+         |         >= $ContaminationFrac AS contaminated
+         |FROM corpus c JOIN hits h USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin),
 
     "corpus_balanced_mix" -> (
       s"""WITH ranked AS (

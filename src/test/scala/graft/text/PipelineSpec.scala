@@ -13,6 +13,20 @@ class PipelineSpec extends SparkSpec {
     assert(verdicts.getOrElse("near_dup", 0L) > 0, "planted dups must drop")
   }
 
+  test("contamination: overlap laws hold and benchmark docs are excluded") {
+    val rows = PipelineQueries.queries("corpus_contamination")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty, "some corpus doc must share a shingle with bench")
+    rows.foreach { case (docId, nSh, nOverlap, frac, contaminated) =>
+      assert(docId >= PipelineQueries.BenchDocs)
+      assert(nOverlap >= 1 && nOverlap <= nSh)
+      assert(frac === nOverlap.toDouble / nSh)
+      assert(contaminated === (frac >= PipelineQueries.ContaminationFrac))
+    }
+  }
+
   test("balanced mix: per-lang cap honored, exact hash-minimal selection") {
     import graft.hash.Fnv1a32
     val rows = PipelineQueries.queries("corpus_balanced_mix")(spark, sf)
