@@ -119,6 +119,38 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), fnv1a32(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Repetition filters (the Gopher-class quality signals): per doc, the
+    // distinct-token ratio, the most-frequent-token dominance, and the
+    // duplicate word-2-gram fraction. A repetitive (spammy/boilerplate)
+    // doc scores low distinct_ratio and high top_token_frac /
+    // dup_2gram_frac. One shuffle on (doc_id, token) with map-side
+    // combine for the frequency stats; the 2-gram leg is a narrow
+    // per-row pass through the native WordNgrams kernel. All scores are
+    // single correctly-rounded divisions of exact integers — bit-equal
+    // across engines.
+    "text_repetition_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val counts = d.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count("*").as("c"))
+      val tokstats = counts.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count("*").as("n_distinct"),
+          max("c").as("top_c"))
+      val gram = d.select(col("doc_id"), size(col("toks")).as("n_tok"),
+        size(graft.functions.WordNgrams.wordNgrams(col("toks"), 2))
+          .as("n_dg"))
+      tokstats.join(gram, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_distinct").cast("double") / col("n_tokens"))
+            .as("distinct_ratio"),
+          (col("top_c").cast("double") / col("n_tokens"))
+            .as("top_token_frac"),
+          (lit(1.0) - col("n_dg").cast("double") / (col("n_tok") - 1))
+            .as("dup_2gram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document. Two hash
     // aggregates build the term-frequency and document-frequency tables
     // (both with map-side combine), one shuffle join on term attaches
@@ -257,6 +289,33 @@ object TextQueries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, ${Ora.fnv("text")} AS fp FROM documents ORDER BY doc_id",
+
+    "text_repetition_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |counts AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+        |  GROUP BY doc_id, w
+        |),
+        |tokstats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+        |  FROM counts GROUP BY doc_id
+        |),
+        |gram AS (
+        |  SELECT doc_id, len(toks) AS n_tok,
+        |         len(list_distinct(list_transform(range(len(toks) - 1), i ->
+        |           toks[i+1] || ' ' || toks[i+2]))) AS n_dg
+        |  FROM tok WHERE len(toks) >= 2
+        |)
+        |SELECT t.doc_id, t.n_tokens,
+        |       CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio,
+        |       CAST(t.top_c AS DOUBLE) / t.n_tokens AS top_token_frac,
+        |       1.0 - CAST(g.n_dg AS DOUBLE) / (g.n_tok - 1) AS dup_2gram_frac
+        |FROM tokstats t JOIN gram g USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "text_tfidf_keywords" ->
       """WITH terms AS (

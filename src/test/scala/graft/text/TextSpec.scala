@@ -39,6 +39,27 @@ class TextSpec extends SparkSpec {
     assert(dist.map(_.getLong(1)).sum === docs.count())
   }
 
+  test("repetition stats match a driver-side recompute on sample docs") {
+    val got = TextQueries.queries("text_repetition_stats")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val sample = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    sample.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val byTok = toks.groupBy(identity).map(_._2.length.toLong)
+      val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val (nTokens, distinctRatio, topFrac, dupFrac) = got(id)
+      assert(nTokens === n)
+      assert(distinctRatio === byTok.size.toDouble / n)
+      assert(topFrac === byTok.max.toDouble / n)
+      assert(dupFrac === 1.0 - grams.distinct.size.toDouble / (n - 1))
+    }
+  }
+
   test("tfidf keywords: rank law, score law, rarer-term dominance") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val rows = TextQueries.queries("text_tfidf_keywords")(spark, sf)
