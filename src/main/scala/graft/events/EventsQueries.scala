@@ -22,6 +22,7 @@ object EventsQueries {
   val WindowUs: Long = 10L * 60 * 1000000L // 10 minutes
   val SlideUs: Long = 15L * 60 * 1000000L // sliding-window slide
   val SlideCopies = 4 // 1-hour window / 15-minute slide
+  val DayUs: Long = 24L * 3600 * 1000000L
 
   /** Event time is truncated to MICROseconds: DuckDB's parquet reader
     * downcasts TIMESTAMP(NANOS) to its native µs TIMESTAMP, so µs is the
@@ -174,6 +175,27 @@ object EventsQueries {
         sum(when(col("op") === "get", 1L).otherwise(0L)).as("n_get"),
         sum(when(col("op") === "put", 1L).otherwise(0L)).as("n_put"),
         sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_delete"))),
+
+    // day-over-day retention: of day d's active users, how many are also
+    // active on d+1. The (user, day) activity set is distinct'd once —
+    // the shuffle that dominates; the self-join probes it shifted by one
+    // day on the same (user_id, day) key, and the rate is one
+    // correctly-rounded division. User-dimension-sized frames throughout
+    // (never event-sized after the distinct) — cohort analytics at 100 TB
+    // is exactly this shape.
+    "events_retention" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(col("user_id"), expr(s"ts div $DayUs").as("day"))
+        .distinct()
+      val next = daily.select(col("user_id"),
+        (col("day") - 1).as("day"), lit(1).as("ret"))
+      daily.join(next, Seq("user_id", "day"), "left")
+        .groupBy("day")
+        .agg(count("*").as("n_users"), count(col("ret")).as("n_retained"))
+        .withColumn("retention",
+          col("n_retained").cast("double") / col("n_users"))
+        .orderBy("day")
+    }),
   )
 
   // lazy: eventsSql is declared below; a strict val would capture null
@@ -208,6 +230,14 @@ object EventsQueries {
         |EXCEPT
         |SELECT user_id, day FROM evd WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin),
+
+    "events_retention" -> (s"WITH ${eventsSql},\n" +
+      s"""daily AS (SELECT DISTINCT user_id, ts // $DayUs AS day FROM ev)
+         |SELECT a.day, count(*) AS n_users, count(b.user_id) AS n_retained,
+         |       CAST(count(b.user_id) AS DOUBLE) / count(*) AS retention
+         |FROM daily a LEFT JOIN daily b
+         |  ON a.user_id = b.user_id AND b.day = a.day + 1
+         |GROUP BY a.day ORDER BY a.day""".stripMargin),
 
     "kv_op_counters_pivot" -> (s"WITH ${graft.oracle.Ora.kvLog}\n" +
       """SELECT

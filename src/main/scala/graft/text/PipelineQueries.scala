@@ -22,6 +22,7 @@ object PipelineQueries {
   val QualityThreshold = 0.55
   val SampleRate = 10 // percent
   val MixCap = 20 // max docs per language in the balanced mix
+  val MixSalts = 8 // stage-1 fan-out of the two-stage per-language top-k
   val BenchDocs = 5L // doc_id < 5 stands in for the held-out eval set
   val ContaminationFrac = 0.5 // overlap fraction that flags a doc
 
@@ -78,22 +79,37 @@ object PipelineQueries {
     // chosen by deterministic hash rank (no RNG state — the same docs are
     // picked on any engine, any partitioning, any rerun). kept_id_sum is
     // a selection checksum: the oracle agreeing on it means both engines
-    // picked the IDENTICAL documents, not merely the same count. The
-    // row_number window's parallelism is #langs — fine for a language
-    // mix; for high-cardinality groups use the two-stage per-partition
-    // heap + merge named on top_customers_per_nation.
+    // picked the IDENTICAL documents, not merely the same count.
+    //
+    // TWO-STAGE top-k: a single window per language would sort the whole
+    // majority language in one partition (parallelism = #langs — a real
+    // ceiling when one language is half a 100 TB corpus). Stage 1 ranks
+    // within (lang, salt) — MixSalts× the parallelism — and keeps each
+    // salt's top MixCap; any doc in the language's true top MixCap is in
+    // its own salt's top MixCap, so the prune is lossless. Stage 2 ranks
+    // the ≤ MixCap·MixSalts survivors per language — a window over a
+    // dimension-sized frame. The totals come from a plain aggregate, not
+    // the window. The DuckDB oracle uses the naive single window: same
+    // semantics, so agreement also proves the two-stage form lossless.
     "corpus_balanced_mix" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
-      s.read.parquet(s"$dir/documents.parquet")
+      val hashed = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"))
         .withColumn("__h",
           fnv1a32(concat(lit("mix:"), col("doc_id").cast("string"))))
-        .withColumn("rk", row_number().over(w))
-        .groupBy("lang")
-        .agg(count("*").as("n_total"),
-          sum(when(col("rk") <= MixCap, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("rk") <= MixCap, col("doc_id"))).as("kept_id_sum"))
+      val w1 = Window.partitionBy("lang", "__salt")
+        .orderBy(col("__h"), col("doc_id"))
+      val w2 = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+      val kept = hashed
+        .withColumn("__salt", pmod(col("doc_id"), lit(MixSalts.toLong)))
+        .withColumn("rk1", row_number().over(w1))
+        .filter(col("rk1") <= MixCap)
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= MixCap)
+      hashed.groupBy("lang").agg(count("*").as("n_total"))
+        .join(kept.groupBy("lang")
+          .agg(count("*").as("n_kept"), sum(col("doc_id")).as("kept_id_sum")),
+          Seq("lang"))
         .orderBy("lang")
     }),
 

@@ -57,6 +57,24 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("retention matches a driver-side recompute of the daily active sets") {
+    val daily = EventsQueries.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(1) / EventsQueries.DayUs, r.getLong(0)))
+      .distinct.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val got = EventsQueries.moreQueries("events_retention")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === daily.keySet)
+    got.foreach { case (day, nUsers, nRetained, rate) =>
+      val active = daily(day)
+      val retained = daily.get(day + 1).fold(0)(n => (active & n).size)
+      assert(nUsers === active.size.toLong)
+      assert(nRetained === retained.toLong)
+      assert(rate === retained.toDouble / active.size)
+    }
+  }
+
   test("streaming tumbling agg matches batch counts once watermark closes windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
