@@ -151,7 +151,22 @@ object DedupQueries {
         }.reduce(_ + _).as("simhash64"))
   }
 
+  val TopNgrams = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus-wide repeated-shingle audit (boilerplate / memorization-risk
+    // scan): the TopNgrams most document-frequent word-3-grams. One
+    // shuffle (groupBy shingle, map-side combine over the per-doc
+    // DISTINCT shingles) and a TakeOrderedAndProject top-k — never a
+    // global sort. The same inverted index the near-dup path builds,
+    // read for its heaviest keys.
+    "corpus_top_ngrams" -> ((s, dir) =>
+      shingled(s, dir)
+        .select(explode(col("shingles")).as("sh"))
+        .groupBy("sh").agg(count("*").as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("sh"))
+        .limit(TopNgrams)),
+
     // exact dedup: content-hash groupBy; summary proves the operator on a
     // corpus with no exact dups (planted dups are near-dups, caught below).
     // ONE corpus scan: groupBy(h).count() then a single agg over the group
@@ -375,6 +390,11 @@ object DedupQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "corpus_top_ngrams" -> (s"WITH $shingledSql\n" +
+      s"""SELECT sh, count(*) AS doc_freq
+         |FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+         |GROUP BY sh ORDER BY doc_freq DESC, sh LIMIT $TopNgrams""".stripMargin),
+
     "dedup_exact" ->
       """SELECT
         |  (SELECT count(*) FROM documents) AS n_docs,

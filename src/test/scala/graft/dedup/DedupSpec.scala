@@ -12,6 +12,20 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(2) === 0L)
   }
 
+  test("top ngrams: bounded doc-freq, descending, TakeOrdered plan") {
+    val df = DedupQueries.queries("corpus_top_ngrams")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= DedupQueries.TopNgrams)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { case (sh, f) =>
+      assert(sh.split(" ").length === 3)
+      assert(f >= 1 && f <= nDocs) // per-doc distinct ⇒ doc frequency
+    }
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sortBy(-_))
+  }
+
   test("ngram jaccard finds the planted near-duplicates") {
     val pairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
