@@ -25,6 +25,8 @@ object PipelineQueries {
   val MixSalts = 8 // stage-1 fan-out of the two-stage per-language top-k
   val BenchDocs = 5L // doc_id < 5 stands in for the held-out eval set
   val ContaminationFrac = 0.5 // overlap fraction that flags a doc
+  val SeqLen = 256L // tokens per packed training sequence
+  val PackShards = 8L // independent packing streams
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the full cleaning cascade, summarized as verdict counts
@@ -47,6 +49,39 @@ object PipelineQueries {
             .otherwise("kept").as("verdict"))
         .groupBy("verdict").agg(count("*").as("n"))
         .orderBy("verdict")
+    }),
+
+    // sequence-packing planner: the pretokenization step that packs
+    // documents into fixed SeqLen-token training sequences. Docs are
+    // hash-assigned to PackShards independent packing streams and laid
+    // end-to-end in deterministic doc order inside each — exactly how
+    // distributed packing runs (each executor packs its shard; shard
+    // count scales with the cluster, so the per-shard running-sum window
+    // is the unit of sequential work by construction, not a bottleneck).
+    // Emits per shard: docs, tokens, sequences produced, docs straddling
+    // a sequence boundary (split across sequences), and the fill
+    // fraction — all integer-exact, one division for the fraction.
+    "corpus_pack_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("shard", pmod(
+          fnv1a32(concat(lit("pack:"), col("doc_id").cast("string"))),
+          lit(PackShards)))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = d.withColumn("end_off", sum(col("n_tok")).over(w))
+        .withColumn("start_off", col("end_off") - col("n_tok"))
+      off.groupBy("shard")
+        .agg(count("*").as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(when(expr(s"start_off div $SeqLen") =!=
+            expr(s"(end_off - 1) div $SeqLen"), 1L).otherwise(0L))
+            .as("n_straddlers"),
+          expr(s"(max(end_off) + ${SeqLen - 1}) div $SeqLen").as("n_seqs"))
+        .withColumn("fill_frac",
+          col("n_tokens").cast("double") / (col("n_seqs") * lit(SeqLen)))
+        .orderBy("shard")
     }),
 
     // benchmark decontamination: the overlap check a training pipeline
@@ -149,6 +184,28 @@ object PipelineQueries {
          |    ELSE 'kept' END AS verdict
          |  FROM scored)
          |GROUP BY verdict ORDER BY verdict""".stripMargin),
+
+    "corpus_pack_stats" -> (
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         ${Ora.fnv("'pack:' || doc_id")} % $PackShards AS shard
+         |  FROM documents
+         |),
+         |offs AS (
+         |  SELECT shard, doc_id, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+         |  FROM d
+         |),
+         |offs2 AS (SELECT *, end_off - n_tok AS start_off FROM offs)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN start_off // $SeqLen <> (end_off - 1) // $SeqLen
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+         |  CAST((max(end_off) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tok) AS DOUBLE)
+         |    / (((max(end_off) + ${SeqLen - 1}) // $SeqLen) * $SeqLen) AS fill_frac
+         |FROM offs2 GROUP BY shard ORDER BY shard""".stripMargin),
 
     "corpus_contamination" -> (
       s"""WITH ${DedupQueries.shingledSql},

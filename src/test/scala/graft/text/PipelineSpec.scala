@@ -13,6 +13,33 @@ class PipelineSpec extends SparkSpec {
     assert(verdicts.getOrElse("near_dup", 0L) > 0, "planted dups must drop")
   }
 
+  test("sequence packing matches a driver-side greedy layout per shard") {
+    import graft.hash.Fnv1a32
+    val L = PipelineQueries.SeqLen
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val expected = docs
+      .groupBy { case (id, _) =>
+        Fnv1a32.hashString(s"pack:$id") % PipelineQueries.PackShards }
+      .map { case (shard, ds) =>
+        val sorted = ds.sortBy(_._1)
+        val offs = sorted.map(_._2).scanLeft(0L)(_ + _)
+        val total = offs.last
+        val straddlers = sorted.indices.count { i =>
+          offs(i) / L != (offs(i + 1) - 1) / L }
+        val nSeqs = (total + L - 1) / L
+        shard -> ((sorted.length.toLong, total, straddlers.toLong, nSeqs,
+          total.toDouble / (nSeqs * L)))
+      }
+    val got = PipelineQueries.queries("corpus_pack_stats")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (shard, e) => assert(got(shard) === e, s"shard $shard") }
+  }
+
   test("contamination: overlap laws hold and benchmark docs are excluded") {
     val rows = PipelineQueries.queries("corpus_contamination")(spark, sf)
       .collect()
