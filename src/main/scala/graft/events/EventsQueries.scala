@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
 object EventsQueries {
 
   val SessionGapUs: Long = 30L * 60 * 1000000L // 30 minutes
+  val CmsDepth = 3 // count-min sketch rows
+  val CmsWidth = 512 // count-min sketch buckets per row
   val WindowUs: Long = 10L * 60 * 1000000L // 10 minutes
   val SlideUs: Long = 15L * 60 * 1000000L // sliding-window slide
   val SlideCopies = 4 // 1-hour window / 15-minute slide
@@ -196,6 +198,58 @@ object EventsQueries {
           col("n_retained").cast("double") / col("n_users"))
         .orderBy("day")
     }),
+
+    // heavy hitters via count-min sketch, ORACLE-CHECKED: the fixed-state
+    // frequency primitive — where exact per-item counts would shuffle
+    // every distinct item at 100 TB, the CMS is depth×width longs merged
+    // associatively (map-side partials), probed here for the exact top-10
+    // users. Deterministic over the engine's fnv1a32, so DuckDB reproduces
+    // every estimate bit-for-bit; CmsSketchSpec proves the ≥-exact bound
+    // and partition invariance.
+    "events_cms_topk" -> ((s, dir) => {
+      import graft.sketch.CmsCounts
+      val ev = events(s, dir)
+        .withColumn("u", col("user_id").cast("string"))
+      val sketch = ev.agg(
+        CmsCounts.cmsCounts(col("u"), CmsDepth, CmsWidth).as("sk"))
+      ev.groupBy("user_id", "u").agg(count("*").as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+        .crossJoin(broadcast(sketch))
+        .select(col("user_id"), col("n_exact"),
+          CmsCounts.estimate(col("sk"), col("u"), CmsDepth, CmsWidth)
+            .as("n_cms"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    }),
+
+    // sequential conversion funnel view → click → purchase within a day:
+    // each stage's entry is the user's FIRST qualifying event at or after
+    // the previous stage's entry (a click before the day's first view does
+    // not count). Three grouped min-aggregations over (user, day) — after
+    // the first shuffle every stage joins and re-groups on the same key,
+    // so stages 2 and 3 are co-partitioned joins of user-day-sized frames,
+    // never event-sized re-shuffles. Integer-µs throughout.
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("day", expr(s"ts div $DayUs"))
+      val viewed = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "day").agg(min("ts").as("v_ts"))
+      val clicked = ev.filter(col("event_type") === "click")
+        .join(viewed, Seq("user_id", "day"))
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id", "day").agg(min("ts").as("c_ts"))
+      val purchased = ev.filter(col("event_type") === "purchase")
+        .join(clicked, Seq("user_id", "day"))
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id", "day").agg(min("ts").as("p_ts"))
+      viewed.groupBy("day").agg(count("*").as("n_viewed"))
+        .join(clicked.groupBy("day").agg(count("*").as("n_clicked")),
+          Seq("day"), "left")
+        .join(purchased.groupBy("day").agg(count("*").as("n_purchased")),
+          Seq("day"), "left")
+        .select(col("day"), col("n_viewed"),
+          coalesce(col("n_clicked"), lit(0L)).as("n_clicked"),
+          coalesce(col("n_purchased"), lit(0L)).as("n_purchased"))
+        .orderBy("day")
+    }),
   )
 
   // lazy: eventsSql is declared below; a strict val would capture null
@@ -238,6 +292,48 @@ object EventsQueries {
          |FROM daily a LEFT JOIN daily b
          |  ON a.user_id = b.user_id AND b.day = a.day + 1
          |GROUP BY a.day ORDER BY a.day""".stripMargin),
+
+    // per-(row, bucket) GROUP BY sums ARE the sketch; min over the d
+    // matched buckets is the estimate — same arithmetic as the aggregate
+    "events_cms_topk" -> (s"WITH ${eventsSql},\n" +
+      s"""sk AS (
+         |  SELECT r.r,
+         |         ${graft.oracle.Ora.fnv("CAST(ev.user_id AS VARCHAR) || ':' || r.r")}
+         |           % $CmsWidth AS b,
+         |         count(*) AS c
+         |  FROM ev, (SELECT unnest(range($CmsDepth)) AS r) r
+         |  GROUP BY r.r, b
+         |),
+         |exact AS (
+         |  SELECT user_id, CAST(user_id AS VARCHAR) AS u, count(*) AS n_exact
+         |  FROM ev GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10
+         |)
+         |SELECT e.user_id, e.n_exact, CAST(min(s.c) AS BIGINT) AS n_cms
+         |FROM exact e JOIN sk s
+         |  ON s.b = ${graft.oracle.Ora.fnv("e.u || ':' || s.r")} % $CmsWidth
+         |GROUP BY e.user_id, e.n_exact
+         |ORDER BY e.n_exact DESC, e.user_id""".stripMargin),
+
+    "events_funnel" -> (s"WITH ${eventsSql},\n" +
+      s"""evd AS (SELECT user_id, event_type, ts, ts // $DayUs AS day FROM ev),
+         |v1 AS (SELECT user_id, day, min(ts) AS v_ts FROM evd
+         |       WHERE event_type = 'view' GROUP BY user_id, day),
+         |c1 AS (SELECT e.user_id, e.day, min(e.ts) AS c_ts
+         |       FROM evd e JOIN v1 USING (user_id, day)
+         |       WHERE e.event_type = 'click' AND e.ts >= v1.v_ts
+         |       GROUP BY e.user_id, e.day),
+         |p1 AS (SELECT e.user_id, e.day, min(e.ts) AS p_ts
+         |       FROM evd e JOIN c1 USING (user_id, day)
+         |       WHERE e.event_type = 'purchase' AND e.ts >= c1.c_ts
+         |       GROUP BY e.user_id, e.day),
+         |fv AS (SELECT day, count(*) AS n_viewed FROM v1 GROUP BY day),
+         |fc AS (SELECT day, count(*) AS n_clicked FROM c1 GROUP BY day),
+         |fp AS (SELECT day, count(*) AS n_purchased FROM p1 GROUP BY day)
+         |SELECT fv.day, fv.n_viewed,
+         |       CAST(coalesce(fc.n_clicked, 0) AS BIGINT) AS n_clicked,
+         |       CAST(coalesce(fp.n_purchased, 0) AS BIGINT) AS n_purchased
+         |FROM fv LEFT JOIN fc USING (day) LEFT JOIN fp USING (day)
+         |ORDER BY fv.day""".stripMargin),
 
     "kv_op_counters_pivot" -> (s"WITH ${graft.oracle.Ora.kvLog}\n" +
       """SELECT

@@ -101,6 +101,18 @@ object KeyspaceQueries {
     "kv_op_counters" -> ((s, dir) =>
       KvLog.log(s, dir).groupBy("op").agg(count("*").as("n"))
         .orderBy("op")),
+
+    // O2/O7 — INCREMENTAL compaction: per-shard stats derived from the
+    // base-snapshot + delta-tail merge ([[KvLog.incrementalState]]) instead
+    // of a full history recompaction. `n_delta_won` counts keys whose
+    // winning write arrived after the split — the work a real compactor
+    // actually does per cycle. CompactionLawSpec asserts the merged state
+    // is row-identical to the full recompaction.
+    "kv_compact_incremental" -> ((s, dir) =>
+      KvLog.incrementalState(s, dir).groupBy("shard_id")
+        .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"),
+          sum(when(col("from_delta"), 1L).otherwise(0L)).as("n_delta_won"))
+        .orderBy("shard_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -145,5 +157,32 @@ object KeyspaceQueries {
 
     "kv_op_counters" -> (s"WITH ${Ora.kvLog}\n" +
       "SELECT op, count(*) AS n FROM kv_log GROUP BY op ORDER BY op"),
+
+    // mirrors the incremental base+delta derivation, not the full
+    // recompaction — both engines walk the same split/merge path
+    "kv_compact_incremental" -> (s"WITH ${Ora.kvLog},\n" +
+      s"""w AS (SELECT seq, op, key, value FROM kv_log
+         |       WHERE op IN ('put', 'delete')),
+         |t AS (SELECT max(seq) // 2 AS t FROM w),
+         |base AS (
+         |  SELECT max(seq) AS seq, 'put' AS op, key,
+         |         arg_max(value, seq) AS value
+         |  FROM w, t WHERE seq <= t.t GROUP BY key
+         |  HAVING arg_max(op, seq) = 'put'
+         |),
+         |delta AS (SELECT seq, op, key, value FROM w, t WHERE seq > t.t),
+         |merged AS (
+         |  SELECT key, arg_max(value, seq) AS value,
+         |         max(CASE WHEN seq > (SELECT t FROM t) THEN 1 ELSE 0 END)
+         |           AS from_delta
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |  GROUP BY key HAVING arg_max(op, seq) = 'put'
+         |),
+         |st AS (SELECT key, value, from_delta, ${Ora.shard("key")} AS shard_id
+         |       FROM merged)
+         |SELECT shard_id, count(*) AS n_keys,
+         |       CAST(sum(length(value)) AS BIGINT) AS n_bytes,
+         |       CAST(sum(from_delta) AS BIGINT) AS n_delta_won
+         |FROM st GROUP BY shard_id ORDER BY shard_id""".stripMargin),
   )
 }

@@ -93,4 +93,39 @@ object KvLog {
   def state(spark: SparkSession, sfDir: String): DataFrame =
     compact(log(spark, sfDir))
       .select(col("key"), col("value"), shardId(col("key")).as("shard_id"))
+
+  /** Incremental (base + delta) compaction — the shape a log-structured
+    * store actually runs at 100 TB. A full recompaction rescans the entire
+    * history every time; here the log is split at `t = max(seq) div 2`
+    * into an already-compacted base snapshot (one row per live key,
+    * carrying its last write seq) and a small delta tail, and only
+    * base ∪ delta is LWW-merged. Tombstone algebra holds across the seam:
+    * a key whose final pre-`t` op is a delete is simply absent from the
+    * complete-prefix base (no tombstone carry needed), a delta delete
+    * out-ranks any base seq, and a delta put resurrects a base-deleted
+    * key. [[graft.keyspace.CompactionLawSpec]] asserts the merged state is
+    * row-identical to the full recompaction.
+    *
+    * Returns `(key, value, shard_id, from_delta)` where `from_delta`
+    * marks keys whose winning write arrived after the split.
+    */
+  def incrementalState(spark: SparkSession, sfDir: String): DataFrame = {
+    val writes = log(spark, sfDir).filter(col("op").isin("put", "delete"))
+    val split = writes.agg(expr("max(seq) div 2").as("t"))
+    val w = writes.crossJoin(broadcast(split))
+    val base = w.filter(col("seq") <= col("t"))
+      .groupBy("key")
+      .agg(max_by(col("value"), col("seq")).as("value"),
+        max_by(col("op"), col("seq")).as("op"),
+        max(col("seq")).as("seq"))
+      .filter(col("op") === "put")
+      .select(col("seq"), lit("put").as("op"), col("key"), col("value"))
+    val delta = w.filter(col("seq") > col("t"))
+      .select("seq", "op", "key", "value")
+    compact(base.unionByName(delta))
+      .join(delta.select(col("key")).distinct()
+        .withColumn("from_delta", lit(true)), Seq("key"), "left")
+      .select(col("key"), col("value"), shardId(col("key")).as("shard_id"),
+        coalesce(col("from_delta"), lit(false)).as("from_delta"))
+  }
 }

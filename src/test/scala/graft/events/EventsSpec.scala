@@ -75,6 +75,34 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("funnel matches a driver-side sequential replay and is monotone") {
+    val byUserDay = EventsQueries.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => ((r.getLong(0), r.getLong(1) / EventsQueries.DayUs),
+        (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sortBy(_._1) }
+    // sequential replay: first view, first click >= that, first purchase >= that
+    val stages = byUserDay.toSeq.flatMap { case ((_, day), evs) =>
+      val v = evs.collectFirst { case (ts, "view") => ts }
+      val c = v.flatMap(vt =>
+        evs.collectFirst { case (ts, "click") if ts >= vt => ts })
+      val p = c.flatMap(ct =>
+        evs.collectFirst { case (ts, "purchase") if ts >= ct => ts })
+      v.map(_ => (day, 1, c.size, p.size))
+    }
+    val expected = stages.groupBy(_._1).map { case (d, xs) =>
+      d -> ((xs.map(_._2).sum.toLong, xs.map(_._3).sum.toLong,
+        xs.map(_._4).sum.toLong))
+    }
+    val got = EventsQueries.moreQueries("events_funnel")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    got.values.foreach { case (v, c, p) => assert(v >= c && c >= p) }
+    assert(got.values.map(_._3).sum > 0, "no purchases reach stage 3 — fixture degenerate")
+  }
+
   test("streaming tumbling agg matches batch counts once watermark closes windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -37,4 +37,20 @@ class CompactionLawSpec extends SparkSpec {
 
     assert(got === expected)
   }
+
+  test("incremental base+delta compaction equals the full recompaction") {
+    val full = KvLog.state(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val incremental = KvLog.incrementalState(spark, sf)
+    val inc = incremental
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(inc === full)
+    // the split is real: some winners come from each side of the seam
+    val sides = incremental.groupBy("from_delta").count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(sides.getOrElse(true, 0L) > 0, "no delta-side winners — split degenerate")
+    assert(sides.getOrElse(false, 0L) > 0, "no base-side winners — split degenerate")
+  }
 }
