@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,24 @@ object GraphXAnalytics {
       .toDF("doc_id", "component")
   }
 
+  /** Per-vertex triangle counts of an undirected canonical (doc_a < doc_b)
+    * edge list via GraphX's clustering-coefficient kernel. Edge partitions
+    * ship neighbor sets, not the corpus — the distributed-join shape of
+    * triangle enumeration; the vertex-cut `partitionBy` bounds replication
+    * at high-degree vertices. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edgeRdd = edges.select("doc_a", "doc_b").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+      .triangleCount()
+      .vertices
+      .toDF("doc_id", "n_tri")
+      .select(col("doc_id"), col("n_tri").cast("long").as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components_graphx" -> ((s, dir) => {
       val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
@@ -42,10 +60,45 @@ object GraphXAnalytics {
         .withColumn("is_canonical", col("doc_id") === col("component"))
         .orderBy("doc_id")
     }),
+
+    // triangles per vertex of the near-dup graph — the cluster-cohesion
+    // signal a curation pipeline reads before collapsing a component to
+    // its canonical doc (a triangle-dense component is a true duplicate
+    // clique; a triangle-free star is one hub pairing with unrelated
+    // near-misses). Oracle: three-way self-join of the canonical edge
+    // list, unpivoted to per-vertex counts.
+    "graph_triangle_count" -> ((s, dir) => {
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      triangleCounts(pairs).orderBy("doc_id")
+    }),
   )
 
   /** Same closure oracle as the DataFrame variant — both must agree. */
   val oracle: Map[String, String] = Map(
     "dedup_components_graphx" ->
-      DedupComponents.oracle("dedup_components"))
+      DedupComponents.oracle("dedup_components"),
+
+    "graph_triangle_count" -> (s"WITH ${DedupQueries.jaccardPairsSql},\n" +
+      s"""e AS (SELECT doc_a, doc_b FROM jac
+         |      WHERE jaccard >= ${DedupQueries.JaccardThreshold}),
+         |tri AS (
+         |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |  FROM e ab
+         |  JOIN e bc ON ab.doc_b = bc.doc_a
+         |  JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+         |),
+         |per AS (
+         |  SELECT v, count(*) AS n FROM (
+         |    SELECT a AS v FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri
+         |  ) GROUP BY v
+         |),
+         |verts AS (
+         |  SELECT doc_a AS v FROM e UNION SELECT doc_b FROM e
+         |)
+         |SELECT v AS doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
+         |FROM verts LEFT JOIN per USING (v) ORDER BY doc_id""".stripMargin),
+  )
 }
