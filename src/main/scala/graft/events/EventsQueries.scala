@@ -250,7 +250,37 @@ object EventsQueries {
           coalesce(col("n_purchased"), lit(0L)).as("n_purchased"))
         .orderBy("day")
     }),
+
+    // daily volume anomalies: z-score of each (type, day) event count
+    // against that type's own daily distribution — the data-quality gate
+    // a pipeline runs before trusting a day's ingest. Shape: one (type,
+    // day) rollup of the event scan, then a #types-row stats dimension
+    // broadcast back over the daily frame — nothing after the first
+    // shuffle is event-sized. All sums are exact integers (daily counts
+    // square to < 2^53), so mean/stddev are single correctly-rounded
+    // double expressions and the z-scores are bit-equal across engines;
+    // the zero-variance guard stays in exact integer arithmetic. The
+    // fixture's boundary days (partial ingest) are the planted anomalies.
+    "events_anomaly_day" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("day", expr(s"ts div $DayUs"))
+        .groupBy("event_type", "day").agg(count("*").as("n_events"))
+      val st = daily.groupBy("event_type")
+        .agg(count("*").as("nd"), sum("n_events").as("s"),
+          sum(col("n_events") * col("n_events")).as("sq"))
+      val z = (col("n_events") - col("s").cast("double") / col("nd")) /
+        sqrt((col("sq").cast("double") -
+          col("s").cast("double") * col("s") / col("nd")) / col("nd"))
+      daily.join(broadcast(st), "event_type")
+        .filter(col("sq") * col("nd") > col("s") * col("s"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          z.as("z_score"))
+        .filter(abs(col("z_score")) >= ZThreshold)
+        .orderBy("event_type", "day")
+    }),
   )
+
+  val ZThreshold = 2.0 // |z| flagging an anomalous day
 
   // lazy: eventsSql is declared below; a strict val would capture null
   lazy val moreOracle: Map[String, String] = Map(
@@ -341,6 +371,28 @@ object EventsQueries {
         |  CAST(sum(CASE WHEN op = 'put' THEN 1 ELSE 0 END) AS BIGINT) AS n_put,
         |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
         |FROM kv_log""".stripMargin),
+
+    // same exact-integer stats, same double expression order as the Spark
+    // side — the z-scores hash-match bit-for-bit
+    "events_anomaly_day" -> (s"WITH ${eventsSql},\n" +
+      s"""daily AS (
+         |  SELECT event_type, ts // $DayUs AS day, count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |st AS (
+         |  SELECT event_type, count(*) AS nd,
+         |         CAST(sum(n_events) AS BIGINT) AS s,
+         |         CAST(sum(n_events * n_events) AS BIGINT) AS sq
+         |  FROM daily GROUP BY 1
+         |)
+         |SELECT d.event_type, d.day, d.n_events,
+         |       (d.n_events - s::DOUBLE / nd)
+         |         / sqrt((sq::DOUBLE - s::DOUBLE * s / nd) / nd) AS z_score
+         |FROM daily d JOIN st USING (event_type)
+         |WHERE sq * nd > s * s
+         |  AND abs((d.n_events - s::DOUBLE / nd)
+         |        / sqrt((sq::DOUBLE - s::DOUBLE * s / nd) / nd)) >= $ZThreshold
+         |ORDER BY d.event_type, d.day""".stripMargin),
   )
 
   private val eventsSql =

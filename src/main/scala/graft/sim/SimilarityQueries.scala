@@ -28,6 +28,7 @@ object SimilarityQueries {
   val NumPlanes = 8
   val TopK = 10
   val CosineThreshold = 0.45
+  val SemThreshold = 0.35 // within-cell semantic-dup cosine (SemDeDup prune)
   val NumCells = 8 // IVF coarse cells
   val NProbe = 2 // IVF cells probed per query
   val QueryVec = 42L
@@ -391,6 +392,48 @@ object SimilarityQueries {
         .filter(col("cos_sim") >= CosineThreshold)
         .orderBy("vec_a", "vec_b")
     }),
+
+    // SemDeDup-style semantic dedup: cluster, then prune inside cells.
+    // Every vector goes to its nearest coarse centroid (the same
+    // broadcast-assign as the IVF path; production trains the cells with
+    // sim_kmeans_cells — the fixed-seed centroids keep the oracle
+    // compact); within each cell, a vector is dropped when a lower-id
+    // cell-mate sits above [[SemThreshold]] cosine. The pair stage joins
+    // on the cell key, so its cost is Σ cell² — at 100 TB the cell count
+    // scales with the corpus (k ≈ N/√N-ish in SemDeDup practice), holding
+    // cell sizes constant; it is never the corpus² of the flat pair scan.
+    // Output is the per-cell keep/drop ledger a curation run reports.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine(col("embedding"), col("c_emb")).as("cos_c"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        .localCheckpoint()
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_b"),
+          (dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        .filter(col("cos_sim") >= SemThreshold)
+      val drops = pairs.select("cell", "vec_b").distinct()
+        .groupBy("cell").agg(count("*").as("n_dropped"))
+      assigned.groupBy("cell").agg(count("*").as("n_members"))
+        .join(drops, Seq("cell"), "left")
+        .select(col("cell"), col("n_members"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_kept"))
+        .orderBy("cell")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -624,6 +667,36 @@ object SimilarityQueries {
            |WHERE ${Ora.cos64("ea.embedding", "eb.embedding")} >= $CosineThreshold
            |ORDER BY vec_a, vec_b""".stripMargin
       },
+
+      "dedup_semantic" ->
+        s"""WITH centroids AS (
+           |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+           |  WHERE vec_id < $NumCells
+           |),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
+           |                    c.cell) AS rk
+           |  FROM embeddings e, centroids c
+           |),
+           |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1),
+           |pairs AS (
+           |  SELECT a.cell, b.vec_id AS vec_b
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE ${Ora.cos64("a.embedding", "b.embedding")} >= $SemThreshold
+           |),
+           |drops AS (
+           |  SELECT cell, count(DISTINCT vec_b) AS n_dropped FROM pairs
+           |  GROUP BY cell
+           |),
+           |sizes AS (SELECT cell, count(*) AS n_members FROM assigned GROUP BY cell)
+           |SELECT s.cell, s.n_members,
+           |       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           |       CAST(s.n_members - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+           |FROM sizes s LEFT JOIN drops d USING (cell)
+           |ORDER BY s.cell""".stripMargin,
     )
   }
 }

@@ -148,6 +148,31 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // dedup savings ledger: what near-dup removal buys, attributed per
+    // ingest source — the accounting a curation run reports against its
+    // storage/compute bill. Composes the components keep/drop verdict
+    // with per-doc token counts; the drop set is component-members-only
+    // (vertex-sized, tiny against the corpus), so the attribution join is
+    // a corpus scan against a broadcast-sized drop list, then one
+    // per-source aggregate. Token counts stay exact integers end to end.
+    "corpus_dedup_savings" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      val drops = DedupComponents.components(
+          DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+            .select("doc_a", "doc_b"))
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id"), lit(true).as("dropped"))
+      d.join(drops, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count("*").as("n_docs"), sum("n_tok").as("tokens_total"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("dropped"), col("n_tok")).otherwise(0L))
+            .as("tokens_dropped"))
+        .orderBy("source")
+    }),
+
     // deterministic hash sampling, stratified by source language: the
     // distributed sampling method (no RNG state, reproducible, pushes to
     // any engine)
@@ -241,6 +266,24 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN doc_id END) AS BIGINT) AS kept_id_sum
          |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "corpus_dedup_savings" -> (
+      s"""WITH RECURSIVE
+         |${DedupComponents.componentsCteSql},
+         |d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |),
+         |drops AS (SELECT doc_id FROM components WHERE doc_id <> component)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(d.n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN d.n_tok ELSE 0 END)
+         |    AS BIGINT) AS tokens_dropped
+         |FROM d LEFT JOIN drops dr USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     "corpus_hash_sample" -> (
       s"""SELECT lang, count(*) AS n,

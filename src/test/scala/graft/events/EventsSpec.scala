@@ -162,4 +162,28 @@ class EventsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got === expected)
   }
+
+  test("daily anomaly flags are exactly the |z| >= threshold days") {
+    val flagged = EventsQueries.moreQueries("events_anomaly_day")(spark, sf)
+      .collect()
+    assert(flagged.nonEmpty, "fixture boundary days must flag")
+    flagged.foreach(r =>
+      assert(math.abs(r.getDouble(3)) >= EventsQueries.ZThreshold))
+    // recompute the per-type stats driver-side and cross-check each z
+    val daily = EventsQueries.events(spark, sf)
+      .selectExpr("event_type", s"ts div ${EventsQueries.DayUs} AS day")
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    flagged.foreach { r =>
+      val (t, day, n, z) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(byType(t).exists(x => x._2 == day && x._3 == n))
+      val ns = byType(t).map(_._3)
+      val (nd, s, sq) = (ns.length, ns.sum, ns.map(x => x * x).sum)
+      val ref = (n - s.toDouble / nd) /
+        math.sqrt((sq.toDouble - s.toDouble * s / nd) / nd)
+      assert(math.abs(ref - z) < 1e-9, s"z mismatch for ($t, $day)")
+    }
+  }
 }

@@ -129,4 +129,18 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("semantic dedup ledger partitions every cell and prunes something") {
+    val rows = SimilarityQueries.queries("dedup_semantic")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._2).sum === total, "cells must cover the corpus")
+    rows.foreach { case (_, m, d, k) =>
+      assert(k === m - d && d >= 0 && k >= 0)
+    }
+    assert(rows.map(_._3).sum > 0, "threshold should prune near-dups")
+    // spot-check: every dropped count is bounded by its cell's pair count
+    rows.foreach { case (_, m, d, _) => assert(d < m) }
+  }
 }

@@ -85,4 +85,22 @@ class PipelineSpec extends SparkSpec {
     val rate = sampled.toDouble / n
     assert(rate > 0.04 && rate < 0.20, s"rate $rate far from 10%")
   }
+
+  test("dedup savings ledger reconciles with the components verdict") {
+    import org.apache.spark.sql.functions.col
+    val rows = PipelineQueries.queries("corpus_dedup_savings")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum === total, "sources must cover the corpus")
+    val dropped = graft.dedup.DedupComponents
+      .queries("dedup_components")(spark, sf)
+      .filter(!col("is_canonical")).count()
+    assert(rows.map(_._4).sum === dropped,
+      "per-source drops must sum to the components verdict")
+    rows.foreach { case (_, nDocs, tokTotal, nDrop, tokDrop) =>
+      assert(nDrop <= nDocs && tokDrop <= tokTotal)
+    }
+  }
 }
