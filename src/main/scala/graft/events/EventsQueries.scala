@@ -278,9 +278,45 @@ object EventsQueries {
         .filter(abs(col("z_score")) >= ZThreshold)
         .orderBy("event_type", "day")
     }),
+
+    // histogram-sketch quantiles: the fixed-state scale twin of the exact
+    // events_value_quantiles (which needs a per-group sort — fine here,
+    // a shuffle-the-world at 100 TB). State is QBins longs per group,
+    // merged associatively with map-side partials; the estimate linearly
+    // interpolates inside the crossing bin. Counts are exact integers and
+    // the interpolation is one double expression written identically on
+    // both engines, so even the APPROXIMATION is oracle-checked
+    // bit-for-bit (same contract as the KMV and CMS sketches). Bin width
+    // trades accuracy for state like any sketch; the spec bounds the
+    // error against the exact quantiles.
+    "events_quantile_sketch" -> ((s, dir) => {
+      val hist = events(s, dir)
+        .withColumn("bin",
+          least(lit(QBins - 1), floor(col("value") / lit(QBinW))
+            .cast("long")))
+        .groupBy("event_type", "bin").agg(count("*").as("c"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      val crossed = cum
+        .withColumn("q", explode(array(QProbes.map(lit): _*)))
+        .filter(col("cum") >= col("q") * col("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type", "q").orderBy("bin")))
+        .filter(col("rk") === 1)
+      crossed.select(col("event_type"), col("q"), col("n"),
+          (lit(QBinW) * col("bin") +
+            lit(QBinW) * (col("q") * col("n") - (col("cum") - col("c"))) /
+              col("c")).as("est_value"))
+        .orderBy("event_type", "q")
+    }),
   )
 
   val ZThreshold = 2.0 // |z| flagging an anomalous day
+  val QBins = 128 // histogram-sketch bins
+  val QBinW = 4.0 // bin width (value domain is [0, 512))
+  val QProbes = Seq(0.5, 0.9, 0.99)
 
   // lazy: eventsSql is declared below; a strict val would capture null
   lazy val moreOracle: Map[String, String] = Map(
@@ -393,6 +429,34 @@ object EventsQueries {
          |  AND abs((d.n_events - s::DOUBLE / nd)
          |        / sqrt((sq::DOUBLE - s::DOUBLE * s / nd) / nd)) >= $ZThreshold
          |ORDER BY d.event_type, d.day""".stripMargin),
+
+    // exact-integer bin counts + one identical interpolation expression
+    // — the sketch estimate itself hash-matches across engines
+    "events_quantile_sketch" -> (s"WITH ${eventsSql},\n" +
+      s"""hist AS (
+         |  SELECT event_type,
+         |         least(${QBins - 1}, CAST(floor(value / $QBinW) AS BIGINT)) AS bin,
+         |         count(*) AS c
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |cum AS (
+         |  SELECT event_type, bin, c,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(c) OVER (PARTITION BY event_type) AS n
+         |  FROM hist
+         |),
+         |crossed AS (
+         |  SELECT event_type, qq.q, bin, c, cum, n,
+         |         row_number() OVER (PARTITION BY event_type, qq.q
+         |           ORDER BY bin) AS rk
+         |  FROM cum, (VALUES ${QProbes.map(q => s"(${q}::DOUBLE)").mkString(", ")}) qq(q)
+         |  WHERE cum >= qq.q * n
+         |)
+         |SELECT event_type, q, CAST(n AS BIGINT) AS n,
+         |       $QBinW * bin + $QBinW * (q * n - (cum - c)) / c AS est_value
+         |FROM crossed WHERE rk = 1
+         |ORDER BY event_type, q""".stripMargin),
   )
 
   private val eventsSql =

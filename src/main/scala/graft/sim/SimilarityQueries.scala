@@ -393,6 +393,42 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // per-label centroid + cohesion over the fixture's supervision
+    // column: the class-prototype computation behind label-balanced
+    // curation and centroid-classifier sanity checks. One (label, dim)
+    // shuffle for the exact fixed-point means (same 2^-20 quantization
+    // as the k-means update, so the centroid doubles are bit-equal
+    // across engines), then the 10-row centroid table broadcasts back
+    // for the cohesion pass — per-member cosines are quantized to the
+    // same fixed-point grid before summing, so the AVERAGE is exact and
+    // order-independent too. Nothing here is ever corpus² or sorted.
+    "sim_label_centroids" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("label", "i")
+        .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
+          (count("*") * lit(KmeansFp))).as("val"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
+          x => x.getField("val")).as("cvec"))
+      val coh = e.select(col("label").cast("long").as("label"),
+          col("embedding"))
+        .join(broadcast(cents), "label")
+        .select(col("label"),
+          floor(cosine(col("embedding"), col("cvec")) * lit(KmeansFp) +
+            lit(0.5)).cast("long").as("qc"))
+        .groupBy("label")
+        .agg(count("*").as("n_members"),
+          (sum("qc") / (count("*") * lit(KmeansFp))).as("avg_cos"))
+      coh.join(cents.select(col("label"),
+          dot(col("cvec"), col("cvec")).as("c_norm_sq")), "label")
+        .select(col("label"), col("n_members"), col("avg_cos"),
+          col("c_norm_sq"))
+        .orderBy("label")
+    }),
+
     // SemDeDup-style semantic dedup: cluster, then prune inside cells.
     // Every vector goes to its nearest coarse centroid (the same
     // broadcast-assign as the IVF path; production trains the cells with
@@ -667,6 +703,30 @@ object SimilarityQueries {
            |WHERE ${Ora.cos64("ea.embedding", "eb.embedding")} >= $CosineThreshold
            |ORDER BY vec_a, vec_b""".stripMargin
       },
+
+      "sim_label_centroids" ->
+        s"""WITH cents AS (
+           |  SELECT label, list(val ORDER BY i) AS cvec FROM (
+           |    SELECT v.label, ii.i,
+           |           sum(floor(v.embedding[ii.i + 1]::DOUBLE * $KmeansFp + 0.5))
+           |             / (count(*) * $KmeansFp) AS val
+           |    FROM embeddings v
+           |    CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+           |    GROUP BY v.label, ii.i
+           |  ) GROUP BY label
+           |),
+           |coh AS (
+           |  SELECT v.label, count(*) AS n_members,
+           |         CAST(sum(floor(${Ora.cos64("v.embedding", "c.cvec")}
+           |             * $KmeansFp + 0.5)) AS BIGINT)
+           |           / (count(*) * $KmeansFp) AS avg_cos
+           |  FROM embeddings v JOIN cents c USING (label)
+           |  GROUP BY v.label
+           |)
+           |SELECT CAST(co.label AS BIGINT) AS label, co.n_members, co.avg_cos,
+           |       ${Ora.dot64("ce.cvec", "ce.cvec")} AS c_norm_sq
+           |FROM coh co JOIN cents ce USING (label)
+           |ORDER BY label""".stripMargin,
 
       "dedup_semantic" ->
         s"""WITH centroids AS (

@@ -143,4 +143,20 @@ class SimilaritySpec extends SparkSpec {
     // spot-check: every dropped count is bounded by its cell's pair count
     rows.foreach { case (_, m, d, _) => assert(d < m) }
   }
+
+  test("label centroids: partition, cohesion bounds, determinism") {
+    def run() = SimilarityQueries.queries("sim_label_centroids")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val rows = run()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._2).sum === total, "labels must cover the corpus")
+    rows.foreach { case (_, n, avgCos, normSq) =>
+      assert(n > 0 && normSq > 0.0)
+      // members correlate positively with their own class prototype and
+      // cosine never exceeds 1 (fixed-point grid adds ≤ 2^-21 slack)
+      assert(avgCos > 0.0 && avgCos <= 1.0 + 1e-6)
+    }
+    assert(rows.toSeq === run().toSeq, "fixed-point means must be stable")
+  }
 }
