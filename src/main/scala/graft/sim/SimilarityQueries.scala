@@ -413,6 +413,10 @@ object SimilarityQueries {
         .groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
           x => x.getField("val")).as("cvec"))
+        // 10-row table, two consumers (cohesion probe + norm column):
+        // without the checkpoint each consumer re-runs the (label, dim)
+        // corpus aggregation — one extra full scan per consumer at 100 TB
+        .localCheckpoint()
       val coh = e.select(col("label").cast("long").as("label"),
           col("embedding"))
         .join(broadcast(cents), "label")

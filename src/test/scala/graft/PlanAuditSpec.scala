@@ -145,4 +145,42 @@ class PlanAuditSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("semantic dedup derives the cell assignment exactly once") {
+    // the assignment (embedding scan + centroid argmin) is checkpointed;
+    // every downstream consumer (both pair sides + the sizes aggregate)
+    // must read the materialization, never re-scan the corpus
+    val p = graft.sim.SimilarityQueries.queries("dedup_semantic")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"expected no parquet scans post-checkpoint, got $scans")
+  }
+
+  test("daily anomaly: stats dimension broadcasts; no shuffle join") {
+    val p = graft.events.EventsQueries
+      .moreQueries("events_anomaly_day")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "stats side must broadcast")
+    assert(p.contains("partial_count"), "daily rollup needs map-side combine")
+  }
+
+  test("quantile sketch reads the event scan exactly once") {
+    val p = graft.events.EventsQueries
+      .moreQueries("events_quantile_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one-pass sketch requires 1 scan, got $scans")
+    assert(p.contains("partial_count"), "bin histogram needs map-side combine")
+  }
+
+  test("label centroids: corpus scanned once post-checkpoint; prototypes broadcast") {
+    val p = graft.sim.SimilarityQueries
+      .queries("sim_label_centroids")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"cohesion pass scans the corpus once, centroids come checkpointed; got $scans")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
