@@ -57,6 +57,41 @@ object DedupComponents {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
+  /** Level-synchronous multi-source BFS: hop distance of every vertex
+    * from its component's canonical representative. With unit edge
+    * weights a vertex's first-reached round IS its minimum hop count, so
+    * the loop stops as soon as the reached set stops growing; each round
+    * is one join + one min-aggregate, checkpoint-truncated like the
+    * label-propagation loop. Rounds = max eccentricity of a canonical
+    * vertex (near-dup components are small cliques → 1-2). */
+  def bfsFromCanonicals(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var reached = components(e)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id").as("id"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var grew = true
+    var rounds = 0
+    while (grew && rounds < 50) {
+      val expanded = adj
+        .join(reached.withColumnRenamed("id", "src_id"),
+          col("src") === col("src_id"))
+        .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
+      val next = reached.unionByName(expanded)
+        .groupBy("id").agg(min("hops").as("hops"))
+        .localCheckpoint()
+      grew = next.count() > reached.count()
+      reached = next
+      rounds += 1
+    }
+    reached.select(col("id").as("doc_id"), col("hops"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // components of the exact-Jaccard near-dup graph + keep/drop verdict
     "dedup_components" -> ((s, dir) => {
@@ -65,6 +100,16 @@ object DedupComponents {
       components(pairs)
         .withColumn("is_canonical", col("doc_id") === col("component"))
         .orderBy("doc_id")
+    }),
+
+    // hop distance from each member to its canonical doc — the
+    // chain-length signal behind a dedup verdict: hops = 1 is a direct
+    // near-dup of the kept doc, hops ≥ 2 survives only transitively and
+    // deserves a second look before dropping
+    "graph_bfs_hops" -> ((s, dir) => {
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      bfsFromCanonicals(pairs).orderBy("doc_id")
     }),
   )
 
@@ -102,5 +147,21 @@ object DedupComponents {
          |$componentsCteSql
          |SELECT doc_id, component, is_canonical
          |FROM components ORDER BY doc_id""".stripMargin),
+
+    // hop-bounded recursive expansion from the canonicals; the UNION
+    // dedups (id, hops) pairs so the recursion is finite, min() recovers
+    // the true BFS depth
+    "graph_bfs_hops" -> (
+      s"""WITH RECURSIVE
+         |$componentsCteSql,
+         |bfs(id, hops) AS (
+         |  SELECT component, CAST(0 AS BIGINT) FROM components
+         |  WHERE is_canonical
+         |  UNION
+         |  SELECT u.d, b.hops + 1 FROM und u JOIN bfs b ON u.s = b.id
+         |  WHERE b.hops < 50
+         |)
+         |SELECT id AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM bfs GROUP BY id ORDER BY doc_id""".stripMargin),
   )
 }

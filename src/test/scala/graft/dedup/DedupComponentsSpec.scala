@@ -25,4 +25,33 @@ class DedupComponentsSpec extends SparkSpec {
       .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(rows.map(_._1).toSet === paired)
   }
+
+  test("BFS hops: a chain reports true distances from the canonical") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupComponents.bfsFromCanonicals(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L))
+  }
+
+  test("BFS hops agree with components: zero exactly at canonicals, steps of one") {
+    val hops = DedupComponents.queries("graph_bfs_hops")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = DedupComponents.queries("dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(hops.keySet === comp.map(_._1).toSet,
+      "BFS must cover exactly the component members")
+    comp.foreach { case (id, _, canonical) =>
+      assert((hops(id) === 0L) === canonical, s"hops(${id}) vs canonical")
+    }
+    // every non-canonical vertex has a neighbor one hop closer
+    val adj = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    hops.foreach { case (id, h) =>
+      if (h > 0) assert(adj(id).exists(nb => hops(nb) === h - 1))
+    }
+  }
 }
