@@ -311,6 +311,29 @@ object EventsQueries {
               col("c")).as("est_value"))
         .orderBy("event_type", "q")
     }),
+
+    // semi-structured extraction: the events table's JSON `props` column
+    // parsed and aggregated per type — the payload-introspection path
+    // every event pipeline needs. get_json_object is a narrow scalar
+    // (codegen'd, no UDF); the only shuffle is the 5-group aggregate.
+    // count(DISTINCT k) re-shuffles the (type, k) domain — bounded here;
+    // for unbounded domains the KMV sketch (events_kmv_users) is the
+    // fixed-state path. The avg is one correctly-rounded division of
+    // exact integers.
+    "events_props_stats" -> ((s, dir) => {
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+      ev.groupBy("event_type")
+        .agg(count("*").as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          countDistinct("k").as("k_distinct"),
+          (sum("k").cast("double") / count("*")).as("k_avg"))
+        .orderBy("event_type")
+    }),
   )
 
   val ZThreshold = 2.0 // |z| flagging an anomalous day
@@ -457,6 +480,19 @@ object EventsQueries {
          |       $QBinW * bin + $QBinW * (q * n - (cum - c)) / c AS est_value
          |FROM crossed WHERE rk = 1
          |ORDER BY event_type, q""".stripMargin),
+
+    // ->> extracts the JSON field as text; the BIGINT cast matches
+    // Spark's get_json_object(...).cast("long")
+    "events_props_stats" ->
+      s"""WITH kx AS (
+         |  SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events
+         |)
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(k) AS BIGINT) AS k_sum,
+         |  min(k) AS k_min, max(k) AS k_max,
+         |  count(DISTINCT k) AS k_distinct,
+         |  CAST(sum(k) AS DOUBLE) / count(*) AS k_avg
+         |FROM kx GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   private val eventsSql =

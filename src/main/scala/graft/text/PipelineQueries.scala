@@ -27,6 +27,8 @@ object PipelineQueries {
   val ContaminationFrac = 0.5 // overlap fraction that flags a doc
   val SeqLen = 256L // tokens per packed training sequence
   val PackShards = 8L // independent packing streams
+  val BloomM = 4096 // bloom filter bits
+  val BloomK = 3 // bloom probes per item
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the full cleaning cascade, summarized as verdict counts
@@ -148,6 +150,40 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // bloom-filter pre-join probe: the semi-join primitive at 100 TB —
+    // the eval set's shingles collapse to a 512-byte filter (vs
+    // broadcasting the whole distinct shingle set as corpus_contamination
+    // does), the corpus probes it before any join, and only
+    // bloom-positive shingles would proceed to exact verification. Per
+    // doc: total shingle occurrences, bloom-positive occurrences, and
+    // exactly-matching occurrences — the n_bloom ≥ n_exact gap IS the
+    // false-positive rate, and because the filter hashes through the
+    // engine's fnv1a32, DuckDB reproduces every false positive
+    // bit-for-bit (same contract as the KMV/CMS sketches).
+    "corpus_bloom_probe" -> ((s, dir) => {
+      import graft.sketch.BloomBits
+      val sh = DedupQueries.shingled(s, dir)
+      val bench = sh.filter(col("doc_id") < BenchDocs)
+        .select(explode(col("shingles")).as("sh")).distinct()
+      val bloom = bench.agg(
+        BloomBits.bloomBits(col("sh"), BloomM, BloomK).as("bf"))
+      val probes = sh.filter(col("doc_id") >= BenchDocs)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .crossJoin(broadcast(bloom))
+        .join(broadcast(bench.withColumn("exact", lit(true))),
+          Seq("sh"), "left")
+        .select(col("doc_id"),
+          BloomBits.mightContain(col("bf"), col("sh"), BloomM, BloomK)
+            .as("inb"),
+          coalesce(col("exact"), lit(false)).as("exact"))
+      probes.groupBy("doc_id")
+        .agg(count("*").as("n_sh"),
+          sum(when(col("inb"), 1L).otherwise(0L)).as("n_bloom"),
+          sum(when(col("exact"), 1L).otherwise(0L)).as("n_exact"))
+        .filter(col("n_bloom") > 0)
+        .orderBy("doc_id")
+    }),
+
     // dedup savings ledger: what near-dup removal buys, attributed per
     // ingest source — the accounting a curation run reports against its
     // storage/compute bill. Composes the components keep/drop verdict
@@ -266,6 +302,44 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN doc_id END) AS BIGINT) AS kept_id_sum
          |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // the filter's set-bit positions as a distinct set; a probe is
+    // bloom-positive when all K of its bits are present — reproducing
+    // every false positive the Spark-side bit array fires
+    "corpus_bloom_probe" -> (
+      s"""WITH ${DedupQueries.shingledSql},
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS sh FROM shingled
+         |  WHERE doc_id < $BenchDocs
+         |),
+         |bits AS (
+         |  SELECT DISTINCT xor(h, h // 65536) % $BloomM AS bit FROM (
+         |    SELECT ${Ora.fnv("sh || ':' || ii.i")} AS h
+         |    FROM bench CROSS JOIN (SELECT unnest(range($BloomK)) AS i) ii)
+         |),
+         |cor AS (
+         |  SELECT doc_id, unnest(shingles) AS sh FROM shingled
+         |  WHERE doc_id >= $BenchDocs
+         |),
+         |pb AS (
+         |  SELECT doc_id, sh, xor(h, h // 65536) % $BloomM AS bit FROM (
+         |    SELECT c.doc_id, c.sh,
+         |           ${Ora.fnv("c.sh || ':' || ii.i")} AS h
+         |    FROM cor c CROSS JOIN (SELECT unnest(range($BloomK)) AS i) ii)
+         |),
+         |probes AS (
+         |  SELECT doc_id, sh,
+         |         sum(CASE WHEN bit IN (SELECT bit FROM bits)
+         |             THEN 1 ELSE 0 END) = $BloomK AS inb
+         |  FROM pb GROUP BY doc_id, sh
+         |)
+         |SELECT p.doc_id, count(*) AS n_sh,
+         |  CAST(sum(CASE WHEN p.inb THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+         |  CAST(sum(CASE WHEN p.sh IN (SELECT sh FROM bench)
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |FROM probes p GROUP BY p.doc_id
+         |HAVING sum(CASE WHEN p.inb THEN 1 ELSE 0 END) > 0
+         |ORDER BY p.doc_id""".stripMargin),
 
     "corpus_dedup_savings" -> (
       s"""WITH RECURSIVE
