@@ -8,6 +8,7 @@ import org.apache.spark.sql.graft.shims
 import graft.functions.{WinnowFingerprints, WordNgrams}
 import graft.hash.Fnv1a32
 import graft.sim.Dot64
+import graft.sketch.{BloomBits, CmsCounts, KmvDistinct}
 
 /** SQL surface for the engine's custom expressions, so `spark.sql` users
   * get them alongside the Column API:
@@ -16,6 +17,10 @@ import graft.sim.Dot64
   *   - `dot64(arr, arr)`       → DOUBLE ordered-fold dot product
   *   - `word_ngrams(arr, n)`   → distinct n-gram shingles (n literal)
   *   - `winnow(str, k, w)`     → winnowing fingerprints (k, w literals)
+  *   - `kmv_distinct(hash, k)` → DOUBLE distinct estimate (aggregate;
+  *     feed it `fnv1a32(item)`)
+  *   - `cms_counts(str, d, w)` → count-min counters (aggregate)
+  *   - `bloom_bits(str, m, k)` → Bloom filter words (aggregate)
   *
   * Register per-session with [[Graft.register]], or session-wide via
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -39,6 +44,31 @@ object Graft {
             WinnowFingerprints(text, k, w)
           case other => throw new IllegalArgumentException(
             s"winnow(text, k, w) takes 3 arguments with k, w integer literals, got $other")
+        }
+      },
+      // the sketch aggregates: the analyzer wraps a bare AggregateFunction
+      // in an AggregateExpression, same as the built-in sum/count builders
+      "kmv_distinct" -> { es =>
+        es match {
+          case Seq(item, IntegerLiteral(k)) => KmvDistinct(item, k)
+          case other => throw new IllegalArgumentException(
+            s"kmv_distinct(item, k) takes 2 arguments with k an integer literal, got $other")
+        }
+      },
+      "cms_counts" -> { es =>
+        es match {
+          case Seq(item, IntegerLiteral(d), IntegerLiteral(w)) =>
+            CmsCounts(item, d, w)
+          case other => throw new IllegalArgumentException(
+            s"cms_counts(item, depth, width) takes 3 arguments with depth, width integer literals, got $other")
+        }
+      },
+      "bloom_bits" -> { es =>
+        es match {
+          case Seq(item, IntegerLiteral(m), IntegerLiteral(k)) =>
+            BloomBits(item, m, k)
+          case other => throw new IllegalArgumentException(
+            s"bloom_bits(item, mBits, kHashes) takes 3 arguments with mBits, kHashes integer literals, got $other")
         }
       })
 

@@ -25,6 +25,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.nonEmpty && viaSql === viaCol)
   }
 
+  test("sketch aggregates registered for SQL, equal to the Column API") {
+    Graft.register(spark)
+    spark.range(0, 1000).selectExpr("CAST(id % 137 AS STRING) AS v")
+      .createOrReplaceTempView("sketch_in")
+    // KMV estimate is deterministic: SQL and Column forms agree exactly
+    val kmvSql = spark.sql(
+      "SELECT kmv_distinct(fnv1a32(v), 32) FROM sketch_in")
+      .first().getDouble(0)
+    val kmvCol = spark.table("sketch_in")
+      .agg(graft.sketch.KmvDistinct.kmvDistinct(
+        graft.hash.Fnv1a32.fnv1a32(
+          org.apache.spark.sql.functions.col("v")), 32))
+      .first().getDouble(0)
+    assert(kmvSql === kmvCol && kmvSql > 0.0)
+    val cms = spark.sql(
+      "SELECT cms_counts(v, 3, 64) FROM sketch_in").first().getSeq[Long](0)
+    assert(cms.length === 3 * 64 && cms.sum === 3L * 1000)
+    val bloom = spark.sql(
+      "SELECT bloom_bits(v, 1024, 3) FROM sketch_in").first().getSeq[Long](0)
+    assert(bloom.length === 1024 / 64 &&
+      bloom.map(java.lang.Long.bitCount).sum > 0)
+  }
+
   test("word_ngrams rejects a non-literal n") {
     Graft.register(spark)
     val e = intercept[Exception] {
