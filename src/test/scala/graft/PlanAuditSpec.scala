@@ -146,6 +146,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("range-sharded layout: a range scan reads only overlapping directories") {
+    val dir = Files.createTempDirectory("graft_kv_ranged").toString
+    // AQE wraps the sort's plan in query stages whose leaves hide the
+    // scan metrics; turn it off so the file count is directly readable
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 4 ranges: (-inf,3), [3,5), [5,7), [7,inf) over 'order:<n>' keys
+      val bounds = Seq("order:3", "order:5", "order:7")
+      PartitionedLayout.writeRanged(
+        KvLog.state(spark, sf).coalesce(1), dir, bounds)
+      val q = PartitionedLayout.rangeScan(spark, dir,
+        "order:3", "order:5", bounds)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters"), p.take(3000))
+      // key bounds push to the reader for row-group pruning
+      assert(p.contains("GreaterThanOrEqual(key,order:3)") &&
+        p.contains("LessThan(key,order:5)"), p.take(3000))
+      val rows = q.collect().map(_.getString(0))
+      // semantics: identical to the unpartitioned range scan
+      val expected = KvLog.state(spark, sf)
+        .filter(col("key") >= "order:3" && col("key") < "order:5")
+        .select("key").collect().map(_.getString(0)).sorted
+      assert(rows.toSeq === expected.toSeq)
+      // pruning: only the single overlapping directory of 4 is read
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+      assert(scanned === 1, s"expected 1 of 4 range files, got $scanned")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("semantic dedup derives the cell assignment exactly once") {
     // the assignment (embedding scan + centroid argmin) is checkpointed;
     // every downstream consumer (both pair sides + the sizes aggregate)
