@@ -209,6 +209,28 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // quality quartiles per language (ntile): the score-distribution
+    // report a curation run reads before picking thresholds — quartile
+    // bounds and sizes per language. The quality double is bit-equal
+    // across engines (proven by text_quality_score), and the ntile
+    // ordering key (quality, doc_id) is total, so bucket assignment is
+    // deterministic. One window per language partition — a reporting op
+    // over per-language frames; the aggregate output is dimension-sized.
+    "corpus_quality_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextQueries.tokenize(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("lang"),
+          TextQueries.qualityCol.as("quality"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("quartile", ntile(4).over(w))
+        .groupBy("lang", "quartile")
+        .agg(count("*").as("n"), min("quality").as("q_min"),
+          max("quality").as("q_max"))
+        .orderBy("lang", "quartile")
+    }),
+
     // deterministic hash sampling, stratified by source language: the
     // distributed sampling method (no RNG state, reproducible, pushes to
     // any engine)
@@ -358,6 +380,22 @@ object PipelineQueries {
          |    AS BIGINT) AS tokens_dropped
          |FROM d LEFT JOIN drops dr USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    "corpus_quality_quartiles" -> (
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, ${TextQueries.qualitySqlExpr} AS quality
+         |  FROM documents
+         |),
+         |tiled AS (
+         |  SELECT lang, quality,
+         |         ntile(4) OVER (PARTITION BY lang
+         |           ORDER BY quality, doc_id) AS quartile
+         |  FROM scored
+         |)
+         |SELECT lang, quartile, count(*) AS n,
+         |       min(quality) AS q_min, max(quality) AS q_max
+         |FROM tiled GROUP BY lang, quartile
+         |ORDER BY lang, quartile""".stripMargin),
 
     "corpus_hash_sample" -> (
       s"""SELECT lang, count(*) AS n,

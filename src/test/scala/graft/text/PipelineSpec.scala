@@ -86,6 +86,26 @@ class PipelineSpec extends SparkSpec {
     assert(rate > 0.04 && rate < 0.20, s"rate $rate far from 10%")
   }
 
+  test("quality quartiles: balanced tiles with monotone bounds per language") {
+    val rows = PipelineQueries.queries("corpus_quality_quartiles")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum === total)
+    rows.groupBy(_._1).foreach { case (lang, tiles) =>
+      assert(tiles.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4))
+      val sizes = tiles.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang tiles unbalanced: $sizes")
+      val ordered = tiles.sortBy(_._2)
+      ordered.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$lang bounds overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("dedup savings ledger reconciles with the components verdict") {
     import org.apache.spark.sql.functions.col
     val rows = PipelineQueries.queries("corpus_dedup_savings")(spark, sf)
