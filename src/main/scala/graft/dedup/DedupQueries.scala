@@ -59,8 +59,12 @@ object DedupQueries {
     * (doc_a, doc_b) count. This is the inverted-index shape that survives
     * 100 TB: cost is Σ posting² (bounded by [[MaxPosting]]), never corpus².
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(shingled(s, dir))
+
+  /** Same pipeline over an already-shingled (possibly checkpointed)
+    * frame, so a caller can share one shingle pass across consumers. */
+  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val posting = sh
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -221,6 +225,31 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // MinHash fidelity measurement: for the verified near-dup pairs, the
+    // signature-agreement estimate (matching components / NumMinhash)
+    // against true Jaccard — the "measure, don't guess" companion to the
+    // banding dedup, same role sim_ann_recall plays for ANN. At 100 TB
+    // the estimator is what banding thresholds are tuned against, so its
+    // fidelity on verified pairs is the number that justifies the band
+    // geometry. One checkpointed shingle pass feeds both the pair
+    // derivation and the signatures.
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      val sh = shingled(s, dir).localCheckpoint()
+      val mh = minhashSigs(sh).localCheckpoint()
+      val pairs = jaccardPairsFrom(sh)
+      val matches = (0 until NumMinhash).map { i =>
+        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
+      }.reduce(_ + _)
+      pairs
+        .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          (matches.cast("double") / lit(NumMinhash.toDouble))
+            .as("est_jaccard"))
+        .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SimHash signatures: 32-bit, term-frequency weighted
     "dedup_simhash" -> ((s, dir) =>
       simhashSigs(s, dir).orderBy("doc_id")),
@@ -300,9 +329,11 @@ object DedupQueries {
       |  FROM toksed
       |)""".stripMargin
 
-  private[graft] val jaccardPairsSql: String =
-    s"""$shingledSql,
-       |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+  /** The pair chain after `shingled` — split out so oracles that already
+    * carry the shingle CTEs (e.g. via [[minhashSql]]) can append it
+    * without duplicating the `shingled` definition. */
+  private[graft] val jaccardChainSql: String =
+    s"""ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
        |ok_sh AS (
        |  SELECT sh FROM ex GROUP BY sh
        |  HAVING count(*) BETWEEN 2 AND $MaxPosting
@@ -321,6 +352,10 @@ object DedupQueries {
        |  JOIN sizes sa ON doc_a = sa.doc_id
        |  JOIN sizes sb ON doc_b = sb.doc_id
        |)""".stripMargin
+
+  private[graft] val jaccardPairsSql: String =
+    s"""$shingledSql,
+       |$jaccardChainSql""".stripMargin
 
   private val minhashSql: String = {
     val sigCols = (0 until NumMinhash).map { i =>
@@ -433,6 +468,26 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_minhash_estimate" -> {
+      val matchSum = (0 until NumMinhash).map { i =>
+        s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $minhashSql,
+         |$jaccardChainSql,
+         |est AS (
+         |  SELECT j.doc_a, j.doc_b, j.jaccard,
+         |         CAST($matchSum AS DOUBLE) / ${NumMinhash.toDouble}
+         |           AS est_jaccard
+         |  FROM jac j
+         |  JOIN sigs sa ON j.doc_a = sa.doc_id
+         |  JOIN sigs sb ON j.doc_b = sb.doc_id
+         |  WHERE j.jaccard >= $JaccardThreshold
+         |)
+         |SELECT doc_a, doc_b, jaccard, est_jaccard,
+         |       abs(est_jaccard - jaccard) AS abs_err
+         |FROM est ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dedup_simhash" -> (s"WITH $simhashSql\n" +
       "SELECT doc_id, simhash FROM simhashed ORDER BY doc_id"),

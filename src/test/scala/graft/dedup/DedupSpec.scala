@@ -99,4 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(p64.nonEmpty)
     assert((p64 -- p32).isEmpty, s"not a subset: ${(p64 -- p32).take(5)}")
   }
+
+  test("minhash estimator: quantized to 1/16ths, unbiased within 2 sigma") {
+    val rows = DedupQueries.queries("dedup_minhash_estimate")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (jac, est, err) =>
+      assert(est >= 0.0 && est <= 1.0)
+      // each estimate is (#matching components)/16 exactly
+      assert((est * 16).round / 16.0 === est)
+      assert(math.abs(err - math.abs(est - jac)) < 1e-15)
+    }
+    // per-component match probability IS the Jaccard, so the mean error
+    // over pairs should sit within ~2 standard errors of the per-pair
+    // sigma sqrt(J(1-J)/16) ≈ 0.12 at J ≈ 0.5
+    val meanErr = rows.map(_._3).sum / rows.length
+    assert(meanErr < 0.25, s"estimator biased: mean |err| = $meanErr")
+  }
 }
