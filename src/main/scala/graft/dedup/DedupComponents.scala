@@ -25,12 +25,19 @@ object DedupComponents {
     // posting-list join) appears as two subtrees of the union and is
     // computed twice in the adj job
     val e = edges.localCheckpoint()
-    val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    componentsFromAdj(adjacency(e))
+  }
+
+  /** Materialized two-orientation adjacency of a (checkpointed) canonical
+    * edge list. */
+  private def adjacency(e: DataFrame): DataFrame =
+    e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
 
+  private def componentsFromAdj(adj: DataFrame): DataFrame = {
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -66,12 +73,10 @@ object DedupComponents {
     * vertex (near-dup components are small cliques → 1-2). */
   def bfsFromCanonicals(edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint()
-    val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(
-        e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var reached = components(e)
+    // one adjacency serves both the seed-finding label propagation and
+    // the frontier expansion
+    val adj = adjacency(e)
+    var reached = componentsFromAdj(adj)
       .filter(col("doc_id") === col("component"))
       .select(col("doc_id").as("id"), lit(0L).as("hops"))
       .localCheckpoint()
