@@ -113,6 +113,33 @@ object KeyspaceQueries {
         .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"),
           sum(when(col("from_delta"), 1L).otherwise(0L)).as("n_delta_won"))
         .orderBy("shard_id")),
+
+    // time-travel diff: the changelog between the keyspace AS OF the
+    // initial bulk load (base puts, seq ≡ 0 mod 8 in the fixture's seq
+    // scheme) and now — updates/deletes/unchanged as a full-outer set
+    // compare of the two compactions. The log derives once (checkpointed)
+    // and each compaction is the standard hash aggregate; the diff join
+    // is keyed on `key`, so both sides arrive co-partitioned from their
+    // compactions. This is the audit a log-structured store runs between
+    // snapshots (what will this compaction cycle rewrite?). A seq
+    // midpoint would also work mechanically, but the fixture clusters
+    // each key's ops inside one 8-seq window, so only the load-vs-now
+    // diff exercises the update/delete branches.
+    "kv_version_diff" -> ((s, dir) => {
+      val lg = KvLog.log(s, dir).localCheckpoint()
+      val oldState = KvLog.compact(lg.filter(col("seq") % 8 === 0))
+      val newState = KvLog.compact(lg)
+      oldState.select(col("key"), col("value").as("v_old"))
+        .join(newState.select(col("key"), col("value").as("v_new")),
+          Seq("key"), "full_outer")
+        .select(
+          when(col("v_old").isNull, "added")
+            .when(col("v_new").isNull, "deleted")
+            .when(col("v_old") =!= col("v_new"), "updated")
+            .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type").agg(count("*").as("n_keys"))
+        .orderBy("change_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +211,33 @@ object KeyspaceQueries {
          |       CAST(sum(length(value)) AS BIGINT) AS n_bytes,
          |       CAST(sum(from_delta) AS BIGINT) AS n_delta_won
          |FROM st GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+
+    // compacted values are never NULL, so value-nullity is a safe
+    // presence test after the full outer join
+    "kv_version_diff" -> (s"WITH ${Ora.kvLog},\n" +
+      """old_state AS (
+        |  SELECT key, value FROM (
+        |    SELECT key, arg_max(value, seq) AS value, arg_max(op, seq) AS op
+        |    FROM kv_log
+        |    WHERE op IN ('put', 'delete') AND seq % 8 = 0
+        |    GROUP BY key
+        |  ) WHERE op = 'put'
+        |),
+        |new_state AS (
+        |  SELECT key, value FROM (
+        |    SELECT key, arg_max(value, seq) AS value, arg_max(op, seq) AS op
+        |    FROM kv_log WHERE op IN ('put', 'delete') GROUP BY key
+        |  ) WHERE op = 'put'
+        |),
+        |j AS (
+        |  SELECT o.value AS v_old, n.value AS v_new
+        |  FROM old_state o FULL OUTER JOIN new_state n ON o.key = n.key
+        |)
+        |SELECT CASE WHEN v_old IS NULL THEN 'added'
+        |            WHEN v_new IS NULL THEN 'deleted'
+        |            WHEN v_old <> v_new THEN 'updated'
+        |            ELSE 'unchanged' END AS change_type,
+        |       count(*) AS n_keys
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 }

@@ -72,4 +72,16 @@ class KeyspaceSpec extends SparkSpec {
     // (cmd/node/node_test.go:279-286)
     assert(state.filter(col("shard_id") === 99).count() === 0)
   }
+
+  test("version diff partitions the bulk-load keyspace and reconciles") {
+    val diff = KeyspaceQueries.queries("kv_version_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every base key gets exactly one verdict (no post-load key creation
+    // in this fixture, so no 'added' row)
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(diff.values.sum === orders)
+    assert(diff("deleted") > 0 && diff("updated") > 0)
+    // survivors reconcile with the current compaction
+    assert(diff("unchanged") + diff("updated") === state.count())
+  }
 }
