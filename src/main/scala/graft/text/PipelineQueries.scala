@@ -150,6 +150,46 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // the doc-level curation ledger: every document with its keep/drop
+    // verdict and the FULL list of failing checks (the cascade query
+    // reports one verdict per doc; operations wants every reason —
+    // "would this doc survive if we fixed its PII?" reads off this
+    // table). Composes quality, language, near-dup components,
+    // benchmark membership + contamination, and PII flags; every leg is
+    // doc-keyed, so after the first derivation the ledger is a chain of
+    // co-partitioned joins against vertex-sized side tables. concat_ws
+    // skips the NULL (passing) checks on both engines, so the reason
+    // string is deterministic and '' means keep.
+    "corpus_curation_ledger" -> ((s, dir) => {
+      val docs = TextQueries.tokenize(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"),
+          TextQueries.qualityCol.as("quality"),
+          TextQueries.langPredCol.as("lang_pred"),
+          (regexp_count(col("text"),
+            lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")) > 0 ||
+            regexp_count(col("text"), lit("[0-9]{6,}")) > 0).as("has_pii"))
+      val dup = DedupComponents.components(
+          DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+            .select("doc_a", "doc_b"))
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id"), lit(true).as("is_dup"))
+      val contam = queries("corpus_contamination")(s, dir)
+        .select(col("doc_id"), col("contaminated"))
+      val reasons = concat_ws(",",
+        when(col("doc_id") < BenchDocs, "benchmark"),
+        when(col("quality") < QualityThreshold, "low_quality"),
+        when(col("lang_pred") =!= "en", "wrong_lang"),
+        when(coalesce(col("is_dup"), lit(false)), "near_dup"),
+        when(coalesce(col("contaminated"), lit(false)), "contaminated"),
+        when(col("has_pii"), "has_pii"))
+      docs.join(dup, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), reasons.as("reasons"))
+        .withColumn("keep", col("reasons") === "")
+        .orderBy("doc_id")
+    }),
+
     // bloom-filter pre-join probe: the semi-join primitive at 100 TB —
     // the eval set's shingles collapse to a 512-byte filter (vs
     // broadcasting the whole distinct shingle set as corpus_contamination
@@ -324,6 +364,52 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN doc_id END) AS BIGINT) AS kept_id_sum
          |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "corpus_curation_ledger" -> (
+      s"""WITH RECURSIVE
+         |${DedupComponents.componentsCteSql},
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS sh FROM shingled
+         |  WHERE doc_id < $BenchDocs
+         |),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_overlap
+         |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled
+         |        WHERE doc_id >= $BenchDocs) c
+         |  JOIN bench USING (sh) GROUP BY c.doc_id
+         |),
+         |contam AS (
+         |  SELECT s2.doc_id,
+         |         CAST(h.n_overlap AS DOUBLE) / len(s2.shingles)
+         |           >= $ContaminationFrac AS contaminated
+         |  FROM shingled s2 JOIN hits h USING (doc_id)
+         |),
+         |scored AS (
+         |  SELECT doc_id,
+         |         ${TextQueries.qualitySqlExpr} AS quality,
+         |         ${TextQueries.predSql} AS lang_pred,
+         |         len(regexp_extract_all(text,
+         |           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) > 0
+         |           OR len(regexp_extract_all(text, '[0-9]{6,}')) > 0
+         |           AS has_pii
+         |  FROM documents
+         |),
+         |dup_drops AS (SELECT doc_id FROM components WHERE doc_id <> component),
+         |led AS (
+         |  SELECT s.doc_id,
+         |         concat_ws(',',
+         |           CASE WHEN s.doc_id < $BenchDocs THEN 'benchmark' END,
+         |           CASE WHEN s.quality < $QualityThreshold THEN 'low_quality' END,
+         |           CASE WHEN s.lang_pred <> 'en' THEN 'wrong_lang' END,
+         |           CASE WHEN d.doc_id IS NOT NULL THEN 'near_dup' END,
+         |           CASE WHEN coalesce(c.contaminated, false) THEN 'contaminated' END,
+         |           CASE WHEN s.has_pii THEN 'has_pii' END) AS reasons
+         |  FROM scored s
+         |  LEFT JOIN dup_drops d USING (doc_id)
+         |  LEFT JOIN contam c USING (doc_id)
+         |)
+         |SELECT doc_id, reasons, reasons = '' AS keep
+         |FROM led ORDER BY doc_id""".stripMargin),
 
     // the filter's set-bit positions as a distinct set; a probe is
     // bloom-positive when all K of its bits are present — reproducing

@@ -86,6 +86,28 @@ class PipelineSpec extends SparkSpec {
     assert(rate > 0.04 && rate < 0.20, s"rate $rate far from 10%")
   }
 
+  test("curation ledger: keep iff no reasons; cascade verdict is derivable") {
+    val ledger = PipelineQueries.queries("corpus_curation_ledger")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(ledger.size === total)
+    ledger.values.foreach { case (reasons, keep) =>
+      assert(keep === reasons.isEmpty)
+    }
+    // the one-verdict cascade must equal the ledger's first cascade-order
+    // reason (the cascade does not model benchmark/contamination/PII)
+    val cascadeOrder = Seq("low_quality", "wrong_lang", "near_dup")
+    val derived = ledger.values.toSeq.map { case (reasons, _) =>
+      val rs = reasons.split(",").toSet
+      cascadeOrder.find(rs.contains).getOrElse("kept")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cascade = PipelineQueries.queries("corpus_clean_pipeline")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(derived === cascade,
+      s"ledger-derived verdicts $derived != cascade $cascade")
+  }
+
   test("quality quartiles: balanced tiles with monotone bounds per language") {
     val rows = PipelineQueries.queries("corpus_quality_quartiles")(spark, sf)
       .collect()
