@@ -60,6 +60,34 @@ object RelationalQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // TPC-H Q3-shaped shipping priority: segment-filtered customer
+    // dimension broadcasts; the orders filter pushes to its scan before
+    // the fact join; unshipped revenue aggregates per order and the
+    // result is a TakeOrdered top-10, never a global sort. Dates flow as
+    // integer epoch-µs so the output is engine-neutral.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1995-03-15").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // the file's TIMESTAMP_NTZ needs an explicit cast before
+        // unix_micros; the session is pinned to UTC so the wall time IS
+        // the epoch time, matching DuckDB's epoch_us on the naive value
+        .groupBy(col("l_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_orderpriority"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_date_us"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // top-10 customers by revenue: fact ⋈ orders ⋈ customer, then top-k
     "top_customers_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -131,6 +159,19 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_date_us, o_orderpriority
+        |ORDER BY revenue DESC, o_date_us, l_orderkey LIMIT 10""".stripMargin,
 
     "top_customers_revenue" ->
       """SELECT c_custkey, c_name,

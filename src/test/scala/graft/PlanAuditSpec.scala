@@ -51,6 +51,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q3: date filters push to both scans; segment dim broadcasts; top-k TakeOrdered") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(3000))
+    assert(p.contains("GreaterThan(l_shipdate"), p.take(3000))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(3000))
+  }
+
   test("whole-stage codegen spans cover the scan+filter+project pipeline") {
     // AQE finalizes (and codegen-wraps) the plan only on execution
     val df = RelationalQueries.queries("q1_pricing_summary")(spark, sf)
