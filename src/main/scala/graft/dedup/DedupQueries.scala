@@ -64,7 +64,7 @@ object DedupQueries {
 
   /** Same pipeline over an already-shingled (possibly checkpointed)
     * frame, so a caller can share one shingle pass across consumers. */
-  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val posting = sh
       .select(col("doc_id"), explode(col("shingles")).as("sh"))

@@ -169,13 +169,25 @@ object PipelineQueries {
           (regexp_count(col("text"),
             lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")) > 0 ||
             regexp_count(col("text"), lit("[0-9]{6,}")) > 0).as("has_pii"))
+      // ONE checkpointed shingle pass feeds both the near-dup pair
+      // pipeline and the contamination probe (composing the standalone
+      // queries instead would shingle the corpus twice — a full extra
+      // scan+tokenize at 100 TB); the plan pin asserts it
+      val sh = DedupQueries.shingled(s, dir).localCheckpoint()
       val dup = DedupComponents.components(
-          DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
-            .select("doc_a", "doc_b"))
+          DedupQueries.jaccardPairsFrom(sh).select("doc_a", "doc_b"))
         .filter(col("doc_id") =!= col("component"))
         .select(col("doc_id"), lit(true).as("is_dup"))
-      val contam = queries("corpus_contamination")(s, dir)
-        .select(col("doc_id"), col("contaminated"))
+      val bench = sh.filter(col("doc_id") < BenchDocs)
+        .select(explode(col("shingles")).as("sh")).distinct()
+      val contam = sh.filter(col("doc_id") >= BenchDocs)
+        .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+          explode(col("shingles")).as("sh"))
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id", "n_sh").agg(count("*").as("n_overlap"))
+        .select(col("doc_id"),
+          (col("n_overlap").cast("double") / col("n_sh") >=
+            ContaminationFrac).as("contaminated"))
       val reasons = concat_ws(",",
         when(col("doc_id") < BenchDocs, "benchmark"),
         when(col("quality") < QualityThreshold, "low_quality"),

@@ -189,6 +189,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("curation ledger shingles the corpus exactly once") {
+    // the pair pipeline and the contamination probe must both read the
+    // checkpointed shingle pass; the only live parquet scan left is the
+    // quality/language/PII projection
+    val p = graft.text.PipelineQueries
+      .queries("corpus_curation_ledger")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected only the scored-docs scan, got $scans")
+  }
+
   test("semantic dedup derives the cell assignment exactly once") {
     // the assignment (embedding scan + centroid argmin) is checkpointed;
     // every downstream consumer (both pair sides + the sizes aggregate)
