@@ -393,6 +393,33 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // threshold calibration: the corpus-background cosine distribution
+    // the dedup/ANN cutoffs (0.35, 0.45) are judged against. Pairs come
+    // from a deterministic fnv-hash sample (1-in-10 of the corpus, all
+    // pairs within the sample) — at 100 TB the sampling rate scales so
+    // the sample stays ~constant-size, keeping the pair stage bounded
+    // while the histogram still estimates the background distribution;
+    // the full-corpus quadratic would be the unusable alternative.
+    // 0.1-wide bins over [-1, 1]; bin edges hit identical doubles on
+    // both engines because the cosines are fold-exact.
+    "sim_cosine_calibration" -> ((s, dir) => {
+      val samp = emb(s, dir)
+        .filter(pmod(Fnv1a32.fnv1a32(
+          concat(lit("cal:"), col("vec_id").cast("string"))), lit(10L)) === 0)
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        .localCheckpoint()
+      samp.as("a").join(samp.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select((dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        .select(least(lit(19L),
+          floor((col("cos_sim") + lit(1.0)) * lit(10.0)).cast("long"))
+          .as("bin"), col("cos_sim"))
+        .groupBy("bin")
+        .agg(count("*").as("n"), min("cos_sim").as("cos_min"),
+          max("cos_sim").as("cos_max"))
+        .orderBy("bin")
+    }),
+
     // per-label centroid + cohesion over the fixture's supervision
     // column: the class-prototype computation behind label-balanced
     // curation and centroid-classifier sanity checks. One (label, dim)
@@ -707,6 +734,21 @@ object SimilarityQueries {
            |WHERE ${Ora.cos64("ea.embedding", "eb.embedding")} >= $CosineThreshold
            |ORDER BY vec_a, vec_b""".stripMargin
       },
+
+      "sim_cosine_calibration" ->
+        s"""WITH samp AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${Ora.fnv("'cal:' || vec_id")} % 10 = 0
+           |),
+           |cs AS (
+           |  SELECT ${Ora.cos64("a.embedding", "b.embedding")} AS cos_sim
+           |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+           |)
+           |SELECT least(19, CAST(floor((cos_sim + 1.0) * 10.0) AS BIGINT))
+           |         AS bin,
+           |       count(*) AS n, min(cos_sim) AS cos_min,
+           |       max(cos_sim) AS cos_max
+           |FROM cs GROUP BY bin ORDER BY bin""".stripMargin,
 
       "sim_label_centroids" ->
         s"""WITH cents AS (

@@ -15,7 +15,9 @@ class QuerySweepSpec extends SparkSpec {
   // quadratic-by-design oracle baselines (scale path is the LSH variant)
   private val quadraticBaselines =
     Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_ann_lsh",
-      "sim_ivf_ann")
+      "sim_ivf_ann",
+      // bounded sample × sample by construction (1-in-10 hash sample)
+      "sim_cosine_calibration")
 
   test("oracle keys are a subset of query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
