@@ -170,6 +170,9 @@ object ClusterQueries {
       s.range(4).select(col("id").as("shard_id"))
         .withColumn("node_id", element_at(typedLit(nodes),
           pmod(col("shard_id"), lit(nodes.size.toLong)).cast("int") + 1))
+        // zero healthy nodes ⇒ pmod-by-0 is NULL ⇒ no assignments emitted
+        // (mirrored in the oracle via NULLIF) — never rows with a null node
+        .filter(col("node_id").isNotNull)
         .select(col("shard_id"), col("node_id"), lit(true).as("is_primary"))
         .orderBy("shard_id")
     }),
@@ -178,14 +181,18 @@ object ClusterQueries {
     // the unassigned shard over healthy nodes (`cmd/coordinator/
     // main.go:976-1013`: nodeIndex increments only on assignment).
     "auto_assign_unassigned" -> ((s, _) => {
-      val n = healthyNodesIndexed(s).count()
+      // one registry snapshot (the count-plus-rederive form paid three
+      // windowed micro-jobs over a 5-row dimension — see the rebalance
+      // commit); the healthy list is coordinator metadata by contract
+      val nodes = healthyNodesSnapshot(s)
       val current = partialAssignments(s).filter(col("shard_id") === 0L)
       val unassigned = s.range(4).select(col("id").as("shard_id"))
         .join(current.select("shard_id"), Seq("shard_id"), "left_anti")
         .withColumn("rank",
           row_number().over(Window.orderBy("shard_id")).cast("long") - 1L)
-      unassigned.withColumn("node_idx", pmod(col("rank"), lit(n)))
-        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+      unassigned
+        .withColumn("node_id", element_at(typedLit(nodes),
+          pmod(col("rank"), lit(nodes.size.toLong)).cast("int") + 1))
         .select("shard_id", "node_id")
         .unionByName(current)
         .orderBy("shard_id")
@@ -194,10 +201,10 @@ object ClusterQueries {
     // O9 — GetNodeShards: shards grouped per node after a full rebalance
     // (`shard_registry.go:465-477`); shard list pinned to a sorted string.
     "node_shards" -> ((s, _) => {
-      val n = healthyNodesIndexed(s).count()
+      val nodes = healthyNodesSnapshot(s)
       s.range(4).select(col("id").as("shard_id"))
-        .withColumn("node_idx", pmod(col("shard_id"), lit(n)))
-        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+        .withColumn("node_id", element_at(typedLit(nodes),
+          pmod(col("shard_id"), lit(nodes.size.toLong)).cast("int") + 1))
         .groupBy("node_id")
         .agg(concat_ws(",", sort_array(collect_list(col("shard_id"))))
           .as("shards"), count("*").as("n_shards"))
@@ -271,10 +278,10 @@ object ClusterQueries {
     // assignment dimension broadcasts; the keyspace aggregates per shard
     // first (4 rows), so the rollup join moves no data-plane rows.
     "node_info_rollup" -> ((s, dir) => {
-      val n = healthyNodesIndexed(s).count()
+      val nodes = healthyNodesSnapshot(s)
       val assigns = s.range(4).select(col("id").as("shard_id"))
-        .withColumn("node_idx", pmod(col("shard_id"), lit(n)))
-        .join(healthyNodesIndexed(s).select("node_idx", "node_id"), "node_idx")
+        .withColumn("node_id", element_at(typedLit(nodes),
+          pmod(col("shard_id"), lit(nodes.size.toLong)).cast("int") + 1))
         .select("shard_id", "node_id")
       KvLog.state(s, dir).groupBy("shard_id")
         .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"))
@@ -500,7 +507,8 @@ object ClusterQueries {
       """SELECT s.shard_id, h.node_id, true AS is_primary
         |FROM (SELECT CAST(range AS BIGINT) AS shard_id FROM range(4)) s
         |JOIN healthy_idx h
-        |  ON h.node_idx = s.shard_id % (SELECT count(*) FROM healthy_idx)
+        |  ON h.node_idx = s.shard_id
+        |    % NULLIF((SELECT count(*) FROM healthy_idx), 0)
         |ORDER BY s.shard_id""".stripMargin),
 
     "auto_assign_unassigned" -> (s"WITH $membershipSql,\n" +

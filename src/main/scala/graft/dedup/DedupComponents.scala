@@ -80,18 +80,25 @@ object DedupComponents {
       .filter(col("doc_id") === col("component"))
       .select(col("doc_id").as("id"), lit(0L).as("hops"))
       .localCheckpoint()
+    // expand only the newest frontier: joining the whole reached set each
+    // round would redo every earlier round's neighbor derivation (O(R×E)
+    // total instead of O(E))
+    var frontier = reached
     var grew = true
     var rounds = 0
     while (grew && rounds < 50) {
-      val expanded = adj
-        .join(reached.withColumnRenamed("id", "src_id"),
+      val next = adj
+        .join(frontier.withColumnRenamed("id", "src_id"),
           col("src") === col("src_id"))
         .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
-      val next = reached.unionByName(expanded)
         .groupBy("id").agg(min("hops").as("hops"))
+        .join(reached.select("id"), Seq("id"), "left_anti")
         .localCheckpoint()
-      grew = next.count() > reached.count()
-      reached = next
+      grew = next.count() > 0
+      if (grew) {
+        reached = reached.unionByName(next).localCheckpoint()
+        frontier = next
+      }
       rounds += 1
     }
     reached.select(col("id").as("doc_id"), col("hops"))

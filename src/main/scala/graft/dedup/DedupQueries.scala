@@ -130,10 +130,15 @@ object DedupQueries {
     * quadratically); 64 bits with 16-bit chunks gives 256× the bucket
     * space with the identical posting-list plan.
     *
-    * Bits 0–31 come from `fnv1a32(w)`, bits 32–63 from `fnv1a32(w ⊕ '#')`
-    * — two independent 32-bit hashes of the same token, both of which the
-    * DuckDB oracle reproduces bit-for-bit (a native 64-bit FNV fold would
-    * need unsigned 64-bit arithmetic DuckDB's BIGINT can't express).
+    * Bits 0–31 come from `fnv1a32(w)`, bits 32–63 from `fnv1a32(w # )` —
+    * NOT independent: appending '#' applies one more xor-multiply step,
+    * so h2 is a fixed bijection of h1's final state and a token-level h1
+    * collision (p ≈ 2⁻³²) is automatically a full 64-bit collision. A
+    * bijection of a uniform hash is still uniform, which is all the
+    * chunk de-saturation needs; per-token collision resistance stays
+    * 32-bit. Both halves are reproduced bit-for-bit by the DuckDB oracle
+    * (a native 64-bit FNV fold would need unsigned 64-bit arithmetic
+    * DuckDB's BIGINT can't express).
     * Bit 63 is materialized as `Long.MinValue` on both engines, since
     * neither Spark's `1L << 63` semantics nor DuckDB (which raises on
     * `1::BIGINT << 63`) can build it by shifting. */

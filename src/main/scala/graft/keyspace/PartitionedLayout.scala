@@ -70,10 +70,29 @@ object PartitionedLayout {
     * range-table lookup) and arrives as a partition filter, so only
     * overlapping directories are read; the key predicate then pushes into
     * the reader for row-group pruning inside them. */
+  /** Unsigned UTF-8 byte comparison — the ordering Spark's UTF8String
+    * key columns (and the reference's Go byte-wise compare) use. JVM
+    * String comparison orders UTF-16 code units instead, which diverges
+    * for supplementary characters: a surrogate pair sorts below U+FFFF
+    * in UTF-16 but above it in UTF-8 bytes, so a String-ordered router
+    * would skip the directory holding such keys. */
+  private def byteCompare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   def rangeScan(spark: SparkSession, path: String, start: String,
       end: String, bounds: Seq[String]): DataFrame = {
-    val lo = bounds.count(_ <= start)
-    val hi = bounds.count(_ < end)
+    val lo = bounds.count(b => byteCompare(b, start) <= 0)
+    val hi = bounds.count(b => byteCompare(b, end) < 0)
     spark.read.parquet(path)
       .filter(col("range_id") >= lo && col("range_id") <= hi &&
         col("key") >= start && col("key") < end)

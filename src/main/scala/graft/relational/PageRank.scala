@@ -62,22 +62,26 @@ object PageRank {
     // single join (edges ⋈ ranks) + one aggregation + the dangling-node
     // left join — half the shuffles of the naive per-round deg join
     val (eDeg, nodes) = prepared(s, dir)
-    val n = nodes.count()
-    var r = nodes.select(col("node"), round(lit(1.0) / n, 12).as("pr"))
-    for (_ <- 1 to Iterations) {
-      val contrib = eDeg.join(r, eDeg("src") === r("node"))
-        .groupBy("dst").agg(sum(col("pr") / col("deg")).as("inflow"))
-      r = nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          round(lit((1.0 - Damping)) / n +
-            lit(Damping) * coalesce(col("inflow"), lit(0.0)), 12).as("pr"))
-        .localCheckpoint()
+    try {
+      val n = nodes.count()
+      var r = nodes.select(col("node"), round(lit(1.0) / n, 12).as("pr"))
+      for (_ <- 1 to Iterations) {
+        val contrib = eDeg.join(r, eDeg("src") === r("node"))
+          .groupBy("dst").agg(sum(col("pr") / col("deg")).as("inflow"))
+        r = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            round(lit((1.0 - Damping)) / n +
+              lit(Damping) * coalesce(col("inflow"), lit(0.0)), 12).as("pr"))
+          .localCheckpoint()
+      }
+      r
+    } finally {
+      // r is checkpointed — safe to release the edge cache eagerly (and
+      // on failure: a thrown iteration must not leak the materialized
+      // edge table until session end)
+      eDeg.unpersist()
     }
-    // r is checkpointed — safe to release the edge cache eagerly so bench
-    // runs and repeated invocations don't accumulate cached copies
-    eDeg.unpersist()
-    r
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

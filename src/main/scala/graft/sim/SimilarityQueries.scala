@@ -105,6 +105,26 @@ object SimilarityQueries {
   val KmeansK = 8
   val KmeansIters = 2
 
+  /** The fixed-seed coarse centroid dimension (vec_id < NumCells). */
+  private def coarseCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+
+  /** Nearest coarse centroid per vector — ONE definition shared by the
+    * IVF serving path, the recall measurement, and the semantic-dedup
+    * prune, so the assignment (and its tie-break) can never drift
+    * between the path being measured and the measurement. */
+  private def assignedCells(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cell"))
+    e.crossJoin(broadcast(coarseCentroids(e)))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("c_emb")).as("cos_c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
   /** Nearest centroid per vector: squared-L2 via three deterministic
     * dot-product folds, ties broken by cluster id. The 8-row centroid side
     * broadcasts, and the argmin is a `min_by` hash aggregate — a vector's
@@ -237,16 +257,8 @@ object SimilarityQueries {
     // and the centroid table stays a broadcast dimension.
     "sim_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < NumCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cos_c").desc, col("cell"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine(col("embedding"), col("c_emb")).as("cos_c"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      val centroids = coarseCentroids(e)
+      val assigned = assignedCells(e)
       val queryCells = assigned.filter(col("vec_id") === QueryVec)
         .select(col("embedding").as("q_emb"))
         .crossJoin(broadcast(centroids))
@@ -294,16 +306,8 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"),
           cosine(col("embedding"), col("q_emb")).as("cos_sim")))
       // IVF leg: candidates in the query's nprobe nearest cells
-      val centroids = e.filter(col("vec_id") < NumCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cos_c").desc, col("cell"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine(col("embedding"), col("c_emb")).as("cos_c"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      val centroids = coarseCentroids(e)
+      val assigned = assignedCells(e)
       val qcells = qs.crossJoin(broadcast(centroids))
         .select(col("q_id"), col("q_emb"), col("cell"),
           cosine(col("q_emb"), col("c_emb")).as("cos_c"))
@@ -471,18 +475,8 @@ object SimilarityQueries {
     // cell sizes constant; it is never the corpus² of the flat pair scan.
     // Output is the per-cell keep/drop ledger a curation run reports.
     "dedup_semantic" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < NumCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cos_c").desc, col("cell"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine(col("embedding"), col("c_emb")).as("cos_c"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      val assigned = assignedCells(emb(s, dir))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
         .localCheckpoint()
       val pairs = assigned.as("a").join(assigned.as("b"),
           col("a.cell") === col("b.cell") &&
@@ -510,6 +504,21 @@ object SimilarityQueries {
     }.mkString(" + ")
     val bucketedSql =
       s"bucketed AS (SELECT vec_id, embedding, $bitsSql AS bucket FROM embeddings)"
+
+    // mirror of assignedCells — one definition, three consumers
+    val assignedCellsSql =
+      s"""centroids AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < $NumCells
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
+         |                    c.cell) AS rk
+         |  FROM embeddings e, centroids c
+         |),
+         |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1)""".stripMargin
 
     def distSql(v: String, c: String) =
       s"${Ora.dot64(v, v)} - 2 * ${Ora.dot64(v, c)} + ${Ora.dot64(c, c)}"
@@ -587,17 +596,7 @@ object SimilarityQueries {
            |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin),
 
       "sim_ivf_ann" ->
-        s"""WITH centroids AS (
-           |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-           |  WHERE vec_id < $NumCells
-           |),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.cell,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC, c.cell) AS rk
-           |  FROM embeddings e, centroids c
-           |),
-           |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1),
+        s"""WITH $assignedCellsSql,
            |qcells AS (
            |  SELECT c.cell, q.embedding AS q_emb
            |  FROM (SELECT embedding FROM embeddings WHERE vec_id = $QueryVec) q,
@@ -638,18 +637,7 @@ object SimilarityQueries {
            |      ON e.bucket % 16 = q.coarse AND e.vec_id <> q.q_id
            |  ) WHERE rk <= 5
            |),
-           |centroids AS (
-           |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-           |  WHERE vec_id < $NumCells
-           |),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.cell,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
-           |                    c.cell) AS rk
-           |  FROM embeddings e, centroids c
-           |),
-           |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1),
+           |$assignedCellsSql,
            |qcells AS (
            |  SELECT q_id, q_emb, cell FROM (
            |    SELECT q.q_id, q.q_emb, c.cell,
@@ -775,18 +763,7 @@ object SimilarityQueries {
            |ORDER BY label""".stripMargin,
 
       "dedup_semantic" ->
-        s"""WITH centroids AS (
-           |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-           |  WHERE vec_id < $NumCells
-           |),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.cell,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
-           |                    c.cell) AS rk
-           |  FROM embeddings e, centroids c
-           |),
-           |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1),
+        s"""WITH $assignedCellsSql,
            |pairs AS (
            |  SELECT a.cell, b.vec_id AS vec_b
            |  FROM assigned a JOIN assigned b

@@ -59,9 +59,14 @@ object AnomalyStream {
     }
 
     perDay.keys.toSeq.sorted.foreach { d =>
-      if (st.openDay >= 0 && d > st.openDay) closeOpenDay()
-      st = st.copy(openDay = math.max(st.openDay, d),
-        openCnt = (if (st.openDay == d) st.openCnt else 0L) + perDay(d))
+      // a straggler for an already-closed day is DROPPED, like an event
+      // past the watermark — folding it into the open day would corrupt
+      // that day's count and every downstream statistic
+      if (st.openDay < 0 || d >= st.openDay) {
+        if (st.openDay >= 0 && d > st.openDay) closeOpenDay()
+        st = st.copy(openDay = math.max(st.openDay, d),
+          openCnt = (if (st.openDay == d) st.openCnt else 0L) + perDay(d))
+      }
     }
     state.update(st)
     out.result().iterator

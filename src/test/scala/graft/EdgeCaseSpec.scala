@@ -44,6 +44,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(bloom.forall(_ === 0L) && bloom.length === 4)
   }
 
+  test("ranged layout routes supplementary-plane keys by byte order") {
+    // UTF-16 String comparison sorts a surrogate pair BELOW U+FFFF while
+    // UTF-8 bytes sort it above — a String-ordered router would compute
+    // an empty directory interval here and silently drop the emoji key
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    try {
+      val data = Seq(("a", "v", 0L), ("￿", "v", 0L),
+        ("😀", "v", 0L)).toDF("key", "value", "shard_id")
+      val bounds = Seq("￿")
+      graft.keyspace.PartitionedLayout.writeRanged(data, dir, bounds)
+      val got = graft.keyspace.PartitionedLayout
+        .rangeScan(spark, dir, "￿", "􏿿", bounds)
+        .collect().map(_.getString(0))
+      assert(got.toSet === Set("￿", "😀"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sketch aggregates skip null inputs") {
     val mixed = Seq(Some("a"), None, Some("b"), None).toDF("v")
     val cms = mixed.agg(CmsCounts.cmsCounts(col("v"), 3, 32))

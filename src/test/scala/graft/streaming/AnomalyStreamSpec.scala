@@ -72,6 +72,44 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("a cross-batch straggler day is dropped, not folded into the open day") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day = EventsQueries.DayUs
+    def evs(d: Long, n: Int): Seq[Event] =
+      (0 until n).map(i => Event(d * 1000 + i, d * day + i, 1L, "x", 0.0))
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.anomalies(input.toDS())
+      .writeStream.format("memory").queryName("anom_straggler")
+      .outputMode("append").start()
+    // days 0..5 at 10 events each, then a STRAGGLER for day 2 arriving
+    // while day 5 is open, then an anomalous day 6
+    for (d <- 0L to 5L) { input.addData(evs(d, 10)); q.processAllAvailable() }
+    input.addData(evs(2L, 1)); q.processAllAvailable() // must be dropped
+    input.addData(evs(6L, 100)); q.processAllAvailable()
+    input.addData(Seq(Event(-1L, 10L * day, -1L, "x", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("anom_straggler").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // trailing replay over the CLEAN counts — the straggler must not
+    // have perturbed day 5's count or the running stats
+    val counts = Seq.fill(6)(10L) :+ 100L
+    var (nd, sm, sq) = (0L, 0L, 0L)
+    val expected = counts.zipWithIndex.flatMap { case (cnt, d) =>
+      val (n, s2, sq2) = (nd + 1, sm + cnt, sq + cnt * cnt)
+      nd = n; sm = s2; sq = sq2
+      if (n >= AnomalyStream.MinDays && sq2 * n > s2 * s2) {
+        val z = (cnt - s2.toDouble / n) /
+          math.sqrt((sq2.toDouble - s2.toDouble * s2 / n) / n)
+        if (math.abs(z) >= EventsQueries.ZThreshold)
+          Some((d.toLong, cnt, z)) else None
+      } else None
+    }.toSet
+    assert(expected.nonEmpty, "day 6 must flag in the reference replay")
+    assert(got === expected)
+  }
+
   test("flag set is feed-deterministic across shuffled chunkings") {
     for (seed <- Seq(13, 37)) {
       val rnd = new Random(seed)
