@@ -47,15 +47,8 @@ case class CmsCounts(child: Expression, depth: Int, width: Int,
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val item = v.asInstanceOf[UTF8String].toString
-      var r = 0
-      while (r < depth) {
-        val b = (Fnv1a32.hashString(item + ":" + r) % width).toInt
-        buf(r * width + b) += 1L
-        r += 1
-      }
-    }
+    if (v != null)
+      CmsCounts.add(buf, v.asInstanceOf[UTF8String].toString, depth, width)
     buf
   }
 
@@ -91,6 +84,19 @@ case class CmsCounts(child: Expression, depth: Int, width: Int,
 }
 
 object CmsCounts {
+  /** The per-item update kernel — THE definition of the hash/bucket
+    * scheme. Shared by the aggregate and the streaming state
+    * ([[graft.streaming.SketchStream]]) so their bit-equality contract
+    * cannot drift between two copies. */
+  def add(buf: Array[Long], item: String, depth: Int, width: Int): Unit = {
+    var r = 0
+    while (r < depth) {
+      val b = (Fnv1a32.hashString(item + ":" + r) % width).toInt
+      buf(r * width + b) += 1L
+      r += 1
+    }
+  }
+
   /** Flattened `depth × width` counter array of the string column `item`;
     * row-major (`sketch[r*width + b]`). Probe with [[estimate]]. */
   def cmsCounts(item: Column, depth: Int, width: Int): Column =

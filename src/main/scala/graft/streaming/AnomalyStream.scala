@@ -26,9 +26,10 @@ case class AnomOut(event_type: String, day: Long, n_events: Long,
   *
   * All accumulation is exact integer arithmetic; the z expression is the
   * batch query's, evaluated once per closed day. State is O(1) per type
-  * regardless of event volume — the same fixed-state contract as the
-  * KMV/CMS sketches, which is what lets the monitor run unbounded at
-  * production ingest rates.
+  * regardless of event volume. Exactness envelope: Σcnt² must stay below
+  * 2^53 for the z doubles to be exact (≈9.4e7 events/day/type over 100
+  * days); past that, salt the type key or pre-sample — the variance
+  * GUARD is overflow-proof (BigInt) either way.
   */
 object AnomalyStream {
 
@@ -49,7 +50,11 @@ object AnomalyStream {
     def closeOpenDay(): Unit = if (st.openDay >= 0) {
       val (n, cnt) = (st.nd + 1, st.openCnt)
       val (s, sq) = (st.s + cnt, st.sq + cnt * cnt)
-      if (n >= MinDays && sq * n > s * s) {
+      // the variance guard in BigInt: sq*n overflows a Long at ~1e8
+      // events/day × 100 days, and an overflowed guard silently stops
+      // flagging. (Counts above ~9.4e7/day also push sq past 2^53 and
+      // soften the z math itself — beyond that, salt the key or sample.)
+      if (n >= MinDays && BigInt(sq) * n > BigInt(s) * s) {
         val z = (cnt - s.toDouble / n) /
           math.sqrt((sq.toDouble - s.toDouble * s / n) / n)
         if (math.abs(z) >= EventsQueries.ZThreshold)

@@ -26,9 +26,13 @@ object EventStream {
       .withColumn("event_time", timestamp_micros(col("tsUs")))
       .withWatermark("event_time", Watermark)
       .groupBy(window(col("event_time"), WindowLen), col("eventType"))
-      .agg(count("*").as("n"))
+      .agg(count("*").as("n"),
+        // the batch twin's decimal-exact money sum — same incremental
+        // exactness argument as slidingTotals
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
       .select(unix_micros(col("window.start")).as("window_start"),
-        col("eventType").as("event_type"), col("n"))
+        col("eventType").as("event_type"), col("n"), col("total_value"))
 
   val SlideWindowLen = "1 hour"
   val SlideLen = "15 minutes"

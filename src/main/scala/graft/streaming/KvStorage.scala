@@ -8,10 +8,14 @@ import graft.hash.Fnv1a32.shardId
 import graft.keyspace.KvLog
 
 /** The full storage-engine loop, closed: a stream of PUT/DELETE ops lands
-  * append-only in a parquet op log (`foreachBatch`, exactly-once per
-  * micro-batch), current state is the LWW compaction of that log, and the
-  * compacted state can be laid out shard-partitioned for pruned point
-  * reads ([[graft.keyspace.PartitionedLayout]]).
+  * append-only in a parquet op log (`foreachBatch`; the append is
+  * AT-LEAST-once — a batch retried after a write that committed but
+  * missed its checkpoint re-appends the same rows — and the READ path
+  * restores effective exactly-once by dropping exact duplicate rows,
+  * which is sound because `seq` identifies an op), current state is the
+  * LWW compaction of that log, and the compacted state can be laid out
+  * shard-partitioned for pruned point reads
+  * ([[graft.keyspace.PartitionedLayout]]).
   *
   * This is the reference's whole data plane — HTTP PUT → in-memory map →
   * HTTP GET (`cmd/node/main.go`) — restated durably: the op log is the
@@ -33,10 +37,23 @@ object KvStorage {
       }
       .start()
 
-  /** Current keyspace state from the accumulated log. */
-  def currentState(spark: SparkSession, logDir: String): DataFrame =
-    KvLog.compact(
-      spark.read.parquet(logDir)
-        .select(col("seq"), col("op"), col("key"), col("value")))
+  /** Current keyspace state from the accumulated log. An empty or
+    * not-yet-created log reads as an empty keyspace (a fresh deployment
+    * queries before its first batch lands); replayed-batch duplicate
+    * rows are dropped before compaction (see the at-least-once note). */
+  def currentState(spark: SparkSession, logDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val log =
+      if (fs.exists(new org.apache.hadoop.fs.Path(logDir)))
+        spark.read.parquet(logDir)
+          .select(col("seq"), col("op"), col("key"), col("value"))
+          .dropDuplicates("seq", "op", "key")
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "seq BIGINT, op STRING, key STRING, value STRING"))
+    KvLog.compact(log)
       .select(col("key"), col("value"), shardId(col("key")).as("shard_id"))
+  }
 }

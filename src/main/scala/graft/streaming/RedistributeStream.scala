@@ -50,9 +50,13 @@ object RedistributeStream {
       case _ => reg
     }
 
-  /** Replay a transition log in seq order — the deterministic batch twin. */
+  /** Replay a transition log in seq order — the deterministic batch twin.
+    * Ties on seq (two nodes failing at the same probe round) break by
+    * node id: a bare seq sort would fall back to collect()'s partition
+    * order, and a replay-from-log recovery could then reconstruct a
+    * DIFFERENT routing table than the live run used. */
   def replay(reg: Registry, ts: Seq[Transition]): Registry =
-    ts.sortBy(_.seq).foldLeft(reg)(applyTransition)
+    ts.sortBy(t => (t.seq, t.nodeId)).foldLeft(reg)(applyTransition)
 
   /** Wire the loop: each micro-batch of transitions updates the registry
     * via `onUpdate` (the coordinator's single-threaded callback, exactly

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.events.EventsQueries
-import graft.hash.Fnv1a32
+import graft.sketch.CmsCounts
 
 /** A per-type count-min sketch emitted at stream close. */
 case class SketchOut(event_type: String, sketch: Array[Long])
@@ -34,15 +34,9 @@ object SketchStream {
     var close = false
     events.foreach { e =>
       if (e.userId < 0) close = true
-      else {
-        val item = e.userId.toString
-        var r = 0
-        while (r < Depth) {
-          val b = (Fnv1a32.hashString(item + ":" + r) % Width).toInt
-          sk(r * Width + b) += 1L
-          r += 1
-        }
-      }
+      // the ONE update kernel, shared with the batch aggregate — the
+      // bit-equality contract depends on a single hash/bucket definition
+      else CmsCounts.add(sk, e.userId.toString, Depth, Width)
     }
     state.update(sk)
     if (close) Iterator.single(SketchOut(eventType, sk.clone()))

@@ -126,9 +126,12 @@ class EventsSpec extends SparkSpec {
     val got = spark.table("ev_out")
       .filter(col("event_type") =!= "sentinel")
       .collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
     val expected = EventsQueries.queries("events_tumbling_agg")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
     assert(got === expected)
   }
 
