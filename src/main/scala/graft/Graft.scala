@@ -29,8 +29,20 @@ object Graft {
 
   private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] =
     Seq(
-      "fnv1a32" -> { es => Fnv1a32(es.head) },
-      "dot64" -> { es => Dot64(es(0), es(1)) },
+      "fnv1a32" -> { es =>
+        es match {
+          case Seq(e) => Fnv1a32(e)
+          case other => throw new IllegalArgumentException(
+            s"fnv1a32(str) takes 1 argument, got ${other.size}")
+        }
+      },
+      "dot64" -> { es =>
+        es match {
+          case Seq(a, b) => Dot64(a, b)
+          case other => throw new IllegalArgumentException(
+            s"dot64(arr, arr) takes 2 arguments, got ${other.size}")
+        }
+      },
       "word_ngrams" -> { es =>
         es match {
           case Seq(toks, IntegerLiteral(n)) => WordNgrams(toks, n)

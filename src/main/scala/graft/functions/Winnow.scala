@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.hash.Fnv1a32
@@ -22,7 +23,11 @@ import graft.hash.Fnv1a32
   * with zero intermediate Catalyst arrays, instead of one interpreted
   * lambda call (and a substring allocation) per character of the corpus.
   * The lambda pipeline dominated the 10× scale rehearsal at ~96× the
-  * sf0.1 cost; this kernel is linear in corpus bytes.
+  * sf0.1 cost; this kernel costs O(bytes·k + kgrams·w) per document —
+  * linear in corpus bytes for the engine's fixed small k and w (the SQL
+  * surface exposes w, so a caller-supplied large window pays the naive
+  * window-min rescans; a monotonic-deque minimum would make it O(bytes)
+  * outright).
   *
   * Hashes are computed over the UTF-8 bytes of each k-char window via a
   * per-char byte-offset table, so multi-byte code points hash exactly like
@@ -37,6 +42,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
   require(k >= 1 && w >= 1, s"window sizes must be >= 1, got k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow needs STRING input, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -77,14 +87,7 @@ object WinnowFingerprints {
     val hashes = new Array[Long](m)
     var i = 0
     while (i < m) {
-      var h = Fnv1a32.OffsetBasis
-      var b = offs(i)
-      val end = offs(i + k)
-      while (b < end) {
-        h = ((h ^ (bytes(b) & 0xffL)) * Fnv1a32.Prime) & 0xffffffffL
-        b += 1
-      }
-      hashes(i) = h
+      hashes(i) = Fnv1a32.hashBytes(bytes, offs(i), offs(i + k))
       i += 1
     }
 

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -19,27 +20,53 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row instead of an interpreted lambda per shingle. On a 260k-shingle
   * corpus the higher-order-function pipeline costs ~6 s; this runs in
   * ~0.2 s. Shingling feeds every shingle-based dedup operator, so it is
-  * the hottest scalar kernel in the dedup family.
+  * the hottest scalar kernel in the dedup family — and like its siblings
+  * (`WinnowFingerprints`, `WordSetHits`) it splices a static call into
+  * WholeStageCodegen instead of paying a CodegenFallback boxed-eval
+  * dispatch per row.
   */
 case class WordNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams needs ARRAY<STRING> input, got ${t.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"word_ngrams"
 
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WordNgrams$$.MODULE$$.compute($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+
   private val sep = UTF8String.fromString(" ")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** The shingle kernel, shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
     val num = toks.numElements()
     if (num < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
+    // one scratch buffer for the whole row: concatWs copies the bytes
+    // immediately, so reusing it is safe and saves an allocation per
+    // shingle on the hottest kernel in the dedup family
+    val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= num - n) {
-      val parts = new Array[UTF8String](n)
       var j = 0
       while (j < n) {
         parts(j) = toks.getUTF8String(i + j)
@@ -55,11 +82,6 @@ case class WordNgrams(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
-    copy(child = newChild)
-}
-
-object WordNgrams {
   /** Distinct n-gram shingles of `tokens` (array<string>). */
   def wordNgrams(tokens: Column, n: Int): Column =
     shims.column(WordNgrams(shims.expression(tokens), n))

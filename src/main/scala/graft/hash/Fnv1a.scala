@@ -1,11 +1,12 @@
 package graft.hash
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{lit, pmod}
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** FNV-1a 32-bit hash over the UTF-8 bytes of a string, as a native
@@ -20,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-negative Long, matching Go's `int(h.Sum32())` on 64-bit platforms.
   */
 case class Fnv1a32(child: Expression) extends UnaryExpression {
+
+  // reject non-string input at ANALYSIS time; without this a LongType
+  // child passes the analyzer and the codegen template splices
+  // `long.getBytes()` — a mid-query compile/ClassCastException instead
+  // of a clear AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fnv1a32 needs STRING input, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -40,10 +50,15 @@ object Fnv1a32 {
   final val Prime = 16777619L
 
   /** Hot-path kernel, called from both interpreted eval and generated code. */
-  def hashBytes(bytes: Array[Byte]): Long = {
+  def hashBytes(bytes: Array[Byte]): Long =
+    hashBytes(bytes, 0, bytes.length)
+
+  /** Ranged variant — THE hash definition; the winnowing kernel hashes
+    * sub-windows through this so the two cannot drift. */
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = OffsetBasis
-    var i = 0
-    while (i < bytes.length) {
+    var i = from
+    while (i < until) {
       h = ((h ^ (bytes(i) & 0xffL)) * Prime) & 0xffffffffL
       i += 1
     }

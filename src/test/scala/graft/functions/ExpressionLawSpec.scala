@@ -113,6 +113,47 @@ class ExpressionLawSpec extends SparkSpec {
       UTF8String.fromString("the"))))
     assert(hProj(hRow).getLong(0) === 2L)
     assert(hProj(hRow).getLong(0) === hExpr.eval(hRow))
+
+    // WordNgrams joined the codegen set (it was the one CodegenFallback
+    // left in the family)
+    val nExpr = WordNgrams(
+      BoundReference(0, ArrayType(StringType), nullable = true), 2)
+    assert(!nExpr.isInstanceOf[CodegenFallback])
+    val nProj = GenerateUnsafeProjection.generate(Seq(nExpr))
+    val nRow = InternalRow(new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("b"),
+      UTF8String.fromString("a"), UTF8String.fromString("b"))))
+    val got = nProj(nRow).getArray(0)
+    assert((0 until got.numElements()).map(got.getUTF8String(_).toString)
+      === Seq("a b", "b a"))
+  }
+
+  test("dot64 NULL laws: mismatched lengths and null elements yield NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    // mismatched lengths: the documented zip_with equivalent returns NULL
+    val mism = spark.range(1).select(graft.sim.Dot64.dot64(
+      array(lit(1.0), lit(2.0)), array(lit(3.0)))).first()
+    assert(mism.isNullAt(0), "length mismatch must be NULL, not truncation")
+    // a null element poisons the product, like null arithmetic everywhere
+    val withNull = Seq((Seq[java.lang.Double](1.0, null), Seq(2.0, 3.0)))
+      .toDF("a", "b")
+      .select(graft.sim.Dot64.dot64($"a", $"b")).first()
+    assert(withNull.isNullAt(0), "null element must be NULL, not 0.0")
+    // equal-length non-null arrays are unchanged
+    val ok = spark.range(1).select(graft.sim.Dot64.dot64(
+      array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0)))).first()
+    assert(ok.getDouble(0) === 11.0)
+  }
+
+  test("custom expressions reject wrong-typed input at analysis time") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[Exception] {
+      spark.range(1).select(
+        graft.hash.Fnv1a32.fnv1a32(col("id"))).collect()
+    }
+    assert(e.getMessage.contains("fnv1a32") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
   }
 
   test("Dot64 ≡ aggregate(zip_with(*, +)) bit-for-bit on random vectors") {
