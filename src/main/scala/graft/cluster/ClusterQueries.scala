@@ -193,6 +193,10 @@ object ClusterQueries {
       unassigned
         .withColumn("node_id", element_at(typedLit(nodes),
           pmod(col("rank"), lit(nodes.size.toLong)).cast("int") + 1))
+        // zero healthy nodes ⇒ pmod-by-0 is NULL ⇒ only the already-current
+        // assignments survive (oracle mirrors via NULLIF) — same guard as
+        // round_robin_rebalance, never null-node rows
+        .filter(col("node_id").isNotNull)
         .select("shard_id", "node_id")
         .unionByName(current)
         .orderBy("shard_id")
@@ -205,6 +209,8 @@ object ClusterQueries {
       s.range(4).select(col("id").as("shard_id"))
         .withColumn("node_id", element_at(typedLit(nodes),
           pmod(col("shard_id"), lit(nodes.size.toLong)).cast("int") + 1))
+        // zero healthy nodes ⇒ empty result, not a null-node group
+        .filter(col("node_id").isNotNull)
         .groupBy("node_id")
         .agg(concat_ws(",", sort_array(collect_list(col("shard_id"))))
           .as("shards"), count("*").as("n_shards"))
@@ -282,6 +288,8 @@ object ClusterQueries {
       val assigns = s.range(4).select(col("id").as("shard_id"))
         .withColumn("node_id", element_at(typedLit(nodes),
           pmod(col("shard_id"), lit(nodes.size.toLong)).cast("int") + 1))
+        // zero healthy nodes ⇒ empty rollup, not a null-node group
+        .filter(col("node_id").isNotNull)
         .select("shard_id", "node_id")
       KvLog.state(s, dir).groupBy("shard_id")
         .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"))
@@ -522,7 +530,8 @@ object ClusterQueries {
         |SELECT shard_id, node_id FROM (
         |  SELECT u.shard_id, h.node_id FROM unassigned u
         |  JOIN healthy_idx h
-        |    ON h.node_idx = u.rnk % (SELECT count(*) FROM healthy_idx)
+        |    ON h.node_idx = u.rnk
+        |      % NULLIF((SELECT count(*) FROM healthy_idx), 0)
         |  UNION ALL
         |  SELECT CAST(shard_id AS BIGINT), node_id FROM current
         |) ORDER BY shard_id""".stripMargin),
@@ -533,7 +542,8 @@ object ClusterQueries {
         |       count(*) AS n_shards
         |FROM (SELECT CAST(range AS BIGINT) AS shard_id FROM range(4)) s
         |JOIN healthy_idx h
-        |  ON h.node_idx = s.shard_id % (SELECT count(*) FROM healthy_idx)
+        |  ON h.node_idx = s.shard_id
+        |    % NULLIF((SELECT count(*) FROM healthy_idx), 0)
         |GROUP BY h.node_id ORDER BY h.node_id""".stripMargin),
 
     "nodes_with_health" -> (s"WITH $membershipSql,\n$probesSql,\n" +
@@ -583,7 +593,8 @@ object ClusterQueries {
         |             sum(length(value)) AS n_bytes
         |      FROM kv_state GROUP BY shard_id) k
         |JOIN healthy_idx h
-        |  ON h.node_idx = k.shard_id % (SELECT count(*) FROM healthy_idx)
+        |  ON h.node_idx = k.shard_id
+        |    % NULLIF((SELECT count(*) FROM healthy_idx), 0)
         |GROUP BY h.node_id ORDER BY h.node_id""".stripMargin),
 
     "redistribute_on_failure" -> (s"WITH $membershipSql,\n" +

@@ -259,7 +259,11 @@ object EventsQueries {
     // shuffle is event-sized. All sums are exact integers (daily counts
     // square to < 2^53), so mean/stddev are single correctly-rounded
     // double expressions and the z-scores are bit-equal across engines;
-    // the zero-variance guard stays in exact integer arithmetic. The
+    // the zero-variance guard is exact in WIDE integer arithmetic —
+    // sq*nd overflows Long around 3e7 events/day over 100 days (Spark
+    // wraps silently, DuckDB raises), so Spark compares in DECIMAL(38,0)
+    // and the oracle in HUGEINT, both exact far past the ~9.4e7/day
+    // envelope (same BigInt treatment as the streaming twin). The
     // fixture's boundary days (partial ingest) are the planted anomalies.
     "events_anomaly_day" -> ((s, dir) => {
       val daily = events(s, dir)
@@ -272,7 +276,8 @@ object EventsQueries {
         sqrt((col("sq").cast("double") -
           col("s").cast("double") * col("s") / col("nd")) / col("nd"))
       daily.join(broadcast(st), "event_type")
-        .filter(col("sq") * col("nd") > col("s") * col("s"))
+        .filter(col("sq").cast("decimal(38,0)") * col("nd") >
+          col("s").cast("decimal(38,0)") * col("s"))
         .select(col("event_type"), col("day"), col("n_events"),
           z.as("z_score"))
         .filter(abs(col("z_score")) >= ZThreshold)
@@ -448,7 +453,7 @@ object EventsQueries {
          |       (d.n_events - s::DOUBLE / nd)
          |         / sqrt((sq::DOUBLE - s::DOUBLE * s / nd) / nd) AS z_score
          |FROM daily d JOIN st USING (event_type)
-         |WHERE sq * nd > s * s
+         |WHERE CAST(sq AS HUGEINT) * nd > CAST(s AS HUGEINT) * s
          |  AND abs((d.n_events - s::DOUBLE / nd)
          |        / sqrt((sq::DOUBLE - s::DOUBLE * s / nd) / nd)) >= $ZThreshold
          |ORDER BY d.event_type, d.day""".stripMargin),

@@ -64,7 +64,10 @@ object RelationalQueries {
     // dimension broadcasts; the orders filter pushes to its scan before
     // the fact join; unshipped revenue aggregates per order and the
     // result is a TakeOrdered top-10, never a global sort. Dates flow as
-    // integer epoch-µs so the output is engine-neutral.
+    // integer epoch-µs so the output is engine-neutral. NOTE: true TPC-H
+    // Q3 groups by o_shippriority, which the fixture's orders table does
+    // not carry — o_orderpriority substitutes (same plan shape; the
+    // substitution is declared here and in the README row).
     "q3_shipping_priority" -> ((s, dir) => {
       val cutoff = lit("1995-03-15").cast("timestamp")
       val cust = t(s, dir, "customer")

@@ -42,10 +42,13 @@ object KvStorage {
     * queries before its first batch lands); replayed-batch duplicate
     * rows are dropped before compaction (see the at-least-once note). */
   def currentState(spark: SparkSession, logDir: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the log path: FileSystem.get(conf)
+    // returns the default FS, which throws Wrong-FS for an s3a/hdfs
+    // logDir when the default is local (and vice versa)
+    val logPath = new org.apache.hadoop.fs.Path(logDir)
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log =
-      if (fs.exists(new org.apache.hadoop.fs.Path(logDir)))
+      if (fs.exists(logPath))
         spark.read.parquet(logDir)
           .select(col("seq"), col("op"), col("key"), col("value"))
           .dropDuplicates("seq", "op", "key")
