@@ -230,6 +230,46 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // incremental LSH dedup — the shape a production pipeline actually
+    // runs day over day: the standing corpus's band signatures are a
+    // persisted index (derived in-line here; at 100 TB that side is
+    // written once and amortizes across every ingest batch), and ONLY
+    // the new batch (doc_id % 10 = 0 stands in for today's ingest)
+    // shingles, signs, and probes it. Candidates come from joining the
+    // new docs' band signatures against index-side posting lists
+    // (bucket-capped like every LSH path — a degenerate index bucket
+    // cannot blow up the probe), then exact-Jaccard verification.
+    // Intra-batch duplicates are the regular batch dedup's contract;
+    // this query is strictly new-vs-index.
+    "dedup_lsh_incremental" -> ((s, dir) => {
+      val sh = shingled(s, dir).localCheckpoint()
+      val mh = minhashSigs(sh)
+      val bandCols = (0 until NumBands).map { b =>
+        concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+      }
+      val banded = mh.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      val isNew = col("doc_id") % 10 === 0
+      val idxPosting = banded.filter(!isNew)
+        .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= MaxPosting)
+      val cand = banded.filter(isNew)
+        .join(idxPosting, Seq("band", "sig"))
+        .select(col("doc_id").as("new_doc"),
+          explode(col("ids")).as("idx_doc"))
+        .distinct()
+      cand
+        .join(sh.as("sa"), col("new_doc") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("idx_doc") === col("sb.doc_id"))
+        .select(col("new_doc"), col("idx_doc"),
+          (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+            .cast("double") /
+            size(array_union(col("sa.shingles"), col("sb.shingles"))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("new_doc", "idx_doc")
+    }),
+
     // MinHash fidelity measurement: for the verified near-dup pairs, the
     // signature-agreement estimate (matching components / NumMinhash)
     // against true Jaccard — the "measure, don't guess" companion to the
@@ -473,6 +513,34 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_lsh_incremental" -> (s"WITH $minhashSql,\n" +
+      (0 until NumBands).map { b =>
+        s"""band$b AS (SELECT doc_id,
+           |  $b AS band, CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS sig
+           |  FROM sigs)""".stripMargin
+      }.mkString(",\n") + ",\n" +
+      s"""bands AS (${(0 until NumBands).map(b => s"SELECT * FROM band$b").mkString(" UNION ALL ")}),
+         |idx_ok AS (
+         |  SELECT band, sig FROM bands WHERE doc_id % 10 <> 0
+         |  GROUP BY band, sig HAVING count(*) <= $MaxPosting
+         |),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS idx_doc
+         |  FROM bands n
+         |  JOIN bands i ON n.band = i.band AND n.sig = i.sig
+         |  JOIN idx_ok o ON i.band = o.band AND i.sig = o.sig
+         |  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+         |)
+         |SELECT new_doc, idx_doc,
+         |       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |FROM cand
+         |JOIN sigs sa ON new_doc = sa.doc_id
+         |JOIN sigs sb ON idx_doc = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
+         |ORDER BY new_doc, idx_doc""".stripMargin),
 
     "dedup_minhash_estimate" -> {
       val matchSum = (0 until NumMinhash).map { i =>

@@ -339,8 +339,64 @@ object EventsQueries {
           (sum("k").cast("double") / count("*")).as("k_avg"))
         .orderBy("event_type")
     }),
+
+    // watermark late-data accounting — the batch mirror of Structured
+    // Streaming's per-micro-batch watermark semantics: events are
+    // replayed in a deterministic arrival order (the fixture arrives in
+    // perfect event-time order, so ~1-in-37 events are re-sequenced
+    // 0-600 positions later — the same fixture-augmentation pattern as
+    // the kv log), the watermark before batch b is max(event time over
+    // batches < b) - delay, and an event is late iff it arrives below
+    // that watermark — exactly what a streaming job would drop. Scale
+    // shape: one event-sized shuffle for the per-batch maxima, then the
+    // watermark series is an O(#micro-batches) running max (inherently
+    // sequential, control-plane-sized — 2.4 K rows for 600 K events)
+    // broadcast back over the events.
+    "events_late_arrivals" -> ((s, dir) => {
+      val arr = events(s, dir)
+        .withColumn("arrival_seq",
+          col("event_id") + when(col("event_id") % 37 === 0,
+            (col("event_id") % 7) * lit(100L)).otherwise(lit(0L)))
+        .withColumn("batch", expr(s"arrival_seq div $ArrivalBatch"))
+      val bm = arr.groupBy("batch").agg(max("ts").as("mx"))
+      val w = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = bm.withColumn("wm", max("mx").over(w) - lit(LateDelayUs))
+        .select("batch", "wm")
+      arr.join(broadcast(wm), "batch")
+        .groupBy("event_type")
+        .agg(count("*").as("n_events"),
+          sum(when(col("ts") < col("wm"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("ts") < col("wm"), col("wm") - col("ts")))
+            .as("max_lateness_us"))
+        .orderBy("event_type")
+    }),
+
+    // inter-event gap distribution — the measurement the 30-minute
+    // sessionization gap is judged against (the same role
+    // sim_cosine_calibration plays for the cosine cutoffs). Gaps come
+    // from a per-user lag window (parallelism = #users, the natural
+    // key); the histogram buckets by floor(log2(gap))+1 via the length
+    // of the binary string — pure integer arithmetic, so bucket edges
+    // are engine-exact where a double log2 could round differently at
+    // powers of two. Fixed state (≤ 64 buckets) at any corpus size.
+    "events_gap_histogram" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("gap", col("ts") - lag("ts", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("bucket", length(bin(col("gap"))).cast("long"))
+        .groupBy("bucket")
+        .agg(count("*").as("n"), min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"),
+          sum(when(col("gap") > SessionGapUs, 1L).otherwise(0L))
+            .as("n_over_session_gap"))
+        .orderBy("bucket")
+    }),
   )
 
+  val ArrivalBatch = 250L // arrivals per replayed micro-batch
+  val LateDelayUs: Long = 3600L * 1000000L // 1-hour watermark delay
   val ZThreshold = 2.0 // |z| flagging an anomalous day
   val QBins = 128 // histogram-sketch bins
   val QBinW = 4.0 // bin width (value domain is [0, 512))
@@ -348,6 +404,41 @@ object EventsQueries {
 
   // lazy: eventsSql is declared below; a strict val would capture null
   lazy val moreOracle: Map[String, String] = Map(
+    "events_late_arrivals" -> (s"WITH ${eventsSql},\n" +
+      s"""arr AS (
+         |  SELECT event_id, ts, event_type,
+         |         (event_id + CASE WHEN event_id % 37 = 0
+         |            THEN (event_id % 7) * 100 ELSE 0 END) // $ArrivalBatch
+         |           AS batch
+         |  FROM ev
+         |),
+         |bm AS (SELECT batch, max(ts) AS mx FROM arr GROUP BY batch),
+         |wm AS (
+         |  SELECT batch, max(mx) OVER (ORDER BY batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    - $LateDelayUs AS wm
+         |  FROM bm
+         |)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(max(CASE WHEN ts < wm THEN wm - ts ELSE NULL END) AS BIGINT)
+         |    AS max_lateness_us
+         |FROM arr JOIN wm USING (batch)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "events_gap_histogram" -> (s"WITH ${eventsSql},\n" +
+      s"""g AS (
+         |  SELECT ts - lag(ts) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS gap
+         |  FROM ev
+         |)
+         |SELECT CAST(length(bin(gap)) AS BIGINT) AS bucket,
+         |       count(*) AS n,
+         |       min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+         |       CAST(sum(CASE WHEN gap > $SessionGapUs THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_over_session_gap
+         |FROM g WHERE gap IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "events_rollup" -> (s"WITH ${eventsSql},\n" +
       """bucketed AS (
         |  SELECT event_type,

@@ -27,6 +27,7 @@ object SimilarityQueries {
   val Dim = 64
   val NumPlanes = 8
   val TopK = 10
+  val RerankCandidates = 25 // int8 first-pass survivors reranked exactly
   val CosineThreshold = 0.45
   val SemThreshold = 0.35 // within-cell semantic-dup cosine (SemDeDup prune)
   val NumCells = 8 // IVF coarse cells
@@ -331,6 +332,46 @@ object SimilarityQueries {
         .orderBy("method", "q_id")
     }),
 
+    // two-phase ANN with an int8 first pass — the serving shape a 100 TB
+    // embedding corpus actually runs: the quantized corpus (1 byte/dim,
+    // embed_quantize_int8's storage path) is scanned with an exact
+    // INTEGER dot product, per-vector scales recover an approximate
+    // score, and only the top RerankCandidates survivors are reranked
+    // with the exact float cosine. The integer sum is order-independent
+    // and the scale product is one double expression, so even the
+    // approximate scores oracle-check bit-for-bit; both selections
+    // tie-break on vec_id. 4× less scan bandwidth than the float
+    // first pass, exact results wherever the true top-5 survives the
+    // candidate cut (SimilaritySpec measures that recall).
+    "sim_ann_int8_rerank" -> ((s, dir) => {
+      val absmax =
+        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      val quant = emb(s, dir)
+        .withColumn("scale", absmax / lit(127.0))
+        .withColumn("q",
+          when(col("scale") === 0.0,
+            transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"),
+            v => floor(v.cast("double") / col("scale") + lit(0.5))
+              .cast("long"))))
+      val q = quant.filter(col("vec_id") === 0)
+        .select(col("q").as("qq"), col("scale").as("qscale"),
+          col("embedding").as("q_emb"))
+      quant.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("q_emb"),
+          ((col("scale") * col("qscale")) *
+            aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double"))
+            .as("approx_score"))
+        .orderBy(col("approx_score").desc, col("vec_id"))
+        .limit(RerankCandidates)
+        .select(col("vec_id"), col("approx_score"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // cross-modal agreement: the text-level near-dup pairs annotated with
     // the embedding cosine of the same documents (vec_id aligns with
     // doc_id in the fixtures) — the validation join a curation pipeline
@@ -583,6 +624,35 @@ object SimilarityQueries {
           |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
           |       list_min(q) AS q_min, list_max(q) AS q_max
           |FROM quant ORDER BY vec_id""".stripMargin,
+
+      "sim_ann_int8_rerank" ->
+        s"""WITH scaled AS (
+           |  SELECT vec_id, embedding,
+           |         list_max(list_transform(embedding, v -> abs(v::DOUBLE)))
+           |           / 127.0 AS scale
+           |  FROM embeddings
+           |),
+           |quant AS (
+           |  SELECT vec_id, embedding, scale,
+           |         CASE WHEN scale = 0
+           |              THEN list_transform(embedding, v -> 0::BIGINT)
+           |              ELSE list_transform(embedding, v ->
+           |                CAST(floor(v::DOUBLE / scale + 0.5) AS BIGINT)) END AS q
+           |  FROM scaled
+           |),
+           |qv AS (SELECT q AS qq, scale AS qscale, embedding AS q_emb
+           |       FROM quant WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT c.vec_id, c.embedding, qv.q_emb,
+           |         (c.scale * qv.qscale) * CAST(list_reduce(
+           |            list_transform(range(64), i -> c.q[i+1] * qv.qq[i+1]),
+           |            (x, y) -> x + y) AS DOUBLE) AS approx_score
+           |  FROM quant c, qv WHERE c.vec_id <> 0
+           |),
+           |cand AS (SELECT * FROM scored
+           |         ORDER BY approx_score DESC, vec_id LIMIT $RerankCandidates)
+           |SELECT vec_id, approx_score, ${Ora.cos64("embedding", "q_emb")} AS cos_sim
+           |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
 
       "sim_lsh_buckets" -> (s"WITH $bucketedSql\n" +
         "SELECT bucket, count(*) AS n FROM bucketed GROUP BY bucket ORDER BY bucket"),

@@ -117,4 +117,24 @@ class DedupSpec extends SparkSpec {
     val meanErr = rows.map(_._3).sum / rows.length
     assert(meanErr < 0.25, s"estimator biased: mean |err| = $meanErr")
   }
+
+  test("incremental LSH probe equals the full dedup's new-vs-index slice") {
+    val inc = DedupQueries.queries("dedup_lsh_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (n, i, j) =>
+      assert(n % 10 === 0 && (i % 10) != 0, "strictly new-vs-index pairs")
+      assert(j >= DedupQueries.JaccardThreshold)
+    }
+    // canonicalized, the probe's pairs ARE the full-corpus dedup's pairs
+    // with exactly one new-batch side: the full variant's [2, MaxPosting]
+    // bucket window implies the index-side ≤ MaxPosting cap, so full ⊆
+    // incremental always; the reverse holds whenever no bucket crosses
+    // the cap between the two slicings (true on this corpus)
+    val full = DedupQueries.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }.toSet
+    assert(inc.map(p => (p._1, p._2)).toSet === full)
+  }
 }

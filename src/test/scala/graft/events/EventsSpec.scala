@@ -217,4 +217,55 @@ class EventsSpec extends SparkSpec {
         est((t, 0.9))._2 <= est((t, 0.99))._2)
     }
   }
+
+  test("late arrivals: only re-sequenced events can be late, none without") {
+    val rows = EventsQueries.moreQueries("events_late_arrivals")(spark, sf)
+      .collect()
+    val ev = EventsQueries.events(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === ev.count(),
+      "every event is accounted for")
+    val nLate = rows.map(_.getLong(2)).sum
+    val delayed = ev.filter(col("event_id") % 37 === 0 &&
+      col("event_id") % 7 =!= 0).count()
+    assert(nLate > 0, "the re-sequenced replay must produce late events")
+    assert(nLate <= delayed,
+      "only re-sequenced events can fall below the watermark")
+    rows.foreach { r =>
+      if (r.getLong(2) > 0) assert(!r.isNullAt(3) && r.getLong(3) > 0)
+      else assert(r.isNullAt(3))
+    }
+    // the fixture arrives in event-time order: with no re-sequencing the
+    // same watermark never drops anything (the dual that proves lateness
+    // comes from the injected disorder, not the batch boundaries)
+    val batch = expr(s"event_id div ${EventsQueries.ArrivalBatch}")
+    val bm = ev.withColumn("batch", batch)
+      .groupBy("batch").agg(max("ts").as("mx"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("batch")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val inOrderLate = ev.withColumn("batch", batch)
+      .join(bm.withColumn("wm",
+        max("mx").over(w) - lit(EventsQueries.LateDelayUs))
+        .select("batch", "wm"), "batch")
+      .filter(col("ts") < col("wm")).count()
+    assert(inOrderLate === 0)
+  }
+
+  test("gap histogram: power-of-two edges, totals tie to sessionization") {
+    val h = EventsQueries.moreQueries("events_gap_histogram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val ev = EventsQueries.events(spark, sf)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(h.map(_._2).sum === ev.count() - nUsers,
+      "one gap per event except each user's first")
+    // bucket b holds gaps in [2^(b-1), 2^b) — integer-exact edges
+    h.foreach { case (b, _, mn, mx, _) =>
+      assert(mn >= (1L << (b - 1)) && mx < (1L << b), s"bucket $b: $mn..$mx")
+    }
+    // gaps above the session threshold are exactly the non-first sessions
+    val sessions = EventsQueries.queries("events_sessionize")(spark, sf)
+      .count()
+    assert(h.map(_._5).sum === sessions - nUsers,
+      "each over-gap opens exactly one new session")
+  }
 }

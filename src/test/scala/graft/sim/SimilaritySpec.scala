@@ -159,4 +159,34 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rows.toSeq === run().toSeq, "fixed-point means must be stable")
   }
+
+  test("int8 rerank: exact final cosines, full recall of the true top-5") {
+    val reranked = SimilarityQueries
+      .queries("sim_ann_int8_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(reranked.length === 5)
+    val vs = vecs
+    val q = vs(0L)
+    // final scores are the EXACT cosine (the rerank leg), not approximate
+    reranked.foreach { case (id, _, cos) =>
+      assert(math.abs(cos - cosRef(q, vs(id))) < 1e-12)
+    }
+    // the 25-candidate int8 cut preserves the exact brute-force top-5 on
+    // the fixture (recall@5 = 1.0, deterministic)
+    val truth = vs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosRef(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    assert(reranked.map(_._1).toSet === truth)
+    // approximate scores rank-correlate with the exact ones inside the
+    // candidate set: the quantization error bound is 64·s_a·s_q·127.25,
+    // far below the separation between retained candidates
+    reranked.foreach { case (id, approx, _) =>
+      val exactDot = vs(id).zip(q).foldLeft(0.0) { case (a, (p, r)) =>
+        a + p.toDouble * r.toDouble
+      }
+      val sA = vs(id).map(v => math.abs(v.toDouble)).max / 127.0
+      val sQ = q.map(v => math.abs(v.toDouble)).max / 127.0
+      assert(math.abs(approx - exactDot) <= 64.0 * sA * sQ * 127.25)
+    }
+  }
 }
