@@ -34,6 +34,25 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("window_start"),
         col("eventType").as("event_type"), col("n"), col("total_value"))
 
+  val LateDelay = "1 hour" // = events_late_arrivals' LateDelayUs
+
+  /** Streaming twin of `events_late_arrivals`: a watermarked streaming
+    * deduplication. For the dedup operator Spark's late-row filter is on
+    * the event-time COLUMN itself (not a window end), i.e. a row is
+    * dropped iff its event time < (max event time of prior batches −
+    * delay) — exactly the predicate the batch query evaluates per
+    * replayed micro-batch. The spec reads the engine's own
+    * `numRowsDroppedByWatermark` metric and matches it against the
+    * batch accounting, so the batch query is proven against Spark's
+    * watermark implementation, not a reimplementation of it. (The
+    * event-time column joins the key list so state is evictable.) */
+  def lateDedup(events: Dataset[Event]): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", LateDelay)
+      .dropDuplicates("eventId", "event_time")
+      .select(col("eventId"), col("event_time"))
+
   val SlideWindowLen = "1 hour"
   val SlideLen = "15 minutes"
 

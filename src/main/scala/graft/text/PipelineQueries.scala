@@ -296,6 +296,43 @@ object PipelineQueries {
           sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("lang")
     }),
+
+    // deterministic train/val/test split: fnv-hash bucketing — split
+    // membership depends only on doc_id, so re-runs, backfills, and
+    // every executor agree with zero coordination, and a doc can never
+    // migrate between splits as the corpus grows (the property random()
+    // splits lack). 10% test / 10% val / 80% train; the per-language
+    // occupancy this emits is the stratification audit.
+    "corpus_split_assign" -> ((s, dir) => {
+      val b = pmod(
+        fnv1a32(concat(lit("split:"), col("doc_id").cast("string"))),
+        lit(10L))
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("split",
+          when(b === 0L, "test").when(b === 1L, "val").otherwise("train"))
+        .groupBy("lang", "split")
+        .agg(count("*").as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+
+    // split-leakage audit: verified near-dup pairs that straddle a split
+    // boundary — exactly the eval contamination that inflates benchmark
+    // numbers (a test doc whose near-duplicate sits in train). Composes
+    // the exact-Jaccard pair table with the hash split; at 100 TB the
+    // pair input is the LSH output, already sub-linear, so the audit
+    // costs one narrow map over pairs.
+    "corpus_split_leakage" -> ((s, dir) => {
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val b = pmod(fnv1a32(concat(lit("split:"), c.cast("string"))),
+          lit(10L))
+        when(b === 0L, "test").when(b === 1L, "val").otherwise("train")
+      }
+      DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .withColumn("split_a", splitOf(col("doc_a")))
+        .withColumn("split_b", splitOf(col("doc_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -500,5 +537,29 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN ${Ora.fnv("'sample:' || doc_id")} % 100 < $SampleRate
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "corpus_split_assign" -> (
+      s"""SELECT lang,
+         |  CASE WHEN ${Ora.fnv("'split:' || doc_id")} % 10 = 0 THEN 'test'
+         |       WHEN ${Ora.fnv("'split:' || doc_id")} % 10 = 1 THEN 'val'
+         |       ELSE 'train' END AS split,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "corpus_split_leakage" -> (
+      s"""WITH ${DedupQueries.jaccardPairsSql},
+         |labeled AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    CASE WHEN ${Ora.fnv("'split:' || doc_a")} % 10 = 0 THEN 'test'
+         |         WHEN ${Ora.fnv("'split:' || doc_a")} % 10 = 1 THEN 'val'
+         |         ELSE 'train' END AS split_a,
+         |    CASE WHEN ${Ora.fnv("'split:' || doc_b")} % 10 = 0 THEN 'test'
+         |         WHEN ${Ora.fnv("'split:' || doc_b")} % 10 = 1 THEN 'val'
+         |         ELSE 'train' END AS split_b
+         |  FROM jac WHERE jaccard >= ${DedupQueries.JaccardThreshold}
+         |)
+         |SELECT doc_a, doc_b, jaccard, split_a, split_b
+         |FROM labeled WHERE split_a <> split_b
+         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }

@@ -250,6 +250,38 @@ class EventsSpec extends SparkSpec {
     assert(inOrderLate === 0)
   }
 
+  test("streaming watermark drops exactly the batch query's late events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val all = EventsQueries.events(spark, sf).collect()
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // the same re-sequenced replay as events_late_arrivals, chunked into
+    // the same micro-batches (by arrival_seq div ArrivalBatch, so chunk
+    // boundaries are identical to the batch query's batch column)
+    def seqOf(e: Event): Long =
+      e.eventId + (if (e.eventId % 37 == 0) (e.eventId % 7) * 100L else 0L)
+    val chunks = all.groupBy(e => seqOf(e) / EventsQueries.ArrivalBatch)
+      .toSeq.sortBy(_._1).map(_._2)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.lateDedup(input.toDS())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    for (c <- chunks) { input.addData(c); q.processAllAvailable() }
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+
+    val nLate = EventsQueries.moreQueries("events_late_arrivals")(spark, sf)
+      .collect().map(_.getLong(2)).sum
+    assert(dropped === nLate,
+      s"engine dropped $dropped, batch accounting says $nLate")
+    // surviving rows are everything else (no true duplicates exist)
+    assert(spark.table("late_out").count() === all.length - dropped)
+  }
+
   test("gap histogram: power-of-two edges, totals tie to sessionization") {
     val h = EventsQueries.moreQueries("events_gap_histogram")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
