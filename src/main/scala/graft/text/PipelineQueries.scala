@@ -315,6 +315,31 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    // cross-source duplication matrix: verified near-dup pairs rolled up
+    // by unordered source pair — which sources mirror each other, the
+    // signal behind per-source dedup priorities and crawl-overlap
+    // budgeting. Canonicalizing with least/greatest keeps (a,b) and
+    // (b,a) in one cell; min/max jaccard are order-free (an avg of
+    // doubles would leak shuffle order into the last bits). The pair
+    // input is the LSH output at scale, so the matrix costs one narrow
+    // map + a #sources²-bounded aggregate.
+    "corpus_source_overlap" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b")), Seq("doc_b"))
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"),
+          col("jaccard"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count("*").as("n_pairs"), min("jaccard").as("min_jaccard"),
+          max("jaccard").as("max_jaccard"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     // split-leakage audit: verified near-dup pairs that straddle a split
     // boundary — exactly the eval contamination that inflates benchmark
     // numbers (a test doc whose near-duplicate sits in train). Composes
@@ -545,6 +570,21 @@ object PipelineQueries {
          |       ELSE 'train' END AS split,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "corpus_source_overlap" -> (
+      s"""WITH ${DedupQueries.jaccardPairsSql},
+         |verified AS (
+         |  SELECT doc_a, doc_b, jaccard FROM jac
+         |  WHERE jaccard >= ${DedupQueries.JaccardThreshold}
+         |)
+         |SELECT least(a.source, b.source) AS src_lo,
+         |       greatest(a.source, b.source) AS src_hi,
+         |       count(*) AS n_pairs,
+         |       min(j.jaccard) AS min_jaccard, max(j.jaccard) AS max_jaccard
+         |FROM verified j
+         |JOIN documents a ON j.doc_a = a.doc_id
+         |JOIN documents b ON j.doc_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "corpus_split_leakage" -> (
       s"""WITH ${DedupQueries.jaccardPairsSql},

@@ -43,7 +43,35 @@ object TextQueries {
   private val Fr = Seq("le", "la", "les", "et", "est", "une")
   private val Es = Seq("el", "los", "las", "y", "es", "una")
 
+  /** Vocabulary size for the OOV-coverage probe — sized to the synthetic
+    * corpus's 31-word global vocabulary so coverage is non-degenerate;
+    * production uses the tokenizer's real vocab table here. */
+  val VocabSize = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vocabulary coverage / OOV rate per language: induce the top-K
+    // corpus vocabulary (TakeOrdered, never a global sort; (freq, word)
+    // tie-break is total so the cut is deterministic on both engines),
+    // broadcast it, and measure per-language out-of-vocabulary token
+    // share — the tokenizer-fit audit a multilingual curation run needs
+    // (vocab induced on the corpus mix under-covers minority languages).
+    // Two linear passes over the token stream; the probe join is a
+    // broadcast left join against the K-row vocab dimension.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count("*").as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(VocabSize)
+        .select(col("w"), lit(1L).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("lang")
+        .agg(count("*").as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("lang")
+    }),
+
     // token counting: whitespace tokens + a regex word/number tokenizer
     "text_token_counts" -> ((s, dir) =>
       toksed(s, dir).select(
@@ -250,6 +278,21 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+         |),
+         |vocab AS (
+         |  SELECT w FROM (SELECT w, count(*) AS freq FROM tok GROUP BY w)
+         |  ORDER BY freq DESC, w LIMIT $VocabSize
+         |)
+         |SELECT lang, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_oov,
+         |  CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+         |    AS DOUBLE) / count(*) AS oov_rate
+         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
     "text_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
