@@ -505,6 +505,28 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // per-dimension embedding health: the audit run before normalization
+    // / whitening / quantization — dead dimensions (mean_sq ≈ 0), scale
+    // drift between dimensions, and range outliers all surface here.
+    // One (dim) shuffle of 64 groups with map-side partials; means are
+    // exact on the 2^-20 fixed-point grid (the k-means contract: scaled
+    // sums are exact integers, one correctly-rounded division), and
+    // mean_sq quantizes v² the same way so E[x²] is exact too — variance
+    // = mean_sq - mean² is reader-derivable without a double-sum anywhere.
+    "embed_dim_stats" -> ((s, dir) => {
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("i").cast("long").as("i"), col("v").cast("double").as("v"))
+        .groupBy("i")
+        .agg(count("*").as("n"),
+          (sum(floor(col("v") * lit(KmeansFp) + lit(0.5))) /
+            (count("*") * lit(KmeansFp))).as("mean_v"),
+          (sum(floor(col("v") * col("v") * lit(KmeansFp) + lit(0.5))) /
+            (count("*") * lit(KmeansFp))).as("mean_sq"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("i")
+    }),
+
     // SemDeDup-style semantic dedup: cluster, then prune inside cells.
     // Every vector goes to its nearest coarse centroid (the same
     // broadcast-assign as the IVF path; production trains the cells with
@@ -624,6 +646,19 @@ object SimilarityQueries {
           |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
           |       list_min(q) AS q_min, list_max(q) AS q_max
           |FROM quant ORDER BY vec_id""".stripMargin,
+
+      "embed_dim_stats" ->
+        s"""WITH ex AS (
+           |  SELECT unnest(range($Dim)) AS i, embedding FROM embeddings
+           |),
+           |vals AS (SELECT i, embedding[i+1]::DOUBLE AS v FROM ex)
+           |SELECT i, count(*) AS n,
+           |  sum(CAST(floor(v * $KmeansFp + 0.5) AS BIGINT))
+           |    / (count(*) * $KmeansFp) AS mean_v,
+           |  sum(CAST(floor(v * v * $KmeansFp + 0.5) AS BIGINT))
+           |    / (count(*) * $KmeansFp) AS mean_sq,
+           |  min(v) AS min_v, max(v) AS max_v
+           |FROM vals GROUP BY i ORDER BY i""".stripMargin,
 
       "sim_ann_int8_rerank" ->
         s"""WITH scaled AS (

@@ -237,4 +237,34 @@ class PlanAuditSpec extends SparkSpec {
       s"cohesion pass scans the corpus once, centroids come checkpointed; got $scans")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("int8 rerank: both selections are TakeOrdered, query vector broadcast") {
+    val p = graft.sim.SimilarityQueries
+      .queries("sim_ann_int8_rerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // candidate cut AND final top-5 must be top-k operators — a global
+    // Sort+Limit would shuffle-sort the scored corpus at 100 TB
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(topk === 2, s"expected 2 TakeOrderedAndProject, got $topk\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), "query vector must broadcast")
+  }
+
+  test("incremental LSH probe plans on the checkpointed shingles only") {
+    val p = graft.dedup.DedupQueries
+      .queries("dedup_lsh_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("word_ngrams"), p.take(3000))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"expected no parquet scans post-checkpoint, got $scans")
+  }
+
+  test("late arrivals: watermark series is batch-sized, events join broadcast") {
+    val p = graft.events.EventsQueries
+      .moreQueries("events_late_arrivals")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the O(#micro-batches) watermark table broadcasts back over the
+    // event scan — the event side must never shuffle for the join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
