@@ -88,6 +88,34 @@ object DedupQueries {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** (doc_id, band, sig) band-signature rows over an already-shingled
+    * frame — the LSH index's key space, shared by the batch dedups and
+    * the streaming index probe ([[graft.streaming.DedupIndexStream]]). */
+  private[graft] def bandSignatures(sh: DataFrame): DataFrame = {
+    val mh = minhashSigs(sh)
+    val bands = (0 until NumBands).map { b =>
+      concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+    }
+    mh.select(col("doc_id"),
+      posexplode(array(bands: _*)).as(Seq("band", "sig")))
+  }
+
+  /** New-batch (doc_id % 10 = 0) candidates against the index-side
+    * posting lists — the probe stage of `dedup_lsh_incremental`, split
+    * out so the streaming twin's spec can assert set-equality against
+    * the exact batch derivation. */
+  private[graft] def incrementalCandidates(banded: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % 10 === 0
+    val idxPosting = banded.filter(!isNew)
+      .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= MaxPosting)
+    banded.filter(isNew)
+      .join(idxPosting, Seq("band", "sig"))
+      .select(col("doc_id").as("new_doc"),
+        explode(col("ids")).as("idx_doc"))
+      .distinct()
+  }
+
   /** (doc_id, h0..h15) minhash signatures over an already-shingled frame.
     * Takes the frame as input (rather than re-deriving it) so the caller can
     * checkpoint/persist the shingle pipeline once and reuse it for both
@@ -204,14 +232,9 @@ object DedupQueries {
     // costs Σ bucket², never corpus².
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingled(s, dir).localCheckpoint()
-      val mh = minhashSigs(sh)
-      val bands = (0 until NumBands).map { b =>
-        concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
-      }
       // same posting-list shape as jaccardPairs; the MaxPosting bucket
       // cap is mirrored in the DuckDB oracle (contract, not approximation)
-      val cand = mh.select(col("doc_id"),
-          posexplode(array(bands: _*)).as(Seq("band", "sig")))
+      val cand = bandSignatures(sh)
         .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")).between(2, MaxPosting))
         .select(explode(col("ids")).as("doc_a"), col("ids"))
@@ -243,21 +266,7 @@ object DedupQueries {
     // this query is strictly new-vs-index.
     "dedup_lsh_incremental" -> ((s, dir) => {
       val sh = shingled(s, dir).localCheckpoint()
-      val mh = minhashSigs(sh)
-      val bandCols = (0 until NumBands).map { b =>
-        concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
-      }
-      val banded = mh.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-      val isNew = col("doc_id") % 10 === 0
-      val idxPosting = banded.filter(!isNew)
-        .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) <= MaxPosting)
-      val cand = banded.filter(isNew)
-        .join(idxPosting, Seq("band", "sig"))
-        .select(col("doc_id").as("new_doc"),
-          explode(col("ids")).as("idx_doc"))
-        .distinct()
+      val cand = incrementalCandidates(bandSignatures(sh))
       cand
         .join(sh.as("sa"), col("new_doc") === col("sa.doc_id"))
         .join(sh.as("sb"), col("idx_doc") === col("sb.doc_id"))

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.dedup.DedupQueries
+
+class DedupIndexStreamSpec extends SparkSpec {
+
+  test("streaming probe emits exactly the batch incremental candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val sh = DedupQueries.shingled(spark, sf).localCheckpoint()
+    val banded = DedupQueries.bandSignatures(sh)
+    val rows = banded.collect().map(r =>
+      BandKey(r.getInt(1), r.getString(2), r.getLong(0),
+        r.getLong(0) % 10 == 0))
+    val (probes, regs) = rows.partition(_.isProbe)
+
+    val input = MemoryStream[BandKey]
+    val q = DedupIndexStream.candidates(input.toDS())
+      .writeStream.format("memory").queryName("probe_out")
+      .outputMode("append").start()
+    // load the standing index across several micro-batches (state must
+    // accumulate), then probe the new batch against the closed index
+    for (chunk <- regs.grouped(math.max(1, regs.length / 3))) {
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    input.addData(probes.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("probe_out").as[ProbeCand]
+      .collect().map(p => (p.new_doc, p.idx_doc)).toSet
+    val expected = DedupQueries.incrementalCandidates(banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty)
+  }
+
+  test("probe-only feed registers nothing; later probes still see no index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[BandKey]
+    val q = DedupIndexStream.candidates(input.toDS())
+      .writeStream.format("memory").queryName("probe_none")
+      .outputMode("append").start()
+    input.addData(Seq(BandKey(0, "s", 10L, isProbe = true)))
+    q.processAllAvailable()
+    // the earlier probe must not have registered doc 10
+    input.addData(Seq(BandKey(0, "s", 20L, isProbe = true)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("probe_none").count() === 0)
+  }
+}
