@@ -59,6 +59,15 @@ object DedupQueries {
     * (doc_a, doc_b) count. This is the inverted-index shape that survives
     * 100 TB: cost is Σ posting² (bounded by [[MaxPosting]]), never corpus².
     */
+  // the shingle pipeline feeds BOTH the posting-list and the doc-size
+  // subtrees of the pair derivation — two corpus scans. Measured: a
+  // localCheckpoint here is a net LOSS (ngram pairs 1.7 s → 2.3 s at
+  // sf0.1) — materializing the exploded shingle arrays costs more than
+  // re-running the scan + codegen'd WordNgrams kernel, and at 100 TB
+  // parking corpus-sized arrays in executor storage is the worse trade
+  // too. Callers that genuinely fan the shingle frame out to MANY
+  // consumers (curation ledger: 4+) checkpoint it themselves and use
+  // jaccardPairsFrom.
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsFrom(shingled(s, dir))
 

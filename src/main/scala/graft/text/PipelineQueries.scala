@@ -326,7 +326,11 @@ object PipelineQueries {
     "corpus_source_overlap" -> ((s, dir) => {
       val src = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"))
-      DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+      // checkpoint the (tiny) verified-pair table before the two source
+      // joins: as the smaller side it is the broadcast build side, and
+      // an un-materialized build side re-runs the whole pair cascade
+      // once per join
+      DedupQueries.queries("dedup_ngram_jaccard")(s, dir).localCheckpoint()
         .join(src.select(col("doc_id").as("doc_a"),
           col("source").as("source_a")), Seq("doc_a"))
         .join(src.select(col("doc_id").as("doc_b"),
