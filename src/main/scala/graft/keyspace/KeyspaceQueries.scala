@@ -102,6 +102,20 @@ object KeyspaceQueries {
       KvLog.log(s, dir).groupBy("op").agg(count("*").as("n"))
         .orderBy("op")),
 
+    // O7+ — read-hot keys: top-k keys by Get count with their shard —
+    // the cache-placement / hot-shard signal the per-shard Gets counter
+    // (shard.go:258) aggregates away. One shuffle on key with map-side
+    // combine, then TakeOrdered — never a global sort; deterministic
+    // (n_gets desc, key) cut. The log's skewed read branches make
+    // hotness a real 1/2/3-tier signal.
+    "kv_hot_keys" -> ((s, dir) =>
+      KvLog.log(s, dir).filter(col("op") === "get")
+        .groupBy("key").agg(count("*").as("n_gets"))
+        .withColumn("shard_id",
+          graft.hash.Fnv1a32.shardId(col("key")))
+        .orderBy(col("n_gets").desc, col("key"))
+        .limit(20)),
+
     // O2/O7 — INCREMENTAL compaction: per-shard stats derived from the
     // base-snapshot + delta-tail merge ([[KvLog.incrementalState]]) instead
     // of a full history recompaction. `n_delta_won` counts keys whose
@@ -184,6 +198,11 @@ object KeyspaceQueries {
 
     "kv_op_counters" -> (s"WITH ${Ora.kvLog}\n" +
       "SELECT op, count(*) AS n FROM kv_log GROUP BY op ORDER BY op"),
+
+    "kv_hot_keys" -> (s"WITH ${Ora.kvLog}\n" +
+      s"""SELECT key, count(*) AS n_gets, ${Ora.shard("key")} AS shard_id
+         |FROM kv_log WHERE op = 'get'
+         |GROUP BY key ORDER BY n_gets DESC, key LIMIT 20""".stripMargin),
 
     // mirrors the incremental base+delta derivation, not the full
     // recompaction — both engines walk the same split/merge path

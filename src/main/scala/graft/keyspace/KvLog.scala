@@ -61,9 +61,19 @@ object KvLog {
           .otherwise(emptyOps),
         // read traffic: Gets are counted in the reference's OperationStats
         // (internal/shard/shard.go:124-161, increment at shard.go:258) but
-        // never touch state — compact() ignores them.
+        // never touch state — compact() ignores them. The %25/%125
+        // branches skew the read distribution (1/2/3 gets per key) so
+        // read-hotness is a real signal, as production key traffic is.
         when(col("o_orderkey") % 5 === 0,
           array(op(col("o_orderkey") * 8 + 6, "get",
+            lit(null).cast("string"))))
+          .otherwise(emptyOps),
+        when(col("o_orderkey") % 25 === 0,
+          array(op(col("o_orderkey") * 8 + 7, "get",
+            lit(null).cast("string"))))
+          .otherwise(emptyOps),
+        when(col("o_orderkey") % 125 === 0,
+          array(op(col("o_orderkey") * 8 + 3, "get",
             lit(null).cast("string"))))
           .otherwise(emptyOps))).as("r"))
       .select(col("r.seq").as("seq"), col("r.op").as("op"),

@@ -29,6 +29,8 @@ object Ora {
     * - orderkey % 103 = 0 → put  (seq = 8k+2) value ''                    (empty value — legal, store.go:84)
     * - orderkey % 101 = 0 → delete (seq = 8k+4)                           (tombstone)
     * - orderkey % 5 = 0   → get  (seq = 8k+6)                             (read traffic; no state effect)
+    * - orderkey % 25 = 0  → get  (seq = 8k+7)                             (read skew: 2nd get)
+    * - orderkey % 125 = 0 → get  (seq = 8k+3)                             (read skew: 3rd get)
     */
   val kvLog: String =
     """kv_log AS (
@@ -49,6 +51,12 @@ object Ora {
       |  UNION ALL
       |  SELECT o_orderkey * 8 + 6, 'get', 'order:' || o_orderkey, NULL
       |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey * 8 + 7, 'get', 'order:' || o_orderkey, NULL
+      |  FROM orders WHERE o_orderkey % 25 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey * 8 + 3, 'get', 'order:' || o_orderkey, NULL
+      |  FROM orders WHERE o_orderkey % 125 = 0
       |)""".stripMargin
 
   /** Last-write-wins compaction of [[kvLog]] → current keyspace state.

@@ -43,6 +43,18 @@ object TextQueries {
   private val Fr = Seq("le", "la", "les", "et", "est", "une")
   private val Es = Seq("el", "los", "las", "y", "es", "una")
 
+  /** The 4-way stopword vote (ties resolve en > de > fr > es, no hits ⇒
+    * unknown) — shared by language-id, the distribution rollup, and the
+    * confusion matrix so the measured vote IS the serving vote. */
+  private def langVote: Column = {
+    val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
+    when(greatest(en, de, fr, es) === 0, "unknown")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
   /** Vocabulary size for the OOV-coverage probe — sized to the synthetic
     * corpus's 31-word global vocabulary so coverage is non-degenerate;
     * production uses the tokenizer's real vocab table here. */
@@ -101,30 +113,27 @@ object TextQueries {
 
     // language ID: distinctive-stopword voting with a fixed tie-break
     // (en > de > fr > es), 'unknown' when nothing votes
-    "text_language_id" -> ((s, dir) => {
-      val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
-      toksed(s, dir).select(
-        col("doc_id"),
-        when(greatest(en, de, fr, es) === 0, "unknown")
-          .when(en >= de && en >= fr && en >= es, "en")
-          .when(de >= fr && de >= es, "de")
-          .when(fr >= es, "fr")
-          .otherwise("es").as("lang_pred"))
-        .orderBy("doc_id")
-    }),
+    "text_language_id" -> ((s, dir) =>
+      toksed(s, dir).select(col("doc_id"), langVote.as("lang_pred"))
+        .orderBy("doc_id")),
 
     // corpus-level language distribution (same vote, aggregated)
     "text_language_dist" -> ((s, dir) => {
-      val (en, de, fr, es) = (hits(En), hits(De), hits(Fr), hits(Es))
-      toksed(s, dir).select(
-        when(greatest(en, de, fr, es) === 0, "unknown")
-          .when(en >= de && en >= fr && en >= es, "en")
-          .when(de >= fr && de >= es, "de")
-          .when(fr >= es, "fr")
-          .otherwise("es").as("lang_pred"))
+      toksed(s, dir).select(langVote.as("lang_pred"))
         .groupBy("lang_pred").agg(count("*").as("n"))
         .orderBy("lang_pred")
     }),
+
+    // language-ID confusion matrix: the vote's verdict against the
+    // fixture's true label — the "measure, don't guess" companion the
+    // heuristic needs before its verdicts gate a curation cascade (the
+    // same role sim_ann_recall plays for ANN and the fidelity query for
+    // MinHash). One corpus pass, ≤ (#langs+1)² output rows.
+    "text_lang_confusion" -> ((s, dir) =>
+      toksed(s, dir)
+        .select(col("lang"), langVote.as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count("*").as("n"))
+        .orderBy("lang", "lang_pred")),
 
     // PII pattern flags — the scrub/filter stage of a training-data
     // pipeline: email and long-digit-run counts per doc (patterns kept to
@@ -321,6 +330,10 @@ object TextQueries {
       s"""SELECT lang_pred, count(*) AS n FROM (
          |  SELECT $predSql AS lang_pred FROM documents)
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "text_lang_confusion" ->
+      s"""SELECT lang, $predSql AS lang_pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_pii_flags" ->
       """SELECT doc_id,
