@@ -84,4 +84,21 @@ class KeyspaceSpec extends SparkSpec {
     // survivors reconcile with the current compaction
     assert(diff("unchanged") + diff("updated") === state.count())
   }
+
+  test("hot keys: descending tiered counts, shard routing consistent") {
+    val rows = KeyspaceQueries.queries("kv_hot_keys")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 20)
+    assert(rows.map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, "top-k must be sorted by get count")
+    rows.foreach { case (key, gets, shard) =>
+      // the derivation's read tiers: %5 ⇒ 1, %25 ⇒ 2, %125 ⇒ 3 gets
+      val k = key.stripPrefix("order:").toLong
+      val expected = Seq(5L, 25L, 125L).count(m => k % m == 0)
+      assert(gets === expected, s"$key: $gets gets")
+      assert(shard === graft.hash.Fnv1a32.hashString(key) % 4,
+        s"$key routed to $shard")
+    }
+  }
 }

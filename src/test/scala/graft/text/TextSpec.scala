@@ -101,4 +101,30 @@ class TextSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("confusion matrix ties out to the corpus and the distribution rollup") {
+    val m = TextQueries.queries("text_lang_confusion")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(m.map(_._3).sum === corpus, "every doc lands in one cell")
+    // per-verdict column sums ARE the distribution rollup (shared vote)
+    val dist = TextQueries.queries("text_language_dist")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val colSums = m.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(colSums === dist)
+  }
+
+  test("vocab coverage: totals tie to tokenization, rates well-formed") {
+    val rows = TextQueries.queries("text_vocab_coverage")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val totalToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum === totalToks)
+    rows.foreach { case (_, n, oov, rate) =>
+      assert(oov >= 0 && oov <= n)
+      assert(rate === oov.toDouble / n)
+    }
+  }
 }
