@@ -40,6 +40,58 @@ class DedupIndexStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("index state survives a session restart: probes hit the recovered index") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idx_recovery").toString
+    val (inDir, outDir, ckptDir) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    try {
+      val sh = DedupQueries.shingled(spark, sf).localCheckpoint()
+      val banded = DedupQueries.bandSignatures(sh)
+      val rows = banded.collect().map(r =>
+        BandKey(r.getInt(1), r.getString(2), r.getLong(0),
+          r.getLong(0) % 10 == 0))
+      val (probes, regs) = rows.partition(_.isProbe)
+
+      def startProbe(session: org.apache.spark.sql.SparkSession) = {
+        import session.implicits._
+        val in = session.readStream
+          .schema("band INT, sig STRING, docId BIGINT, isProbe BOOLEAN")
+          .parquet(inDir).as[BandKey]
+        DedupIndexStream.candidates(in)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckptDir)
+          .outputMode("append").start()
+      }
+
+      // session 1 loads the standing index, then the driver goes away
+      import spark.implicits._
+      spark.createDataset(regs.toSeq).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val s1 = spark.newSession()
+      val q1 = startProbe(s1)
+      q1.processAllAvailable(); q1.stop()
+
+      // the new batch lands while no stream runs; session 2 recovers the
+      // checkpoint and probes — candidates exist ONLY if the bucket
+      // state survived the restart
+      spark.createDataset(probes.toSeq).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val s2 = spark.newSession()
+      val q2 = startProbe(s2)
+      q2.processAllAvailable(); q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = DedupQueries.incrementalCandidates(banded)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected,
+        s"missing=${expected -- got} extra=${got -- expected}")
+      assert(got.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("probe-only feed registers nothing; later probes still see no index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
