@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graft.shims
 
-import graft.functions.{WinnowFingerprints, WordNgrams}
+import graft.functions.{WinnowFingerprints, WordNgrams, WordSetHits}
 import graft.hash.Fnv1a32
 import graft.sim.Dot64
 import graft.sketch.{BloomBits, CmsCounts, KmvDistinct}
@@ -16,6 +16,8 @@ import graft.sketch.{BloomBits, CmsCounts, KmvDistinct}
   *   - `fnv1a32(str)`          → BIGINT hash in [0, 2^32)
   *   - `dot64(arr, arr)`       → DOUBLE ordered-fold dot product
   *   - `word_ngrams(arr, n)`   → distinct n-gram shingles (n literal)
+  *   - `word_set_hits(arr, 'w1,w2,…')` → tokens hitting the probe set
+  *     (comma-joined string literal — the language-ID kernel)
   *   - `winnow(str, k, w)`     → winnowing fingerprints (k, w literals)
   *   - `kmv_distinct(hash, k)` → DOUBLE distinct estimate (aggregate;
   *     feed it `fnv1a32(item)`)
@@ -48,6 +50,15 @@ object Graft {
           case Seq(toks, IntegerLiteral(n)) => WordNgrams(toks, n)
           case other => throw new IllegalArgumentException(
             s"word_ngrams(tokens, n) takes 2 arguments with n an integer literal, got $other")
+        }
+      },
+      "word_set_hits" -> { es =>
+        es match {
+          case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(
+              csv: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            WordSetHits(toks, csv.toString.split(",").toSeq)
+          case other => throw new IllegalArgumentException(
+            s"word_set_hits(tokens, 'w1,w2,…') takes 2 arguments with a string literal probe set, got $other")
         }
       },
       "winnow" -> { es =>

@@ -12,6 +12,9 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT word_ngrams(split('a b c d', ' '), 3)")
       .first().getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(spark.sql(
+      "SELECT word_set_hits(split('the cat the dog', ' '), 'the,a')")
+      .first().getLong(0) === 2L)
   }
 
   test("winnow registered for SQL and matches the Column API") {
