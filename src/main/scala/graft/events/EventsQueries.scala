@@ -119,6 +119,23 @@ object EventsQueries {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // sketch-in-window: distinct users per (day, type) via the same KMV
+    // aggregate — the daily-uniques dashboard shape. countDistinct
+    // re-shuffles the (group, user) domain to dedup it; the sketch is
+    // one fixed 32-long state per group with map-side partials, so at
+    // 100 TB the shuffle carries #groups × 32 longs instead of the
+    // distinct user set. Groups below k take the exact path, above it
+    // the estimator — the fixture exercises both (42-67 uniques/group).
+    "events_window_kmv" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("day", expr(s"ts div $DayUs"))
+        .groupBy("day", "event_type")
+        .agg(graft.sketch.KmvDistinct.kmvDistinct(
+            graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")), 32)
+          .as("kmv_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("day", "event_type")),
+
     // grouped rollup: count, distinct users, exact decimal totals
     "events_type_stats" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
@@ -639,6 +656,35 @@ object EventsQueries {
         |       quantile_cont(value, 0.9) AS p90,
         |       quantile_cont(value, 0.99) AS p99
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "events_window_kmv" -> (s"WITH $eventsSql,\n" +
+      s"""h AS (
+         |  SELECT DISTINCT ts // $DayUs AS day, event_type,
+         |         ${graft.oracle.Ora.fnv("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM ev
+         |),
+         |ranked AS (
+         |  SELECT day, event_type, h,
+         |         row_number() OVER (PARTITION BY day, event_type ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY day, event_type) AS nd
+         |  FROM h
+         |),
+         |kmv AS (
+         |  SELECT day, event_type,
+         |         CASE WHEN max(nd) < 32 THEN CAST(max(nd) AS DOUBLE)
+         |              ELSE 31.0 * 4294967296.0 /
+         |                   CAST(max(CASE WHEN rn = 32 THEN h END) AS DOUBLE)
+         |         END AS kmv_users
+         |  FROM ranked GROUP BY day, event_type
+         |),
+         |exact AS (
+         |  SELECT ts // $DayUs AS day, event_type,
+         |         count(DISTINCT user_id) AS exact_users FROM ev
+         |  GROUP BY 1, 2
+         |)
+         |SELECT day, event_type, kmv_users, exact_users
+         |FROM kmv JOIN exact USING (day, event_type)
+         |ORDER BY day, event_type""".stripMargin),
 
     "events_kmv_users" -> (s"WITH $eventsSql,\n" +
       s"""h AS (
