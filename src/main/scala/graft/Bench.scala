@@ -117,7 +117,11 @@ object Bench {
     //     budget — headline total, sentinel median/max (the contention
     //     signal), and the slowest queries greedily added until the line
     //     would exceed ~1800 chars, with the rest summarized under "others".
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
+    // decimal default locale would emit "0,339" and corrupt both JSON
+    // outputs (exactly the parsed:null failure this format exists to fix)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val sortedSent = sentinelTimes.sorted
     val sentMed = sortedSent(sortedSent.size / 2)

@@ -56,7 +56,13 @@ object Graft {
         es match {
           case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(
               csv: org.apache.spark.unsafe.types.UTF8String, _)) =>
-            WordSetHits(toks, csv.toString.split(",").toSeq)
+            // trim + drop empties: 'the, a' must probe "a", not " a",
+            // and '' must be rejected, not count empty-string tokens
+            val words = csv.toString.split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            require(words.nonEmpty,
+              "word_set_hits probe set must contain at least one word")
+            WordSetHits(toks, words)
           case other => throw new IllegalArgumentException(
             s"word_set_hits(tokens, 'w1,w2,…') takes 2 arguments with a string literal probe set, got $other")
         }

@@ -402,7 +402,12 @@ object EventsQueries {
       events(s, dir)
         .withColumn("gap", col("ts") - lag("ts", 1).over(w))
         .filter(col("gap").isNotNull)
-        .withColumn("bucket", length(bin(col("gap"))).cast("long"))
+        // gap = 0 (two events in the same truncated microsecond) gets its
+        // own bucket 0: bin(0) = "0" has length 1, which would misfile it
+        // into [2^0, 2^1) and break the power-of-two edge contract
+        .withColumn("bucket",
+          when(col("gap") === 0L, 0L)
+            .otherwise(length(bin(col("gap"))).cast("long")))
         .groupBy("bucket")
         .agg(count("*").as("n"), min("gap").as("min_gap_us"),
           max("gap").as("max_gap_us"),
@@ -449,7 +454,8 @@ object EventsQueries {
          |    ORDER BY ts, event_id) AS gap
          |  FROM ev
          |)
-         |SELECT CAST(length(bin(gap)) AS BIGINT) AS bucket,
+         |SELECT CAST(CASE WHEN gap = 0 THEN 0
+         |            ELSE length(bin(gap)) END AS BIGINT) AS bucket,
          |       count(*) AS n,
          |       min(gap) AS min_gap_us, max(gap) AS max_gap_us,
          |       CAST(sum(CASE WHEN gap > $SessionGapUs THEN 1 ELSE 0 END)

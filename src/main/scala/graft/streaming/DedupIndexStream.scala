@@ -33,9 +33,16 @@ case class ProbeCand(new_doc: Long, idx_doc: Long)
   * overflow beyond it; at 100 TB the bucket count scales with corpus
   * size while each stays O(cap).
   *
-  * DedupIndexStreamSpec proves the emitted candidate set equals the
-  * batch derivation ([[DedupQueries.incrementalCandidates]]) exactly,
-  * across multi-batch index loads.
+  * Emission multiplicity: a pair sharing k band signatures is emitted k
+  * times (each (band, sig) group is blind to the others) — the stream
+  * is the batch candidate stage BEFORE its `.distinct()`. All of a
+  * probe doc's band rows travel in one ingest batch (they derive from
+  * one doc row), so the downstream verification job dedups per micro-
+  * batch with a plain batch `distinct` — no cross-batch dedup state is
+  * ever needed. DedupIndexStreamSpec proves the emitted candidate SET
+  * equals the batch derivation ([[DedupQueries.incrementalCandidates]])
+  * exactly, across multi-batch index loads, and pins the per-band
+  * multiplicity law.
   */
 object DedupIndexStream {
 
@@ -51,7 +58,10 @@ object DedupIndexStream {
       if (ids.nonEmpty && ids.size <= MaxPosting)
         for (p <- probes; i <- ids) yield ProbeCand(p.docId, i)
       else Nil
-    if (regs.nonEmpty) state.update(ids ++ regs.map(_.docId))
+    // distinct: an at-least-once source can replay a registration batch;
+    // a doubled posting entry would double every future probe pair
+    if (regs.nonEmpty)
+      state.update((ids ++ regs.map(_.docId)).distinct)
     out.iterator
   }
 

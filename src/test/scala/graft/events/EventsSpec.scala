@@ -290,9 +290,12 @@ class EventsSpec extends SparkSpec {
     val nUsers = ev.select("user_id").distinct().count()
     assert(h.map(_._2).sum === ev.count() - nUsers,
       "one gap per event except each user's first")
-    // bucket b holds gaps in [2^(b-1), 2^b) — integer-exact edges
+    // bucket b ≥ 1 holds gaps in [2^(b-1), 2^b); bucket 0 is exactly the
+    // zero gaps (same truncated microsecond) — integer-exact edges
     h.foreach { case (b, _, mn, mx, _) =>
-      assert(mn >= (1L << (b - 1)) && mx < (1L << b), s"bucket $b: $mn..$mx")
+      if (b == 0) assert(mn === 0 && mx === 0)
+      else assert(mn >= (1L << (b - 1)) && mx < (1L << b),
+        s"bucket $b: $mn..$mx")
     }
     // gaps above the session threshold are exactly the non-first sessions
     val sessions = EventsQueries.queries("events_sessionize")(spark, sf)

@@ -31,13 +31,27 @@ class DedupIndexStreamSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val got = spark.table("probe_out").as[ProbeCand]
-      .collect().map(p => (p.new_doc, p.idx_doc)).toSet
+    val emitted = spark.table("probe_out").as[ProbeCand]
+      .collect().map(p => (p.new_doc, p.idx_doc))
+    val got = emitted.toSet
     val expected = DedupQueries.incrementalCandidates(banded)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected,
       s"missing=${expected -- got} extra=${got -- expected}")
     assert(got.nonEmpty)
+    // multiplicity law: a pair is emitted once per SHARED band signature
+    // (the stream is the batch candidate stage before distinct); the
+    // per-micro-batch `distinct` downstream is what restores set-ness
+    val bandsShared = rows.filter(_.isProbe)
+      .flatMap(p => rows.collect {
+        case r if !r.isProbe && r.band == p.band && r.sig == p.sig =>
+          ((p.docId, r.docId), (r.band, r.sig))
+      }).groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val counts = emitted.groupBy(identity).view.mapValues(_.length).toMap
+    got.foreach { pair =>
+      assert(counts(pair) === bandsShared(pair),
+        s"$pair emitted ${counts(pair)}x, shares ${bandsShared(pair)} bands")
+    }
   }
 
   test("index state survives a session restart: probes hit the recovered index") {
