@@ -64,6 +64,92 @@ object DedupComponents {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * O(log² n)-round contraction algorithm for web-scale graphs (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC '14).
+    *
+    * Label propagation converges in O(component diameter) rounds, which
+    * is fine for near-dup cliques (diameter 1–2) but degenerates on the
+    * long chains a crawl-link or citation graph can contain — a
+    * 10 000-hop path costs 10 000 shuffles. Star contraction instead
+    * halves every path each alternation, so rounds stay logarithmic in
+    * the component size regardless of topology:
+    *
+    *   large-star: every node connects its LARGER neighbors to the
+    *     minimum of its neighborhood (keeps the graph connected while
+    *     pulling high ids toward local minima);
+    *   small-star: every node connects its smaller-or-equal neighbors
+    *     to that minimum (collapses the remaining short hops).
+    *
+    * Each half-round is one groupBy + one broadcast-free join — the same
+    * per-round shuffle cost as one label-propagation round, and the edge
+    * set shrinks monotonically toward the final star, so later rounds
+    * move less data. The fixed point is exactly one star per component,
+    * centered on the component's minimum id.
+    */
+  private[graft] def componentsStarWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    // canonical undirected edge set, no self-loops
+    var e = edges
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    // order-free edge-set signature: count + XOR-checksum of the
+    // canonical pairs (XOR never overflows under ANSI mode; the pairs are
+    // distinct so cancellation can't mask a change; collision odds ~2^-64
+    // and the 50-round cap backstops even that); carried across rounds so
+    // each round pays ONE tiny agg job
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged && rounds < 50) {
+      // large-star: per node x, m = min(N(x) ∪ {x}); edge (nbr, m) for
+      // every nbr > x. m ≤ x < nbr keeps the (lo, hi) orientation.
+      val adj = e.select(col("lo").as("x"), col("hi").as("nbr"))
+        .unionByName(e.select(col("hi").as("x"), col("lo").as("nbr")))
+      val mLarge = adj.groupBy("x")
+        .agg(least(min(col("nbr")), first(col("x"))).as("m"))
+      val large = adj.join(mLarge, "x")
+        .filter(col("nbr") > col("x"))
+        .select(col("m").as("lo"), col("nbr").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: orient larger→smaller, m = min neighbor of x; edge
+      // (v, m) for every smaller neighbor v plus x itself.
+      val dirSmall = large.select(col("hi").as("x"), col("lo").as("nbr"))
+      val mSmall = dirSmall.groupBy("x").agg(min(col("nbr")).as("m"))
+      val small = dirSmall.join(mSmall, "x")
+        .select(col("m").as("lo"), col("nbr").as("hi"))
+        .unionByName(mSmall.select(col("m").as("lo"), col("x").as("hi")))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      // fixed point: the star set is invariant under both half-rounds
+      val next = signature(small)
+      converged = next == sig
+      sig = next
+      e = small
+      rounds += 1
+    }
+    // final stars: hi → lo is the component label; centers label themselves
+    val labels = e.select(col("hi").as("doc_id"), col("lo").as("component"))
+      .unionByName(e.select(col("lo").as("doc_id"), col("lo").as("component")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  def componentsStar(edges: DataFrame): DataFrame =
+    componentsStarWithRounds(edges)._1
+
   /** Level-synchronous multi-source BFS: hop distance of every vertex
     * from its component's canonical representative. With unit edge
     * weights a vertex's first-reached round IS its minimum hop count, so
@@ -114,6 +200,18 @@ object DedupComponents {
         .orderBy("doc_id")
     }),
 
+    // same components by alternating star contraction — the variant that
+    // stays O(log² n) rounds on ANY topology (label propagation pays
+    // O(diameter); identical on near-dup cliques, decisive on the long
+    // chains of a crawl-scale link graph). Same output, same oracle.
+    "dedup_components_star" -> ((s, dir) => {
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      componentsStar(pairs)
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+
     // hop distance from each member to its canonical doc — the
     // chain-length signal behind a dedup verdict: hops = 1 is a direct
     // near-dup of the kept doc, hops ≥ 2 survives only transitively and
@@ -155,6 +253,13 @@ object DedupComponents {
   val oracle: Map[String, String] = Map(
     // transitive closure by recursive CTE, then min label per vertex
     "dedup_components" -> (
+      s"""WITH RECURSIVE
+         |$componentsCteSql
+         |SELECT doc_id, component, is_canonical
+         |FROM components ORDER BY doc_id""".stripMargin),
+
+    // identical semantics to dedup_components — the algorithms must agree
+    "dedup_components_star" -> (
       s"""WITH RECURSIVE
          |$componentsCteSql
          |SELECT doc_id, component, is_canonical

@@ -26,6 +26,40 @@ class DedupComponentsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === paired)
   }
 
+  test("star contraction: chains collapse to the min id, islands stay apart") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = DedupComponents.componentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("star contraction: logarithmic rounds on a path where label-prop pays the diameter") {
+    // a 200-hop path: label propagation would need ~200 rounds (its cap
+    // is 50 — it cannot even finish); star contraction halves the path
+    // every alternation and lands well under 2·log2(200) ≈ 16
+    val path = (0L until 200L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupComponents.componentsStarWithRounds(path)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 200 && got.forall(_._2 === 0L))
+    assert(rounds <= 16, s"star contraction took $rounds rounds on a 200-path")
+  }
+
+  test("star contraction agrees with label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .toDF("doc_a", "doc_b")
+      val viaProp = DedupComponents.components(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = DedupComponents.componentsStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar === viaProp)
+    }
+  }
+
   test("BFS hops: a chain reports true distances from the canonical") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_a", "doc_b")
