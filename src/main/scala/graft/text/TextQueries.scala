@@ -188,6 +188,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-LM transition likelihood: a perplexity-proxy fluency score
+    // without the non-portable transcendental. A word-bigram model is fit
+    // on the corpus itself (c12 = bigram count, c1 = context count) and
+    // every document is scored by its mean and minimum transition
+    // probability p(w2|w1) = c12/c1 — shuffled-word or glitch docs score
+    // low, natural text high; min_p pinpoints the most surprising
+    // transition. ln() rounds differently across engines (same reason
+    // tf-idf avoids it), so probabilities live in exact 2^-20 fixed point:
+    // p_q = (c12 * 2^20) div c1 is integer arithmetic, per-doc sums of
+    // p_q are exact integers, and the only doubles are single divisions
+    // by exactly-representable values — bit-equal on both engines. Scale
+    // shape: the model is vocabulary²-bounded (916 rows here) and
+    // broadcast; the corpus side is one explode + one per-doc aggregate.
+    "text_lm_likelihood" -> ((s, dir) => {
+      val occ = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))"))
+          .as("bg"))
+        .localCheckpoint() // tiny derivation feeding model AND probe scans
+      val m12 = occ.groupBy("bg").agg(count("*").as("c12"))
+      val m1 = occ.select(substring_index(col("bg"), " ", 1).as("w1"))
+        .groupBy("w1").agg(count("*").as("c1"))
+      val model = m12
+        .join(m1, substring_index(m12("bg"), " ", 1) === m1("w1"))
+        .select(col("bg"), expr("c12 * 1048576 div c1").as("p_q"))
+      occ.join(broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(count("*").as("n_bigrams"),
+          sum(col("p_q")).as("sum_pq"), min(col("p_q")).as("min_pq"))
+        .withColumn("mean_p", col("sum_pq").cast("double") /
+          (col("n_bigrams") * lit(1048576L)).cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document. Two hash
     // aggregates build the term-frequency and document-frequency tables
     // (both with map-side combine), one shuffle join on term attaches
@@ -372,6 +409,31 @@ object TextQueries {
         |       1.0 - CAST(g.n_dg AS DOUBLE) / (g.n_tok - 1) AS dup_2gram_frac
         |FROM tokstats t JOIN gram g USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "text_lm_likelihood" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |),
+        |occ AS (
+        |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bg
+        |  FROM t, unnest(range(len(toks)-1)) AS u(i)
+        |),
+        |m12 AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+        |m1 AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+        |  FROM occ GROUP BY 1
+        |),
+        |model AS (
+        |  SELECT bg, (c12 * 1048576) // c1 AS p_q
+        |  FROM m12 JOIN m1 ON string_split(m12.bg, ' ')[1] = m1.w1
+        |)
+        |SELECT occ.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(p_q) AS BIGINT) AS sum_pq,
+        |  CAST(min(p_q) AS BIGINT) AS min_pq,
+        |  CAST(sum(p_q) AS DOUBLE) / CAST(count(*) * 1048576 AS DOUBLE) AS mean_p
+        |FROM occ JOIN model USING (bg)
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
 
     "text_tfidf_keywords" ->
       """WITH terms AS (

@@ -114,6 +114,39 @@ class TextSpec extends SparkSpec {
     assert(colSums === dist)
   }
 
+  test("lm likelihood: scores bounded, fixture docs all covered, repetition ranks high") {
+    val rows = TextQueries.queries("text_lm_likelihood")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val nDocs = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong === nDocs, "every multi-token doc is scored")
+    rows.foreach { case (_, nBg, sumPq, minPq, meanP) =>
+      assert(nBg >= 1)
+      // every observed transition has probability in (0, 1]
+      assert(minPq >= 0 && minPq <= 1048576)
+      assert(sumPq >= minPq && sumPq <= nBg * 1048576)
+      assert(meanP === sumPq.toDouble / (nBg * 1048576L).toDouble)
+    }
+  }
+
+  test("lm likelihood: hand-computed model on a three-doc corpus") {
+    import spark.implicits._
+    val tiny = Seq((0L, "a b a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val dir = s"${java.nio.file.Files.createTempDirectory("lmtest")}"
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // occurrences: doc0 = [a b, b a, a b], doc1 = [a b], doc2 = [a c]
+    // c12: (a b)=3, (b a)=1, (a c)=1; c1: a=4, b=1
+    // p_q: (a b) = 3*2^20 div 4 = 786432; (b a) = 2^20; (a c) = 262144
+    val got = TextQueries.queries("text_lm_likelihood")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 786432L + 1048576L + 786432L, 786432L),
+      (1L, 1L, 786432L, 786432L),
+      (2L, 1L, 262144L, 262144L)))
+  }
+
   test("vocab coverage: totals tie to tokenization, rates well-formed") {
     val rows = TextQueries.queries("text_vocab_coverage")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
