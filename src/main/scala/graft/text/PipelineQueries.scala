@@ -29,6 +29,9 @@ object PipelineQueries {
   val PackShards = 8L // independent packing streams
   val BloomM = 4096 // bloom filter bits
   val BloomK = 3 // bloom probes per item
+  val SampleK = 50 // weighted priority-sample size
+  val QuotaBudget = 100L // stratified sampling budget (docs)
+  val IdBuckets = 8L // range buckets for global id assignment
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the full cleaning cascade, summarized as verdict counts
@@ -315,6 +318,88 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    // weighted priority sampling (Duffield/Lund/Thorup): every doc gets
+    // priority w/u — weight = token count, u = a deterministic
+    // hash-uniform in (0,1] — and the k highest priorities are the
+    // sample, inclusion probability ∝ weight. The distributed-scale
+    // sampling primitive: no RNG state, reproducible across re-runs and
+    // engines, and top-k by priority is TakeOrdered (per-partition heaps
+    // + driver merge), never a global sort. Float discipline: priority =
+    // (w·2^32) / (h+1) is ONE exact-operand division — bit-equal on both
+    // engines; (priority, doc_id) makes the cut total and deterministic.
+    "corpus_priority_sample" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          fnv1a32(concat(lit("prio:"), col("doc_id").cast("string")))
+            .as("h"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          ((col("n_tok") * lit(4294967296L)).cast("double") /
+            (col("h") + lit(1L)).cast("double")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(SampleK)
+    }),
+
+    // stratified sampling quotas by largest-remainder allocation: a
+    // fixed doc budget split across (lang, source) strata proportionally
+    // to availability, fractional seats going to the largest remainders
+    // — the exact-integer apportionment a training-mix draw needs (naive
+    // rounding over- or under-shoots the budget; this sums to it by
+    // construction). The stratum dimension is #langs×#sources rows, so
+    // the unpartitioned remainder-rank window is dimension-sized — the
+    // corpus is touched once, by the counting aggregate.
+    "corpus_stratified_quota" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val strata = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang", "source").agg(count("*").as("n_avail"))
+      // one corpus aggregate, checkpointed: the total, the remainder
+      // ranks, and the floor-quota sum all read this tiny dimension
+      val base = strata
+        .crossJoin(strata.agg(sum(col("n_avail")).as("total")))
+        .select(col("lang"), col("source"), col("n_avail"),
+          expr(s"$QuotaBudget * n_avail div total").as("q0"),
+          expr(s"$QuotaBudget * n_avail % total").as("rem"))
+        .localCheckpoint()
+      val wRem = Window.orderBy(col("rem").desc, col("lang"), col("source"))
+      base
+        .withColumn("rr", row_number().over(wRem).cast("long"))
+        .crossJoin(base.agg(sum(col("q0")).as("q0_sum")))
+        .select(col("lang"), col("source"), col("n_avail"),
+          (col("q0") + when(col("rr") <= lit(QuotaBudget) - col("q0_sum"),
+            1L).otherwise(0L)).as("quota"))
+        .orderBy("lang", "source")
+    }),
+
+    // contiguous global ids for the kept corpus WITHOUT a global window:
+    // the single-partition row_number() every naive implementation ships
+    // is the classic driver-melting anti-pattern at scale. The scale
+    // shape is three narrow passes: range-bucket by id, one tiny
+    // per-bucket histogram, prefix-sum the (IdBuckets-row) histogram
+    // into bucket offsets, then offset + intra-bucket rank — each
+    // bucket's window is 1/IdBuckets of the data and buckets scale with
+    // the cluster. The oracle states the CONTRACT in one line:
+    // row_number over doc_id order.
+    "corpus_global_ids" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val bucketed = d
+        .crossJoin(d.agg(max(col("doc_id")).as("max_id")))
+        .select(col("doc_id"),
+          expr(s"doc_id * $IdBuckets div (max_id + 1)").as("bucket"))
+      val hist = bucketed.groupBy("bucket").agg(count("*").as("n"))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hist
+        .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+        .select("bucket", "offset")
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      bucketed.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"),
+          (col("offset") + row_number().over(wIn).cast("long") - lit(1L))
+            .as("gid"))
+        .orderBy("doc_id")
+    }),
+
     // cross-source duplication matrix: verified near-dup pairs rolled up
     // by unordered source pair — which sources mirror each other, the
     // signal behind per-source dedup priorities and crawl-overlap
@@ -574,6 +659,47 @@ object PipelineQueries {
          |       ELSE 'train' END AS split,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "corpus_priority_sample" -> (
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         ${Ora.fnv("'prio:' || doc_id")} AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_tok,
+         |  CAST(n_tok * 4294967296 AS DOUBLE) / CAST(h + 1 AS DOUBLE)
+         |    AS priority
+         |FROM d ORDER BY priority DESC, doc_id LIMIT $SampleK""".stripMargin),
+
+    "corpus_stratified_quota" -> (
+      s"""WITH s AS (
+         |  SELECT lang, source, count(*) AS n_avail
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |base AS (
+         |  SELECT lang, source, n_avail,
+         |         ($QuotaBudget * n_avail) // total AS q0,
+         |         ($QuotaBudget * n_avail) % total AS rem
+         |  FROM s, (SELECT sum(n_avail) AS total FROM s)
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source)
+         |    AS rr
+         |  FROM base
+         |)
+         |SELECT lang, source, n_avail,
+         |  CAST(q0 + CASE WHEN rr <= $QuotaBudget -
+         |    (SELECT sum(q0) FROM base) THEN 1 ELSE 0 END AS BIGINT)
+         |    AS quota
+         |FROM ranked ORDER BY lang, source""".stripMargin),
+
+    // the contract in one line: dense ids in doc_id order — the Spark
+    // side must reproduce it without the single-partition window
+    "corpus_global_ids" -> (
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     "corpus_source_overlap" -> (
       s"""WITH ${DedupQueries.jaccardPairsSql},

@@ -128,6 +128,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("priority sample: size k, descending, priorities recompute exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.hash.Fnv1a32.fnv1a32
+    val rows = PipelineQueries.queries("corpus_priority_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === PipelineQueries.SampleK)
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      "priorities must be emitted in descending order")
+    val byDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        fnv1a32(concat(lit("prio:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (id, nTok, prio) =>
+      val (w, h) = byDoc(id)
+      assert(nTok === w)
+      assert(prio === (w * 4294967296L).toDouble / (h + 1L).toDouble)
+    }
+    // the cut is the true top-k: no unsampled doc outranks a sampled one
+    val minSampled = rows.map(_._3).min
+    val sampledIds = rows.map(_._1).toSet
+    byDoc.foreach { case (id, (w, h)) =>
+      if (!sampledIds.contains(id))
+        assert((w * 4294967296L).toDouble / (h + 1L).toDouble <= minSampled)
+    }
+  }
+
+  test("stratified quotas: budget met exactly, proportional within one seat") {
+    val rows = PipelineQueries.queries("corpus_stratified_quota")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val total = rows.map(_._3).sum
+    assert(rows.map(_._4).sum === PipelineQueries.QuotaBudget,
+      "largest-remainder must hit the budget exactly")
+    rows.foreach { case (_, _, avail, quota) =>
+      val exact = PipelineQueries.QuotaBudget.toDouble * avail / total
+      assert(quota >= exact.floor.toLong && quota <= exact.floor.toLong + 1,
+        s"quota $quota vs exact share $exact")
+      assert(quota <= avail, "a quota never exceeds availability here")
+    }
+  }
+
+  test("global ids: dense 0..n-1, order-isomorphic to doc_id") {
+    val rows = PipelineQueries.queries("corpus_global_ids")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSet === rows.indices.map(_.toLong).toSet)
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("dedup savings ledger reconciles with the components verdict") {
     import org.apache.spark.sql.functions.col
     val rows = PipelineQueries.queries("corpus_dedup_savings")(spark, sf)
