@@ -250,6 +250,27 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    // multi-probe LSH ANN: scan the query's coarse bucket AND its four
+    // Hamming-1 neighbors (one coarse bit flipped per probe) — the
+    // standard recall knob that does NOT touch the index: the corpus
+    // keeps exactly one bucket per vector (its partition key at scale)
+    // and only the query side fans out, a 5-row broadcast dimension.
+    // 5/16 of the corpus scanned instead of 1/16, recall strictly ≥ the
+    // single-probe path (measured in sim_ann_recall's multiprobe leg).
+    "sim_ann_multiprobe" -> ((s, dir) => {
+      val b = bucketed(s, dir).withColumn("coarse", col("bucket") % 16)
+      val q = b.filter(col("vec_id") === 0)
+        .select(explode(expr(
+          "transform(array(0, 1, 2, 4, 8), p -> coarse ^ p)")).as("coarse"),
+          col("embedding").as("q_emb"))
+      b.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), "coarse")
+        .select(col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // IVF-flat ANN: assign every vector to its nearest of 8 coarse
     // centroids (deterministically the first 8 vectors — a training-free
     // stand-in for k-means cells), then search only the query's nprobe=2
@@ -306,6 +327,14 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosine(col("embedding"), col("q_emb")).as("cos_sim")))
+      // multiprobe leg: same index, query fans out to Hamming-1 probes
+      val qmp = qb.select(col("q_id"), col("q_emb"),
+        explode(expr("transform(array(0, 1, 2, 4, 8), p -> coarse ^ p)"))
+          .as("coarse"))
+      val mp = top5(b.join(broadcast(qmp), "coarse")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim")))
       // IVF leg: candidates in the query's nprobe nearest cells
       val centroids = coarseCentroids(e)
       val assigned = assignedCells(e)
@@ -329,6 +358,7 @@ object SimilarityQueries {
             coalesce(col("hits"), lit(0L)).as("n_hits"),
             (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall_at_5"))
       recallOf(lsh, "lsh").unionByName(recallOf(ivf, "ivf"))
+        .unionByName(recallOf(mp, "multiprobe"))
         .orderBy("method", "q_id")
     }),
 
@@ -700,6 +730,18 @@ object SimilarityQueries {
            |WHERE e.vec_id <> 0 AND e.bucket % 16 = q.coarse
            |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin),
 
+      "sim_ann_multiprobe" -> (s"WITH $bucketedSql,\n" +
+        s"""q AS (SELECT bucket % 16 AS c0, embedding FROM bucketed
+           |       WHERE vec_id = 0),
+           |probes AS (
+           |  SELECT xor(q.c0, p.p) AS coarse, q.embedding
+           |  FROM q, (SELECT unnest([0, 1, 2, 4, 8]) AS p) p
+           |)
+           |SELECT e.vec_id, ${Ora.cos64("e.embedding", "q.embedding")} AS cos_sim
+           |FROM bucketed e JOIN probes q ON e.bucket % 16 = q.coarse
+           |WHERE e.vec_id <> 0
+           |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin),
+
       "sim_ivf_ann" ->
         s"""WITH $assignedCellsSql,
            |qcells AS (
@@ -742,6 +784,20 @@ object SimilarityQueries {
            |      ON e.bucket % 16 = q.coarse AND e.vec_id <> q.q_id
            |  ) WHERE rk <= 5
            |),
+           |qmp AS (
+           |  SELECT q.q_id, xor(q.coarse, p.p) AS coarse, q.q_emb
+           |  FROM qb q, (SELECT unnest([0, 1, 2, 4, 8]) AS p) p
+           |),
+           |mp_cand AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, e.vec_id,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${Ora.cos64("e.embedding", "q.q_emb")} DESC,
+           |                      e.vec_id) AS rk
+           |    FROM bucketed e JOIN qmp q
+           |      ON e.bucket % 16 = q.coarse AND e.vec_id <> q.q_id
+           |  ) WHERE rk <= 5
+           |),
            |$assignedCellsSql,
            |qcells AS (
            |  SELECT q_id, q_emb, cell FROM (
@@ -771,6 +827,11 @@ object SimilarityQueries {
            |  SELECT t.q_id, count(*) AS n_hits FROM truth t
            |  JOIN ivf_cand c ON t.q_id = c.q_id AND t.vec_id = c.vec_id
            |  GROUP BY t.q_id
+           |),
+           |hits_mp AS (
+           |  SELECT t.q_id, count(*) AS n_hits FROM truth t
+           |  JOIN mp_cand c ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+           |  GROUP BY t.q_id
            |)
            |SELECT q_id, method, n_hits, n_hits / 5.0 AS recall_at_5 FROM (
            |  SELECT q.q_id, 'lsh' AS method, coalesce(h.n_hits, 0) AS n_hits
@@ -778,6 +839,9 @@ object SimilarityQueries {
            |  UNION ALL
            |  SELECT q.q_id, 'ivf' AS method, coalesce(h.n_hits, 0) AS n_hits
            |  FROM qs q LEFT JOIN hits_ivf h USING (q_id)
+           |  UNION ALL
+           |  SELECT q.q_id, 'multiprobe' AS method, coalesce(h.n_hits, 0) AS n_hits
+           |  FROM qs q LEFT JOIN hits_mp h USING (q_id)
            |) ORDER BY method, q_id""".stripMargin),
 
       "crossmodal_dup_agreement" -> (

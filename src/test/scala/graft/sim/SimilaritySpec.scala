@@ -160,6 +160,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSeq === run().toSeq, "fixed-point means must be stable")
   }
 
+  test("multiprobe: per-query recall dominates single-probe, probes well-formed") {
+    val rows = SimilarityQueries.queries("sim_ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byMethod = rows.groupBy(_._2)
+      .view.mapValues(_.map(r => r._1 -> r._3).toMap).toMap
+    assert(byMethod.keySet === Set("lsh", "ivf", "multiprobe"))
+    // the probe set strictly contains the single-probe bucket, so the
+    // candidate set is a superset and per-query recall can only grow
+    byMethod("lsh").foreach { case (q, lshHits) =>
+      assert(byMethod("multiprobe")(q) >= lshHits,
+        s"query $q: multiprobe recall fell below single-probe")
+    }
+    // the fixture actually exercises the extra probes: at least one
+    // query must gain hits, else the leg measures nothing
+    assert(byMethod("lsh").exists { case (q, h) =>
+      byMethod("multiprobe")(q) > h },
+      "no query gained recall from multiprobe on this fixture")
+  }
+
   test("int8 rerank: exact final cosines, full recall of the true top-5") {
     val reranked = SimilarityQueries
       .queries("sim_ann_int8_rerank")(spark, sf)
