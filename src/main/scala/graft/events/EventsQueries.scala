@@ -149,6 +149,31 @@ object EventsQueries {
   )
 
   val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order cell audit: map every event to its Morton cell over
+    // (day-index, user-bucket) — the cell id graft.keyspace
+    // .PartitionedLayout.writeZOrdered partitions by — and emit each
+    // cell's population and per-dimension envelope. The envelope IS the
+    // data-skipping claim: every cell spans ≤ 32 days × 32 buckets, so a
+    // (day × cohort) box query prunes to the cells its rectangle
+    // overlaps (proven file-level in PlanAuditSpec). Cross-engine the
+    // interleave is pure shift/mask integer arithmetic — bit-exact.
+    "events_zorder_cells" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("day", expr(s"ts div $DayUs"))
+      val xy = e
+        .crossJoin(broadcast(e.agg(min(col("day")).as("day0"))))
+        .select((col("day") - col("day0")).as("x"),
+          pmod(col("user_id"), lit(256L)).as("y"))
+      xy.withColumn("z_cell", shiftright(
+          graft.keyspace.PartitionedLayout.zValue(col("x"), col("y"), 8),
+          10))
+        .groupBy("z_cell")
+        .agg(count("*").as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("z_cell")
+    }),
+
     // hierarchical totals in one pass: ROLLUP emits (type, bucket),
     // (type, NULL) and (NULL, NULL) grand-total rows from a single shuffle
     "events_rollup" -> ((s, dir) =>
@@ -426,6 +451,23 @@ object EventsQueries {
 
   // lazy: eventsSql is declared below; a strict val would capture null
   lazy val moreOracle: Map[String, String] = Map(
+    "events_zorder_cells" -> {
+      val zTerms = (0 until 8).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"WITH ${eventsSql},\n" +
+        s"""xy AS (
+           |  SELECT (ts // $DayUs) -
+           |           (SELECT min(ts // $DayUs) FROM ev) AS x,
+           |         user_id % 256 AS y
+           |  FROM ev
+           |),
+           |z AS (SELECT x, y, ($zTerms) >> 10 AS z_cell FROM xy)
+           |SELECT z_cell, count(*) AS n,
+           |       min(x) AS x_min, max(x) AS x_max,
+           |       min(y) AS y_min, max(y) AS y_max
+           |FROM z GROUP BY z_cell ORDER BY z_cell""".stripMargin
+    },
     "events_late_arrivals" -> (s"WITH ${eventsSql},\n" +
       s"""arr AS (
          |  SELECT event_id, ts, event_type,

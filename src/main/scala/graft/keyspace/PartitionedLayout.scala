@@ -1,6 +1,6 @@
 package graft.keyspace
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.hash.Fnv1a32.shardId
@@ -87,6 +87,69 @@ object PartitionedLayout {
       i += 1
     }
     a.length - b.length
+  }
+
+  /** Morton/Z-value of two bounded non-negative integer dimensions: the
+    * low `bits` bits of `x` and `y` interleaved (x on even positions).
+    * Built from shift/mask primitives only, so it stays inside
+    * whole-stage codegen; the terms occupy disjoint bits, so `+` is `|`. */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(x, i).cast("long") % 2, 2 * i) +
+        shiftleft(shiftright(y, i).cast("long") % 2, 2 * i + 1)
+    }
+
+  /** Z-ordered layout over two dimensions — the multi-column analog of
+    * [[writeRanged]]: hash sharding scatters every range, single-column
+    * range sharding prunes only its own column, but sorting by the
+    * interleaved Z-value keeps rows close in BOTH dimensions close on
+    * disk, so a (x-range × y-range) box query prunes to the cells the
+    * box overlaps — the data-skipping layout for multi-dimensional scans
+    * (time × tenant, day × user-cohort) at 100 TB. `cellShift` trades
+    * directory count against cell granularity; an EVEN shift keeps every
+    * cell a square, so the directory filter is a rectangle union. Rows
+    * are Z-sorted inside each cell to keep row-group stats tight. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+      bits: Int = 8, cellShift: Int = 10): Unit =
+    df.withColumn("zv", zValue(x, y, bits))
+      .withColumn("z_cell", shiftright(col("zv"), cellShift))
+      .repartition(col("z_cell"))
+      .sortWithinPartitions("zv")
+      .write.mode("overwrite").partitionBy("z_cell").parquet(path)
+
+  /** The (x, y) rectangle a Z-cell covers (even `cellShift` ⇒ square).
+    * Driver-side arithmetic over the cell id — the router's cell-table
+    * lookup, O(#cells), no data touched. */
+  private[graft] def cellBounds(cell: Long, cellShift: Int): (Long, Long, Long, Long) = {
+    val base = cell << cellShift
+    var (x0, y0) = (0L, 0L)
+    var i = 0
+    while (i < 32) {
+      x0 |= ((base >> (2 * i)) & 1L) << i
+      y0 |= ((base >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    val side = 1L << (cellShift / 2)
+    (x0, x0 + side - 1, y0, y0 + side - 1)
+  }
+
+  /** Box scan `[x0,x1] × [y0,y1]` against [[writeZOrdered]]'s layout:
+    * enumerate the cells whose rectangles intersect the box (cell-table
+    * arithmetic, no data), send them as a partition filter, and let the
+    * exact per-column predicates push into the reader for row-group
+    * pruning inside the surviving directories. */
+  def boxScan(spark: SparkSession, path: String, xCol: String, yCol: String,
+      x0: Long, x1: Long, y0: Long, y1: Long,
+      bits: Int = 8, cellShift: Int = 10): DataFrame = {
+    val nCells = 1L << (2 * bits - cellShift)
+    val hit = (0L until nCells).filter { c =>
+      val (cx0, cx1, cy0, cy1) = cellBounds(c, cellShift)
+      cx0 <= x1 && x0 <= cx1 && cy0 <= y1 && y0 <= cy1
+    }
+    spark.read.parquet(path)
+      .filter(col("z_cell").isin(hit: _*) &&
+        col(xCol).between(x0, x1) && col(yCol).between(y0, y1))
   }
 
   def rangeScan(spark: SparkSession, path: String, start: String,

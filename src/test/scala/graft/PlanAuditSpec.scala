@@ -189,6 +189,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout: a 2-D box scan prunes to the overlapped cells") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = graft.events.EventsQueries.events(spark, sf)
+        .withColumn("day", expr(s"ts div ${graft.events.EventsQueries.DayUs}"))
+      val day0 = e.agg(min("day")).collect()(0).getLong(0)
+      // 32×32 domain, 8×8 cells: the fixture's 30-day × 32-cohort grid
+      // spreads over ~8 populated cell directories
+      val xy = e.select((col("day") - lit(day0)).as("x"),
+        pmod(col("user_id"), lit(32L)).as("y"), col("event_id"))
+      PartitionedLayout.writeZOrdered(xy, dir, col("x"), col("y"),
+        bits = 5, cellShift = 6)
+      val total = spark.read.parquet(dir).inputFiles.length
+      assert(total >= 4, s"fixture should spread over >= 4 cells, got $total")
+      // a tight box: first week × one 8-bucket cohort band
+      val q = PartitionedLayout.boxScan(spark, dir, "x", "y",
+        0L, 6L, 8L, 15L, bits = 5, cellShift = 6)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters"), p.take(3000))
+      // semantics: identical to the unpartitioned box filter
+      val got = q.select("event_id").collect().map(_.getLong(0)).sorted
+      val expected = xy
+        .filter(col("x").between(0, 6) && col("y").between(8, 15))
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === expected.toSeq)
+      assert(got.nonEmpty, "the audit box must actually select rows")
+      // pruning: the box overlaps a strict subset of the cell directories
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+      assert(scanned < total,
+        s"box scan read all $total files - no multi-dim pruning")
+      assert(scanned <= total / 2,
+        s"expected <= half the cells for a 7x32 box, got $scanned/$total")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("curation ledger shingles the corpus exactly once") {
     // the pair pipeline and the contamination probe must both read the
     // checkpointed shingle pass; the only live parquet scan left is the
