@@ -89,6 +89,22 @@ object PartitionedLayout {
     a.length - b.length
   }
 
+  /** Bucketed co-location for big–big joins: both tables are hashed into
+    * the same bucket count on their join key AT WRITE TIME, so a join
+    * between them needs no exchange at all — each task reads bucket i of
+    * both sides and joins locally. Broadcast solves small-dim joins;
+    * bucketing is the layout answer when BOTH sides are fact-sized
+    * (orders ⋈ lineitem at 100 TB): the shuffle is paid once, at ingest,
+    * and amortized over every subsequent join. `sortBy` pre-sorts inside
+    * each bucket so the sort-merge join skips its sort too. Proven
+    * exchange-free in PlanAuditSpec. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path).format("parquet")
+      .saveAsTable(table)
+
   /** Morton/Z-value of two bounded non-negative integer dimensions: the
     * low `bits` bits of `x` and `y` interleaved (x on even positions).
     * Built from shift/mask primitives only, so it stays inside

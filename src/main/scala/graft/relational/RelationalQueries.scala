@@ -130,6 +130,39 @@ object RelationalQueries {
         .orderBy("n_name", "rnk")
     }),
 
+    // the same top-3-per-nation by the TWO-STAGE shape the windowed form's
+    // comment names: when groups are huge and keys few, one window per
+    // group serializes on #groups tasks. Stage 1 salts each group into 8
+    // sub-partitions and takes a partial top-3 per (group, salt) — 8×
+    // the parallelism, each sub-partition a per-partition heap; stage 2
+    // re-ranks the ≤ 24 survivors per group. Identical output (a true
+    // top-3 always survives its salt's top-3), checked against the SAME
+    // oracle as the single-window form.
+    "top_customers_per_nation_2stage" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(sum(revenue).cast("double").as("revenue"))
+      val partial = rev
+        .withColumn("salt", pmod(graft.hash.Fnv1a32
+          .fnv1a32(col("c_custkey").cast("string")), lit(8L)))
+        .withColumn("prnk", row_number().over(
+          Window.partitionBy("n_name", "salt")
+            .orderBy(col("revenue").desc, col("c_custkey"))))
+        .filter(col("prnk") <= 3)
+      partial.withColumn("rnk", row_number().over(
+          Window.partitionBy("n_name")
+            .orderBy(col("revenue").desc, col("c_custkey"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("n_name"), col("rnk"), col("c_custkey"), col("revenue"))
+        .orderBy("n_name", "rnk")
+    }),
+
     // selective filter + projection: the pushdown showcase (PushedFilters
     // carries the equality AND the string-contains predicate into the
     // parquet reader; predicates chosen to stay non-empty at every SF)
@@ -185,25 +218,30 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
 
-    "top_customers_per_nation" ->
-      """WITH rev AS (
-        |  SELECT n_name, c_custkey,
-        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY n_name, c_custkey
-        |)
-        |SELECT n_name, rnk, c_custkey, revenue FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY n_name
-        |    ORDER BY revenue DESC, c_custkey) AS rnk
-        |  FROM rev)
-        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+    "top_customers_per_nation" -> topPerNationSql,
+
+    // the two-stage form must produce the identical top-3: one oracle
+    "top_customers_per_nation_2stage" -> topPerNationSql,
 
     "filter_pushdown_scan" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_size = 15 AND p_name LIKE '%a%'
         |ORDER BY p_partkey""".stripMargin,
   )
+
+  private lazy val topPerNationSql: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey,
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_custkey
+      |)
+      |SELECT n_name, rnk, c_custkey, revenue FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY n_name
+      |    ORDER BY revenue DESC, c_custkey) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
 }

@@ -189,6 +189,59 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed layout: a big-big join plans with zero exchanges") {
+    val dir = Files.createTempDirectory("graft_bucketed").toString
+    val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    // force the sort-merge path: broadcast would hide the exchange
+    // question; AQE off so the join subtree is directly collectible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      PartitionedLayout.writeBucketed(ord, "b_orders", s"$dir/o",
+        "o_orderkey")
+      PartitionedLayout.writeBucketed(li, "b_lineitem", s"$dir/l",
+        "l_orderkey")
+      val q = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count("*").as("n"))
+      val plan = q.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          // the final single-key groupBy may legitimately exchange; the
+          // JOIN inputs must not — count exchanges below the join
+          if e.toString.nonEmpty => e
+      }
+      val joinSubtree = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joinSubtree.nonEmpty, s"expected a sort-merge join:\n$plan")
+      val joinExchanges = joinSubtree.get.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(joinExchanges.isEmpty,
+        s"bucketed join must not exchange either side:\n${joinSubtree.get}")
+      // semantics: identical to the shuffled join over the raw parquet
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count("*").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+      assert(exchanges.size <= 1, s"only the final rollup may exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("z-ordered layout: a 2-D box scan prunes to the overlapped cells") {
     val dir = Files.createTempDirectory("graft_zorder").toString
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
