@@ -136,6 +136,53 @@ object EventsQueries {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("day", "event_type")),
 
+    // KMV set ALGEBRA: cross-day audience overlap from per-day sketch
+    // states alone. kmv_mins stores each day's bottom-32 user-hash array
+    // (the sketch state, not just the count); bottom-k of two arrays'
+    // union IS the union's sketch, |K(A∪B) ∩ K(A) ∩ K(B)| / k estimates
+    // Jaccard, and overlap = jaccard × union — so every day-pair's
+    // audience intersection derives from 30 stored 32-long states with
+    // NO second pass over the events (Beyer et al., SIGMOD '07). At
+    // 100 TB that is the difference between an O(days²) join of distinct
+    // user sets and array math over a dimension table. The exact-overlap
+    // column is the verification harness, not the serving path. All
+    // sketch arithmetic is deterministic over fnv1a32, so even the
+    // ESTIMATES oracle-check bit-for-bit; the only doubles are exact
+    // divisions and one product.
+    "events_kmv_overlap" -> ((s, dir) => {
+      val k = 32
+      val ev = events(s, dir).withColumn("day", expr(s"ts div $DayUs"))
+      val mins = ev.groupBy("day")
+        .agg(graft.sketch.KmvDistinct.kmvMins(
+          graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")), k)
+          .as("mins"))
+        .localCheckpoint() // tiny day dimension, feeds both join sides
+      val pairs = mins.select(col("day").as("day_a"), col("mins").as("ma"))
+        .join(mins.select(col("day").as("day_b"), col("mins").as("mb")),
+          col("day_a") < col("day_b"))
+        .withColumn("mu", slice(array_sort(array_union(col("ma"), col("mb"))),
+          1, k))
+      val est = pairs.select(col("day_a"), col("day_b"),
+        when(size(col("mu")) < k, size(col("mu")).cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) /
+            element_at(col("mu"), k).cast("double")).as("est_union"),
+        (size(array_intersect(array_intersect(col("mu"), col("ma")),
+          col("mb"))).cast("double") /
+          least(lit(k), size(col("mu")))).as("est_jaccard"))
+      val du = ev.select("day", "user_id").distinct()
+      val exact = du.as("a")
+        .join(du.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.day") < col("b.day"))
+        .groupBy(col("a.day").as("day_a"), col("b.day").as("day_b"))
+        .agg(count("*").as("exact_overlap"))
+      est.join(exact, Seq("day_a", "day_b"), "left")
+        .select(col("day_a"), col("day_b"), col("est_union"),
+          col("est_jaccard"),
+          (col("est_union") * col("est_jaccard")).as("est_overlap"),
+          coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+        .orderBy("day_a", "day_b")
+    }),
+
     // grouped rollup: count, distinct users, exact decimal totals
     "events_type_stats" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
@@ -768,5 +815,47 @@ object EventsQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "events_kmv_overlap" -> (s"WITH $eventsSql,\n" +
+      s"""dh AS (
+         |  SELECT DISTINCT ts // $DayUs AS day,
+         |         ${graft.oracle.Ora.fnv("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM ev
+         |),
+         |ranked AS (
+         |  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |  FROM dh
+         |),
+         |mins AS (
+         |  SELECT day, list(h ORDER BY h) AS mins FROM ranked
+         |  WHERE rn <= 32 GROUP BY day
+         |),
+         |pairs AS (
+         |  SELECT a.day AS day_a, b.day AS day_b, a.mins AS ma, b.mins AS mb,
+         |         list_sort(list_distinct(list_concat(a.mins, b.mins)))[1:32]
+         |           AS mu
+         |  FROM mins a JOIN mins b ON a.day < b.day
+         |),
+         |est AS (
+         |  SELECT day_a, day_b,
+         |    CASE WHEN len(mu) < 32 THEN CAST(len(mu) AS DOUBLE)
+         |         ELSE 31 * 4294967296.0 / CAST(mu[32] AS DOUBLE)
+         |    END AS est_union,
+         |    CAST(len(list_intersect(list_intersect(mu, ma), mb)) AS DOUBLE)
+         |      / least(32, len(mu)) AS est_jaccard
+         |  FROM pairs
+         |),
+         |exact AS (
+         |  SELECT a.day AS day_a, b.day AS day_b, count(*) AS exact_overlap
+         |  FROM (SELECT DISTINCT ts // $DayUs AS day, user_id FROM ev) a
+         |  JOIN (SELECT DISTINCT ts // $DayUs AS day, user_id FROM ev) b
+         |    ON a.user_id = b.user_id AND a.day < b.day
+         |  GROUP BY 1, 2
+         |)
+         |SELECT e.day_a, e.day_b, e.est_union, e.est_jaccard,
+         |       e.est_union * e.est_jaccard AS est_overlap,
+         |       CAST(coalesce(x.exact_overlap, 0) AS BIGINT) AS exact_overlap
+         |FROM est e LEFT JOIN exact x USING (day_a, day_b)
+         |ORDER BY e.day_a, e.day_b""".stripMargin),
   )
 }

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** KMV ("k minimum values" / bottom-k) distinct-count sketch as a custom
   * Catalyst [[TypedImperativeAggregate]].
@@ -89,10 +90,65 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(child = c)
 }
 
+/** The SKETCH STATE itself — the sorted k minimum distinct hashes as an
+  * array — rather than the finalized estimate. This is what makes KMV an
+  * ALGEBRA and not just a counter: two groups' min-arrays merge (bottom-k
+  * of the union) into the union's sketch, and |K(A∪B) ∩ K(A) ∩ K(B)| / k
+  * estimates Jaccard, so union size, overlap, and similarity all derive
+  * from stored per-group states without revisiting the data — the
+  * cross-partition/cross-day set-algebra primitive (Beyer et al.,
+  * SIGMOD '07). Same buffer discipline as [[KmvDistinct]]. */
+case class KmvMins(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv sketch needs k >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_mins"
+
+  private val agg = KmvDistinct(child, k)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    agg.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    agg.update(buf, input)
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    agg.merge(b1, b2)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    agg.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    agg.deserialize(bytes)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out) // TreeSet iterates ascending: sorted
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvMins =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMins =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvMins =
+    copy(child = c)
+}
+
 object KmvDistinct {
   /** Distinct-count estimate of `hashed` (a hash column, e.g. fnv1a32)
     * from its k minimum values; exact below k distinct. */
   def kmvDistinct(hashed: Column, k: Int): Column =
     shims.column(KmvDistinct(shims.expression(hashed), k)
+      .toAggregateExpression())
+
+  /** The sorted k-minimum-hash state itself, for sketch set algebra. */
+  def kmvMins(hashed: Column, k: Int): Column =
+    shims.column(KmvMins(shims.expression(hashed), k)
       .toAggregateExpression())
 }

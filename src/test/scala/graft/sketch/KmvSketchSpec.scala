@@ -32,6 +32,45 @@ class KmvSketchSpec extends SparkSpec {
     assert(once === dup)
   }
 
+  test("kmv_mins is the sorted bottom-k state and merges as set algebra") {
+    val k = 16
+    def mins(vals: Seq[String]): Seq[Long] =
+      vals.toDF("v").agg(KmvDistinct.kmvMins(fnv1a32(col("v")), k))
+        .first().getSeq[Long](0)
+    val a = (1 to 300).map(i => s"u$i")
+    val b = (200 to 500).map(i => s"u$i")
+    val (ma, mb) = (mins(a), mins(b))
+    // the state is the sorted k smallest distinct hashes
+    assert(ma.length === k && ma === ma.sorted && ma.distinct === ma)
+    // ALGEBRA: bottom-k of the two states == the union's own sketch —
+    // overlap/jaccard/union math needs no second pass over the data
+    val merged = (ma ++ mb).distinct.sorted.take(k)
+    assert(merged === mins(a ++ b))
+    // partition invariance of the state itself
+    val p3 = a.toDF("v").repartition(3)
+      .agg(KmvDistinct.kmvMins(fnv1a32(col("v")), k)).first().getSeq[Long](0)
+    assert(p3 === ma)
+  }
+
+  test("cross-day overlap estimates track the exact intersections") {
+    val rows = graft.events.EventsQueries
+      .queries("events_kmv_overlap")(spark, sf)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (estU, estJ, estO, _) =>
+      assert(estU >= 0 && estJ >= 0.0 && estJ <= 1.0)
+      assert(math.abs(estO - estU * estJ) < 1e-9)
+    }
+    // sketch quality: on groups below k the estimate is EXACT; above k
+    // the median relative error stays sketch-grade (≈ 1/√k)
+    val errs = rows.filter(_._4 > 0)
+      .map { case (_, _, estO, exact) => math.abs(estO - exact) / exact }
+      .sorted
+    assert(errs(errs.length / 2) <= 0.35,
+      f"median overlap error ${errs(errs.length / 2)}%.2f too loose")
+  }
+
   test("the aggregate runs in Structured Streaming and equals the batch sketch") {
     // mergeable fixed-size state is exactly what a streaming aggregation
     // needs; the same TypedImperativeAggregate drives both modes
