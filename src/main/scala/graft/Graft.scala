@@ -8,7 +8,7 @@ import org.apache.spark.sql.graft.shims
 import graft.functions.{WinnowFingerprints, WordNgrams, WordSetHits}
 import graft.hash.Fnv1a32
 import graft.sim.Dot64
-import graft.sketch.{BloomBits, CmsCounts, KmvDistinct}
+import graft.sketch.{BloomBits, CmsCounts, KmvDistinct, KmvMins}
 
 /** SQL surface for the engine's custom expressions, so `spark.sql` users
   * get them alongside the Column API:
@@ -21,6 +21,8 @@ import graft.sketch.{BloomBits, CmsCounts, KmvDistinct}
   *   - `winnow(str, k, w)`     → winnowing fingerprints (k, w literals)
   *   - `kmv_distinct(hash, k)` → DOUBLE distinct estimate (aggregate;
   *     feed it `fnv1a32(item)`)
+  *   - `kmv_mins(hash, k)`     → ARRAY<BIGINT> sketch state (aggregate)
+  *     for set algebra over stored sketches
   *   - `cms_counts(str, d, w)` → count-min counters (aggregate)
   *   - `bloom_bits(str, m, k)` → Bloom filter words (aggregate)
   *
@@ -82,6 +84,13 @@ object Graft {
           case Seq(item, IntegerLiteral(k)) => KmvDistinct(item, k)
           case other => throw new IllegalArgumentException(
             s"kmv_distinct(item, k) takes 2 arguments with k an integer literal, got $other")
+        }
+      },
+      "kmv_mins" -> { es =>
+        es match {
+          case Seq(item, IntegerLiteral(k)) => KmvMins(item, k)
+          case other => throw new IllegalArgumentException(
+            s"kmv_mins(item, k) takes 2 arguments with k an integer literal, got $other")
         }
       },
       "cms_counts" -> { es =>

@@ -42,6 +42,12 @@ class GraftSqlSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("v")), 32))
       .first().getDouble(0)
     assert(kmvSql === kmvCol && kmvSql > 0.0)
+    // the sketch STATE surfaces too, and is the sorted bottom-k
+    val mins = spark.sql(
+      "SELECT kmv_mins(fnv1a32(v), 32) FROM sketch_in").first().getSeq[Long](0)
+    assert(mins.length === 32 && mins === mins.sorted)
+    assert(kmvSql === 31.0 * 4294967296.0 / mins.last.toDouble,
+      "the estimate must derive from the surfaced state")
     val cms = spark.sql(
       "SELECT cms_counts(v, 3, 64) FROM sketch_in").first().getSeq[Long](0)
     assert(cms.length === 3 * 64 && cms.sum === 3L * 1000)
