@@ -52,4 +52,54 @@ class StreamJoinSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("left-outer join emits unmatched clicks with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = EventsQueries.events(spark, sf).orderBy("ts").collect()
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val clicks = ev.filter(_.eventType == "click")
+    val purchases = ev.filter(_.eventType == "purchase")
+
+    val cIn = MemoryStream[Event]
+    val pIn = MemoryStream[Event]
+    val q = StreamJoin.clickToPurchaseLeftOuter(cIn.toDS(), pIn.toDS())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    val tMin = ev.head.tsUs
+    val tMax = ev.last.tsUs
+    val cut = tMin + (tMax - tMin) / 2
+    for ((lo, hi) <- Seq((tMin, cut), (cut + 1, tMax))) {
+      cIn.addData(clicks.filter(c => c.tsUs >= lo && c.tsUs <= hi).toSeq)
+      pIn.addData(purchases.filter(p => p.tsUs >= lo && p.tsUs <= hi).toSeq)
+      q.processAllAvailable()
+    }
+    // a far-future sentinel click pushes the watermark past every real
+    // click's attribution window so all pending null rows must flush
+    cIn.addData(Event(-1L, tMax + 10L * 3600 * 1000000L, -1L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attrib_outer")
+      .filter(col("click_id") =!= -1L)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val windowUs = 30L * 60 * 1000000
+    val expectedPairs = (for {
+      c <- clicks
+      p <- purchases
+      if p.userId == c.userId && p.tsUs >= c.tsUs && p.tsUs <= c.tsUs + windowUs
+    } yield (c.eventId, p.eventId)).toSet
+    // matched pairs identical to the inner join
+    assert(rows.collect { case (c, Some(p)) => (c, p) }.toSet === expectedPairs)
+    // every matchless click emits exactly one null row, none matched
+    val matchedClicks = expectedPairs.map(_._1)
+    val nullRows = rows.collect { case (c, None) => c }
+    assert(nullRows.toSet === clicks.map(_.eventId).toSet -- matchedClicks)
+    assert(nullRows.length === nullRows.distinct.length)
+    assert(nullRows.nonEmpty)
+  }
 }
