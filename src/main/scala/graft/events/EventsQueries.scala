@@ -183,6 +183,47 @@ object EventsQueries {
         .orderBy("day_a", "day_b")
     }),
 
+    // last-click revenue attribution: the batch twin of
+    // streaming.StreamJoin — each purchase claims the same user's latest
+    // click within the preceding 30 minutes; revenue rolls up per day
+    // into attributed vs organic. Shape: one equi-join on user_id with
+    // the window as a residual predicate, then a purchase-grained max
+    // aggregate (never a window over the event stream). At 100 TB a
+    // power-user key can inflate the per-user click×purchase block; the
+    // chunked interval join (relational.RangeJoin) is the declared
+    // rescue, same as for sessionization. Money stays DECIMAL end to
+    // end; the day rollup is dimension-sized.
+    "events_attribution" -> ((s, dir) => {
+      val AttribUs = SessionGapUs // 30 minutes, = StreamJoin's window
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value"))
+      purchases
+        // the window predicate must live IN the left-join condition: as a
+        // post-filter it would delete purchases whose user clicked only
+        // out-of-window instead of leaving them unattributed
+        .join(clicks, col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - AttribUs, "left")
+        .groupBy("purchase_id", "p_ts", "value")
+        .agg(max(col("c_ts")).as("attrib_click_ts"))
+        .withColumn("day", expr(s"p_ts div $DayUs"))
+        .groupBy("day")
+        .agg(count("*").as("n_purchases"),
+          sum(when(col("attrib_click_ts").isNotNull, 1L).otherwise(0L))
+            .as("n_attributed"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("revenue_total"),
+          sum(when(col("attrib_click_ts").isNotNull,
+            col("value").cast("decimal(18,2)"))
+            .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).cast("double")
+            .as("revenue_attributed"))
+        .orderBy("day")
+    }),
+
     // grouped rollup: count, distinct users, exact decimal totals
     "events_type_stats" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
@@ -815,6 +856,34 @@ object EventsQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "events_attribution" -> (s"WITH $eventsSql,\n" +
+      s"""clicks AS (
+         |  SELECT user_id AS c_user, ts AS c_ts FROM ev
+         |  WHERE event_type = 'click'
+         |),
+         |purchases AS (
+         |  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+         |  FROM ev WHERE event_type = 'purchase'
+         |),
+         |attributed AS (
+         |  SELECT p.purchase_id, p.p_ts, p.value,
+         |         max(c.c_ts) AS attrib_click_ts
+         |  FROM purchases p LEFT JOIN clicks c
+         |    ON p.user_id = c.c_user AND c.c_ts <= p.p_ts
+         |    AND c.c_ts >= p.p_ts - ${SessionGapUs}
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT p_ts // $DayUs AS day,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(CASE WHEN attrib_click_ts IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_attributed,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue_total,
+         |  CAST(sum(CASE WHEN attrib_click_ts IS NOT NULL
+         |    THEN CAST(value AS DECIMAL(18,2))
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    AS revenue_attributed
+         |FROM attributed GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "events_kmv_overlap" -> (s"WITH $eventsSql,\n" +
       s"""dh AS (

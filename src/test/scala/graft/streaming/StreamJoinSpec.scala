@@ -53,6 +53,31 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("batch attribution counts exactly the stream join's matched purchases") {
+    import spark.implicits._
+    // the two operators state the SAME pair predicate from opposite
+    // sides (purchase within 30 min after click ⟺ click within 30 min
+    // before purchase) — the batch rollup's attributed count per day
+    // must equal the stream join's distinct matched purchases that day
+    val ev = EventsQueries.events(spark, sf).collect()
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val clicks = ev.filter(_.eventType == "click")
+    val purchases = ev.filter(_.eventType == "purchase")
+    val windowUs = 30L * 60 * 1000000
+    val dayUs = EventsQueries.DayUs
+    val matchedByDay = (for {
+      p <- purchases
+      if clicks.exists(c => c.userId == p.userId &&
+        p.tsUs >= c.tsUs && p.tsUs <= c.tsUs + windowUs)
+    } yield p.tsUs / dayUs).groupBy(identity).view.mapValues(_.length.toLong)
+    val got = EventsQueries.queries("events_attribution")(spark, sf)
+      .select("day", "n_attributed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 > 0) === matchedByDay.toMap)
+    assert(matchedByDay.values.sum > 0, "fixture must attribute something")
+  }
+
   test("left-outer join emits unmatched clicks with nulls after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
