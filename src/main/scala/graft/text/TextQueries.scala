@@ -225,6 +225,50 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // held-out LM scoring: the leakage-aware composition of the split
+    // and the LM — the bigram model is fit on the TRAIN split only and
+    // scores the VAL split, with Laplace smoothing (c12+1 / c1+V) so
+    // unseen transitions get 1/V mass instead of a crash; n_unseen per
+    // doc is the domain-shift signal. Same exact-arithmetic discipline
+    // as text_lm_likelihood: fixed-point integer probabilities, integer
+    // sums, single exact divisions. One shingle pass feeds all four
+    // consumers (model, contexts, vocab, probe) off one checkpoint —
+    // the curation-ledger precedent for 4+-consumer derivations.
+    "text_lm_holdout" -> ((s, dir) => {
+      val b = pmod(fnv1a32(concat(lit("split:"),
+        col("doc_id").cast("string"))), lit(10L))
+      val splitCol = when(b === 0L, "test").when(b === 1L, "val")
+        .otherwise("train")
+      val occ = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"),
+          splitCol.as("split"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("split"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))"))
+          .as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .localCheckpoint()
+      val train = occ.filter(col("split") === "train")
+      val m12 = train.groupBy("bg").agg(count("*").as("c12"))
+      val m1 = train.groupBy("w1").agg(count("*").as("c1"))
+      val vocab = train.agg(countDistinct(col("w1")).as("v"))
+      occ.filter(col("split") === "val")
+        .join(broadcast(m12), Seq("bg"), "left")
+        .join(broadcast(m1), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          expr("(coalesce(c12, bigint(0)) + 1) * 1048576 div " +
+            "(coalesce(c1, bigint(0)) + v)").as("p_q"),
+          when(col("c12").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy("doc_id")
+        .agg(count("*").as("n_bigrams"), sum(col("p_q")).as("sum_pq"),
+          sum(col("oov")).as("n_unseen"))
+        .withColumn("mean_p", col("sum_pq").cast("double") /
+          (col("n_bigrams") * lit(1048576L)).cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document. Two hash
     // aggregates build the term-frequency and document-frequency tables
     // (both with map-side combine), one shuffle join on term attaches
@@ -434,6 +478,40 @@ object TextQueries {
         |  CAST(sum(p_q) AS DOUBLE) / CAST(count(*) * 1048576 AS DOUBLE) AS mean_p
         |FROM occ JOIN model USING (bg)
         |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
+
+    "text_lm_holdout" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CASE WHEN ${Ora.fnv("'split:' || doc_id")} % 10 = 0 THEN 'test'
+        |              WHEN ${Ora.fnv("'split:' || doc_id")} % 10 = 1 THEN 'val'
+        |              ELSE 'train' END AS split
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+        |),
+        |occ AS (
+        |  SELECT doc_id, split, toks[i+1] || ' ' || toks[i+2] AS bg,
+        |         toks[i+1] AS w1
+        |  FROM d, unnest(range(len(toks)-1)) AS u(i)
+        |),
+        |m12 AS (SELECT bg, count(*) AS c12 FROM occ WHERE split = 'train'
+        |        GROUP BY bg),
+        |m1 AS (SELECT w1, count(*) AS c1 FROM occ WHERE split = 'train'
+        |       GROUP BY w1),
+        |vocab AS (SELECT count(DISTINCT w1) AS v FROM occ
+        |          WHERE split = 'train'),
+        |scored AS (
+        |  SELECT o.doc_id,
+        |         ((coalesce(m12.c12, 0) + 1) * 1048576)
+        |           // (coalesce(m1.c1, 0) + (SELECT v FROM vocab)) AS p_q,
+        |         CASE WHEN m12.c12 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM occ o LEFT JOIN m12 USING (bg) LEFT JOIN m1 ON o.w1 = m1.w1
+        |  WHERE o.split = 'val'
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(p_q) AS BIGINT) AS sum_pq,
+        |  CAST(sum(oov) AS BIGINT) AS n_unseen,
+        |  CAST(sum(p_q) AS DOUBLE) / CAST(count(*) * 1048576 AS DOUBLE)
+        |    AS mean_p
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf_keywords" ->
       """WITH terms AS (

@@ -147,6 +147,31 @@ class TextSpec extends SparkSpec {
       (2L, 1L, 262144L, 262144L)))
   }
 
+  test("holdout lm: exactly the val split scored, smoothing floors unseen mass") {
+    import graft.hash.Fnv1a32
+    val rows = TextQueries.queries("text_lm_holdout")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // membership: exactly the docs the split assigns to 'val'
+    val valIds = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => Fnv1a32.hashString(s"split:$id") % 10 == 1).toSet
+    assert(rows.map(_._1).toSet === valIds)
+    rows.foreach { case (_, nBg, sumPq, nUnseen, meanP) =>
+      assert(nUnseen >= 0 && nUnseen <= nBg)
+      // Laplace smoothing: every transition keeps strictly positive
+      // probability, and none exceeds certainty
+      assert(sumPq > 0 && sumPq <= nBg * 1048576L)
+      assert(meanP === sumPq.toDouble / (nBg * 1048576L).toDouble)
+    }
+    // the unseen-bigram path needs the bigger corpus to appear (the
+    // sf0.001 vocabulary is too small to leave any val transition
+    // untrained) — assert it where the driver's gate runs
+    val atGate = TextQueries.queries("text_lm_holdout")(
+        spark, "/root/testdata/sf0.01")
+      .filter(org.apache.spark.sql.functions.col("n_unseen") > 0).count()
+    assert(atGate > 0, "sf0.01 must exercise unseen bigrams")
+  }
+
   test("vocab coverage: totals tie to tokenization, rates well-formed") {
     val rows = TextQueries.queries("text_vocab_coverage")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
