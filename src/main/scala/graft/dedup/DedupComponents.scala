@@ -88,6 +88,13 @@ object DedupComponents {
     * centered on the component's minimum id.
     */
   private[graft] def componentsStarWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    // every vertex incident to ANY input edge — kept aside so vertices
+    // whose only edges are self-loops still label themselves, exactly as
+    // the label-propagation twin does (its adjacency retains (v, v))
+    val verts = edges.select(col("doc_a").as("id"))
+      .unionByName(edges.select(col("doc_b").as("id")))
+      .distinct()
+      .localCheckpoint()
     // canonical undirected edge set, no self-loops
     var e = edges
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
@@ -140,10 +147,16 @@ object DedupComponents {
       e = small
       rounds += 1
     }
-    // final stars: hi → lo is the component label; centers label themselves
-    val labels = e.select(col("hi").as("doc_id"), col("lo").as("component"))
+    // final stars: hi → lo is the component label; centers label
+    // themselves; vertices the self-loop filter isolated come back as
+    // their own singleton components (left join over the vertex set)
+    val starred = e.select(col("hi").as("doc_id"), col("lo").as("component"))
       .unionByName(e.select(col("lo").as("doc_id"), col("lo").as("component")))
       .distinct()
+    val labels = verts
+      .join(starred, verts("id") === starred("doc_id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("component"), col("id")).as("component"))
     (labels, rounds)
   }
 

@@ -126,13 +126,42 @@ object PartitionedLayout {
     * directory count against cell granularity; an EVEN shift keeps every
     * cell a square, so the directory filter is a rectangle union. Rows
     * are Z-sorted inside each cell to keep row-group stats tight. */
+  /** Both Z-layout parameters have hard validity constraints — violating
+    * them does not error downstream, it SILENTLY DROPS ROWS from box
+    * scans (truncated coordinates land in aliased cells the router never
+    * enumerates), so they are enforced here, fail-fast. */
+  private def requireZParams(bits: Int, cellShift: Int): Unit = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30], got $bits")
+    require(cellShift % 2 == 0 && cellShift >= 0 && cellShift < 2 * bits,
+      s"cellShift must be even and < 2*bits (square cells the box router " +
+        s"can enumerate), got cellShift=$cellShift bits=$bits")
+    require(2 * bits - cellShift <= 20,
+      s"2^${2 * bits - cellShift} cells: the driver-side cell router (and " +
+        s"the filesystem) need the directory count bounded — raise cellShift")
+  }
+
   def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
-      bits: Int = 8, cellShift: Int = 10): Unit =
-    df.withColumn("zv", zValue(x, y, bits))
+      bits: Int = 8, cellShift: Int = 10): Unit = {
+    requireZParams(bits, cellShift)
+    val staged = df.withColumn("zv", zValue(x, y, bits))
       .withColumn("z_cell", shiftright(col("zv"), cellShift))
+    // domain check: zValue truncates to the low `bits` bits, so an
+    // out-of-domain coordinate would alias into another cell and its
+    // rows would silently vanish from box scans — refuse to write it
+    val mx = df.select(max(x.cast("long")), max(y.cast("long")),
+      min(x.cast("long")), min(y.cast("long"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val bound = 1L << bits
+      require(mx.getLong(2) >= 0 && mx.getLong(3) >= 0 &&
+        mx.getLong(0) < bound && mx.getLong(1) < bound,
+        s"z-order domain overflow: x in [${mx.getLong(2)}, ${mx.getLong(0)}], " +
+          s"y in [${mx.getLong(3)}, ${mx.getLong(1)}] must fit [0, $bound)")
+    }
+    staged
       .repartition(col("z_cell"))
       .sortWithinPartitions("zv")
       .write.mode("overwrite").partitionBy("z_cell").parquet(path)
+  }
 
   /** The (x, y) rectangle a Z-cell covers (even `cellShift` ⇒ square).
     * Driver-side arithmetic over the cell id — the router's cell-table
@@ -158,6 +187,7 @@ object PartitionedLayout {
   def boxScan(spark: SparkSession, path: String, xCol: String, yCol: String,
       x0: Long, x1: Long, y0: Long, y1: Long,
       bits: Int = 8, cellShift: Int = 10): DataFrame = {
+    requireZParams(bits, cellShift)
     val nCells = 1L << (2 * bits - cellShift)
     val hit = (0L until nCells).filter { c =>
       val (cx0, cx1, cy0, cy1) = cellBounds(c, cellShift)

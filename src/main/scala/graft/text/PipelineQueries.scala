@@ -33,6 +33,17 @@ object PipelineQueries {
   val QuotaBudget = 100L // stratified sampling budget (docs)
   val IdBuckets = 8L // range buckets for global id assignment
 
+  /** THE train/val/test assignment — one definition, every consumer:
+    * `corpus_split_assign`, the leakage audit, the held-out LM
+    * (`text_lm_holdout`), and their oracles all derive membership from
+    * this exact expression; a second copy that drifted would silently
+    * re-introduce the leakage the audits exist to catch. */
+  private[graft] def splitOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val b = pmod(fnv1a32(concat(lit("split:"), c.cast("string"))), lit(10L))
+    when(b === 0L, "test").when(b === 1L, "val").otherwise("train")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the full cleaning cascade, summarized as verdict counts
     "corpus_clean_pipeline" -> ((s, dir) => {
@@ -307,12 +318,8 @@ object PipelineQueries {
     // splits lack). 10% test / 10% val / 80% train; the per-language
     // occupancy this emits is the stratification audit.
     "corpus_split_assign" -> ((s, dir) => {
-      val b = pmod(
-        fnv1a32(concat(lit("split:"), col("doc_id").cast("string"))),
-        lit(10L))
       s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("split",
-          when(b === 0L, "test").when(b === 1L, "val").otherwise("train"))
+        .withColumn("split", splitOf(col("doc_id")))
         .groupBy("lang", "split")
         .agg(count("*").as("n_docs"))
         .orderBy("lang", "split")
@@ -436,11 +443,6 @@ object PipelineQueries {
     // pair input is the LSH output, already sub-linear, so the audit
     // costs one narrow map over pairs.
     "corpus_split_leakage" -> ((s, dir) => {
-      def splitOf(c: org.apache.spark.sql.Column) = {
-        val b = pmod(fnv1a32(concat(lit("split:"), c.cast("string"))),
-          lit(10L))
-        when(b === 0L, "test").when(b === 1L, "val").otherwise("train")
-      }
       DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
         .withColumn("split_a", splitOf(col("doc_a")))
         .withColumn("split_b", splitOf(col("doc_b")))

@@ -235,13 +235,9 @@ object TextQueries {
     // consumers (model, contexts, vocab, probe) off one checkpoint —
     // the curation-ledger precedent for 4+-consumer derivations.
     "text_lm_holdout" -> ((s, dir) => {
-      val b = pmod(fnv1a32(concat(lit("split:"),
-        col("doc_id").cast("string"))), lit(10L))
-      val splitCol = when(b === 0L, "test").when(b === 1L, "val")
-        .otherwise("train")
       val occ = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"),
-          splitCol.as("split"))
+          PipelineQueries.splitOf(col("doc_id")).as("split"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("split"), explode(expr(
           "transform(sequence(0, size(toks)-2), " +
@@ -252,7 +248,10 @@ object TextQueries {
       val train = occ.filter(col("split") === "train")
       val m12 = train.groupBy("bg").agg(count("*").as("c12"))
       val m1 = train.groupBy("w1").agg(count("*").as("c1"))
-      val vocab = train.agg(countDistinct(col("w1")).as("v"))
+        .localCheckpoint() // vocabulary-sized; feeds the probe AND |V|
+      // |V| is m1's row count by construction — never a third
+      // corpus-sized distinct pass
+      val vocab = m1.agg(count(lit(1)).as("v"))
       occ.filter(col("split") === "val")
         .join(broadcast(m12), Seq("bg"), "left")
         .join(broadcast(m1), Seq("w1"), "left")

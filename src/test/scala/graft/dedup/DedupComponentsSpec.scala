@@ -45,6 +45,19 @@ class DedupComponentsSpec extends SparkSpec {
     assert(rounds <= 16, s"star contraction took $rounds rounds on a 200-path")
   }
 
+  test("star contraction keeps self-loop-only vertices, like label propagation") {
+    // a vertex whose only edge is reflexive must stay a singleton
+    // component in BOTH implementations, not vanish from the star form
+    val edges = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val expected = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    val viaProp = DedupComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = DedupComponents.componentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaProp === expected)
+    assert(viaStar === expected)
+  }
+
   test("star contraction agrees with label propagation on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {

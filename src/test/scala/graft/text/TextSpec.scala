@@ -152,8 +152,11 @@ class TextSpec extends SparkSpec {
     val rows = TextQueries.queries("text_lm_holdout")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4)))
-    // membership: exactly the docs the split assigns to 'val'
-    val valIds = docs.select("doc_id").collect().map(_.getLong(0))
+    // membership: exactly the MULTI-TOKEN docs the split assigns to
+    // 'val' (single-token docs have no bigrams and are filtered the
+    // same way the in-corpus LM filters them)
+    val valIds = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select("doc_id").collect().map(_.getLong(0))
       .filter(id => Fnv1a32.hashString(s"split:$id") % 10 == 1).toSet
     assert(rows.map(_._1).toSet === valIds)
     rows.foreach { case (_, nBg, sumPq, nUnseen, meanP) =>
