@@ -33,6 +33,32 @@ object PipelineQueries {
   val QuotaBudget = 100L // stratified sampling budget (docs)
   val IdBuckets = 8L // range buckets for global id assignment
 
+  /** Largest-remainder quota allocation over (lang, source) strata —
+    * one definition serving the quota report AND the materialized draw.
+    * The stratum dimension is #langs×#sources rows, so the
+    * unpartitioned remainder-rank window is dimension-sized; the corpus
+    * is touched once, by the counting aggregate. */
+  private def stratifiedQuotas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val strata = s.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang", "source").agg(count("*").as("n_avail"))
+    // one corpus aggregate, checkpointed: the total, the remainder
+    // ranks, and the floor-quota sum all read this tiny dimension
+    val base = strata
+      .crossJoin(strata.agg(sum(col("n_avail")).as("total")))
+      .select(col("lang"), col("source"), col("n_avail"),
+        expr(s"$QuotaBudget * n_avail div total").as("q0"),
+        expr(s"$QuotaBudget * n_avail % total").as("rem"))
+      .localCheckpoint()
+    val wRem = Window.orderBy(col("rem").desc, col("lang"), col("source"))
+    base
+      .withColumn("rr", row_number().over(wRem).cast("long"))
+      .crossJoin(base.agg(sum(col("q0")).as("q0_sum")))
+      .select(col("lang"), col("source"), col("n_avail"),
+        (col("q0") + when(col("rr") <= lit(QuotaBudget) - col("q0_sum"),
+          1L).otherwise(0L)).as("quota"))
+  }
+
   /** THE train/val/test assignment — one definition, every consumer:
     * `corpus_split_assign`, the leakage audit, the held-out LM
     * (`text_lm_holdout`), and their oracles all derive membership from
@@ -355,26 +381,30 @@ object PipelineQueries {
     // construction). The stratum dimension is #langs×#sources rows, so
     // the unpartitioned remainder-rank window is dimension-sized — the
     // corpus is touched once, by the counting aggregate.
-    "corpus_stratified_quota" -> ((s, dir) => {
+    "corpus_stratified_quota" -> ((s, dir) =>
+      stratifiedQuotas(s, dir).orderBy("lang", "source")),
+
+    // ...and the DRAW those quotas allocate: within each stratum the
+    // quota docs with the smallest deterministic hash rank are kept —
+    // reproducible, coordination-free, and exactly quota-many per
+    // stratum by construction. One window per stratum (dimension-keyed
+    // partitions, never global); the quota table broadcasts. Emits the
+    // selected docs with their in-stratum rank — the materialized
+    // training-mix draw corpus_stratified_quota only plans.
+    "corpus_stratified_sample" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val strata = s.read.parquet(s"$dir/documents.parquet")
-        .groupBy("lang", "source").agg(count("*").as("n_avail"))
-      // one corpus aggregate, checkpointed: the total, the remainder
-      // ranks, and the floor-quota sum all read this tiny dimension
-      val base = strata
-        .crossJoin(strata.agg(sum(col("n_avail")).as("total")))
-        .select(col("lang"), col("source"), col("n_avail"),
-          expr(s"$QuotaBudget * n_avail div total").as("q0"),
-          expr(s"$QuotaBudget * n_avail % total").as("rem"))
-        .localCheckpoint()
-      val wRem = Window.orderBy(col("rem").desc, col("lang"), col("source"))
-      base
-        .withColumn("rr", row_number().over(wRem).cast("long"))
-        .crossJoin(base.agg(sum(col("q0")).as("q0_sum")))
-        .select(col("lang"), col("source"), col("n_avail"),
-          (col("q0") + when(col("rr") <= lit(QuotaBudget) - col("q0_sum"),
-            1L).otherwise(0L)).as("quota"))
-        .orderBy("lang", "source")
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(col("h"), col("doc_id"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"),
+          fnv1a32(concat(lit("draw:"), col("doc_id").cast("string")))
+            .as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(stratifiedQuotas(s, dir)
+          .select("lang", "source", "quota")), Seq("lang", "source"))
+        .filter(col("rk") <= col("quota"))
+        .select("lang", "source", "rk", "doc_id")
+        .orderBy("lang", "source", "rk")
     }),
 
     // contiguous global ids for the kept corpus WITHOUT a global window:
@@ -450,6 +480,32 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
   )
+
+  /** Oracle mirror of [[stratifiedQuotas]] — one CTE chain, two
+    * consumers (the quota report and the materialized draw). */
+  private val quotasCteSql: String =
+    s"""s AS (
+       |  SELECT lang, source, count(*) AS n_avail
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |base AS (
+       |  SELECT lang, source, n_avail,
+       |         ($QuotaBudget * n_avail) // total AS q0,
+       |         ($QuotaBudget * n_avail) % total AS rem
+       |  FROM s, (SELECT sum(n_avail) AS total FROM s)
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source)
+       |    AS rr
+       |  FROM base
+       |),
+       |quotas AS (
+       |  SELECT lang, source, n_avail,
+       |    CAST(q0 + CASE WHEN rr <= $QuotaBudget -
+       |      (SELECT sum(q0) FROM base) THEN 1 ELSE 0 END AS BIGINT)
+       |      AS quota
+       |  FROM ranked
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "corpus_clean_pipeline" -> (
@@ -675,26 +731,22 @@ object PipelineQueries {
          |FROM d ORDER BY priority DESC, doc_id LIMIT $SampleK""".stripMargin),
 
     "corpus_stratified_quota" -> (
-      s"""WITH s AS (
-         |  SELECT lang, source, count(*) AS n_avail
-         |  FROM documents GROUP BY 1, 2
-         |),
-         |base AS (
-         |  SELECT lang, source, n_avail,
-         |         ($QuotaBudget * n_avail) // total AS q0,
-         |         ($QuotaBudget * n_avail) % total AS rem
-         |  FROM s, (SELECT sum(n_avail) AS total FROM s)
-         |),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source)
-         |    AS rr
-         |  FROM base
+      s"""WITH $quotasCteSql
+         |SELECT lang, source, n_avail, quota
+         |FROM quotas ORDER BY lang, source""".stripMargin),
+
+    "corpus_stratified_sample" -> (
+      s"""WITH $quotasCteSql,
+         |drawn AS (
+         |  SELECT doc_id, lang, source,
+         |         row_number() OVER (PARTITION BY lang, source
+         |           ORDER BY ${Ora.fnv("'draw:' || doc_id")}, doc_id) AS rk
+         |  FROM documents
          |)
-         |SELECT lang, source, n_avail,
-         |  CAST(q0 + CASE WHEN rr <= $QuotaBudget -
-         |    (SELECT sum(q0) FROM base) THEN 1 ELSE 0 END AS BIGINT)
-         |    AS quota
-         |FROM ranked ORDER BY lang, source""".stripMargin),
+         |SELECT d.lang, d.source, CAST(d.rk AS BIGINT) AS rk, d.doc_id
+         |FROM drawn d JOIN quotas q USING (lang, source)
+         |WHERE d.rk <= q.quota
+         |ORDER BY d.lang, d.source, d.rk""".stripMargin),
 
     // the contract in one line: dense ids in doc_id order — the Spark
     // side must reproduce it without the single-partition window

@@ -170,6 +170,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("stratified draw: exactly the quota per stratum, hash-minimal prefix") {
+    import graft.hash.Fnv1a32
+    val quotas = PipelineQueries.queries("corpus_stratified_quota")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    val drawn = PipelineQueries.queries("corpus_stratified_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(drawn.length.toLong === PipelineQueries.QuotaBudget,
+      "the draw must materialize exactly the budget")
+    val byStratum = drawn.groupBy(d => (d._1, d._2))
+    byStratum.foreach { case (k, rows) =>
+      assert(rows.length.toLong === quotas(k), s"stratum $k draw != quota")
+      // ranks are the contiguous prefix 1..quota
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // the draw takes the hash-minimal docs: no undrawn doc in a stratum
+    // outranks a drawn one
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def key(id: Long) = (Fnv1a32.hashString(s"draw:$id"), id)
+    byStratum.foreach { case ((lang, source), rows) =>
+      val drawnIds = rows.map(_._4).toSet
+      val worstDrawn = rows.map(d => key(d._4)).max
+      docs.filter(d => d._2 == lang && d._3 == source &&
+          !drawnIds.contains(d._1))
+        .foreach { d =>
+          assert(Ordering[(Long, Long)].gt(key(d._1), worstDrawn),
+            s"undrawn doc ${d._1} outranks a drawn doc in ($lang, $source)")
+        }
+    }
+  }
+
   test("global ids: dense 0..n-1, order-isomorphic to doc_id") {
     val rows = PipelineQueries.queries("corpus_global_ids")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
