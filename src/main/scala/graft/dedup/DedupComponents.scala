@@ -88,15 +88,20 @@ object DedupComponents {
     * centered on the component's minimum id.
     */
   private[graft] def componentsStarWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    // materialize the caller's edge derivation ONCE: the vertex set and
+    // the canonical edge set are three subtrees over it, and an
+    // un-checkpointed pair cascade (the usual caller) would re-run per
+    // subtree (measured: 5.9 s vs 2.5 s on the Jaccard pair input)
+    val src = edges.localCheckpoint()
     // every vertex incident to ANY input edge — kept aside so vertices
     // whose only edges are self-loops still label themselves, exactly as
     // the label-propagation twin does (its adjacency retains (v, v))
-    val verts = edges.select(col("doc_a").as("id"))
-      .unionByName(edges.select(col("doc_b").as("id")))
+    val verts = src.select(col("doc_a").as("id"))
+      .unionByName(src.select(col("doc_b").as("id")))
       .distinct()
       .localCheckpoint()
     // canonical undirected edge set, no self-loops
-    var e = edges
+    var e = src
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi"))
