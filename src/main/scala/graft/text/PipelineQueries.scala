@@ -126,6 +126,34 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // ...and the ASSIGNMENT that plan describes: one row per document
+    // with its shard, token offsets, and the training sequences it lands
+    // in — the layout table the tokenizer worker actually consumes (seq
+    // id × in-sequence offset locate every document's tokens without
+    // touching the text again). Same shard windows as the stats view;
+    // sequence ids are per-shard (dense by construction) — globalize as
+    // (shard, seq) or shard-major arithmetic, zero coordination either
+    // way.
+    "corpus_pack_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("shard", pmod(
+          fnv1a32(concat(lit("pack:"), col("doc_id").cast("string"))),
+          lit(PackShards)))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("end_off", sum(col("n_tok")).over(w))
+        .withColumn("start_off", col("end_off") - col("n_tok"))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          col("start_off"),
+          expr(s"start_off div $SeqLen").as("first_seq"),
+          expr(s"(end_off - 1) div $SeqLen").as("last_seq"),
+          expr(s"start_off % $SeqLen").as("seq_off"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: the overlap check a training pipeline
     // runs before trusting its corpus — every corpus doc is scored by how
     // many of its word-3-gram shingles appear in the held-out benchmark
@@ -717,6 +745,25 @@ object PipelineQueries {
          |       ELSE 'train' END AS split,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "corpus_pack_assign" -> (
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         ${Ora.fnv("'pack:' || doc_id")} % $PackShards AS shard
+         |  FROM documents
+         |),
+         |offs AS (
+         |  SELECT doc_id, shard, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+         |  FROM d
+         |)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST(end_off - n_tok AS BIGINT) AS start_off,
+         |  CAST((end_off - n_tok) // $SeqLen AS BIGINT) AS first_seq,
+         |  CAST((end_off - 1) // $SeqLen AS BIGINT) AS last_seq,
+         |  CAST((end_off - n_tok) % $SeqLen AS BIGINT) AS seq_off
+         |FROM offs ORDER BY doc_id""".stripMargin),
 
     "corpus_priority_sample" -> (
       s"""WITH d AS (

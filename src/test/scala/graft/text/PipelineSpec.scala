@@ -128,6 +128,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pack assignment reconciles with the pack stats and is gap-free") {
+    val assign = PipelineQueries.queries("corpus_pack_assign")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val stats = PipelineQueries.queries("corpus_pack_stats")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val seqLen = PipelineQueries.SeqLen
+    assign.groupBy(_._2).foreach { case (shard, docs) =>
+      val (nDocs, nTokens, nStraddlers) = stats(shard)
+      assert(docs.length.toLong === nDocs)
+      assert(docs.map(_._3).sum === nTokens)
+      // straddlers: first and last sequence differ
+      assert(docs.count(d => d._5 != d._6).toLong === nStraddlers)
+      // the layout is gap-free: offsets in doc order tile the shard
+      val inOrder = docs.sortBy(_._1)
+      inOrder.foldLeft(0L) { case (expectedOff, d) =>
+        assert(d._4 === expectedOff, s"gap before doc ${d._1} in shard $shard")
+        assert(d._7 === d._4 % seqLen)
+        assert(d._5 === d._4 / seqLen)
+        expectedOff + d._3
+      }
+    }
+  }
+
   test("priority sample: size k, descending, priorities recompute exactly") {
     import org.apache.spark.sql.functions._
     import graft.hash.Fnv1a32.fnv1a32
