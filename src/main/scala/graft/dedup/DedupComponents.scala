@@ -96,10 +96,12 @@ object DedupComponents {
     // every vertex incident to ANY input edge — kept aside so vertices
     // whose only edges are self-loops still label themselves, exactly as
     // the label-propagation twin does (its adjacency retains (v, v))
+    // lazy: consumed exactly once (the final labeling join), and its
+    // upstream is the already-checkpointed `src` — a second eager
+    // materialization here would be one extra job for no reuse
     val verts = src.select(col("doc_a").as("id"))
       .unionByName(src.select(col("doc_b").as("id")))
       .distinct()
-      .localCheckpoint()
     // canonical undirected edge set, no self-loops
     var e = src
       .select(least(col("doc_a"), col("doc_b")).as("lo"),

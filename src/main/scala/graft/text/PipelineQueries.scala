@@ -59,6 +59,27 @@ object PipelineQueries {
           1L).otherwise(0L)).as("quota"))
   }
 
+  /** Per-document packing offsets — ONE shard-window derivation serving
+    * both the per-shard stats view (`corpus_pack_stats`) and the
+    * per-document layout table (`corpus_pack_assign`), so the layout
+    * can never drift from the stats that describe it. Docs are
+    * hash-assigned to [[PackShards]] independent packing streams; the
+    * running-sum window is per shard, so the unit of sequential work is
+    * a shard, not the corpus. */
+  private def packOffsets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(
+        fnv1a32(concat(lit("pack:"), col("doc_id").cast("string"))),
+        lit(PackShards)))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+  }
+
   /** THE train/val/test assignment — one definition, every consumer:
     * `corpus_split_assign`, the leakage audit, the held-out LM
     * (`text_lm_holdout`), and their oracles all derive membership from
@@ -104,18 +125,7 @@ object PipelineQueries {
     // a sequence boundary (split across sequences), and the fill
     // fraction — all integer-exact, one division for the fraction.
     "corpus_pack_stats" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("shard", pmod(
-          fnv1a32(concat(lit("pack:"), col("doc_id").cast("string"))),
-          lit(PackShards)))
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val off = d.withColumn("end_off", sum(col("n_tok")).over(w))
-        .withColumn("start_off", col("end_off") - col("n_tok"))
-      off.groupBy("shard")
+      packOffsets(s, dir).groupBy("shard")
         .agg(count("*").as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           sum(when(expr(s"start_off div $SeqLen") =!=
             expr(s"(end_off - 1) div $SeqLen"), 1L).otherwise(0L))
@@ -130,29 +140,19 @@ object PipelineQueries {
     // with its shard, token offsets, and the training sequences it lands
     // in — the layout table the tokenizer worker actually consumes (seq
     // id × in-sequence offset locate every document's tokens without
-    // touching the text again). Same shard windows as the stats view;
+    // touching the text again). [[packOffsets]] is the single shard
+    // window both views derive from, so they cannot desynchronize;
     // sequence ids are per-shard (dense by construction) — globalize as
     // (shard, seq) or shard-major arithmetic, zero coordination either
     // way.
-    "corpus_pack_assign" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("shard", pmod(
-          fnv1a32(concat(lit("pack:"), col("doc_id").cast("string"))),
-          lit(PackShards)))
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.withColumn("end_off", sum(col("n_tok")).over(w))
-        .withColumn("start_off", col("end_off") - col("n_tok"))
+    "corpus_pack_assign" -> ((s, dir) =>
+      packOffsets(s, dir)
         .select(col("doc_id"), col("shard"), col("n_tok"),
           col("start_off"),
           expr(s"start_off div $SeqLen").as("first_seq"),
           expr(s"(end_off - 1) div $SeqLen").as("last_seq"),
           expr(s"start_off % $SeqLen").as("seq_off"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // benchmark decontamination: the overlap check a training pipeline
     // runs before trusting its corpus — every corpus doc is scored by how
@@ -509,6 +509,25 @@ object PipelineQueries {
     }),
   )
 
+  /** Oracle mirror of [[packOffsets]] — one CTE chain (`poffs`), two
+    * consumers (the shard stats view and the assignment table). The
+    * window sum is cast back to BIGINT (DuckDB widens sum(BIGINT) to
+    * HUGEINT) so every derived column matches Spark's long. */
+  private val packOffsCteSql: String =
+    s"""pd AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ${Ora.fnv("'pack:' || doc_id")} % $PackShards AS shard
+       |  FROM documents
+       |),
+       |pends AS (
+       |  SELECT doc_id, shard, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS end_off
+       |  FROM pd
+       |),
+       |poffs AS (SELECT *, end_off - n_tok AS start_off FROM pends)""".stripMargin
+
   /** Oracle mirror of [[stratifiedQuotas]] — one CTE chain, two
     * consumers (the quota report and the materialized draw). */
   private val quotasCteSql: String =
@@ -558,18 +577,7 @@ object PipelineQueries {
          |GROUP BY verdict ORDER BY verdict""".stripMargin),
 
     "corpus_pack_stats" -> (
-      s"""WITH d AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         |         ${Ora.fnv("'pack:' || doc_id")} % $PackShards AS shard
-         |  FROM documents
-         |),
-         |offs AS (
-         |  SELECT shard, doc_id, n_tok,
-         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
-         |  FROM d
-         |),
-         |offs2 AS (SELECT *, end_off - n_tok AS start_off FROM offs)
+      s"""WITH $packOffsCteSql
          |SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |  CAST(sum(CASE WHEN start_off // $SeqLen <> (end_off - 1) // $SeqLen
@@ -577,7 +585,7 @@ object PipelineQueries {
          |  CAST((max(end_off) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
          |  CAST(sum(n_tok) AS DOUBLE)
          |    / (((max(end_off) + ${SeqLen - 1}) // $SeqLen) * $SeqLen) AS fill_frac
-         |FROM offs2 GROUP BY shard ORDER BY shard""".stripMargin),
+         |FROM poffs GROUP BY shard ORDER BY shard""".stripMargin),
 
     "corpus_contamination" -> (
       s"""WITH ${DedupQueries.shingledSql},
@@ -747,23 +755,12 @@ object PipelineQueries {
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "corpus_pack_assign" -> (
-      s"""WITH d AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         |         ${Ora.fnv("'pack:' || doc_id")} % $PackShards AS shard
-         |  FROM documents
-         |),
-         |offs AS (
-         |  SELECT doc_id, shard, n_tok,
-         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
-         |  FROM d
-         |)
-         |SELECT doc_id, shard, n_tok,
-         |  CAST(end_off - n_tok AS BIGINT) AS start_off,
-         |  CAST((end_off - n_tok) // $SeqLen AS BIGINT) AS first_seq,
-         |  CAST((end_off - 1) // $SeqLen AS BIGINT) AS last_seq,
-         |  CAST((end_off - n_tok) % $SeqLen AS BIGINT) AS seq_off
-         |FROM offs ORDER BY doc_id""".stripMargin),
+      s"""WITH $packOffsCteSql
+         |SELECT doc_id, shard, n_tok, start_off,
+         |  start_off // $SeqLen AS first_seq,
+         |  (end_off - 1) // $SeqLen AS last_seq,
+         |  start_off % $SeqLen AS seq_off
+         |FROM poffs ORDER BY doc_id""".stripMargin),
 
     "corpus_priority_sample" -> (
       s"""WITH d AS (
