@@ -54,6 +54,14 @@ object Graft {
             s"word_ngrams(tokens, n) takes 2 arguments with n an integer literal, got $other")
         }
       },
+      "word_ngrams_all" -> { es =>
+        es match {
+          case Seq(toks, IntegerLiteral(n)) =>
+            WordNgrams(toks, n, distinct = false)
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams_all(tokens, n) takes 2 arguments with n an integer literal, got $other")
+        }
+      },
       "word_set_hits" -> { es =>
         es match {
           case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(

@@ -30,6 +30,10 @@ object DedupQueries {
   val NumBands = 8 // 2 rows per band
   val HammingMax = 3
   val MinhashPrime = 4294967311L // smallest prime > 2^32
+  /** Span length for exact substring-span dedup: a token counts as
+    * duplicated when it sits inside a word-8-gram that another document
+    * also contains. */
+  val SpanGram = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -228,6 +232,51 @@ object DedupQueries {
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // exact substring-span dedup at fixed n (the hashed-n-gram
+    // approximation of suffix-array substring dedup, torua-class corpora
+    // use n = 50; the fixture's 54-token docs use n = 8): per document,
+    // the fraction of tokens covered by some word-8-gram that ANOTHER
+    // document also contains. Span-level, not doc-level — catches the
+    // quoted paragraph inside an otherwise-unique page that no whole-doc
+    // near-dup ever flags. Two corpus-linear passes over the positional
+    // gram stream (native WordNgramsAll kernel: output index = span
+    // start): (1) groupBy gram-hash → the shared-gram key set (distinct
+    // doc count ≥ 2); (2) semi-join grams back on the hash, explode each
+    // surviving span into its n covered positions, count distinct
+    // positions per doc. Every join/agg keys on the 32-bit fnv gram hash
+    // (cross-engine parity contract; 64-bit xxhash at real corpus scale)
+    // — never on the gram text, so the shuffle carries 8-byte keys, not
+    // 8-word strings. No stage is ever pairwise: hot boilerplate grams
+    // cost occurrences × n coverage rows, linear, and AQE skew-splits the
+    // gram-hash join — no posting cap needed (caps exist to bound pair
+    // GENERATION; coverage has no quadratic stage to bound).
+    "dedup_substring_spans" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.WordNgrams.wordNgramsAll(
+            col("t"), SpanGram)).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), fnv1a32(col("g")).as("gh"))
+      val shared = grams.select("gh", "doc_id").distinct()
+        .groupBy("gh").agg(count("*").as("nd"))
+        .filter(col("nd") > 1)
+        .select("gh")
+      val dup = grams.join(shared, "gh")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(SpanGram - 1)))
+            .as("p"))
+        .groupBy("doc_id").agg(countDistinct(col("p")).as("dup_tokens"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tok")).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
 
     // MinHash banding: candidates share one of 8 band signatures, then
     // exact verification — output identical shape to dedup_ngram_jaccard.
@@ -504,6 +553,32 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (s"WITH $jaccardPairsSql\n" +
       s"SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $JaccardThreshold " +
       "ORDER BY doc_a, doc_b"),
+
+    // mirror of dedup_substring_spans: positional grams via LATERAL
+    // range, same fnv1a32 gram-hash key, same two-pass coverage shape
+    "dedup_substring_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, i.i AS pos,
+         |         ${Ora.fnv(s"array_to_string(t[i.i+1 : i.i+$SpanGram], ' ')")} AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(len(t) - $SpanGram + 1)) AS i) i
+         |),
+         |shared AS (
+         |  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+         |),
+         |dup AS (
+         |  SELECT doc_id, count(DISTINCT p.p) AS dup_tokens
+         |  FROM grams g JOIN shared s USING (gh),
+         |       LATERAL (SELECT unnest(range(g.pos, g.pos + $SpanGram)) AS p) p
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok,
+         |       CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |       coalesce(d.dup_tokens, 0)::DOUBLE / len(t.t) AS dup_frac
+         |FROM toks t LEFT JOIN dup d USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> (s"WITH $minhashSql,\n" +
       (0 until NumBands).map { b =>

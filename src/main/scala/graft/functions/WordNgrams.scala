@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * WholeStageCodegen instead of paying a CodegenFallback boxed-eval
   * dispatch per row.
   */
-case class WordNgrams(child: Expression, n: Int)
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
@@ -39,14 +39,15 @@ case class WordNgrams(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = s"word_ngrams"
+  override def prettyName: String =
+    if (distinct) "word_ngrams" else "word_ngrams_all"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.WordNgrams$$.MODULE$$.compute($t, $n);")
+      s"${ev.value} = graft.functions.WordNgrams$$.MODULE$$.compute($t, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
@@ -56,11 +57,17 @@ object WordNgrams {
 
   private val sep = UTF8String.fromString(" ")
 
-  /** The shingle kernel, shared by interpreted eval and generated code. */
-  def compute(toks: ArrayData, n: Int): ArrayData = {
+  /** The shingle kernel, shared by interpreted eval and generated code.
+    * `distinct = false` keeps EVERY shingle in positional order, so the
+    * index of an element in the output IS the start position of that
+    * shingle in the token array — the property the substring-span dedup
+    * coverage derivation relies on after `posexplode`. */
+  def compute(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val num = toks.numElements()
     if (num < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](num - n + 1)
     // one scratch buffer for the whole row: concatWs copies the bytes
     // immediately, so reusing it is safe and saves an allocation per
     // shingle on the hottest kernel in the dedup family
@@ -85,4 +92,9 @@ object WordNgrams {
   /** Distinct n-gram shingles of `tokens` (array<string>). */
   def wordNgrams(tokens: Column, n: Int): Column =
     shims.column(WordNgrams(shims.expression(tokens), n))
+
+  /** ALL n-gram shingles in positional order (output index = start
+    * position) — the positional form behind span-coverage dedup. */
+  def wordNgramsAll(tokens: Column, n: Int): Column =
+    shims.column(WordNgrams(shims.expression(tokens), n, distinct = false))
 }

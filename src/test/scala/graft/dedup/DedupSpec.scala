@@ -137,4 +137,25 @@ class DedupSpec extends SparkSpec {
       .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }.toSet
     assert(inc.map(p => (p._1, p._2)).toSet === full)
   }
+
+  test("substring spans: every doc reported, coverage bounded, dups covered") {
+    val rows = DedupQueries.queries("dedup_substring_spans")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length === nDocs) // left join: clean docs report 0, not absence
+    rows.foreach { case (_, nTok, dup, frac) =>
+      assert(dup >= 0 && dup <= nTok)
+      assert(math.abs(frac - dup.toDouble / nTok) === 0.0)
+    }
+    // span coverage subsumes whole-doc near-dup: a Jaccard >= 0.5 pair on
+    // word-3-gram shingles always shares at least one 8-token run on this
+    // corpus, so every pair member must show duplicated spans
+    val covered = rows.filter(_._3 > 0).map(_._1).toSet
+    assert(covered.nonEmpty)
+    val pairDocs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairDocs.subsetOf(covered),
+      s"near-dup docs without span coverage: ${pairDocs -- covered}")
+  }
 }

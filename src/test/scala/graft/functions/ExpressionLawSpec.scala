@@ -33,6 +33,28 @@ class ExpressionLawSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("WordNgramsAll ≡ positional transform; index = span start") {
+    val rnd = new Random(11)
+    val vocab = Seq("a", "b", "c", "d")
+    val texts = (0 until 100).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(4))).mkString(" ")
+    }
+    val df = texts.toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+      .select(col("toks"),
+        WordNgrams.wordNgramsAll(col("toks"), 3).as("fast"),
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .otherwise(array().cast("array<string>")).as("ref"))
+    assert(df.filter(not(col("fast") === col("ref"))).count() === 0)
+    // non-distinct: output length is exactly max(0, n_toks - 2), so the
+    // element index IS the start position of that shingle
+    assert(df.filter(size(col("fast")) =!=
+      greatest(lit(0), size(col("toks")) - 2)).count() === 0)
+  }
+
   /** The reference winnow pipeline (interpreted lambdas) the native
     * kernel must equal: fnv of each 8-gram, min per 4-window, distinct. */
   private def withWinnowRef(df: org.apache.spark.sql.DataFrame) = df
