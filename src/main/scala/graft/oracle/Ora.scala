@@ -74,12 +74,16 @@ object Ora {
   /** Full statement with the kv_state CTE prefix. */
   def withState(body: String): String = s"WITH $kvState\n$body"
 
-  /** Ordered left-fold dot product of two 64-dim FLOAT lists in DOUBLE —
-    * the exact op sequence of [[graft.sim.SimilarityQueries.dot]], so the
-    * resulting doubles are bit-identical across engines. */
-  def dot64(a: String, b: String): String =
-    s"list_reduce(list_transform(range(64), i -> " +
+  /** Ordered left-fold dot product of two n-dim FLOAT/DOUBLE lists in
+    * DOUBLE — the exact op sequence of the codegen'd `dot64` expression
+    * (which is length-generic despite the name), so the resulting doubles
+    * are bit-identical across engines at any dimension. */
+  def dotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(range($n), i -> " +
       s"$a[i+1]::DOUBLE * $b[i+1]::DOUBLE), (x, y) -> x + y)"
+
+  /** [[dotN]] at the embedding table's native 64 dims. */
+  def dot64(a: String, b: String): String = dotN(a, b, 64)
 
   /** Same fold against a literal ±1 hyperplane. */
   def dotLit64(a: String, w: Seq[Double]): String = {

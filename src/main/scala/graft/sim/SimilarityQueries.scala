@@ -128,20 +128,29 @@ object SimilarityQueries {
 
   /** Nearest centroid per vector: squared-L2 via three deterministic
     * dot-product folds, ties broken by cluster id. The 8-row centroid side
-    * broadcasts, and the argmin is a `min_by` hash aggregate — a vector's
+    * broadcasts, and the argmin is a struct-min hash aggregate — a vector's
     * K candidate rows are co-located after the broadcast join, so partial
     * aggregation collapses them map-side and only one row per vector
     * reaches the shuffle (a row_number window would shuffle AND sort all
     * N×K rows). The (dist, cluster) ordering key is unique per vector, so
-    * min_by is deterministic and equals the oracle's row_number pick. */
-  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    * the min is deterministic and equals the oracle's row_number pick. */
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    kmeansAssignDist(vecs, cents).select("vec_id", "cluster")
+
+  /** As [[kmeansAssign]] but keeping the winning squared-L2 distance —
+    * the per-subspace quantization error the PQ code table reports. The
+    * lexicographic `min(struct(dist, cluster))` is exactly the min_by
+    * pick: the (dist, cluster) key is unique per vector, so both equal
+    * the oracle's `row_number() ORDER BY dist, cluster` row. */
+  private def kmeansAssignDist(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val d = dot(col("embedding"), col("embedding")) -
       lit(2.0) * dot(col("embedding"), col("c")) + dot(col("c"), col("c"))
     vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cluster"), d.as("dist"))
       .groupBy("vec_id")
-      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
-        .as("cluster"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.dist").as("dist"))
   }
 
   /** Fixed-point scale for centroid means: elements quantize to multiples
@@ -165,7 +174,95 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
         x => x.getField("val")).as("c"))
 
+  /** Product-quantization geometry: 64 dims → [[PqM]] independent 16-dim
+    * subspaces, each with its own [[PqK]]-codeword k-means codebook
+    * (seeds vec_id < k, [[PqIters]] Lloyd iterations — the same exact
+    * fixed-point update as `sim_kmeans_cells`, so codebooks are bit-equal
+    * across engines). A vector stores PqM small codes (here 4×3 bits;
+    * production uses 8-bit codes) instead of 64 floats — the compression
+    * rung below int8 quantization: int8 is 4×, PQ at 8×16 dims is 32×. */
+  val PqM = 4
+  val PqSubDim = 16 // Dim / PqM
+  val PqK = 8
+  val PqIters = 2
+
+  /** Subspace view: `embedding` replaced by its j-th 16-dim slice, so the
+    * shared k-means kernels run unchanged on the slice. */
+  private def subVecs(e: DataFrame, j: Int): DataFrame =
+    e.select(col("vec_id"),
+      slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("embedding"))
+
+  /** Per-subspace codebook: Lloyd's on the 16-dim slices, reusing the
+    * assign/update kernels. Each round's ≤8-row centroid table is
+    * checkpointed — it feeds the next broadcast join, and an
+    * un-materialized broadcast build side re-runs its whole upstream once
+    * per consumer. */
+  private def pqCodebook(vecs: DataFrame): DataFrame = {
+    var cents = vecs.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("long").as("cluster"),
+        col("embedding").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to PqIters)
+      cents = kmeansUpdate(kmeansAssign(vecs, cents), vecs).localCheckpoint()
+    cents
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PQ encode: per vector, the 4 subspace codes plus total squared
+    // reconstruction error. Each leg is scan → 8-row broadcast join →
+    // map-side-combined argmin aggregate (nothing quadratic; the corpus
+    // is read from one checkpoint). The 4 narrow (id, code, err) legs
+    // join on vec_id at the end — at serving scale the same codes come
+    // from ONE scan with the four ≤8-row codebooks pivoted into a single
+    // broadcast (the argmin then runs per subspace inside one aggregate);
+    // the per-leg form is kept here because it preserves the honest
+    // per-subspace argmin semantics even if a codeword empties out in
+    // one subspace only.
+    "sim_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
+      val legs = (0 until PqM).map { j =>
+        val sv = subVecs(e, j)
+        kmeansAssignDist(sv, pqCodebook(sv)).select(col("vec_id"),
+          col("cluster").as(s"code_$j"), col("dist").as(s"err_$j"))
+      }
+      legs.reduce(_.join(_, "vec_id"))
+        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")) :+
+          (0 until PqM).map(j => col(s"err_$j"))
+            .reduce(_ + _).as("qerr"): _*)
+        .orderBy("vec_id")
+    }),
+
+    // PQ ANN serving: asymmetric-distance (ADC) top-5 for query vector 0.
+    // The classic PQ lookup shape: per subspace, the ≤8-row table of
+    // distances from the query's exact slice to every codeword (the LUT)
+    // broadcasts, and scanning the code table is a dictionary lookup —
+    // approximate distance = sum of 4 LUT entries. No exact-vector math
+    // ever touches the corpus at query time; at 100 TB the corpus side
+    // is the 4-code table (32× smaller than the floats), scan + 4
+    // broadcast joins + TakeOrdered, shuffle-free until the final top-k.
+    "sim_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
+      val legs = (0 until PqM).map { j =>
+        val sv = subVecs(e, j)
+        val cb = pqCodebook(sv)
+        val q = sv.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val lut = cb.crossJoin(broadcast(q))
+          .select(col("cluster"),
+            (dot(col("qe"), col("qe")) -
+              lit(2.0) * dot(col("qe"), col("c")) +
+              dot(col("c"), col("c"))).as(s"d_$j"))
+        kmeansAssign(sv, cb).join(broadcast(lut), "cluster")
+          .select(col("vec_id"), col(s"d_$j"))
+      }
+      legs.reduce(_.join(_, "vec_id"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (0 until PqM).map(j => col(s"d_$j")).reduce(_ + _).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(5)
+    }),
+
     // distributed k-means (Lloyd's): the clustering that trains IVF cells
     // and drives data-curation mixes. Deterministic seeds (vec_id < k),
     // fixed iteration count, decimal-exact centroid means — bit-equal to
@@ -645,8 +742,75 @@ object SimilarityQueries {
          |FROM sizes s JOIN c$KmeansIters c USING (cluster)
          |ORDER BY s.cluster""".stripMargin
 
+    // ---- product quantization: the per-subspace mirror of the same
+    // assign/update chain, run on 16-dim slices (sv{j}); pcode{j} is the
+    // final assignment WITH its winning distance (the qerr leg)
+    def pqDist(v: String, c: String) =
+      s"${Ora.dotN(v, v, PqSubDim)} - 2 * ${Ora.dotN(v, c, PqSubDim)}" +
+        s" + ${Ora.dotN(c, c, PqSubDim)}"
+    def pqAssignSql(j: Int, cents: String) =
+      s"""SELECT vec_id, cluster, dist FROM (
+         |  SELECT v.vec_id, c.cluster, ${pqDist("v.emb", "c.c")} AS dist,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${pqDist("v.emb", "c.c")}, c.cluster) AS rn
+         |  FROM sv$j v CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def pqUpdateSql(j: Int, assign: String) =
+      s"""SELECT cluster, list(val ORDER BY i) AS c FROM (
+         |  SELECT a.cluster, ii.i,
+         |         sum(floor(v.emb[ii.i + 1]::DOUBLE * $KmeansFp + 0.5))
+         |           / (count(*) * $KmeansFp) AS val
+         |  FROM $assign a JOIN sv$j v USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range($PqSubDim)) AS i) ii
+         |  GROUP BY a.cluster, ii.i
+         |) GROUP BY cluster""".stripMargin
+    val pqCtes = (0 until PqM).map { j =>
+      val lo = j * PqSubDim + 1
+      val hi = (j + 1) * PqSubDim
+      val iters = (1 to PqIters).map { i =>
+        s"pa$j$i AS (${pqAssignSql(j, s"pc$j${i - 1}")}),\n" +
+          s"pc$j$i AS (${pqUpdateSql(j, s"pa$j$i")})"
+      }.mkString(",\n")
+      s"""sv$j AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
+         |pc${j}0 AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cluster, emb AS c
+         |  FROM sv$j WHERE vec_id < $PqK
+         |),
+         |$iters,
+         |pcode$j AS (${pqAssignSql(j, s"pc$j$PqIters")})""".stripMargin
+    }.mkString(",\n")
+    val pqCodesSql =
+      s"""WITH $pqCtes
+         |SELECT c0.vec_id,
+         |       ${(0 until PqM).map(j => s"c$j.cluster AS code_$j").mkString(", ")},
+         |       ${(0 until PqM).map(j => s"c$j.dist").mkString(" + ")} AS qerr
+         |FROM ${(0 until PqM).map(j => s"pcode$j c$j").zipWithIndex.map {
+        case (t, 0) => t
+        case (t, j) => s"JOIN $t ON c0.vec_id = c$j.vec_id"
+      }.mkString(" ")}
+         |ORDER BY c0.vec_id""".stripMargin
+    val pqAnnSql =
+      s"""WITH $pqCtes,
+         |${(0 until PqM).map { j =>
+        s"""q$j AS (SELECT emb AS qe FROM sv$j WHERE vec_id = 0),
+           |lut$j AS (
+           |  SELECT c.cluster, ${pqDist("q.qe", "c.c")} AS d
+           |  FROM pc$j$PqIters c, q$j q
+           |)""".stripMargin
+      }.mkString(",\n")}
+         |SELECT c0.vec_id,
+         |       ${(0 until PqM).map(j => s"l$j.d").mkString(" + ")} AS adc_dist
+         |FROM ${(0 until PqM).map { j =>
+        (if (j == 0) s"pcode$j c$j"
+         else s"JOIN pcode$j c$j ON c0.vec_id = c$j.vec_id") +
+          s" JOIN lut$j l$j ON c$j.cluster = l$j.cluster"
+      }.mkString(" ")}
+         |WHERE c0.vec_id <> 0
+         |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
+
     Map(
       "sim_kmeans_cells" -> kmeansSql,
+      "sim_pq_codes" -> pqCodesSql,
+      "sim_pq_ann" -> pqAnnSql,
 
       "embed_norms" ->
         s"""SELECT vec_id, sqrt(${Ora.dot64("embedding", "embedding")}) AS l2_norm

@@ -179,6 +179,51 @@ class SimilaritySpec extends SparkSpec {
       "no query gained recall from multiprobe on this fixture")
   }
 
+  test("PQ codes: every vector coded, codes in range, qerr is a true min") {
+    val vs = vecs
+    val rows = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
+    assert(rows.length === vs.size)
+    rows.foreach { r =>
+      (1 to SimilarityQueries.PqM).foreach { j =>
+        val code = r.getLong(j)
+        assert(code >= 0 && code < SimilarityQueries.PqK)
+      }
+      assert(r.getDouble(1 + SimilarityQueries.PqM) >= 0.0)
+    }
+    // the whole chain (4 subspace k-means + encode) is deterministic:
+    // a rerun is bit-identical, including the double-valued qerr
+    val again = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("PQ ADC: Minkowski bound |sqrt(adc) - sqrt(exact)| <= sqrt(qerr)") {
+    val vs = vecs
+    val q = vs(0L)
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, r)) =>
+        acc + (p.toDouble - r.toDouble) * (p.toDouble - r.toDouble)
+      }
+    val qerr = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1 + SimilarityQueries.PqM)).toMap
+    val ann = SimilarityQueries.queries("sim_pq_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.length === 5)
+    assert(ann.map(_._2).toSeq === ann.map(_._2).sorted.toSeq)
+    // asymmetric distance: adc(v) = ||q - reconstruction(v)||² exactly
+    // (the exact query slices face the codewords), so by the triangle
+    // inequality |sqrt(adc) - sqrt(exact)| <= ||v - reconstruction(v)||
+    // = sqrt(qerr(v)) — a theorem, not a tolerance
+    ann.foreach { case (id, adc) =>
+      assert(id !== 0L)
+      assert(adc >= 0.0)
+      val exact = l2sq(q, vs(id))
+      assert(math.abs(math.sqrt(adc) - math.sqrt(exact)) <=
+        math.sqrt(qerr(id)) + 1e-9,
+        s"ADC bound violated for vec $id: adc=$adc exact=$exact " +
+          s"qerr=${qerr(id)}")
+    }
+  }
+
   test("int8 rerank: exact final cosines, full recall of the true top-5") {
     val reranked = SimilarityQueries
       .queries("sim_ann_int8_rerank")(spark, sf)
