@@ -59,6 +59,8 @@ object TextQueries {
     * corpus's 31-word global vocabulary so coverage is non-degenerate;
     * production uses the tokenizer's real vocab table here. */
   val VocabSize = 16
+  /** Merge candidates reported by the BPE pair-count step. */
+  val BpeTopPairs = 20
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vocabulary coverage / OOV rate per language: induce the top-K
@@ -82,6 +84,29 @@ object TextQueries {
         .withColumn("oov_rate",
           col("n_oov").cast("double") / col("n_tokens"))
         .orderBy("lang")
+    }),
+
+    // BPE tokenizer training, the hot inner step: corpus-wide adjacent
+    // symbol-pair counts (first merge iteration, symbols = characters,
+    // no end-of-word marker). THE scale property of BPE counting is that
+    // it never touches the corpus per iteration: one linear pass folds
+    // the corpus to the (distinct word, frequency) table, and pair
+    // counting runs over the vocabulary weighted by frequency — at
+    // 100 TB the vocab table is megabytes where the corpus is terabytes,
+    // so every subsequent merge iteration is vocab-sized work. Top-20
+    // cut by (count, pair) is total, so the ranking is deterministic.
+    "text_bpe_pair_stats" -> ((s, dir) => {
+      val wf = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count("*").as("freq"))
+      wf.select(col("freq"),
+          explode(when(length(col("w")) >= 2,
+            expr("transform(sequence(0, length(w) - 2), " +
+              "i -> substring(w, CAST(i + 1 AS INT), 2))"))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(BpeTopPairs)
     }),
 
     // token counting: whitespace tokens + a regex word/number tokenizer
@@ -381,6 +406,18 @@ object TextQueries {
          |  CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
          |    AS DOUBLE) / count(*) AS oov_rate
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_bpe_pair_stats" ->
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |)
+         |SELECT p.p AS pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+         |FROM wf, LATERAL (SELECT unnest(list_transform(range(length(w) - 1),
+         |       i -> w[i+1:i+2])) AS p) p
+         |GROUP BY p.p
+         |ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,

@@ -188,4 +188,19 @@ class TextSpec extends SparkSpec {
       assert(rate === oov.toDouble / n)
     }
   }
+
+  test("BPE pair stats: driver-side recount agrees, ranking deterministic") {
+    val got = TextQueries.queries("text_bpe_pair_stats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length === TextQueries.BpeTopPairs)
+    got.foreach { case (p, n) => assert(p.length === 2 && n >= 1) }
+    // reference count over the raw corpus, word-internal adjacent pairs
+    val ref = docs.collect()
+      .flatMap(_.getAs[String]("text").split(" "))
+      .flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, o) => (p, o.length.toLong) }
+    val expected = ref.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(TextQueries.BpeTopPairs)
+    assert(got.toSeq === expected)
+  }
 }
