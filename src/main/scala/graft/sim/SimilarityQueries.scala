@@ -33,6 +33,7 @@ object SimilarityQueries {
   val NumCells = 8 // IVF coarse cells
   val NProbe = 2 // IVF cells probed per query
   val QueryVec = 42L
+  val KnnK = 3 // neighbors kept per vector in the batch kNN join
 
   /** Banded-LSH geometry for ANN near-dup PAIR generation (not point
     * lookup): 16 hyperplanes → 4 bands × 4 bits. A single 8-bit bucket
@@ -565,6 +566,42 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // batch kNN JOIN — the all-vectors neighbor-graph operator (feeds
+    // clustering, graph dedup, diversity scoring): per vector, its top-3
+    // cosine neighbors among LSH-bucket-mates. Every other ANN query
+    // here answers ONE query vector; this one answers all N at once, and
+    // the shape is what makes that affordable: pair generation is
+    // bucket-local posting lists (cost Σ bucket², capped by MaxPosting —
+    // at real scale the plane count grows with log N so bucket sizes
+    // stay ~constant), then one window per vector cuts top-k. Vectors
+    // whose bucket has no cap-surviving mate simply have no neighbors —
+    // a kNN graph with degree ≤ k, not a dense matrix.
+    "sim_knn_join" -> ((s, dir) => {
+      val b = bucketed(s, dir)
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        .localCheckpoint()
+      val cand = b.select(col("vec_id"), col("bucket"))
+        .groupBy("bucket").agg(collect_list(col("vec_id")).as("ids"))
+        .filter(size(col("ids"))
+          .between(2, graft.dedup.DedupQueries.MaxPosting))
+        .select(explode(col("ids")).as("vec_id"), col("ids"))
+        .select(col("vec_id"), explode(col("ids")).as("nbr"))
+        .filter(col("vec_id") =!= col("nbr"))
+      cand
+        .join(b.select(col("vec_id"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_id"))
+        .join(b.select(col("vec_id").as("nbr"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+            .as("cos_sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("cos_sim").desc, col("nbr"))).cast("long"))
+        .filter(col("rk") <= KnnK)
+        .orderBy("vec_id", "rk")
+    }),
+
     // threshold calibration: the corpus-background cosine distribution
     // the dedup/ANN cutoffs (0.35, 0.45) are judged against. Pairs come
     // from a deterministic fnv-hash sample (1-in-10 of the corpus, all
@@ -893,6 +930,31 @@ object SimilarityQueries {
            |      WHERE vec_id = 0) q
            |WHERE e.vec_id <> 0 AND e.bucket % 16 = q.coarse
            |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin),
+
+      "sim_knn_join" -> (s"WITH $bucketedSql,\n" +
+        s"""normed AS (
+           |  SELECT vec_id, embedding, bucket,
+           |         sqrt(${Ora.dot64("embedding", "embedding")}) AS nrm
+           |  FROM bucketed
+           |),
+           |ok AS (
+           |  SELECT bucket FROM normed GROUP BY bucket
+           |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
+           |),
+           |pairs AS (
+           |  SELECT a.vec_id, b.vec_id AS nbr,
+           |         ${Ora.dot64("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+           |           AS cos_sim
+           |  FROM normed a
+           |  JOIN normed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           |  JOIN ok o ON a.bucket = o.bucket
+           |),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cos_sim DESC, nbr) AS rk FROM pairs
+           |)
+           |SELECT vec_id, nbr, cos_sim, rk FROM ranked WHERE rk <= $KnnK
+           |ORDER BY vec_id, rk""".stripMargin),
 
       "sim_ann_multiprobe" -> (s"WITH $bucketedSql,\n" +
         s"""q AS (SELECT bucket % 16 AS c0, embedding FROM bucketed

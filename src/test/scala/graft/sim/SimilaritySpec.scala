@@ -179,6 +179,37 @@ class SimilaritySpec extends SparkSpec {
       "no query gained recall from multiprobe on this fixture")
   }
 
+  test("kNN join: degree <= k, dense ranks, and a full driver-side recheck") {
+    val vs = vecs
+    val buckets = SimilarityQueries.bucketed(spark, sf)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SimilarityQueries.queries("sim_knn_join")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, nbrs) =>
+      assert(nbrs.length <= SimilarityQueries.KnnK)
+      assert(nbrs.map(_._4).sorted.toSeq === (1L to nbrs.length).toSeq)
+    }
+    // every vector with a bucket-mate appears with exactly its top-k
+    // neighbors; reference ranking recomputed driver-side
+    val byBucket = buckets.toSeq.groupBy(_._2)
+      .map { case (b, ids) => b -> ids.map(_._1).sorted }
+    val got = rows.groupBy(_._1)
+    byBucket.values.filter(ids =>
+        ids.length >= 2 && ids.length <= 1000).foreach { ids =>
+      ids.foreach { v =>
+        val expected = ids.filter(_ != v)
+          .map(n => (n, cosRef(vs(v), vs(n))))
+          .sortBy { case (n, c) => (-c, n) }
+          .take(SimilarityQueries.KnnK)
+        val actual = got(v).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+        assert(actual === expected, s"kNN mismatch for vec $v")
+      }
+    }
+  }
+
   test("PQ codes: every vector coded, codes in range, qerr is a true min") {
     val vs = vecs
     val rows = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
