@@ -175,6 +175,35 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
         x => x.getField("val")).as("c"))
 
+  /** Scored bucket-local pairs (vec_id, label, nbr, nbr_label, cos_sim),
+    * both directions — ONE pair stage shared by the kNN join and the
+    * hard-negative miner so their candidate sets cannot drift. Pairs come
+    * from per-bucket posting lists under the standard MaxPosting cap
+    * (never a self-join: the bucket derivation runs once, from one
+    * checkpoint), then each side's embedding and precomputed norm joins
+    * back by id. */
+  private def bucketCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val b = bucketed(s, dir)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .localCheckpoint()
+    val cand = b.select(col("vec_id"), col("bucket"))
+      .groupBy("bucket").agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids"))
+        .between(2, graft.dedup.DedupQueries.MaxPosting))
+      .select(explode(col("ids")).as("vec_id"), col("ids"))
+      .select(col("vec_id"), explode(col("ids")).as("nbr"))
+      .filter(col("vec_id") =!= col("nbr"))
+    cand
+      .join(b.select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_id"))
+      .join(b.select(col("vec_id").as("nbr"),
+        col("label").cast("long").as("nbr_label"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("nbr"))
+      .select(col("vec_id"), col("label"), col("nbr"), col("nbr_label"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cos_sim"))
+  }
+
   /** Product-quantization geometry: 64 dims → [[PqM]] independent 16-dim
     * subspaces, each with its own [[PqK]]-codeword k-means codebook
     * (seeds vec_id < k, [[PqIters]] Lloyd iterations — the same exact
@@ -571,36 +600,37 @@ object SimilarityQueries {
     // cosine neighbors among LSH-bucket-mates. Every other ANN query
     // here answers ONE query vector; this one answers all N at once, and
     // the shape is what makes that affordable: pair generation is
-    // bucket-local posting lists (cost Σ bucket², capped by MaxPosting —
-    // at real scale the plane count grows with log N so bucket sizes
-    // stay ~constant), then one window per vector cuts top-k. Vectors
-    // whose bucket has no cap-surviving mate simply have no neighbors —
-    // a kNN graph with degree ≤ k, not a dense matrix.
-    "sim_knn_join" -> ((s, dir) => {
-      val b = bucketed(s, dir)
-        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-        .localCheckpoint()
-      val cand = b.select(col("vec_id"), col("bucket"))
-        .groupBy("bucket").agg(collect_list(col("vec_id")).as("ids"))
-        .filter(size(col("ids"))
-          .between(2, graft.dedup.DedupQueries.MaxPosting))
-        .select(explode(col("ids")).as("vec_id"), col("ids"))
-        .select(col("vec_id"), explode(col("ids")).as("nbr"))
-        .filter(col("vec_id") =!= col("nbr"))
-      cand
-        .join(b.select(col("vec_id"),
-          col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_id"))
-        .join(b.select(col("vec_id").as("nbr"),
-          col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-            .as("cos_sim"))
+    // bucket-local posting lists via [[bucketCosinePairs]] (cost
+    // Σ bucket², capped by MaxPosting — at real scale the plane count
+    // grows with log N so bucket sizes stay ~constant), then one window
+    // per vector cuts top-k. Vectors whose bucket has no cap-surviving
+    // mate simply have no neighbors — a kNN graph with degree ≤ k, not a
+    // dense matrix.
+    "sim_knn_join" -> ((s, dir) =>
+      bucketCosinePairs(s, dir)
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id")
             .orderBy(col("cos_sim").desc, col("nbr"))).cast("long"))
         .filter(col("rk") <= KnnK)
-        .orderBy("vec_id", "rk")
-    }),
+        .select("vec_id", "nbr", "cos_sim", "rk")
+        .orderBy("vec_id", "rk")),
+
+    // hard-negative mining for contrastive training: per vector, the
+    // single most-similar bucket-mate carrying a DIFFERENT label — high
+    // cosine + disagreeing supervision is exactly the "hard" pair a
+    // contrastive or metric-learning objective wants in the batch. Same
+    // capped bucket-local pair stage as the kNN join; the label filter
+    // runs before the per-vector top-1 window, so the pick is the
+    // hardest negative, not a negative that happened to rank first.
+    "sim_hard_negatives" -> ((s, dir) =>
+      bucketCosinePairs(s, dir)
+        .filter(col("label") =!= col("nbr_label"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("cos_sim").desc, col("nbr"))))
+        .filter(col("rk") === 1)
+        .select("vec_id", "label", "nbr", "nbr_label", "cos_sim")
+        .orderBy("vec_id")),
 
     // threshold calibration: the corpus-background cosine distribution
     // the dedup/ANN cutoffs (0.35, 0.45) are judged against. Pairs come
@@ -691,6 +721,47 @@ object SimilarityQueries {
         .orderBy("i")
     }),
 
+    // covariance matrix upper triangle — the whitening/PCA precursor
+    // (the 64×64 Gram/covariance accumulation; the eigen-decomposition
+    // that follows is a 64×64 driver-side problem by construction, like
+    // every dense-linear-algebra tail of a distributed reduction). The
+    // (i, j) pair explosion streams straight into a map-side partial
+    // hash aggregate over the FIXED 2080 cells inside one codegen stage
+    // — nothing corpus-sized is materialized and the shuffle carries
+    // partitions × 2080 rows regardless of corpus size. E[x_i·x_j] on
+    // the 2^-20 fixed-point grid (exact integer sums, one correctly-
+    // rounded division) keeps every double bit-equal across engines;
+    // cov = E[xy] − E[x]·E[y] is then reader-exact too.
+    "embed_covariance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val means = e.select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("i")
+        .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
+          (count("*") * lit(KmeansFp))).as("mean_v"))
+        .select(col("i").cast("long").as("i"), col("mean_v"))
+        // 64-row dimension, two broadcast consumers
+        .localCheckpoint()
+      val cells = e
+        .select(col("embedding"),
+          posexplode(col("embedding")).as(Seq("i", "vi")))
+        .select(col("i"), col("vi"),
+          posexplode(col("embedding")).as(Seq("j", "vj")))
+        .filter(col("j") >= col("i"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          (col("vi").cast("double") * col("vj").cast("double")).as("p"))
+        .groupBy("i", "j")
+        .agg((sum(floor(col("p") * lit(KmeansFp) + lit(0.5))) /
+          (count("*") * lit(KmeansFp))).as("e_xy"))
+      cells
+        .join(broadcast(means.select(col("i"), col("mean_v").as("mean_i"))),
+          "i")
+        .join(broadcast(means.select(col("i").as("j"),
+          col("mean_v").as("mean_j"))), "j")
+        .select(col("i"), col("j"), col("e_xy"),
+          (col("e_xy") - col("mean_i") * col("mean_j")).as("cov"))
+        .orderBy("i", "j")
+    }),
+
     // SemDeDup-style semantic dedup: cluster, then prune inside cells.
     // Every vector goes to its nearest coarse centroid (the same
     // broadcast-assign as the IVF path; production trains the cells with
@@ -731,6 +802,29 @@ object SimilarityQueries {
     }.mkString(" + ")
     val bucketedSql =
       s"bucketed AS (SELECT vec_id, embedding, $bitsSql AS bucket FROM embeddings)"
+
+    // mirror of bucketCosinePairs — shared by sim_knn_join and
+    // sim_hard_negatives exactly as the Spark helper is
+    val bucketPairsSql =
+      s"""$bucketedSql,
+         |blabeled AS (
+         |  SELECT b.vec_id, b.embedding, b.bucket,
+         |         CAST(e.label AS BIGINT) AS label,
+         |         sqrt(${Ora.dot64("b.embedding", "b.embedding")}) AS nrm
+         |  FROM bucketed b JOIN embeddings e USING (vec_id)
+         |),
+         |ok AS (
+         |  SELECT bucket FROM blabeled GROUP BY bucket
+         |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
+         |),
+         |bpairs AS (
+         |  SELECT a.vec_id, a.label, b.vec_id AS nbr, b.label AS nbr_label,
+         |         ${Ora.dot64("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |           AS cos_sim
+         |  FROM blabeled a
+         |  JOIN blabeled b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN ok o ON a.bucket = o.bucket
+         |)""".stripMargin
 
     // mirror of assignedCells — one definition, three consumers
     val assignedCellsSql =
@@ -891,6 +985,31 @@ object SimilarityQueries {
            |  min(v) AS min_v, max(v) AS max_v
            |FROM vals GROUP BY i ORDER BY i""".stripMargin,
 
+      "embed_covariance" ->
+        s"""WITH means AS (
+           |  SELECT ii.i,
+           |         sum(CAST(floor(embedding[ii.i+1]::DOUBLE * $KmeansFp + 0.5)
+           |           AS BIGINT)) / (count(*) * $KmeansFp) AS mean_v
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range($Dim)) AS i) ii
+           |  GROUP BY ii.i
+           |),
+           |cells AS (
+           |  SELECT ii.i, jj.j,
+           |         sum(CAST(floor(embedding[ii.i+1]::DOUBLE *
+           |           embedding[jj.j+1]::DOUBLE * $KmeansFp + 0.5) AS BIGINT))
+           |           / (count(*) * $KmeansFp) AS e_xy
+           |  FROM embeddings
+           |  CROSS JOIN (SELECT unnest(range($Dim)) AS i) ii
+           |  CROSS JOIN (SELECT unnest(range($Dim)) AS j) jj
+           |  WHERE jj.j >= ii.i
+           |  GROUP BY ii.i, jj.j
+           |)
+           |SELECT c.i, c.j, c.e_xy, c.e_xy - (mi.mean_v * mj.mean_v) AS cov
+           |FROM cells c
+           |JOIN means mi ON c.i = mi.i
+           |JOIN means mj ON c.j = mj.i
+           |ORDER BY c.i, c.j""".stripMargin,
+
       "sim_ann_int8_rerank" ->
         s"""WITH scaled AS (
            |  SELECT vec_id, embedding,
@@ -931,30 +1050,22 @@ object SimilarityQueries {
            |WHERE e.vec_id <> 0 AND e.bucket % 16 = q.coarse
            |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin),
 
-      "sim_knn_join" -> (s"WITH $bucketedSql,\n" +
-        s"""normed AS (
-           |  SELECT vec_id, embedding, bucket,
-           |         sqrt(${Ora.dot64("embedding", "embedding")}) AS nrm
-           |  FROM bucketed
-           |),
-           |ok AS (
-           |  SELECT bucket FROM normed GROUP BY bucket
-           |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
-           |),
-           |pairs AS (
-           |  SELECT a.vec_id, b.vec_id AS nbr,
-           |         ${Ora.dot64("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-           |           AS cos_sim
-           |  FROM normed a
-           |  JOIN normed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-           |  JOIN ok o ON a.bucket = o.bucket
-           |),
-           |ranked AS (
+      "sim_knn_join" -> (s"WITH $bucketPairsSql,\n" +
+        s"""ranked AS (
            |  SELECT *, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY cos_sim DESC, nbr) AS rk FROM pairs
+           |    ORDER BY cos_sim DESC, nbr) AS rk FROM bpairs
            |)
            |SELECT vec_id, nbr, cos_sim, rk FROM ranked WHERE rk <= $KnnK
            |ORDER BY vec_id, rk""".stripMargin),
+
+      "sim_hard_negatives" -> (s"WITH $bucketPairsSql,\n" +
+        """ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY cos_sim DESC, nbr) AS rk
+          |  FROM bpairs WHERE label <> nbr_label
+          |)
+          |SELECT vec_id, label, nbr, nbr_label, cos_sim FROM ranked
+          |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
 
       "sim_ann_multiprobe" -> (s"WITH $bucketedSql,\n" +
         s"""q AS (SELECT bucket % 16 AS c0, embedding FROM bucketed

@@ -210,6 +210,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: one hardest different-label bucket-mate per vector") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val rows = SimilarityQueries.queries("sim_hard_negatives")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (v, l, n, nl, _) =>
+      assert((l === labels(v)) && (nl === labels(n)) && (l !== nl))
+    }
+    // the pick is the HARDEST negative: max cosine among different-label
+    // bucket-mates, driver-side recheck
+    val vs = vecs
+    val buckets = SimilarityQueries.bucketed(spark, sf)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byBucket = buckets.toSeq.groupBy(_._2)
+      .map { case (b, ids) => b -> ids.map(_._1) }
+    rows.foreach { case (v, _, n, _, c) =>
+      val mates = byBucket(buckets(v))
+        .filter(m => m != v && labels(m) != labels(v))
+        .map(m => (m, cosRef(vs(v), vs(m))))
+      val best = mates.minBy { case (m, cm) => (-cm, m) }
+      assert((n, c) === best, s"not the hardest negative for vec $v")
+    }
+  }
+
+  test("covariance: upper triangle, diagonal ties bit-exactly to dim stats") {
+    val cov = SimilarityQueries.queries("embed_covariance")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val d = SimilarityQueries.Dim
+    assert(cov.size === d * (d + 1) / 2)
+    cov.keys.foreach { case (i, j) => assert(i <= j && j < d) }
+    val stats = SimilarityQueries.queries("embed_dim_stats")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    (0L until d.toLong).foreach { i =>
+      val (exy, c) = cov((i, i))
+      val (mean, meanSq) = stats(i)
+      // identical fixed-point derivations ⇒ identical doubles
+      assert(exy === meanSq, s"E[x²] drift at dim $i")
+      assert(c === meanSq - mean * mean, s"variance drift at dim $i")
+      assert(c >= -2.0 / SimilarityQueries.KmeansFp) // rounding floor only
+    }
+  }
+
   test("PQ codes: every vector coded, codes in range, qerr is a true min") {
     val vs = vecs
     val rows = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
