@@ -29,6 +29,8 @@ object PipelineQueries {
   val PackShards = 8L // independent packing streams
   val BloomM = 4096 // bloom filter bits
   val BloomK = 3 // bloom probes per item
+  val TempFp = 1048576.0 // 2^20 fixed-point grid for the temperature mix
+  val MixDraws = 1000L // sampling budget the temperature weights apportion
   val SampleK = 50 // weighted priority-sample size
   val QuotaBudget = 100L // stratified sampling budget (docs)
   val IdBuckets = 8L // range buckets for global id assignment
@@ -217,6 +219,46 @@ object PipelineQueries {
           Seq("lang"))
         .orderBy("lang")
     }),
+
+    // temperature-resampled language mix (the multilingual balancing
+    // exponent of mBERT/XLM, at α = 1/2): sampling weight ∝ n_docs^α.
+    // α = 1/2 is deliberate — sqrt is an IEEE correctly-rounded op on
+    // both engines where pow(x, 0.7) is a libm call with no cross-engine
+    // bit contract. The sqrt is quantized to the 2^-20 grid before the
+    // denominator sum, so the normalizer is an exact integer and every
+    // weight is one correctly-rounded division. One groupBy over the
+    // corpus; everything after is #langs-sized.
+    "corpus_temperature_mix" -> ((s, dir) => {
+      val counts = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang").agg(count("*").as("n_docs"))
+        .withColumn("qs",
+          floor(sqrt(col("n_docs").cast("double")) * lit(TempFp) + lit(0.5))
+            .cast("long"))
+      counts.crossJoin(broadcast(counts.agg(sum("qs").as("qs_total"))))
+        .select(col("lang"), col("n_docs"),
+          (col("qs").cast("double") / col("qs_total")).as("weight"),
+          floor(lit(MixDraws.toDouble) * col("qs").cast("double") /
+            col("qs_total")).cast("long").as("n_draws"))
+        .orderBy("lang")
+    }),
+
+    // pad-to-64 batching audit: docs bucketed by token length rounded up
+    // to the tensor-alignment multiple, with the padding waste each
+    // bucket pays — the measurement behind length-bucketed batching
+    // (sorting by length before batching exists to shrink exactly this
+    // number). All integer arithmetic plus one final division; one
+    // corpus pass, #buckets-sized output.
+    "corpus_length_buckets" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket_top", expr("((n_tok + 63) div 64) * 64"))
+        .groupBy("bucket_top")
+        .agg(count("*").as("n_docs"), sum("n_tok").as("n_tokens"))
+        .withColumn("n_pad",
+          col("n_docs") * col("bucket_top") - col("n_tokens"))
+        .withColumn("pad_frac", col("n_pad").cast("double") /
+          (col("n_docs") * col("bucket_top")))
+        .orderBy("bucket_top")),
 
     // the doc-level curation ledger: every document with its keep/drop
     // verdict and the FULL list of failing checks (the cascade query
@@ -621,6 +663,37 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN rk <= $MixCap THEN doc_id END) AS BIGINT) AS kept_id_sum
          |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "corpus_temperature_mix" -> (
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(floor(sqrt(count(*)::DOUBLE) * $TempFp + 0.5)
+         |           AS BIGINT) AS qs
+         |  FROM documents GROUP BY lang
+         |),
+         |tot AS (SELECT CAST(sum(qs) AS BIGINT) AS qs_total FROM counts)
+         |SELECT lang, n_docs,
+         |       qs::DOUBLE / qs_total AS weight,
+         |       CAST(floor(${MixDraws.toDouble} * qs::DOUBLE / qs_total)
+         |         AS BIGINT) AS n_draws
+         |FROM counts, tot ORDER BY lang""".stripMargin),
+
+    "corpus_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT ((n_tok + 63) // 64) * 64 AS bucket_top,
+        |         count(*) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT bucket_top, n_docs, n_tokens,
+        |       n_docs * bucket_top - n_tokens AS n_pad,
+        |       CAST(n_docs * bucket_top - n_tokens AS DOUBLE)
+        |         / (n_docs * bucket_top) AS pad_frac
+        |FROM b ORDER BY bucket_top""".stripMargin,
 
     "corpus_curation_ledger" -> (
       s"""WITH RECURSIVE

@@ -109,6 +109,43 @@ object TextQueries {
         .limit(BpeTopPairs)
     }),
 
+    // apply the winning BPE merge and measure what it buys: the top
+    // (count, pair) candidate from the pair-count step is merged
+    // everywhere (non-overlapping left-to-right `replace` — identical
+    // semantics on both engines) and the corpus-wide symbol count
+    // before/after gives the compression this one merge earns. Like the
+    // pair counting, the merge application runs over the (distinct word,
+    // frequency) table — vocab-sized work; chars removed per word is
+    // even by construction, so merges = removed / 2 is integer-exact.
+    "text_bpe_apply" -> ((s, dir) => {
+      val wf = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count("*").as("freq"))
+        // vocab-sized; feeds the pair scan and the merge application
+        .localCheckpoint()
+      val top = wf.select(col("freq"),
+          explode(when(length(col("w")) >= 2,
+            expr("transform(sequence(0, length(w) - 2), " +
+              "i -> substring(w, CAST(i + 1 AS INT), 2))"))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select("pair")
+      wf.crossJoin(broadcast(top))
+        .select(col("pair"), col("freq"),
+          length(col("w")).cast("long").as("len"),
+          ((length(col("w")) -
+            length(expr("replace(w, pair, '')"))) / 2).cast("long")
+            .as("merges"))
+        .groupBy("pair")
+        .agg(sum(col("freq") * col("len")).as("tokens_before"),
+          sum(col("freq") * col("merges")).as("n_merges"))
+        .select(col("pair"), col("tokens_before"), col("n_merges"),
+          (col("tokens_before") - col("n_merges")).as("tokens_after"),
+          ((col("tokens_before") - col("n_merges")).cast("double") /
+            col("tokens_before")).as("compression"))
+    }),
+
     // token counting: whitespace tokens + a regex word/number tokenizer
     "text_token_counts" -> ((s, dir) =>
       toksed(s, dir).select(
@@ -418,6 +455,34 @@ object TextQueries {
          |       i -> w[i+1:i+2])) AS p) p
          |GROUP BY p.p
          |ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs""".stripMargin,
+
+    "text_bpe_apply" ->
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |),
+         |top AS (
+         |  SELECT p.p AS pair
+         |  FROM wf, LATERAL (SELECT unnest(list_transform(range(length(w) - 1),
+         |         i -> w[i+1:i+2])) AS p) p
+         |  GROUP BY p.p
+         |  ORDER BY CAST(sum(freq) AS BIGINT) DESC, p.p LIMIT 1
+         |),
+         |m AS (
+         |  SELECT t.pair, freq, CAST(length(w) AS BIGINT) AS len,
+         |         CAST((length(w) - length(replace(w, t.pair, ''))) // 2
+         |           AS BIGINT) AS merges
+         |  FROM wf, top t
+         |)
+         |SELECT pair,
+         |       CAST(sum(freq * len) AS BIGINT) AS tokens_before,
+         |       CAST(sum(freq * merges) AS BIGINT) AS n_merges,
+         |       CAST(sum(freq * len) - sum(freq * merges) AS BIGINT)
+         |         AS tokens_after,
+         |       CAST(sum(freq * len) - sum(freq * merges) AS DOUBLE)
+         |         / sum(freq * len) AS compression
+         |FROM m GROUP BY pair""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,

@@ -1,5 +1,7 @@
 package graft.text
 
+import org.apache.spark.sql.functions.{col, size, split, sum}
+
 import graft.SparkSpec
 
 class PipelineSpec extends SparkSpec {
@@ -234,6 +236,54 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.map(_._2).toSet === rows.indices.map(_.toLong).toSet)
     assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("temperature mix: weights normalized, flatter than raw shares") {
+    val rows = PipelineQueries.queries("corpus_temperature_mix")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val total = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    // α = 1/2 compresses ratios: order is preserved but for n_i > n_j
+    // the weight ratio w_i/w_j = sqrt(n_i/n_j) sits strictly below the
+    // raw share ratio n_i/n_j — the flattening theorem itself
+    for (Seq((_, ni, wi, _), (_, nj, wj, _)) <- rows.sortBy(-_._2)
+        .toSeq.combinations(2)) {
+      if (ni > nj) {
+        assert(wi > wj)
+        assert(wi / wj < ni.toDouble / nj + 1e-9)
+        assert(math.abs(wi / wj - math.sqrt(ni.toDouble / nj)) < 1e-4)
+      }
+    }
+    rows.foreach { case (_, n, w, draws) =>
+      assert(w > 0 && w < 1 && n > 0)
+      // floor of the budget share (associativity of the product may
+      // differ from the collected w by an ulp, hence the ±1 envelope)
+      assert(draws <= PipelineQueries.MixDraws * w + 1e-6)
+      assert(draws > PipelineQueries.MixDraws * w - 1 - 1e-6)
+    }
+    // floor apportionment never overshoots the budget
+    assert(rows.map(_._4).sum <= PipelineQueries.MixDraws)
+    assert(rows.map(_._4).sum > PipelineQueries.MixDraws - rows.length)
+  }
+
+  test("length buckets: exact partition of the corpus, bounded padding") {
+    val rows = PipelineQueries.queries("corpus_length_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_._2).sum === docs.count())
+    val totTok = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).first().getLong(0)
+    assert(rows.map(_._3).sum === totTok)
+    rows.foreach { case (top, n, toks, pad, frac) =>
+      assert(top % 64 === 0 && top > 0)
+      assert(pad === n * top - toks)
+      assert(pad >= 0 && pad < 64 * n) // every doc pads strictly under 64
+      assert(frac === pad.toDouble / (n * top))
+    }
   }
 
   test("dedup savings ledger reconciles with the components verdict") {

@@ -203,4 +203,24 @@ class TextSpec extends SparkSpec {
       .sortBy { case (p, n) => (-n, p) }.take(TextQueries.BpeTopPairs)
     assert(got.toSeq === expected)
   }
+
+  test("BPE apply: merges the top pair, accounting closes, driver recheck") {
+    val r = TextQueries.queries("text_bpe_apply")(spark, sf).first()
+    val (pair, before, merges, after, compression) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    val topFromStats = TextQueries.queries("text_bpe_pair_stats")(spark, sf)
+      .first().getString(0)
+    assert(pair === topFromStats)
+    assert(after === before - merges)
+    assert(merges > 0 && after > 0)
+    assert(compression === after.toDouble / before)
+    // driver-side recount: non-overlapping left-to-right merge per word
+    val words = docs.collect().flatMap(_.getAs[String]("text").split(" "))
+    val refBefore = words.map(_.length.toLong).sum
+    val refMerges = words
+      .map(w => (w.length - w.replace(pair, "").length).toLong / 2).sum
+    assert(before === refBefore)
+    assert(merges === refMerges)
+  }
 }
