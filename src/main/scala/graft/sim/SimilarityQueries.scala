@@ -216,46 +216,82 @@ object SimilarityQueries {
   val PqK = 8
   val PqIters = 2
 
-  /** Subspace view: `embedding` replaced by its j-th 16-dim slice, so the
-    * shared k-means kernels run unchanged on the slice. */
-  private def subVecs(e: DataFrame, j: Int): DataFrame =
-    e.select(col("vec_id"),
-      slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("embedding"))
+  /** All-subspaces view: (vec_id, sub, embedding=16-dim slice), one row
+    * per subspace. The 4 sub-k-means train JOINTLY over this frame — one
+    * corpus pass per Lloyd iteration instead of [[PqM]] (at 100 TB the
+    * difference between reading the corpus twice and eight times), and
+    * locally one job chain instead of four. */
+  private def pqSubVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> " +
+          s"struct(CAST(j AS INT) AS sub, " +
+          s"slice(embedding, j * $PqSubDim + 1, $PqSubDim) AS emb))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"),
+        col("x.emb").as("embedding"))
 
-  /** Per-subspace codebook: Lloyd's on the 16-dim slices, reusing the
-    * assign/update kernels. Each round's ≤8-row centroid table is
-    * checkpointed — it feeds the next broadcast join, and an
-    * un-materialized broadcast build side re-runs its whole upstream once
-    * per consumer. */
-  private def pqCodebook(vecs: DataFrame): DataFrame = {
+  /** Joint codebooks (sub, cluster, c): per-subspace Lloyd's, all
+    * subspaces in one assign/update dataflow. The math per subspace is
+    * identical to running [[kmeansAssign]]/[[kmeansUpdate]] on each
+    * slice alone (the `sub` column just rides along every key), so the
+    * per-subspace DuckDB oracle CTEs mirror it exactly. Each round's
+    * ≤ PqM·PqK-row centroid table is checkpointed — it feeds the next
+    * broadcast join, and an un-materialized broadcast build side re-runs
+    * its whole upstream once per consumer. */
+  private def pqCodebooks(vecs: DataFrame): DataFrame = {
     var cents = vecs.filter(col("vec_id") < PqK)
-      .select(col("vec_id").cast("long").as("cluster"),
+      .select(col("sub"), col("vec_id").cast("long").as("cluster"),
         col("embedding").as("c"))
       .localCheckpoint()
     for (_ <- 1 to PqIters)
-      cents = kmeansUpdate(kmeansAssign(vecs, cents), vecs).localCheckpoint()
+      cents = pqUpdate(pqAssign(vecs, cents), vecs).localCheckpoint()
     cents
   }
 
+  /** Joint nearest-codeword assignment with the winning distance: the
+    * [[kmeansAssignDist]] argmin per (vec_id, sub). */
+  private def pqAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val d = dot(col("embedding"), col("embedding")) -
+      lit(2.0) * dot(col("embedding"), col("c")) + dot(col("c"), col("c"))
+    vecs.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"), col("cluster"), d.as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"),
+        col("m.dist").as("dist"))
+  }
+
+  /** Joint fixed-point centroid update — [[kmeansUpdate]] keyed by
+    * (sub, cluster). */
+  private def pqUpdate(assigned: DataFrame, vecs: DataFrame): DataFrame =
+    assigned.join(vecs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cluster"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("sub", "cluster", "i")
+      .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
+        (count("*") * lit(KmeansFp))).as("val"))
+      .groupBy("sub", "cluster")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
+        x => x.getField("val")).as("c"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PQ encode: per vector, the 4 subspace codes plus total squared
-    // reconstruction error. Each leg is scan → 8-row broadcast join →
-    // map-side-combined argmin aggregate (nothing quadratic; the corpus
-    // is read from one checkpoint). The 4 narrow (id, code, err) legs
-    // join on vec_id at the end — at serving scale the same codes come
-    // from ONE scan with the four ≤8-row codebooks pivoted into a single
-    // broadcast (the argmin then runs per subspace inside one aggregate);
-    // the per-leg form is kept here because it preserves the honest
-    // per-subspace argmin semantics even if a codeword empties out in
-    // one subspace only.
+    // reconstruction error. ONE scan of the (vec_id, sub, slice) frame →
+    // one PqM·PqK-row broadcast join → map-side-combined argmin → a
+    // per-vector pivot aggregate (deterministic: exactly one row per
+    // (vec_id, sub)). The qerr sum is written in fixed subspace order so
+    // the doubles match the oracle's left-assoc `+` chain bit-for-bit.
     "sim_pq_codes" -> ((s, dir) => {
-      val e = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
-      val legs = (0 until PqM).map { j =>
-        val sv = subVecs(e, j)
-        kmeansAssignDist(sv, pqCodebook(sv)).select(col("vec_id"),
-          col("cluster").as(s"code_$j"), col("dist").as(s"err_$j"))
-      }
-      legs.reduce(_.join(_, "vec_id"))
+      val sv = pqSubVecs(emb(s, dir).select("vec_id", "embedding"))
+        .localCheckpoint()
+      val a = pqAssign(sv, pqCodebooks(sv))
+      val pivots =
+        (0 until PqM).map(j =>
+          max(when(col("sub") === j, col("cluster"))).as(s"code_$j")) ++
+        (0 until PqM).map(j =>
+          max(when(col("sub") === j, col("dist"))).as(s"err_$j"))
+      a.groupBy("vec_id")
+        .agg(pivots.head, pivots.tail: _*)
         .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")) :+
           (0 until PqM).map(j => col(s"err_$j"))
             .reduce(_ + _).as("qerr"): _*)
@@ -263,29 +299,31 @@ object SimilarityQueries {
     }),
 
     // PQ ANN serving: asymmetric-distance (ADC) top-5 for query vector 0.
-    // The classic PQ lookup shape: per subspace, the ≤8-row table of
-    // distances from the query's exact slice to every codeword (the LUT)
+    // The classic PQ lookup shape: the PqM·PqK-row table of distances
+    // from the query's exact slices to every codeword (the LUT)
     // broadcasts, and scanning the code table is a dictionary lookup —
-    // approximate distance = sum of 4 LUT entries. No exact-vector math
-    // ever touches the corpus at query time; at 100 TB the corpus side
-    // is the 4-code table (32× smaller than the floats), scan + 4
-    // broadcast joins + TakeOrdered, shuffle-free until the final top-k.
+    // approximate distance = sum of 4 LUT entries, summed in fixed
+    // subspace order via the same pivot as the encode. No exact-vector
+    // math ever touches the corpus at query time; at 100 TB the corpus
+    // side is the 4-code table (32× smaller than the floats), scan + one
+    // broadcast join + TakeOrdered, shuffle-free until the final top-k.
     "sim_pq_ann" -> ((s, dir) => {
-      val e = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
-      val legs = (0 until PqM).map { j =>
-        val sv = subVecs(e, j)
-        val cb = pqCodebook(sv)
-        val q = sv.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"))
-        val lut = cb.crossJoin(broadcast(q))
-          .select(col("cluster"),
-            (dot(col("qe"), col("qe")) -
-              lit(2.0) * dot(col("qe"), col("c")) +
-              dot(col("c"), col("c"))).as(s"d_$j"))
-        kmeansAssign(sv, cb).join(broadcast(lut), "cluster")
-          .select(col("vec_id"), col(s"d_$j"))
-      }
-      legs.reduce(_.join(_, "vec_id"))
+      val sv = pqSubVecs(emb(s, dir).select("vec_id", "embedding"))
+        .localCheckpoint()
+      val cb = pqCodebooks(sv)
+      val q = sv.filter(col("vec_id") === 0)
+        .select(col("sub"), col("embedding").as("qe"))
+      val lut = cb.join(broadcast(q), "sub")
+        .select(col("sub"), col("cluster"),
+          (dot(col("qe"), col("qe")) -
+            lit(2.0) * dot(col("qe"), col("c")) +
+            dot(col("c"), col("c"))).as("d"))
+      val pivots = (0 until PqM).map(j =>
+        max(when(col("sub") === j, col("d"))).as(s"d_$j"))
+      pqAssign(sv, cb).select("vec_id", "sub", "cluster")
+        .join(broadcast(lut), Seq("sub", "cluster"))
+        .groupBy("vec_id")
+        .agg(pivots.head, pivots.tail: _*)
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           (0 until PqM).map(j => col(s"d_$j")).reduce(_ + _).as("adc_dist"))
