@@ -237,6 +237,28 @@ object EventsQueries {
   )
 
   val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // recency-weighted activity: exponential-decay counts with a 1-day
+    // half-life, anchored to the newest day IN the data (deterministic
+    // on both engines, no wall clock). The weight of an age-k event is
+    // exactly 2^-k — built by integer shift + one division, never
+    // pow(): each weight is a dyadic rational ≥ 2^-30, so every partial
+    // sum is a multiple of 2^-30 far below 2^53 — the float sums are
+    // EXACT and order-independent, one more place double math is safe
+    // because the values are constructed for it. One groupBy with
+    // map-side partials; the day anchor is a 1-row broadcast.
+    "events_decayed_counts" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("day", expr(s"ts div $DayUs"))
+      e.crossJoin(broadcast(e.agg(max(col("day")).as("day_max"))))
+        .select(col("event_type"),
+          (col("day_max") - col("day")).as("age"))
+        .groupBy("event_type")
+        .agg(count("*").as("n_events"),
+          sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(age AS INT)) AS DOUBLE)")).as("decayed_weight"),
+          min("age").as("newest_age"), max("age").as("oldest_age"))
+        .orderBy("event_type")
+    }),
+
     // Z-order cell audit: map every event to its Morton cell over
     // (day-index, user-bucket) — the cell id graft.keyspace
     // .PartitionedLayout.writeZOrdered partitions by — and emit each
@@ -539,6 +561,18 @@ object EventsQueries {
 
   // lazy: eventsSql is declared below; a strict val would capture null
   lazy val moreOracle: Map[String, String] = Map(
+    "events_decayed_counts" -> (s"WITH ${eventsSql},\n" +
+      s"""aged AS (
+         |  SELECT event_type,
+         |         (SELECT max(ts // $DayUs) FROM ev) - (ts // $DayUs) AS age
+         |  FROM ev
+         |)
+         |SELECT event_type, count(*) AS n_events,
+         |       sum(1.0 / CAST((1::BIGINT << age) AS DOUBLE))
+         |         AS decayed_weight,
+         |       min(age) AS newest_age, max(age) AS oldest_age
+         |FROM aged GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     "events_zorder_cells" -> {
       val zTerms = (0 until 8).map { i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"

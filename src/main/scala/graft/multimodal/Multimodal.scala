@@ -117,6 +117,10 @@ object Multimodal {
   /** Resize target (a thumbnail). */
   val OutW = 32
   val OutH = 24
+  // training-crop geometry: <= the catalog's minimum width/height, so
+  // every image admits at least one crop position
+  val CropW = 64
+  val CropH = 48
 
   /** REAL RESIZE GOES HERE — nearest-neighbor over the payload treated as
     * a `width`×`height` byte grid (wrapping past the payload end, since
@@ -191,12 +195,61 @@ object Multimodal {
         min(col("checksum")).as("min_checksum"),
         max(col("checksum")).as("max_checksum"))
         .orderBy("media_type")),
+
+    // deterministic augmentation plan (epoch 0) for the image subset:
+    // flip / crop offset / brightness jitter all derive from the engine
+    // hash of (salt, param, doc_id) — the reproducibility contract of a
+    // training run with NO RNG state: any worker, any partitioning, any
+    // restart deals the same augmentation to the same image, and the
+    // next epoch is just a different salt. Each parameter gets its own
+    // hash, xor-folded before the modulus (fnv1a32's low bits are
+    // parity-structured; fold mixes the high bits in — same rule the
+    // hyperplane and bloom derivations follow). Crop ranges are
+    // metadata-driven: x in [0, width-64], y in [0, height-48].
+    "media_augment_plan" -> ((s, dir) => {
+      def xf(salt: String) = {
+        val h = Fnv1a32.fnv1a32(
+          concat(lit(s"aug:e0:$salt:"), col("doc_id").cast("string")))
+        h.bitwiseXOR(shiftright(h, 16))
+      }
+      catalog(s, dir).filter(col("media_type") === "image")
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (xf("flip") % 2).as("flip"),
+          (xf("x") % (col("width") - lit(CropW) + lit(1))).as("crop_x"),
+          (xf("y") % (col("height") - lit(CropH) + lit(1))).as("crop_y"),
+          (xf("b") % 21 - lit(10)).as("brightness_pct"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val mediaTypeSql =
     "(['image', 'audio', 'video'])[CAST(substr(source, 4) AS INT) % 3 + 1]"
 
   val oracle: Map[String, String] = Map(
+    "media_augment_plan" -> {
+      def fnvOf(salt: String) = Ora.fnv(s"'aug:e0:$salt:' || doc_id")
+      s"""WITH imgs AS (
+         |  SELECT doc_id,
+         |         CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
+         |         CAST(48 + (doc_id % 9) * 24 AS BIGINT) AS height
+         |  FROM documents WHERE $mediaTypeSql = 'image'
+         |),
+         |h AS (
+         |  SELECT doc_id, width, height,
+         |         ${fnvOf("flip")} AS hf, ${fnvOf("x")} AS hx,
+         |         ${fnvOf("y")} AS hy, ${fnvOf("b")} AS hb
+         |  FROM imgs
+         |)
+         |SELECT doc_id, width, height,
+         |       xor(hf, hf >> 16) % 2 AS flip,
+         |       xor(hx, hx >> 16) % (width - $CropW + 1) AS crop_x,
+         |       xor(hy, hy >> 16) % (height - $CropH + 1) AS crop_y,
+         |       xor(hb, hb >> 16) % 21 - 10 AS brightness_pct
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
     "media_catalog" ->
       s"""SELECT doc_id, $mediaTypeSql AS media_type,
          |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -303,4 +303,25 @@ class EventsSpec extends SparkSpec {
     assert(h.map(_._5).sum === sessions - nUsers,
       "each over-gap opens exactly one new session")
   }
+
+  test("decayed counts: dyadic weights are EXACT — driver resum is bit-equal") {
+    val rows = EventsQueries.moreQueries("events_decayed_counts")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ev = EventsQueries.events(spark, sf)
+      .selectExpr("event_type", s"ts div ${EventsQueries.DayUs} AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val dayMax = ev.map(_._2).max
+    val ref = ev.groupBy(_._1).map { case (t, es) =>
+      t -> es.map { case (_, d) => 1.0 / (1L << (dayMax - d)) }.sum
+    }
+    rows.foreach { case (t, n, w, newest, oldest) =>
+      assert(n > 0 && newest >= 0 && oldest >= newest)
+      // every weight is a dyadic rational ≥ 2^-oldest: the double sums
+      // are exact in ANY order, so driver fold == distributed sum, bit-equal
+      assert(w === ref(t), s"decayed weight drift for $t")
+      assert(w <= n.toDouble && w > 0.0)
+    }
+  }
 }

@@ -47,4 +47,22 @@ class MultimodalSpec extends SparkSpec {
     assert(perPart.forall(_._2),
       "rows within each partition must be contiguous (sorted) by media_type")
   }
+
+  test("augment plan: in-range params, image-subset coverage, rerun-stable") {
+    val imgs = Multimodal.catalog(spark, sf)
+      .filter(col("media_type") === "image").count()
+    def run() = Multimodal.queries("media_augment_plan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val rows = run()
+    assert(rows.length === imgs)
+    rows.foreach { case (_, w, h, flip, cx, cy, b) =>
+      assert(flip === 0L || flip === 1L)
+      assert(cx >= 0 && cx <= w - Multimodal.CropW)
+      assert(cy >= 0 && cy <= h - Multimodal.CropH)
+      assert(b >= -10 && b <= 10)
+    }
+    // the whole point: a rerun deals identical augmentations
+    assert(rows === run())
+  }
 }
