@@ -361,4 +361,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("covariance: pair cells partial-aggregate map-side; means broadcast") {
+    val p = graft.sim.SimilarityQueries.queries("embed_covariance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the 2080-cell explosion must collapse BEFORE the shuffle — a plan
+    // that exchanges corpus×2080 rows is the 100 TB failure mode
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      p.take(3000))
+    // both 64-row mean tables broadcast back; the cells never sort-merge
+    val b = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(b >= 2, s"expected 2 broadcast mean joins, got $b")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("PQ serving: code table joins the LUT by broadcast, top-5 TakeOrdered") {
+    val p = graft.sim.SimilarityQueries.queries("sim_pq_ann")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // ADC = dictionary lookup: the corpus-side code table must join the
+    // PqM·PqK-row LUT via broadcast, and the final cut is TakeOrdered,
+    // never a global sort
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("substring spans: linear pipeline — no pair join anywhere") {
+    val p = graft.dedup.DedupQueries.queries("dedup_substring_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // coverage is semi-join + explode + count-distinct: any nested-loop
+    // or cartesian stage would mean an accidental pairwise formulation
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // gram keys are hashed before every exchange: no shuffle carries the
+    // 8-word gram text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("(g#") && !l.contains("(g,")),
+      "an exchange partitions on the raw gram string")
+  }
 }
