@@ -1,8 +1,10 @@
 package graft.events
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.ShiftLeft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
 
 /** Event-stream analytics over the `events` table (600 K rows at sf0.1) —
   * the batch forms of the streaming-shaped operators: tumbling-window
@@ -25,6 +27,16 @@ object EventsQueries {
   val SlideUs: Long = 15L * 60 * 1000000L // sliding-window slide
   val SlideCopies = 4 // 1-hour window / 15-minute slide
   val DayUs: Long = 24L * 3600 * 1000000L
+  /** Decay-counter horizon: events older than this many days (weight
+    * < 2^-62) are outside the operator. Also what bounds the streaming
+    * twin's per-key state and keeps the 2^age shift from wrapping. */
+  val MaxDecayAge: Long = 62L
+
+  /** `1L << bits` with a column shift amount (the functions.shiftleft
+    * overload only takes a literal). */
+  private def pow2(bits: Column): Column =
+    shims.column(ShiftLeft(shims.expression(lit(1L)),
+      shims.expression(bits)))
 
   /** Event time is truncated to MICROseconds: DuckDB's parquet reader
     * downcasts TIMESTAMP(NANOS) to its native µs TIMESTAMP, so µs is the
@@ -238,23 +250,32 @@ object EventsQueries {
 
   val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // recency-weighted activity: exponential-decay counts with a 1-day
-    // half-life, anchored to the newest day IN the data (deterministic
-    // on both engines, no wall clock). The weight of an age-k event is
-    // exactly 2^-k — built by integer shift + one division, never
-    // pow(): each weight is a dyadic rational ≥ 2^-30, so every partial
-    // sum is a multiple of 2^-30 far below 2^53 — the float sums are
-    // EXACT and order-independent, one more place double math is safe
-    // because the values are constructed for it. One groupBy with
-    // map-side partials; the day anchor is a 1-row broadcast.
+    // half-life over a [[MaxDecayAge]]-day horizon, anchored to the
+    // newest day IN the data (deterministic on both engines, no wall
+    // clock). An age-k event weighs exactly 2^-k — integer shift + one
+    // division, never pow(), and the shift can't wrap because the
+    // horizon caps k at 62 (mass below 2^-62 is defined out of the
+    // operator, which is also what makes streaming state finite). The
+    // corpus folds to ≤ 63 (type, age) COUNT rows first; the weight is
+    // then a fixed ascending-age left fold over that tiny list — the
+    // same fold the DuckDB oracle and the streaming twin's snapshot run
+    // verbatim, so the double is bit-equal across all three by shared
+    // op sequence, not by hoping magnitudes stay exact.
     "events_decayed_counts" -> ((s, dir) => {
       val e = events(s, dir).withColumn("day", expr(s"ts div $DayUs"))
       e.crossJoin(broadcast(e.agg(max(col("day")).as("day_max"))))
         .select(col("event_type"),
           (col("day_max") - col("day")).as("age"))
+        .filter(col("age") <= MaxDecayAge)
+        .groupBy("event_type", "age").agg(count("*").as("cnt"))
         .groupBy("event_type")
-        .agg(count("*").as("n_events"),
-          sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), " +
-            "CAST(age AS INT)) AS DOUBLE)")).as("decayed_weight"),
+        .agg(sum("cnt").as("n_events"),
+          aggregate(
+            array_sort(collect_list(struct(col("age"), col("cnt")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("cnt").cast("double") /
+              pow2(x.getField("age").cast("int")).cast("double"))
+            .as("decayed_weight"),
           min("age").as("newest_age"), max("age").as("oldest_age"))
         .orderBy("event_type")
     }),
@@ -566,12 +587,18 @@ object EventsQueries {
          |  SELECT event_type,
          |         (SELECT max(ts // $DayUs) FROM ev) - (ts // $DayUs) AS age
          |  FROM ev
+         |),
+         |inh AS (
+         |  SELECT event_type, age, count(*) AS cnt
+         |  FROM aged WHERE age <= $MaxDecayAge GROUP BY event_type, age
          |)
-         |SELECT event_type, count(*) AS n_events,
-         |       sum(1.0 / CAST((1::BIGINT << age) AS DOUBLE))
-         |         AS decayed_weight,
+         |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+         |       list_reduce(list_prepend(0.0,
+         |         list(cnt::DOUBLE / CAST(1::BIGINT << age AS DOUBLE)
+         |              ORDER BY age)),
+         |         (acc, x) -> acc + x) AS decayed_weight,
          |       min(age) AS newest_age, max(age) AS oldest_age
-         |FROM aged GROUP BY event_type ORDER BY event_type""".stripMargin),
+         |FROM inh GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "events_zorder_cells" -> {
       val zTerms = (0 until 8).map { i =>

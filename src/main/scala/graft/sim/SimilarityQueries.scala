@@ -135,24 +135,19 @@ object SimilarityQueries {
     * reaches the shuffle (a row_number window would shuffle AND sort all
     * N×K rows). The (dist, cluster) ordering key is unique per vector, so
     * the min is deterministic and equals the oracle's row_number pick. */
-  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    kmeansAssignDist(vecs, cents).select("vec_id", "cluster")
+  /** Squared L2 distance as three deterministic dot-product folds — THE
+    * one distance expression every argmin and LUT in this file builds
+    * from, so the float op sequence can never drift between them. */
+  private def sqDist(v: Column, c: Column): Column =
+    dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
 
-  /** As [[kmeansAssign]] but keeping the winning squared-L2 distance —
-    * the per-subspace quantization error the PQ code table reports. The
-    * lexicographic `min(struct(dist, cluster))` is exactly the min_by
-    * pick: the (dist, cluster) key is unique per vector, so both equal
-    * the oracle's `row_number() ORDER BY dist, cluster` row. */
-  private def kmeansAssignDist(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val d = dot(col("embedding"), col("embedding")) -
-      lit(2.0) * dot(col("embedding"), col("c")) + dot(col("c"), col("c"))
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cluster"), d.as("dist"))
+      .select(col("vec_id"), col("cluster"),
+        sqDist(col("embedding"), col("c")).as("dist"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"),
-        col("m.dist").as("dist"))
-  }
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
 
   /** Fixed-point scale for centroid means: elements quantize to multiples
     * of 2^-20 (~1e-6 — far below any clustering-relevant signal). */
@@ -249,12 +244,15 @@ object SimilarityQueries {
   }
 
   /** Joint nearest-codeword assignment with the winning distance: the
-    * [[kmeansAssignDist]] argmin per (vec_id, sub). */
+    * [[kmeansAssign]] argmin per (vec_id, sub), keeping the distance
+    * (the per-subspace quantization error the PQ code table reports).
+    * The lexicographic `min(struct(dist, cluster))` pick equals the
+    * oracle's `row_number() ORDER BY dist, cluster` row — the (dist,
+    * cluster) key is unique per vector. */
   private def pqAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val d = dot(col("embedding"), col("embedding")) -
-      lit(2.0) * dot(col("embedding"), col("c")) + dot(col("c"), col("c"))
     vecs.join(broadcast(cents), "sub")
-      .select(col("vec_id"), col("sub"), col("cluster"), d.as("dist"))
+      .select(col("vec_id"), col("sub"), col("cluster"),
+        sqDist(col("embedding"), col("c")).as("dist"))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cluster"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"),
@@ -314,10 +312,7 @@ object SimilarityQueries {
       val q = sv.filter(col("vec_id") === 0)
         .select(col("sub"), col("embedding").as("qe"))
       val lut = cb.join(broadcast(q), "sub")
-        .select(col("sub"), col("cluster"),
-          (dot(col("qe"), col("qe")) -
-            lit(2.0) * dot(col("qe"), col("c")) +
-            dot(col("c"), col("c"))).as("d"))
+        .select(col("sub"), col("cluster"), sqDist(col("qe"), col("c")).as("d"))
       val pivots = (0 until PqM).map(j =>
         max(when(col("sub") === j, col("d"))).as(s"d_$j"))
       pqAssign(sv, cb).select("vec_id", "sub", "cluster")

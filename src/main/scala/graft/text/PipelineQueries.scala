@@ -234,6 +234,9 @@ object PipelineQueries {
         .withColumn("qs",
           floor(sqrt(col("n_docs").cast("double")) * lit(TempFp) + lit(0.5))
             .cast("long"))
+        // #langs-sized, two consumers (probe side + the normalizer's
+        // broadcast build side) — without this the corpus groupBy runs twice
+        .localCheckpoint()
       counts.crossJoin(broadcast(counts.agg(sum("qs").as("qs_total"))))
         .select(col("lang"), col("n_docs"),
           (col("qs").cast("double") / col("qs_total")).as("weight"),

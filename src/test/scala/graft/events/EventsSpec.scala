@@ -304,7 +304,7 @@ class EventsSpec extends SparkSpec {
       "each over-gap opens exactly one new session")
   }
 
-  test("decayed counts: dyadic weights are EXACT — driver resum is bit-equal") {
+  test("decayed counts: driver rerun of the shared age fold is bit-equal") {
     val rows = EventsQueries.moreQueries("events_decayed_counts")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getLong(3), r.getLong(4)))
@@ -313,14 +313,18 @@ class EventsSpec extends SparkSpec {
       .selectExpr("event_type", s"ts div ${EventsQueries.DayUs} AS day")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val dayMax = ev.map(_._2).max
+    // the operator's ONE fold: per-age counts, ascending age, cnt/2^age
     val ref = ev.groupBy(_._1).map { case (t, es) =>
-      t -> es.map { case (_, d) => 1.0 / (1L << (dayMax - d)) }.sum
+      val counts = es.map { case (_, d) => d }
+        .groupBy(identity).map { case (d, o) => d -> o.length.toLong }
+      t -> (graft.streaming.DecayStream.weightOf(counts, dayMax),
+        counts.values.sum)
     }
     rows.foreach { case (t, n, w, newest, oldest) =>
-      assert(n > 0 && newest >= 0 && oldest >= newest)
-      // every weight is a dyadic rational ≥ 2^-oldest: the double sums
-      // are exact in ANY order, so driver fold == distributed sum, bit-equal
-      assert(w === ref(t), s"decayed weight drift for $t")
+      assert(newest >= 0 && oldest >= newest &&
+        oldest <= EventsQueries.MaxDecayAge)
+      assert(n === ref(t)._2, s"in-horizon count drift for $t")
+      assert(w === ref(t)._1, s"decayed weight drift for $t")
       assert(w <= n.toDouble && w > 0.0)
     }
   }

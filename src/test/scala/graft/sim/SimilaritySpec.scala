@@ -198,7 +198,8 @@ class SimilaritySpec extends SparkSpec {
       .map { case (b, ids) => b -> ids.map(_._1).sorted }
     val got = rows.groupBy(_._1)
     byBucket.values.filter(ids =>
-        ids.length >= 2 && ids.length <= 1000).foreach { ids =>
+        ids.length >= 2 &&
+          ids.length <= graft.dedup.DedupQueries.MaxPosting).foreach { ids =>
       ids.foreach { v =>
         val expected = ids.filter(_ != v)
           .map(n => (n, cosRef(vs(v), vs(n))))
