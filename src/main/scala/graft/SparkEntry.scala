@@ -8,6 +8,7 @@ import graft.events.EventsQueries
 import graft.graph.GraphXAnalytics
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
+import graft.profile.ProfileQueries
 import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries}
 import graft.sim.SimilarityQueries
 import graft.text.{PipelineQueries, TextQueries}
@@ -32,14 +33,16 @@ object SparkEntry {
       PipelineQueries.queries, DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
-      RelationalQueries.queries, RangeJoinQueries.queries, PageRank.queries)
+      RelationalQueries.queries, RangeJoinQueries.queries, PageRank.queries,
+      ProfileQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
     Seq(KeyspaceQueries.oracle, ClusterQueries.oracle, TextQueries.oracle,
       PipelineQueries.oracle, DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
-      RelationalQueries.oracle, RangeJoinQueries.oracle, PageRank.oracle)
+      RelationalQueries.oracle, RangeJoinQueries.oracle, PageRank.oracle,
+      ProfileQueries.oracle)
 
   private def merged[V](modules: Seq[Map[String, V]]): Map[String, V] = {
     val total = modules.map(_.size).sum

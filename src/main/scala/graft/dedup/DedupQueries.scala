@@ -55,6 +55,10 @@ object DedupQueries {
     * corpus, not just ones where no bucket reaches the cap. */
   val MaxPosting = 1000
 
+  /** 2^20 fixed-point grid for the s-curve's per-bin mean Jaccard (same
+    * exact-integer-sum trick as the k-means centroid means). */
+  val ScurveFp = 1048576.0
+
   /** Exact-Jaccard pairs ≥ threshold via shingle posting lists.
     *
     * One shuffle (groupBy shingle) builds posting lists; candidate pairs
@@ -77,7 +81,14 @@ object DedupQueries {
 
   /** Same pipeline over an already-shingled (possibly checkpointed)
     * frame, so a caller can share one shingle pass across consumers. */
-  private[graft] def jaccardPairsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsFrom(sh: DataFrame): DataFrame =
+    jaccardScoredFrom(sh).filter(col("jaccard") >= JaccardThreshold)
+
+  /** The pre-threshold pair stage: every candidate pair (docs sharing ≥1
+    * shingle, posting-cap contract applied) with its exact Jaccard. The
+    * dedups consume it thresholded ([[jaccardPairsFrom]]); the LSH
+    * s-curve calibration consumes the full score range. */
+  private[graft] def jaccardScoredFrom(sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val posting = sh
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -98,7 +109,6 @@ object DedupQueries {
         (col("shared").cast("double") /
           (col("sa.n_sh") + col("sb.n_sh") - col("shared")))
           .as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** (doc_id, band, sig) band-signature rows over an already-shingled
@@ -309,6 +319,56 @@ object DedupQueries {
             .as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // LSH calibration s-curve — the measurement the band geometry (b=8
+    // bands × r=2 rows) is tuned against. For every candidate pair (docs
+    // sharing ≥1 shingle; pairs at Jaccard 0 can only band-collide by
+    // hash accident, so the shared-shingle support IS the s-curve's
+    // domain), bin the exact Jaccard into tenths and measure the fraction
+    // whose minhash signatures agree on at least one band — alongside the
+    // theoretical collision probability 1-(1-s²)^b at the bin midpoint.
+    // A measured column far from theory means broken hashing or too-few
+    // minhashes; production re-runs this on a corpus sample whenever
+    // (b, r) change. Cost: the jaccardScored posting-list stage (bounded
+    // by the MaxPosting contract) + two signature joins — never corpus².
+    // The 8-band OR is one row-local expression; the product chain in
+    // `theory_rate` is written in fixed left-assoc order on both engines
+    // so the doubles match bit-for-bit.
+    "dedup_lsh_scurve" -> ((s, dir) => {
+      val sh = shingled(s, dir).localCheckpoint()
+      val mh = minhashSigs(sh)
+      val bandEq = (0 until NumBands).map { b =>
+        (col(s"sa.h${2 * b}") === col(s"sb.h${2 * b}")) &&
+          (col(s"sa.h${2 * b + 1}") === col(s"sb.h${2 * b + 1}"))
+      }.reduce(_ || _)
+      val binned = jaccardScoredFrom(sh)
+        .join(mh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(mh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(
+          least(floor(col("jaccard") * lit(10.0)), lit(9L)).as("bin"),
+          col("jaccard"),
+          when(bandEq, 1L).otherwise(0L).as("collide"))
+      // per-bin mean Jaccard on the 2^-20 fixed-point grid (exact integer
+      // sum → partition- and engine-invariant): theory evaluated at the
+      // bin's ACTUAL mean is the honest comparison when mass inside a
+      // bin is skewed (the background bin concentrates near 0.02, far
+      // from its 0.05 midpoint)
+      val agg = binned.groupBy("bin")
+        .agg(count("*").as("n_pairs"), sum(col("collide")).as("n_collide"),
+          sum(floor(col("jaccard") * lit(ScurveFp) + lit(0.5))).as("jfp"))
+        .withColumn("measured_rate",
+          col("n_collide").cast("double") / col("n_pairs"))
+        .withColumn("s_mid", (col("bin").cast("double") + lit(0.5)) / lit(10.0))
+        .withColumn("s_mean", col("jfp") / (col("n_pairs") * lit(ScurveFp)))
+      def sCurve(sCol: Column): Column = {
+        val miss = lit(1.0) - sCol * sCol
+        lit(1.0) - Seq.fill(NumBands)(miss).reduce(_ * _)
+      }
+      agg.withColumn("theory_rate", sCurve(col("s_mid")))
+        .withColumn("theory_mean", sCurve(col("s_mean")))
+        .drop("jfp")
+        .orderBy("bin")
     }),
 
     // incremental LSH dedup — the shape a production pipeline actually
@@ -606,6 +666,41 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_lsh_scurve" -> {
+      val bandOr = (0 until NumBands).map { b =>
+        s"(sa.h${2 * b} = sb.h${2 * b} AND sa.h${2 * b + 1} = sb.h${2 * b + 1})"
+      }.mkString(" OR ")
+      def missProd(v: String) =
+        Seq.fill(NumBands)(s"(1.0 - $v * $v)").mkString(" * ")
+      s"""WITH $minhashSql,
+         |$jaccardChainSql,
+         |binned AS (
+         |  SELECT CAST(least(floor(j.jaccard * 10.0), 9.0) AS BIGINT) AS bin,
+         |         j.jaccard,
+         |         CASE WHEN $bandOr THEN 1 ELSE 0 END AS collide
+         |  FROM jac j
+         |  JOIN sigs sa ON j.doc_a = sa.doc_id
+         |  JOIN sigs sb ON j.doc_b = sb.doc_id
+         |),
+         |agg AS (
+         |  SELECT bin, count(*) AS n_pairs,
+         |         CAST(sum(collide) AS BIGINT) AS n_collide,
+         |         sum(floor(jaccard * $ScurveFp + 0.5)) AS jfp
+         |  FROM binned GROUP BY bin
+         |),
+         |curve AS (
+         |  SELECT bin, n_pairs, n_collide,
+         |         n_collide::DOUBLE / n_pairs AS measured_rate,
+         |         (bin::DOUBLE + 0.5) / 10.0 AS s_mid,
+         |         jfp / (n_pairs * $ScurveFp) AS s_mean
+         |  FROM agg
+         |)
+         |SELECT bin, n_pairs, n_collide, measured_rate, s_mid,
+         |       1.0 - ${missProd("s_mid")} AS theory_rate,
+         |       s_mean, 1.0 - ${missProd("s_mean")} AS theory_mean
+         |FROM curve ORDER BY bin""".stripMargin
+    },
 
     "dedup_lsh_incremental" -> (s"WITH $minhashSql,\n" +
       (0 until NumBands).map { b =>

@@ -248,7 +248,46 @@ object EventsQueries {
         .orderBy("event_type")),
   )
 
+  /** Per-slice partial aggregate state for the incremental rollup — the
+    * schema a production pipeline PERSISTS between runs (counts, decimal
+    * sums, min/max: each a commutative monoid, so stored state merges
+    * with any later partial by the same groupBy). */
+  private[graft] def rollupPartial(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type").agg(
+      count("*").as("pn"),
+      sum(col("value").cast("decimal(18,2)")).as("pv"),
+      min(col("value")).as("pmn"),
+      max(col("value")).as("pmx"))
+
+  /** Merge of any number of [[rollupPartial]] states → the serving
+    * rollup. Decimal sums keep the merge exact, so merged == recomputed
+    * bit-for-bit regardless of how history was sliced. */
+  private[graft] def rollupMerge(parts: DataFrame): DataFrame =
+    parts.groupBy("event_type").agg(
+        sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("total_value"),
+        min(col("pmn")).as("min_value"),
+        max(col("pmx")).as("max_value"))
+      .orderBy("event_type")
+
   val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // incremental rollup maintenance (IVM): the stored per-type aggregate
+    // state of all CLOSED days merges with the newest day's raw partition
+    // — the day-over-day shape that never re-scans history. Here the
+    // "stored" side is derived in-query (the fixture has no side table);
+    // RollupMergeSpec round-trips it through parquet and proves the merge
+    // equals the full recompute under arbitrary slicings. At 100 TB the
+    // left leg is a k-row state table and the right leg scans ONE day —
+    // the rollup's cost stops growing with corpus age. The oracle is the
+    // plain full aggregation: equality IS the correctness claim.
+    "events_rollup_merge" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("day", expr(s"ts div $DayUs"))
+      val tagged = e.crossJoin(broadcast(e.agg(max(col("day")).as("day_max"))))
+      val stored = rollupPartial(tagged.filter(col("day") < col("day_max")))
+      val fresh = rollupPartial(tagged.filter(col("day") === col("day_max")))
+      rollupMerge(stored.unionByName(fresh))
+    }),
+
     // recency-weighted activity: exponential-decay counts with a 1-day
     // half-life over a [[MaxDecayAge]]-day horizon, anchored to the
     // newest day IN the data (deterministic on both engines, no wall
@@ -582,6 +621,13 @@ object EventsQueries {
 
   // lazy: eventsSql is declared below; a strict val would capture null
   lazy val moreOracle: Map[String, String] = Map(
+    "events_rollup_merge" -> (s"WITH $eventsSql\n" +
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     "events_decayed_counts" -> (s"WITH ${eventsSql},\n" +
       s"""aged AS (
          |  SELECT event_type,

@@ -326,6 +326,55 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    // IVF-PQ: the two prunings composed — the architecture a 100 TB
+    // vector corpus actually serves from (FAISS's IVFPQ shape). The IVF
+    // coarse quantizer restricts the scan to the query's NProbe nearest
+    // cells (cell-pruned I/O: at 1024 cells / nprobe 8, ~1% of the
+    // corpus is read), and within the probed cells distance is PQ
+    // asymmetric-distance — the scan touches only the 4-code table, with
+    // the query→codeword LUT broadcast. No float vector is read at query
+    // time: the corpus-side inputs are the cell assignment (one int) and
+    // the PQ codes (4 small ints) per vector — together ~33× less scan
+    // bandwidth than the float embeddings. Production refinement not
+    // modeled here: encoding RESIDUALS (vector − cell centroid) per cell
+    // sharpens the codebooks; the dataflow is identical. Both prunings,
+    // the LUT, and the fixed-order ADC sum are each bit-mirrored in the
+    // oracle, so even the approximate distances hash-match.
+    "sim_ivfpq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = coarseCentroids(e)
+      // IVF leg: the query's NProbe nearest cells, then the cell-pruned
+      // candidate id set (the posting lists an IVF index stores)
+      val qcells = e.filter(col("vec_id") === QueryVec)
+        .select(col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centroids))
+        .select(col("cell"), cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+        .orderBy(col("cos_c").desc, col("cell")).limit(NProbe)
+        .select("cell")
+      val cand = assignedCells(e)
+        .join(broadcast(qcells), "cell")
+        .filter(col("vec_id") =!= QueryVec)
+        .select("vec_id")
+      // PQ leg: codebooks + corpus codes + the query's per-subspace LUT
+      val sv = pqSubVecs(e.select("vec_id", "embedding")).localCheckpoint()
+      val cb = pqCodebooks(sv)
+      val q = sv.filter(col("vec_id") === QueryVec)
+        .select(col("sub"), col("embedding").as("qe"))
+      val lut = cb.join(broadcast(q), "sub")
+        .select(col("sub"), col("cluster"), sqDist(col("qe"), col("c")).as("d"))
+      val pivots = (0 until PqM).map(j =>
+        max(when(col("sub") === j, col("d"))).as(s"d_$j"))
+      pqAssign(sv, cb).select("vec_id", "sub", "cluster")
+        .join(cand, Seq("vec_id"), "left_semi")
+        .join(broadcast(lut), Seq("sub", "cluster"))
+        .groupBy("vec_id")
+        .agg(pivots.head, pivots.tail: _*)
+        .select(col("vec_id"),
+          (0 until PqM).map(j => col(s"d_$j")).reduce(_ + _).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(5)
+    }),
+
     // distributed k-means (Lloyd's): the clustering that trains IVF cells
     // and drives data-curation mixes. Deterministic seeds (vec_id < k),
     // fixed iteration count, decimal-exact centroid means — bit-equal to
@@ -971,10 +1020,45 @@ object SimilarityQueries {
          |WHERE c0.vec_id <> 0
          |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
 
+    // mirror of sim_ivfpq_ann: the pqAnn LUT/code chain with the query at
+    // QueryVec and an extra cell-pruned candidate semi-join (IVF leg)
+    val ivfpqSql =
+      s"""WITH $pqCtes,
+         |$assignedCellsSql,
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVec),
+         |qc AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |      ORDER BY ${Ora.cos64("q.embedding", "c.c_emb")} DESC, c.cell)
+         |      AS rk
+         |    FROM centroids c, qv q) WHERE rk <= $NProbe
+         |),
+         |cand AS (
+         |  SELECT a.vec_id FROM assigned a JOIN qc USING (cell)
+         |  WHERE a.vec_id <> $QueryVec
+         |),
+         |${(0 until PqM).map { j =>
+        s"""qs$j AS (SELECT emb AS qe FROM sv$j WHERE vec_id = $QueryVec),
+           |lut$j AS (
+           |  SELECT c.cluster, ${pqDist("q.qe", "c.c")} AS d
+           |  FROM pc$j$PqIters c, qs$j q
+           |)""".stripMargin
+      }.mkString(",\n")}
+         |SELECT c0.vec_id,
+         |       ${(0 until PqM).map(j => s"l$j.d").mkString(" + ")} AS adc_dist
+         |FROM ${(0 until PqM).map { j =>
+        (if (j == 0) s"pcode$j c$j"
+         else s"JOIN pcode$j c$j ON c0.vec_id = c$j.vec_id") +
+          s" JOIN lut$j l$j ON c$j.cluster = l$j.cluster"
+      }.mkString(" ")}
+         |JOIN cand ON c0.vec_id = cand.vec_id
+         |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
+
     Map(
       "sim_kmeans_cells" -> kmeansSql,
       "sim_pq_codes" -> pqCodesSql,
       "sim_pq_ann" -> pqAnnSql,
+      "sim_ivfpq_ann" -> ivfpqSql,
 
       "embed_norms" ->
         s"""SELECT vec_id, sqrt(${Ora.dot64("embedding", "embedding")}) AS l2_norm

@@ -62,6 +62,11 @@ object TextQueries {
   /** Merge candidates reported by the BPE pair-count step. */
   val BpeTopPairs = 20
 
+  /** Conjunctive-search query terms: one rare term ('dup' — planted in
+    * ~5% of docs) plus two common ones, so the posting-list intersection
+    * does real pruning work. */
+  val SearchTerms: Seq[String] = Seq("dup", "vector", "key")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vocabulary coverage / OOV rate per language: induce the top-K
     // corpus vocabulary (TakeOrdered, never a global sort; (freq, word)
@@ -147,6 +152,30 @@ object TextQueries {
     }),
 
     // token counting: whitespace tokens + a regex word/number tokenizer
+    // conjunctive keyword search over the inverted index — the retrieval
+    // primitive (corpus QA, targeted curation pulls: "every doc that
+    // mentions all of X, Y, Z"). The posting table (term, doc_id),
+    // distinct'd per doc, is filtered to the query terms BEFORE any
+    // grouping — at 100 TB the index is stored partitioned by term, so
+    // this filter is partition pruning and the engine reads three posting
+    // lists, not the corpus; the groupBy(doc).count = |terms| is the
+    // classic posting-list intersection, map-side combined. Terms chosen
+    // with one rare term ('dup', ~5% df) so the intersection is selective
+    // — the plan's cost is the SMALLEST posting list's size, which is the
+    // point of intersecting indexes instead of scanning text.
+    "text_search_terms" -> ((s, dir) => {
+      val terms = SearchTerms
+      val posting = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .distinct()
+      val hits = posting.groupBy("doc_id").agg(count("*").as("n_terms"))
+        .filter(col("n_terms") === terms.size)
+      docs(s, dir).join(hits, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "text_token_counts" -> ((s, dir) =>
       toksed(s, dir).select(
         col("doc_id"),
@@ -483,6 +512,26 @@ object TextQueries {
          |       CAST(sum(freq * len) - sum(freq * merges) AS DOUBLE)
          |         / sum(freq * len) AS compression
          |FROM m GROUP BY pair""".stripMargin,
+
+    "text_search_terms" -> {
+      // same token-level semantics via the unnested posting table, so the
+      // oracle exercises the identical intersection (a LIKE would match
+      // substrings, not tokens)
+      val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH posting AS (
+         |  SELECT DISTINCT doc_id, w AS term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE w IN ($termList)
+         |),
+         |hits AS (
+         |  SELECT doc_id FROM posting GROUP BY doc_id
+         |  HAVING count(*) = ${SearchTerms.size}
+         |)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN hits USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "text_token_counts" ->
       """SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft.sim
+
+import graft.SparkSpec
+
+/** IVF-PQ serving invariants, rechecked driver-side from raw embeddings:
+  * every returned neighbor must live in one of the query's NProbe probed
+  * cells (the IVF contract), and the ADC ranking must come back sorted.
+  * The ADC arithmetic itself is oracle-checked bit-for-bit by the driver
+  * gate; this spec pins the cell-pruning semantics. */
+class IvfPqSpec extends SparkSpec {
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+  private def cos(a: Seq[Double], b: Seq[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  test("every ivfpq hit sits in one of the query's probed cells") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    val centroids = vecs.filter(_._1 < SimilarityQueries.NumCells)
+    def nearestCells(v: IndexedSeq[Double], n: Int): Seq[Long] =
+      centroids.toSeq
+        .map { case (cell, c) => (cell, cos(v, c)) }
+        .sortBy { case (cell, s) => (-s, cell) }
+        .take(n).map(_._1)
+
+    val probed = nearestCells(vecs(SimilarityQueries.QueryVec),
+      SimilarityQueries.NProbe).toSet
+    val hits = graft.SparkEntry.queries("sim_ivfpq_ann")(spark, sf).collect()
+    assert(hits.length == 5)
+    val dists = hits.map(_.getDouble(1))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+      "ADC distances not ascending")
+    for (h <- hits) {
+      val id = h.getLong(0)
+      assert(id != SimilarityQueries.QueryVec)
+      val own = nearestCells(vecs(id), 1).head
+      assert(probed.contains(own),
+        s"hit $id assigned to cell $own outside probed $probed")
+    }
+  }
+}
