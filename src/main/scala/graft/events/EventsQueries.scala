@@ -592,6 +592,41 @@ object EventsQueries {
     // of the binary string — pure integer arithmetic, so bucket edges
     // are engine-exact where a double log2 could round differently at
     // powers of two. Fixed state (≤ 64 buckets) at any corpus size.
+    // per-user running lifetime value over purchases: the prefix-sum
+    // window every feature store materializes ("revenue to date at event
+    // time"). Partitioned by user, ordered by the unique (ts, event_id)
+    // key, ROWS-framed — Spark keeps one user's rows in one task and
+    // carries a single accumulator per frame, so the cost is a sort
+    // within each user's partition, parallel across users. The DECIMAL
+    // accumulator makes every prefix exact (a double accumulator would
+    // bit-drift between engines at whichever prefix first loses ulps).
+    "events_running_ltv" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("ltv_running"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // join-key skew audit — the measurement that decides between a plain
+    // shuffle join, salting, and AQE skew handling BEFORE the job runs:
+    // distinct keys bucketed by power-of-two frequency (bucket = bit
+    // length of the per-key count). A healthy key space concentrates in
+    // 2-3 adjacent buckets; a hot tail shows up as occupied high buckets
+    // whose few keys carry a large n_rows share. Two hash aggregates,
+    // both map-side combined; output is ~log2(max frequency) rows no
+    // matter the corpus size.
+    "events_key_skew" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id").agg(count("*").as("cnt"))
+        .withColumn("freq_bucket", length(bin(col("cnt"))).cast("long"))
+        .groupBy("freq_bucket")
+        .agg(count("*").as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_freq"))
+        .orderBy("freq_bucket")),
+
     "events_gap_histogram" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, dir)
@@ -684,6 +719,22 @@ object EventsQueries {
          |    AS max_lateness_us
          |FROM arr JOIN wm USING (batch)
          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "events_running_ltv" -> (s"WITH ${eventsSql}\n" +
+      """SELECT user_id, ts, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS ltv_running
+        |FROM ev WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts, event_id""".stripMargin),
+
+    "events_key_skew" -> (s"WITH ${eventsSql},\n" +
+      """c AS (SELECT user_id, count(*) AS cnt FROM ev GROUP BY user_id)
+        |SELECT CAST(length(bin(cnt)) AS BIGINT) AS freq_bucket,
+        |       count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       max(cnt) AS max_freq
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "events_gap_histogram" -> (s"WITH ${eventsSql},\n" +
       s"""g AS (

@@ -30,6 +30,9 @@ object RelationalQueries {
     (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .cast("decimal(18,4)")
 
+  /** Q18's large-order cut (the canonical TPC-H value). */
+  val Q18MinQty = 300
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: single scan, partial agg, one shuffle
     "q1_pricing_summary" -> ((s, dir) =>
@@ -89,6 +92,28 @@ object RelationalQueries {
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_date_us"), col("l_orderkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q18 (large-volume customers): the aggregate-semi-join shape —
+    // a HAVING over the fact table's per-order quantity sum selects the
+    // big orders, then the survivors join back to orders/customer. Plan:
+    // ONE corpus-sized shuffle (the partial-agg'd groupBy over lineitem);
+    // everything after runs on the tiny survivor set, with the customer
+    // dimension broadcast. The decimal sum keeps the HAVING cut exact —
+    // a double sum could flip a boundary order across partitionings.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > Q18MinQty)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
     }),
 
     // top-10 customers by revenue: fact ⋈ orders ⋈ customer, then top-k
@@ -208,6 +233,21 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, o_date_us, o_orderpriority
         |ORDER BY revenue DESC, o_date_us, l_orderkey LIMIT 10""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $Q18MinQty
+         |)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |       epoch_us(o_orderdate) AS o_date_us, o_totalprice,
+         |       CAST(sum_qty AS DOUBLE) AS sum_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "top_customers_revenue" ->
       """SELECT c_custkey, c_name,

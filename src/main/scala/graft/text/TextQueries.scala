@@ -67,6 +67,11 @@ object TextQueries {
     * does real pruning work. */
   val SearchTerms: Seq[String] = Seq("dup", "vector", "key")
 
+  /** Merge iterations run by the BPE trainer (production runs 30-50k;
+    * the DATAFLOW per iteration is what must be right, and it is
+    * identical at any count). */
+  val BpeTrainIters = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vocabulary coverage / OOV rate per language: induce the top-K
     // corpus vocabulary (TakeOrdered, never a global sort; (freq, word)
@@ -149,6 +154,57 @@ object TextQueries {
           (col("tokens_before") - col("n_merges")).as("tokens_after"),
           ((col("tokens_before") - col("n_merges")).cast("double") /
             col("tokens_before")).as("compression"))
+    }),
+
+    // the BPE TRAINING LOOP, [[BpeTrainIters]] greedy merges end-to-end —
+    // pair_stats/apply showed one step; this runs the iteration the
+    // tokenizer trainer actually loops. Words live in a bracketed symbol
+    // representation ('data' → '<d><a><t><a>'): the bracket string of a
+    // candidate pair IS its replace pattern, replacement = the pattern
+    // with the inner '><' removed, and because every symbol carries its
+    // own brackets, left-to-right `replace` is exactly the non-overlapping
+    // merge semantics with no false sub-symbol matches and no shared-
+    // boundary misses ('<a><a><a><a>' merges to '<aa><aa>', never
+    // '<aa><a><a>'). Each iteration is VOCAB-sized work (one pair count +
+    // one broadcast of the 1-row winner + one replace over the distinct-
+    // word table) — the corpus is touched once, at the word-frequency
+    // fold; 50k merges later it still has never been re-scanned. Winner
+    // pick is total: (weighted count desc, pair asc). Output: one row per
+    // iteration with the merge, its count, and the corpus-wide symbol
+    // total after — the trainer's learning curve.
+    "text_bpe_train" -> ((s, dir) => {
+      var vocab = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count("*").as("freq"))
+        .select(expr(
+            "concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))")
+          .as("r"), col("freq"))
+        .localCheckpoint()
+      val iterRows = (1 to BpeTrainIters).map { i =>
+        val top = vocab
+          .select(col("freq"),
+            expr("split(substring(r, 2, length(r) - 2), '><')").as("syms"))
+          .select(col("freq"), explode(when(size(col("syms")) >= 2,
+              expr("transform(sequence(0, size(syms) - 2), i -> concat(" +
+                "'<', element_at(syms, CAST(i + 1 AS INT)), '><', " +
+                "element_at(syms, CAST(i + 2 AS INT)), '>'))"))
+              .otherwise(array().cast("array<string>"))).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .localCheckpoint()
+        vocab = vocab.crossJoin(broadcast(top))
+          .select(expr("replace(r, pair, replace(pair, '><', ''))").as("r"),
+            col("freq"))
+          .localCheckpoint()
+        val symTotal = vocab.agg(
+          sum(col("freq") *
+            (length(col("r")) - length(expr("replace(r, '<', '')"))))
+            .as("total_symbols"))
+        top.crossJoin(symTotal)
+          .select(lit(i.toLong).as("iter"), col("pair").as("merge_pair"),
+            col("n").as("n_occurrences"), col("total_symbols"))
+      }
+      iterRows.reduce(_ unionByName _).orderBy("iter")
     }),
 
     // token counting: whitespace tokens + a regex word/number tokenizer
@@ -512,6 +568,47 @@ object TextQueries {
          |       CAST(sum(freq * len) - sum(freq * merges) AS DOUBLE)
          |         / sum(freq * len) AS compression
          |FROM m GROUP BY pair""".stripMargin,
+
+    "text_bpe_train" -> {
+      // unrolled mirror of the training loop: t{i} = the iteration-i
+      // winner, v{i} = the vocab after applying it, s{i} = the report row
+      def pairTop(v: String) =
+        s"""SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |  SELECT freq, unnest(list_transform(range(len(syms) - 1),
+           |    i -> '<' || syms[i+1] || '><' || syms[i+2] || '>')) AS pair
+           |  FROM (SELECT freq, string_split(r[2:-2], '><') AS syms FROM $v)
+           |) GROUP BY pair ORDER BY n DESC, pair LIMIT 1""".stripMargin
+      val iters = (1 to BpeTrainIters).map { i =>
+        s"""t$i AS (${pairTop(s"v${i - 1}")}),
+           |v$i AS (
+           |  SELECT replace(v.r, t.pair, replace(t.pair, '><', '')) AS r,
+           |         v.freq
+           |  FROM v${i - 1} v, t$i t
+           |),
+           |s$i AS (
+           |  SELECT CAST($i AS BIGINT) AS iter, t.pair AS merge_pair,
+           |         t.n AS n_occurrences,
+           |         (SELECT CAST(sum(freq * (length(r) -
+           |            length(replace(r, '<', '')))) AS BIGINT) FROM v$i)
+           |           AS total_symbols
+           |  FROM t$i t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |),
+         |v0 AS (
+         |  SELECT array_to_string(list_transform(string_split(w, ''),
+         |           c -> '<' || c || '>'), '') AS r, freq
+         |  FROM wf
+         |),
+         |$iters
+         |${(1 to BpeTrainIters).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")}
+         |ORDER BY iter""".stripMargin
+    },
 
     "text_search_terms" -> {
       // same token-level semantics via the unnested posting table, so the

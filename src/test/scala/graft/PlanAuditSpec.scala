@@ -51,6 +51,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q18: one partial-agg'd fact shuffle, customer broadcast, TakeOrdered") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "customer dim should broadcast")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "HAVING aggregate should be partial before the shuffle")
+  }
+
+  test("search terms: posting filter reaches the scan reader") {
+    val p = graft.text.TextQueries.queries("text_search_terms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the term filter itself is post-explode (row-local), but the scan
+    // must read only the columns the posting derivation needs
+    assert(p.contains("ReadSchema") && p.contains("doc_id"), p.take(2000))
+  }
+
+  test("ivfpq: LUT and cell list broadcast; the code table never sorts") {
+    val p = graft.sim.SimilarityQueries.queries("sim_ivfpq_ann")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "LUT join should broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-5 should be TakeOrdered, not a global sort")
+  }
+
   test("q3: date filters push to both scans; segment dim broadcasts; top-k TakeOrdered") {
     val p = plan("q3_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
