@@ -233,10 +233,11 @@ object SimilarityQueries {
     * ≤ PqM·PqK-row centroid table is checkpointed — it feeds the next
     * broadcast join, and an un-materialized broadcast build side re-runs
     * its whole upstream once per consumer. */
-  private def pqCodebooks(vecs: DataFrame): DataFrame = {
-    var cents = vecs.filter(col("vec_id") < PqK)
-      .select(col("sub"), col("vec_id").cast("long").as("cluster"),
-        col("embedding").as("c"))
+  private def pqCodebooks(vecs: DataFrame, seedOffset: Long = 0L): DataFrame = {
+    var cents = vecs
+      .filter(col("vec_id") >= seedOffset && col("vec_id") < seedOffset + PqK)
+      .select(col("sub"), (col("vec_id") - lit(seedOffset)).cast("long")
+        .as("cluster"), col("embedding").as("c"))
       .localCheckpoint()
     for (_ <- 1 to PqIters)
       cents = pqUpdate(pqAssign(vecs, cents), vecs).localCheckpoint()
@@ -367,6 +368,64 @@ object SimilarityQueries {
       pqAssign(sv, cb).select("vec_id", "sub", "cluster")
         .join(cand, Seq("vec_id"), "left_semi")
         .join(broadcast(lut), Seq("sub", "cluster"))
+        .groupBy("vec_id")
+        .agg(pivots.head, pivots.tail: _*)
+        .select(col("vec_id"),
+          (0 until PqM).map(j => col(s"d_$j")).reduce(_ + _).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(5)
+    }),
+
+    // IVF-PQ with RESIDUAL encoding — the refinement sim_ivfpq_ann names
+    // as what production FAISS actually runs: PQ codebooks are trained on
+    // (vector − its cell centroid), which concentrates the coded
+    // distribution near the origin and sharpens every codeword. Two
+    // consequences the plain variant doesn't have: (1) PQ seeds shift to
+    // vec_ids [NumCells, NumCells+PqK) — the first 8 vectors ARE the cell
+    // centroids, so their residuals are ~0 and would degenerate the
+    // codebooks; (2) the query's LUT is PER PROBED CELL (the query
+    // residual differs by cell), so the broadcast LUT is NProbe·PqM·PqK
+    // rows and candidates join it on (cell, sub, code) — ADC then
+    // approximates ‖q−x‖² = ‖(q−c)−(x−c)‖² within each cell. The
+    // residual subtraction is one correctly-rounded double op per
+    // element, so the whole chain stays bit-mirrored in the oracle.
+    "sim_ivfpq_residual_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = coarseCentroids(e)
+      val assigned = assignedCells(e).localCheckpoint()
+      val sub = expr("zip_with(embedding, c_emb, " +
+        "(a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))")
+      val resid = assigned.join(broadcast(centroids), "cell")
+        .select(col("vec_id"), col("cell"), sub.as("embedding"))
+      val rsv = pqSubVecs(resid.select("vec_id", "embedding"))
+        .localCheckpoint()
+      val cb = pqCodebooks(rsv, seedOffset = NumCells)
+      // query side: NProbe nearest cells, each with its own residual
+      val qres = e.filter(col("vec_id") === QueryVec)
+        .select(col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centroids))
+        .select(col("cell"), col("c_emb"), col("q_emb"),
+          cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+        .orderBy(col("cos_c").desc, col("cell")).limit(NProbe)
+        .select(col("cell"), expr("zip_with(q_emb, c_emb, " +
+          "(a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))").as("qr"))
+      val qsv = qres.select(col("cell"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), j -> " +
+            s"struct(CAST(j AS INT) AS sub, " +
+            s"slice(qr, j * $PqSubDim + 1, $PqSubDim) AS emb))")).as("x"))
+        .select(col("cell"), col("x.sub").as("sub"), col("x.emb").as("qe"))
+      val lut = cb.join(broadcast(qsv), "sub")
+        .select(col("cell"), col("sub"), col("cluster"),
+          sqDist(col("qe"), col("c")).as("d"))
+      val cand = assigned
+        .join(broadcast(qres.select("cell")), "cell")
+        .filter(col("vec_id") =!= QueryVec)
+        .select("vec_id", "cell")
+      val pivots = (0 until PqM).map(j =>
+        max(when(col("sub") === j, col("d"))).as(s"d_$j"))
+      pqAssign(rsv, cb).select("vec_id", "sub", "cluster")
+        .join(cand, "vec_id")
+        .join(broadcast(lut), Seq("cell", "sub", "cluster"))
         .groupBy("vec_id")
         .agg(pivots.head, pivots.tail: _*)
         .select(col("vec_id"),
@@ -961,18 +1020,18 @@ object SimilarityQueries {
     def pqDist(v: String, c: String) =
       s"${Ora.dotN(v, v, PqSubDim)} - 2 * ${Ora.dotN(v, c, PqSubDim)}" +
         s" + ${Ora.dotN(c, c, PqSubDim)}"
-    def pqAssignSql(j: Int, cents: String) =
+    def pqAssignSql(j: Int, cents: String, src: String = "sv") =
       s"""SELECT vec_id, cluster, dist FROM (
          |  SELECT v.vec_id, c.cluster, ${pqDist("v.emb", "c.c")} AS dist,
          |         row_number() OVER (PARTITION BY v.vec_id
          |           ORDER BY ${pqDist("v.emb", "c.c")}, c.cluster) AS rn
-         |  FROM sv$j v CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
-    def pqUpdateSql(j: Int, assign: String) =
+         |  FROM $src$j v CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def pqUpdateSql(j: Int, assign: String, src: String = "sv") =
       s"""SELECT cluster, list(val ORDER BY i) AS c FROM (
          |  SELECT a.cluster, ii.i,
          |         sum(floor(v.emb[ii.i + 1]::DOUBLE * $KmeansFp + 0.5))
          |           / (count(*) * $KmeansFp) AS val
-         |  FROM $assign a JOIN sv$j v USING (vec_id)
+         |  FROM $assign a JOIN $src$j v USING (vec_id)
          |  CROSS JOIN (SELECT unnest(range($PqSubDim)) AS i) ii
          |  GROUP BY a.cluster, ii.i
          |) GROUP BY cluster""".stripMargin
@@ -1054,11 +1113,79 @@ object SimilarityQueries {
          |JOIN cand ON c0.vec_id = cand.vec_id
          |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
 
+    // mirror of sim_ivfpq_residual_ann: the PQ chain re-run over residual
+    // vectors (rbase), seeds shifted past the cell-centroid ids, LUT per
+    // probed cell
+    val residIvfpqSql = {
+      val rPqCtes = (0 until PqM).map { j =>
+        val lo = j * PqSubDim + 1
+        val hi = (j + 1) * PqSubDim
+        val iters = (1 to PqIters).map { i =>
+          s"rpa$j$i AS (${pqAssignSql(j, s"rpc$j${i - 1}", "rsv")}),\n" +
+            s"rpc$j$i AS (${pqUpdateSql(j, s"rpa$j$i", "rsv")})"
+        }.mkString(",\n")
+        s"""rsv$j AS (SELECT vec_id, r[$lo:$hi] AS emb FROM rbase),
+           |rpc${j}0 AS (
+           |  SELECT CAST(vec_id - $NumCells AS BIGINT) AS cluster, emb AS c
+           |  FROM rsv$j
+           |  WHERE vec_id >= $NumCells AND vec_id < ${NumCells + PqK}
+           |),
+           |$iters,
+           |rpcode$j AS (${pqAssignSql(j, s"rpc$j$PqIters", "rsv")})""".stripMargin
+      }.mkString(",\n")
+      val qluts = (0 until PqM).map { j =>
+        val lo = j * PqSubDim + 1
+        val hi = (j + 1) * PqSubDim
+        s"""qrs$j AS (SELECT cell, qr[$lo:$hi] AS emb FROM qres),
+           |rlut$j AS (
+           |  SELECT q.cell, c.cluster, ${pqDist("q.emb", "c.c")} AS d
+           |  FROM rpc$j$PqIters c, qrs$j q
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $assignedCellsSql,
+         |rbase AS (
+         |  SELECT a.vec_id,
+         |         list_transform(range($Dim), i ->
+         |           a.embedding[i+1]::DOUBLE - c.c_emb[i+1]::DOUBLE) AS r
+         |  FROM assigned a JOIN centroids c USING (cell)
+         |),
+         |$rPqCtes,
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVec),
+         |qc AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |      ORDER BY ${Ora.cos64("q.embedding", "c.c_emb")} DESC, c.cell)
+         |      AS rk
+         |    FROM centroids c, qv q) WHERE rk <= $NProbe
+         |),
+         |qres AS (
+         |  SELECT qc.cell,
+         |         list_transform(range($Dim), i ->
+         |           q.embedding[i+1]::DOUBLE - ce.c_emb[i+1]::DOUBLE) AS qr
+         |  FROM qc JOIN centroids ce USING (cell), qv q
+         |),
+         |$qluts,
+         |cand AS (
+         |  SELECT a.vec_id, a.cell FROM assigned a JOIN qc USING (cell)
+         |  WHERE a.vec_id <> $QueryVec
+         |)
+         |SELECT c0.vec_id,
+         |       ${(0 until PqM).map(j => s"l$j.d").mkString(" + ")} AS adc_dist
+         |FROM rpcode0 c0 JOIN cand ON c0.vec_id = cand.vec_id
+         |${(0 until PqM).map { j =>
+        (if (j == 0) ""
+         else s"JOIN rpcode$j c$j ON c0.vec_id = c$j.vec_id ") +
+          s"JOIN rlut$j l$j ON cand.cell = l$j.cell AND c$j.cluster = l$j.cluster"
+      }.mkString("\n")}
+         |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
+    }
+
     Map(
       "sim_kmeans_cells" -> kmeansSql,
       "sim_pq_codes" -> pqCodesSql,
       "sim_pq_ann" -> pqAnnSql,
       "sim_ivfpq_ann" -> ivfpqSql,
+      "sim_ivfpq_residual_ann" -> residIvfpqSql,
 
       "embed_norms" ->
         s"""SELECT vec_id, sqrt(${Ora.dot64("embedding", "embedding")}) AS l2_norm

@@ -34,6 +34,8 @@ object PipelineQueries {
   val SampleK = 50 // weighted priority-sample size
   val QuotaBudget = 100L // stratified sampling budget (docs)
   val IdBuckets = 8L // range buckets for global id assignment
+  val DsirBuckets = 1024L // hashed-unigram feature space for DSIR weights
+  val DsirFp = 1048576.0 // 2^20 fixed-point grid for the mean ratio
 
   /** Largest-remainder quota allocation over (lang, source) strata —
     * one definition serving the quota report AND the materialized draw.
@@ -179,6 +181,49 @@ object PipelineQueries {
         .withColumn("overlap_frac",
           col("n_overlap").cast("double") / col("n_sh"))
         .withColumn("contaminated", col("overlap_frac") >= ContaminationFrac)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style data selection weights (Xie et al.: importance
+    // resampling toward a target domain over HASHED features). Features
+    // are fnv-hashed unigram buckets (DsirBuckets of them — at real scale
+    // the hash bucketing, not the vocabulary, bounds the model); the
+    // target distribution is the held-out benchmark set (doc_id <
+    // BenchDocs, same stand-in corpus_contamination probes), the proposal
+    // is the rest of the corpus. Per corpus doc the score is the
+    // occurrence-weighted MEAN of the Laplace-smoothed target/proposal
+    // frequency ratio on the 2^-20 fixed-point grid — the same
+    // probability-not-log policy as text_lm_likelihood, because ln() has
+    // no cross-engine bit contract while each ratio here is one division
+    // of exact integers. Plan: two bucket-count aggregates (vocab-sized),
+    // a broadcast ratio table joined to the token stream, one groupBy
+    // doc — the corpus is scanned once, nothing is ever pairwise.
+    "corpus_dsir_weights" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"),
+          (fnv1a32(col("w")) % DsirBuckets).as("f"))
+        .localCheckpoint()
+      val isBench = col("doc_id") < BenchDocs
+      val tgt = toks.filter(isBench).groupBy("f").agg(count("*").as("tc"))
+      val prop = toks.filter(!isBench).groupBy("f").agg(count("*").as("cc"))
+      val totals = toks
+        .agg(sum(when(isBench, 1L).otherwise(0L)).as("tgt_total"),
+          sum(when(!isBench, 1L).otherwise(0L)).as("prop_total"))
+      val ratios = prop.join(tgt, Seq("f"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("f"),
+          (((coalesce(col("tc"), lit(0L)) + lit(1L)) *
+            (col("prop_total") + lit(DsirBuckets))).cast("double") /
+            ((col("cc") + lit(1L)) * (col("tgt_total") + lit(DsirBuckets))))
+            .as("ratio"))
+      toks.filter(!isBench)
+        .join(broadcast(ratios), "f")
+        .groupBy("doc_id")
+        .agg(count("*").as("n_tok"),
+          sum(floor(col("ratio") * lit(DsirFp) + lit(0.5))).as("rfp"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("rfp") / (col("n_tok") * lit(DsirFp))).as("dsir_score"))
         .orderBy("doc_id")
     }),
 
@@ -631,6 +676,40 @@ object PipelineQueries {
          |  CAST(sum(n_tok) AS DOUBLE)
          |    / (((max(end_off) + ${SeqLen - 1}) // $SeqLen) * $SeqLen) AS fill_frac
          |FROM poffs GROUP BY shard ORDER BY shard""".stripMargin),
+
+    "corpus_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Ora.fnv("w")} % $DsirBuckets AS f FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |),
+         |tgt AS (
+         |  SELECT f, count(*) AS tc FROM toks
+         |  WHERE doc_id < $BenchDocs GROUP BY f
+         |),
+         |prop AS (
+         |  SELECT f, count(*) AS cc FROM toks
+         |  WHERE doc_id >= $BenchDocs GROUP BY f
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN doc_id < $BenchDocs THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS tgt_total,
+         |         CAST(sum(CASE WHEN doc_id >= $BenchDocs THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS prop_total
+         |  FROM toks
+         |),
+         |ratios AS (
+         |  SELECT p.f,
+         |         ((coalesce(t.tc, 0) + 1) * (prop_total + $DsirBuckets))::DOUBLE
+         |           / ((p.cc + 1) * (tgt_total + $DsirBuckets)) AS ratio
+         |  FROM prop p LEFT JOIN tgt t USING (f), tot
+         |)
+         |SELECT k.doc_id, count(*) AS n_tok,
+         |       sum(floor(r.ratio * $DsirFp + 0.5)) / (count(*) * $DsirFp)
+         |         AS dsir_score
+         |FROM toks k JOIN ratios r USING (f)
+         |WHERE k.doc_id >= $BenchDocs
+         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
 
     "corpus_contamination" -> (
       s"""WITH ${DedupQueries.shingledSql},

@@ -14,6 +14,27 @@ class IvfPqSpec extends SparkSpec {
   private def cos(a: Seq[Double], b: Seq[Double]): Double =
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
+  test("residual variant prunes to the same probed cells, sorted ADC") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    val centroids = vecs.filter(_._1 < SimilarityQueries.NumCells)
+    def nearest(v: IndexedSeq[Double], n: Int): Seq[Long] =
+      centroids.toSeq.map { case (cell, c) => (cell, cos(v, c)) }
+        .sortBy { case (cell, s) => (-s, cell) }.take(n).map(_._1)
+    val probed = nearest(vecs(SimilarityQueries.QueryVec),
+      SimilarityQueries.NProbe).toSet
+    val hits = graft.SparkEntry.queries("sim_ivfpq_residual_ann")(spark, sf)
+      .collect()
+    assert(hits.length == 5)
+    val dists = hits.map(_.getDouble(1))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    for (h <- hits)
+      assert(probed.contains(nearest(vecs(h.getLong(0)), 1).head))
+  }
+
   test("every ivfpq hit sits in one of the query's probed cells") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect()
