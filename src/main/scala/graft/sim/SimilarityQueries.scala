@@ -434,6 +434,73 @@ object SimilarityQueries {
         .limit(5)
     }),
 
+    // PQ recall@5 — what the 32× compression costs, measured. For the
+    // same fixed 10-query sample as sim_ann_recall, compare (a) plain
+    // PQ-ADC over the full code table and (b) IVF-PQ (cell-pruned ADC)
+    // against the EXACT L2 top-5 (PQ approximates squared L2, so L2
+    // truth is the right denominator; sim_ann_recall's legs measure
+    // against cosine truth — different contract, kept separate). The
+    // ADC scan is corpus × Q with Q fixed — the batch-serving shape —
+    // and the per-query LUTs (Q·PqM·PqK rows) broadcast.
+    "sim_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val sampled = col("vec_id") % 50 === 0 && col("vec_id") < 500
+      val qs = e.filter(sampled)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def top5(scored: DataFrame, scoreAsc: Column): DataFrame = {
+        val w = Window.partitionBy("q_id").orderBy(scoreAsc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select("q_id", "vec_id")
+      }
+      val truth = top5(e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          sqDist(col("embedding"), col("q_emb")).as("dist")), col("dist"))
+      val sv = pqSubVecs(e.select("vec_id", "embedding")).localCheckpoint()
+      val cb = pqCodebooks(sv)
+      val qsv = sv.filter(sampled)
+        .select(col("vec_id").as("q_id"), col("sub"),
+          col("embedding").as("qe"))
+      val lut = cb.join(broadcast(qsv), "sub")
+        .select(col("q_id"), col("sub"), col("cluster"),
+          sqDist(col("qe"), col("c")).as("d"))
+      val pivots = (0 until PqM).map(j =>
+        max(when(col("sub") === j, col("d"))).as(s"d_$j"))
+      val adc = pqAssign(sv, cb).select("vec_id", "sub", "cluster")
+        .join(broadcast(lut), Seq("sub", "cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(pivots.head, pivots.tail: _*)
+        .select(col("q_id"), col("vec_id"),
+          (0 until PqM).map(j => col(s"d_$j")).reduce(_ + _).as("adc_dist"))
+        .localCheckpoint() // feeds both legs
+      val pq5 = top5(adc, col("adc_dist"))
+      // IVF leg: the query's NProbe cells prune the candidate set
+      val centroids = coarseCentroids(e)
+      val qcells = qs.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("cell"),
+          cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos_c").desc, col("cell"))))
+        .filter(col("rk") <= NProbe)
+        .select("q_id", "cell")
+      val cand = assignedCells(e).select("vec_id", "cell")
+        .join(broadcast(qcells), "cell")
+        .select("q_id", "vec_id")
+      val ipq5 = top5(adc.join(cand, Seq("q_id", "vec_id")),
+        col("adc_dist"))
+      def recallOf(pred: DataFrame, method: String): DataFrame =
+        qs.select("q_id").join(
+            truth.join(pred, Seq("q_id", "vec_id"))
+              .groupBy("q_id").agg(count("*").as("hits")),
+            Seq("q_id"), "left")
+          .select(col("q_id"), lit(method).as("method"),
+            coalesce(col("hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall_at_5"))
+      recallOf(pq5, "pq").unionByName(recallOf(ipq5, "ivfpq"))
+        .orderBy("method", "q_id")
+    }),
+
     // distributed k-means (Lloyd's): the clustering that trains IVF cells
     // and drives data-curation mixes. Deterministic seeds (vec_id < k),
     // fixed iteration count, decimal-exact centroid means — bit-equal to
@@ -1180,12 +1247,72 @@ object SimilarityQueries {
          |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
     }
 
+    // mirror of sim_pq_recall: ADC over the full code table per sampled
+    // query, the IVF leg cell-pruned, both judged against exact-L2 top-5
+    val pqRecallSql = {
+      val qsvs = (0 until PqM).map { j =>
+        s"""qsv$j AS (SELECT vec_id AS q_id, emb FROM sv$j
+           |  WHERE vec_id % 50 = 0 AND vec_id < 500),
+           |plut$j AS (
+           |  SELECT q.q_id, c.cluster, ${pqDist("q.emb", "c.c")} AS d
+           |  FROM pc$j$PqIters c, qsv$j q
+           |)""".stripMargin
+      }.mkString(",\n")
+      val adcJoin = (0 until PqM).map { j =>
+        if (j == 0) s"pcode$j c$j JOIN plut$j l$j ON c$j.cluster = l$j.cluster"
+        else s"JOIN pcode$j c$j ON c0.vec_id = c$j.vec_id " +
+          s"JOIN plut$j l$j ON c$j.cluster = l$j.cluster AND l$j.q_id = l0.q_id"
+      }.mkString(" ")
+      def recallLeg(pred: String, method: String) =
+        s"""SELECT q.q_id, '$method' AS method,
+           |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           |       coalesce(h.n, 0) / 5.0 AS recall_at_5
+           |FROM qs q LEFT JOIN (
+           |  SELECT t.q_id, count(*) AS n FROM truth t JOIN $pred p
+           |    ON t.q_id = p.q_id AND t.vec_id = p.vec_id
+           |  GROUP BY t.q_id) h ON q.q_id = h.q_id""".stripMargin
+      s"""WITH $pqCtes,
+         |$assignedCellsSql,
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE vec_id % 50 = 0 AND vec_id < 500),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${distSql("e.embedding", "q.q_emb")}, e.vec_id) AS rk
+         |    FROM embeddings e, qs q WHERE e.vec_id <> q.q_id) WHERE rk <= 5
+         |),
+         |$qsvs,
+         |adc AS (
+         |  SELECT l0.q_id, c0.vec_id,
+         |         ${(0 until PqM).map(j => s"l$j.d").mkString(" + ")} AS adc_dist
+         |  FROM $adcJoin
+         |  WHERE c0.vec_id <> l0.q_id
+         |),
+         |pq5 AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_dist, vec_id) AS rk FROM adc) WHERE rk <= 5),
+         |qc AS (SELECT q_id, cell FROM (
+         |  SELECT q.q_id, c.cell, row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY ${Ora.cos64("q.q_emb", "c.c_emb")} DESC, c.cell) AS rk
+         |  FROM qs q, centroids c) WHERE rk <= $NProbe),
+         |ipq5 AS (SELECT q_id, vec_id FROM (
+         |  SELECT a.q_id, a.vec_id, row_number() OVER (PARTITION BY a.q_id
+         |    ORDER BY a.adc_dist, a.vec_id) AS rk
+         |  FROM adc a JOIN assigned s ON a.vec_id = s.vec_id
+         |  JOIN qc ON qc.q_id = a.q_id AND qc.cell = s.cell) WHERE rk <= 5)
+         |${recallLeg("pq5", "pq")}
+         |UNION ALL
+         |${recallLeg("ipq5", "ivfpq")}
+         |ORDER BY method, q_id""".stripMargin
+    }
+
     Map(
       "sim_kmeans_cells" -> kmeansSql,
       "sim_pq_codes" -> pqCodesSql,
       "sim_pq_ann" -> pqAnnSql,
       "sim_ivfpq_ann" -> ivfpqSql,
       "sim_ivfpq_residual_ann" -> residIvfpqSql,
+      "sim_pq_recall" -> pqRecallSql,
 
       "embed_norms" ->
         s"""SELECT vec_id, sqrt(${Ora.dot64("embedding", "embedding")}) AS l2_norm

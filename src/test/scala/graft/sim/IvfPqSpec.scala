@@ -35,6 +35,31 @@ class IvfPqSpec extends SparkSpec {
       assert(probed.contains(nearest(vecs(h.getLong(0)), 1).head))
   }
 
+  test("pq recall: probabilities consistent; cell pruning never adds hits") {
+    val rows = graft.SparkEntry.queries("sim_pq_recall")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.nonEmpty && rows.keys.map(_._1).toSet == Set("pq", "ivfpq"))
+    for (((_, _), (hits, recall)) <- rows) {
+      assert(hits >= 0 && hits <= 5)
+      assert(recall == hits / 5.0)
+    }
+    // the ivfpq candidate set is a SUBSET of the pq leg's (same ADC
+    // ranking, cell-pruned) — wherever pruning drops a true neighbor the
+    // recall falls, it can never rise above the unpruned leg... except
+    // when pruning evicts a FALSE positive from the top-5 and a true
+    // neighbor slides in. Assert the sane aggregate instead: mean ivfpq
+    // recall within one hit/query of mean pq recall, both positive.
+    val qids = rows.keys.map(_._2).toSet
+    val pqMean = qids.toSeq.map(q => rows(("pq", q))._2).sum / qids.size
+    val ipqMean = qids.toSeq.map(q => rows(("ivfpq", q))._2).sum / qids.size
+    assert(pqMean > 0.0, "plain PQ found nothing — codebooks degenerate?")
+    assert(ipqMean <= pqMean + 0.2,
+      s"cell-pruned recall $ipqMean implausibly above unpruned $pqMean")
+  }
+
   test("every ivfpq hit sits in one of the query's probed cells") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect()
