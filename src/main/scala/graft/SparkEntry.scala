@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.cluster.ClusterQueries
+import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
 import graft.events.EventsQueries
 import graft.graph.GraphXAnalytics
@@ -29,7 +29,8 @@ object SparkEntry {
     KeyspaceQueries.queries("kv_point_get")(spark, "/root/testdata/sf0.001")
 
   private val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
-    Seq(KeyspaceQueries.queries, ClusterQueries.queries, TextQueries.queries,
+    Seq(KeyspaceQueries.queries, ClusterQueries.queries, RingRouter.queries,
+      TextQueries.queries,
       PipelineQueries.queries, DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
@@ -37,7 +38,8 @@ object SparkEntry {
       ProfileQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
-    Seq(KeyspaceQueries.oracle, ClusterQueries.oracle, TextQueries.oracle,
+    Seq(KeyspaceQueries.oracle, ClusterQueries.oracle, RingRouter.oracle,
+      TextQueries.oracle,
       PipelineQueries.oracle, DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,

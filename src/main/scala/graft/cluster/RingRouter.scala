@@ -1,0 +1,189 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.keyspace.KvLog
+import graft.oracle.Ora
+
+/** Consistent-hash ring routing — the scale-out extension of the
+  * reference's fixed `FNV-1a(key) mod numShards` placement
+  * (`internal/coordinator/shard_registry.go:372-379`).
+  *
+  * The reference's mod placement is correct for its fixed 4-shard world,
+  * but re-keys almost the whole keyspace when the divisor changes: growing
+  * n→n+1 nodes moves an expected n/(n+1) of keys (80% at n=4). A hash ring
+  * with virtual nodes moves only ~1/(n+1) (20%) — the property that makes
+  * incremental cluster growth affordable when a shard holds terabytes.
+  * [[queries]] implements both placements and measures exactly that
+  * movement delta on the same keyspace, oracle-checked.
+  *
+  * Design for 100 TB:
+  *   - The ring ([[VNodes]] positions per node, ≤ a few hundred total) is
+  *     control-plane metadata, built driver-side like
+  *     [[ClusterQueries.healthyNodesSnapshot]] and embedded as literal
+  *     arrays. Per-key assignment is then a pure narrow projection — a
+  *     codegen'd successor scan over a ~256-long sorted literal, NO join,
+  *     NO shuffle, no 256× candidate explosion. The only exchange in the
+  *     per-node count query is the final #nodes-row aggregation.
+  *   - Ring POSITIONS use md5 (first 32 bits): positions must be uniform
+  *     on the circle, and FNV-1a on short similar strings ("n1#0","n1#1",
+  *     …) clusters badly enough to skew per-node load ~7× at 64 vnodes.
+  *     The mod comparison keeps the reference's FNV semantics — that is
+  *     the placement being measured against.
+  */
+object RingRouter {
+
+  /** Virtual nodes per physical node. 64 bounds the per-node load spread
+    * to ~±15% on the fixture (spec-asserted); variance shrinks ~1/√V. */
+  val VNodes = 64
+
+  val RingNodes: Seq[String] = Seq("n1", "n2", "n3", "n4")
+
+  /** The scale-out event measured by `route_ring_rebalance`. */
+  val JoinedNode = "n5"
+
+  /** First 32 bits of md5 as a non-negative Long — the ring's position
+    * space. Column form matches [[posOf]] bit-for-bit (spec-pinned). */
+  def pos32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Driver-side twin of [[pos32]] for ring construction. */
+  def posOf(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Sorted ring: (position, node) per virtual node. Collisions would make
+    * the successor ambiguous, so they are rejected outright (with 32-bit
+    * positions and ≤320 vnodes the collision odds are ~1e-5; a collision
+    * means "pick a different vnode naming", not "tie-break silently"). */
+  def ring(nodes: Seq[String]): Seq[(Long, String)] = {
+    val vs = for { n <- nodes; i <- 0 until VNodes }
+      yield (posOf(s"$n#$i"), n)
+    require(vs.map(_._1).distinct.size == vs.size,
+      "vnode position collision — rename vnodes")
+    vs.sortBy(_._1)
+  }
+
+  /** key → owning node under the ring: the vnode at the smallest position
+    * ≥ pos(key), wrapping to the ring's first position. Pure projection:
+    * `aggregate` counts positions below the key's (the successor's index
+    * in the sorted literal), `element_at` resolves the node. */
+  def ringNodeCol(nodes: Seq[String])(key: Column): Column = {
+    val r = ring(nodes)
+    val posArr = typedLit(r.map(_._1))
+    val nodeArr = typedLit(r.map(_._2))
+    val kp = pos32(key)
+    val below = aggregate(posArr, lit(0),
+      (acc, p) => acc + when(p < kp, 1).otherwise(0))
+    element_at(nodeArr, pmod(below, lit(r.size)) + 1)
+  }
+
+  // ---- queries -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-node key load under the 4-node ring — the balance audit that
+    // justifies VNodes=64. One narrow pass + one #nodes-row aggregate.
+    "route_ring_keys" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .select(ringNodeCol(RingNodes)(col("key")).as("node_id"))
+        .groupBy("node_id").agg(count("*").as("n_keys"))
+        .withColumn("share", col("n_keys").cast("double") /
+          sum(col("n_keys")).over(Window.partitionBy()))
+        .orderBy("node_id")),
+
+    // the scale-out measurement: fraction of keys that change owner when
+    // n5 joins, ring vs the reference's mod placement. Both assignments
+    // are projections over ONE keyspace scan; output is 2 summary rows.
+    "route_ring_rebalance" -> ((s, dir) => {
+      val before = ringNodeCol(RingNodes) _
+      val after = ringNodeCol(RingNodes :+ JoinedNode) _
+      val modBefore = concat(lit("n"),
+        (pmod(graft.hash.Fnv1a32.fnv1a32(col("key")), lit(4L)) + 1L)
+          .cast("string"))
+      val modAfter = concat(lit("n"),
+        (pmod(graft.hash.Fnv1a32.fnv1a32(col("key")), lit(5L)) + 1L)
+          .cast("string"))
+      val assigned = KvLog.state(s, dir).select(
+        (before(col("key")) =!= after(col("key"))).as("ring_moved"),
+        (modBefore =!= modAfter).as("mod_moved"))
+      assigned.agg(
+          count("*").as("n_keys"),
+          sum(when(col("ring_moved"), 1L).otherwise(0L)).as("ring_m"),
+          sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod_m"))
+        .select(explode(array(
+          struct(lit("mod").as("method"), col("n_keys"),
+            col("mod_m").as("n_moved")),
+          struct(lit("ring").as("method"), col("n_keys"),
+            col("ring_m").as("n_moved")))).as("r"))
+        .select(col("r.method"), col("r.n_keys"), col("r.n_moved"),
+          (col("r.n_moved").cast("double") / col("r.n_keys"))
+            .as("moved_frac"))
+        .orderBy("method")
+    })
+  )
+
+  // ---- oracle ------------------------------------------------------------
+
+  /** DuckDB position expression — mirror of [[pos32]]. */
+  private def posSql(e: String): String =
+    s"CAST(concat('0x', substring(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Relational (join+argmin) formulation of the successor lookup — an
+    * independent derivation of the same assignment the literal-array scan
+    * computes. `nodesVals` like "('n1'),('n2')". */
+  private def ringCte(cteName: String, nodesVals: String): String =
+    s"""${cteName}_vn AS (
+       |  SELECT n.node, ${posSql("n.node || '#' || i.range")} AS pos
+       |  FROM (VALUES $nodesVals) n(node), range($VNodes) i
+       |)""".stripMargin
+
+  private def succExpr(cteName: String): String =
+    s"""coalesce(
+       |  (SELECT v.node FROM ${cteName}_vn v WHERE v.pos >= kp
+       |   ORDER BY v.pos LIMIT 1),
+       |  (SELECT v.node FROM ${cteName}_vn v ORDER BY v.pos LIMIT 1))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private val vals4 = RingNodes.map(n => s"('$n')").mkString(",")
+  private val vals5 = (RingNodes :+ JoinedNode).map(n => s"('$n')").mkString(",")
+
+  val oracle: Map[String, String] = Map(
+    "route_ring_keys" -> (s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |assigned AS (SELECT ${succExpr("r4")} AS node_id FROM keyed),
+         |counts AS (SELECT node_id, count(*) AS n_keys FROM assigned
+         |           GROUP BY node_id)
+         |SELECT node_id, CAST(n_keys AS BIGINT) AS n_keys,
+         |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
+         |FROM counts ORDER BY node_id""".stripMargin),
+
+    "route_ring_rebalance" -> (s"WITH ${Ora.kvState},\n" +
+      s"${ringCte("r4", vals4)},\n${ringCte("r5", vals5)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp, ${Ora.fnv("key")} AS fh
+         |          FROM kv_state),
+         |assigned AS (
+         |  SELECT ${succExpr("r4")} <> ${succExpr("r5")} AS ring_moved,
+         |         'n' || (fh % 4 + 1) <> 'n' || (fh % 5 + 1) AS mod_moved
+         |  FROM keyed
+         |),
+         |summary AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |         CAST(sum(CASE WHEN ring_moved THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS ring_m,
+         |         CAST(sum(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS mod_m
+         |  FROM assigned
+         |)
+         |SELECT method, n_keys, n_moved, n_moved::DOUBLE / n_keys AS moved_frac
+         |FROM (
+         |  SELECT 'mod' AS method, n_keys, mod_m AS n_moved FROM summary
+         |  UNION ALL
+         |  SELECT 'ring', n_keys, ring_m FROM summary
+         |) ORDER BY method""".stripMargin)
+  )
+}

@@ -1,0 +1,72 @@
+package graft.cluster
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.keyspace.KvLog
+
+class RingRouterSpec extends SparkSpec {
+  import RingRouter._
+
+  test("ring positions are collision-free and pos32 matches posOf") {
+    val r = ring(RingNodes :+ JoinedNode)
+    assert(r.size == 5 * VNodes)
+    assert(r.map(_._1).distinct.size == r.size)
+    assert(r == r.sortBy(_._1))
+    // column expression ≡ driver-side twin on vnode names and real keys
+    import spark.implicits._
+    val names = r.indices.map(i => s"n${i % 5 + 1}#${i / 5}") ++
+      Seq("order:1", "order:999", "", "a")
+    val got = names.toDF("s").select(col("s"), pos32(col("s")).as("p"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    for (n <- names) assert(got(n) == posOf(n), s"pos mismatch for '$n'")
+  }
+
+  test("successor scan matches a binary-search reimplementation") {
+    val nodes = RingNodes
+    val r = ring(nodes)
+    val ps = r.map(_._1).toArray
+    def bruteAssign(key: String): String = {
+      val kp = posOf(key)
+      var lo = 0; var hi = ps.length
+      while (lo < hi) { // first index with ps(idx) >= kp
+        val mid = (lo + hi) / 2
+        if (ps(mid) >= kp) hi = mid else lo = mid + 1
+      }
+      r(lo % ps.length)._2
+    }
+    val sample = KvLog.state(spark, sf)
+      .select(col("key"), ringNodeCol(nodes)(col("key")).as("node_id"))
+      .limit(300).collect()
+    assert(sample.nonEmpty)
+    for (row <- sample)
+      assert(row.getString(1) == bruteAssign(row.getString(0)),
+        s"ring assignment diverged for key ${row.getString(0)}")
+  }
+
+  test("ring balances load and moves far fewer keys than mod on node join") {
+    val keys = queries("route_ring_keys")(spark, sf).collect()
+    assert(keys.map(_.getString(0)).toSeq == RingNodes)
+    val counts = keys.map(_.getLong(1))
+    assert(counts.max.toDouble / counts.min < 2.5,
+      s"64-vnode ring should spread load: ${counts.toSeq}")
+    val reb = queries("route_ring_rebalance")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(reb("ring") > 0.0 && reb("ring") < 0.35,
+      s"ring move frac ${reb("ring")} should sit near 1/(n+1)=0.2")
+    assert(reb("mod") > 0.6,
+      s"mod move frac ${reb("mod")} should sit near n/(n+1)=0.8")
+    assert(reb("ring") < reb("mod") / 2)
+  }
+
+  test("assignment is a pure projection: one exchange total (the count agg)") {
+    val df = queries("route_ring_keys")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan
+    val n = finalPlan.collect { case s: ShuffleExchangeLike => s }.size
+    assert(n <= 2, // partial agg + window over #nodes rows; no join exchange
+      s"expected no per-key shuffle beyond the count agg, got $n exchanges:\n" +
+        finalPlan.toString.take(2000))
+  }
+}
