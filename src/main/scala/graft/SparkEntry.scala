@@ -11,7 +11,7 @@ import graft.multimodal.Multimodal
 import graft.profile.ProfileQueries
 import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries}
 import graft.sim.SimilarityQueries
-import graft.text.{PipelineQueries, TextQueries}
+import graft.text.{BudgetQueries, PipelineQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,8 @@ object SparkEntry {
   private val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     Seq(KeyspaceQueries.queries, ClusterQueries.queries, RingRouter.queries,
       TextQueries.queries,
-      PipelineQueries.queries, DedupQueries.queries, DedupComponents.queries,
+      PipelineQueries.queries, BudgetQueries.queries,
+      DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       RelationalQueries.queries, RangeJoinQueries.queries, PageRank.queries,
@@ -40,7 +41,8 @@ object SparkEntry {
   private val oracleModules: Seq[Map[String, String]] =
     Seq(KeyspaceQueries.oracle, ClusterQueries.oracle, RingRouter.oracle,
       TextQueries.oracle,
-      PipelineQueries.oracle, DedupQueries.oracle, DedupComponents.oracle,
+      PipelineQueries.oracle, BudgetQueries.oracle,
+      DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       RelationalQueries.oracle, RangeJoinQueries.oracle, PageRank.oracle,
