@@ -40,8 +40,15 @@ object BudgetQueries {
   /** Priority weight domain — must all divide [[WLcm]]. */
   val WLcm = 12L
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_budget_waterfill" -> ((s, dir) => {
+  /** Per-epoch prefix length emitted by `corpus_epoch_order`. */
+  val EpochHead = 15
+
+  /** Epochs materialized by `corpus_epoch_order`. */
+  val Epochs = Seq(0L, 1L)
+
+  /** The allocation frame shared by the report query and the draw:
+    * (source, s_tok, w, cap, alloc_tokens, saturated), #sources rows. */
+  private[text] def allocation(s: SparkSession, dir: String): DataFrame = {
       val perSrc = s.read.parquet(s"$dir/documents.parquet")
         .groupBy("source")
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("s_tok"))
@@ -78,17 +85,86 @@ object BudgetQueries {
         .withColumn("alloc_tokens",
           when(col("saturated"), col("cap")).otherwise(least(col("cap"),
             expr("(w * (budget - sat_cap)) div w_rem"))))
+        .select("source", "s_tok", "w", "cap", "alloc_tokens", "saturated")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_budget_waterfill" -> ((s, dir) =>
+      allocation(s, dir)
         .select(col("source"), col("s_tok").as("n_tokens"),
           col("w").as("weight"), col("cap").as("cap_tokens"),
           col("alloc_tokens"), col("saturated"),
           (col("alloc_tokens").cast("double") / col("s_tok")).as("epochs"))
+        .orderBy("source")),
+
+    // the dataloader's epoch shuffle, with zero RNG state: epoch e orders
+    // documents by md5("epoch<e>#"||doc_id) — a different deterministic,
+    // coordination-free permutation per epoch, reproducible from the
+    // epoch number alone (the property a resumable training run needs).
+    // Emitting a prefix per epoch plans as TakeOrderedAndProject (per-
+    // partition top-k heaps merged on the driver, spec-pinned) — NOT a
+    // global sort; materializing a FULL epoch is the one place a total
+    // order costs a range-partitioned sort, and that is inherent to
+    // "write the dataset in epoch order".
+    "corpus_epoch_order" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      Epochs.map { e =>
+        val prefix = docs.select(lit(e).as("epoch"), col("doc_id"),
+            graft.cluster.RingRouter.pos32(
+              concat(lit(s"epoch$e#"), col("doc_id"))).as("hk"))
+          .orderBy("hk", "doc_id").limit(EpochHead)
+        prefix.select(col("epoch"),
+          row_number().over(Window.orderBy("hk", "doc_id")).cast("long")
+            .as("position"),
+          col("doc_id"))
+      }.reduce(_ unionByName _).orderBy("epoch", "position")
+    }),
+
+    // materialize the plan: each source contributes alloc/s full epochs
+    // plus a deterministic hash-prefix of documents covering the
+    // remainder (the straddling doc is taken whole, so drawn ≥ alloc and
+    // the overshoot is < the longest doc — spec-asserted). One corpus
+    // pass for per-doc tokens; the per-source cumulative sum partitions
+    // by source (#sources-way parallelism — the draw is sequential per
+    // source BY DEFINITION: each doc's inclusion depends on the tokens
+    // before it; the two-stage salted variant does not apply).
+    "corpus_budget_draw" -> ((s, dir) => {
+      // #sources rows with TWO consumers (the per-doc join's build side
+      // and the final right join) — checkpointed so the corpus-counting
+      // aggregate behind it runs once, same pattern as the temperature
+      // mix's counts
+      val alloc = allocation(s, dir)
+        .withColumn("full_epochs", expr("alloc_tokens div s_tok"))
+        .withColumn("rem_tokens", col("alloc_tokens") -
+          col("full_epochs") * col("s_tok"))
+        .localCheckpoint()
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          graft.cluster.RingRouter.pos32(
+            concat(lit("draw#"), col("doc_id"))).as("hk"))
+      val cum = Window.partitionBy("source").orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(alloc), "source")
+        .withColumn("cum_before", coalesce(sum("n_tok").over(cum), lit(0L)))
+        .filter(col("cum_before") < col("rem_tokens"))
+        .groupBy("source")
+        .agg(count("*").as("partial_docs"), sum("n_tok").as("partial_tokens"))
+        .join(alloc.select("source", "s_tok", "alloc_tokens", "full_epochs"),
+          Seq("source"), "right")
+        .select(col("source"), col("alloc_tokens"), col("full_epochs"),
+          coalesce(col("partial_docs"), lit(0L)).as("partial_docs"),
+          coalesce(col("partial_tokens"), lit(0L)).as("partial_tokens"),
+          (col("full_epochs") * col("s_tok") +
+            coalesce(col("partial_tokens"), lit(0L))).as("drawn_tokens"))
         .orderBy("source")
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "corpus_budget_waterfill" ->
-      s"""WITH per_src AS (
+  /** CTE chain ending in `alloc(source, s_tok, w, cap, alloc_tokens,
+    * saturated)` — the oracle twin of [[allocation]]. */
+  private val allocCtes =
+      s"""per_src AS (
          |  SELECT source,
          |         CAST(sum(length(string_split(text, ' '))) AS BIGINT)
          |           AS s_tok
@@ -131,16 +207,70 @@ object BudgetQueries {
          |    w_total - coalesce(
          |      max(CASE WHEN rk = j_star THEN cum_w END) OVER (), 0) AS w_rem
          |  FROM located
+         |),
+         |alloc AS (
+         |  SELECT source, s_tok, CAST(w AS BIGINT) AS w,
+         |         CAST(cap AS BIGINT) AS cap,
+         |         CAST(CASE WHEN rk <= j_star THEN cap
+         |              ELSE least(cap, (w * (budget - sat_cap)) // w_rem)
+         |         END AS BIGINT) AS alloc_tokens,
+         |         rk <= j_star AS saturated
+         |  FROM level
+         |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "corpus_budget_waterfill" ->
+      s"""WITH $allocCtes
+         |SELECT source, s_tok AS n_tokens, w AS weight,
+         |       cap AS cap_tokens, alloc_tokens, saturated,
+         |       alloc_tokens::DOUBLE / s_tok AS epochs
+         |FROM alloc ORDER BY source""".stripMargin,
+
+    "corpus_epoch_order" -> Epochs.map { e =>
+      s"""SELECT epoch, position, doc_id FROM (
+         |  SELECT $e AS epoch,
+         |         row_number() OVER (ORDER BY
+         |           CAST(concat('0x', substring(md5('epoch$e#' || doc_id),
+         |             1, 8)) AS BIGINT), doc_id) AS position,
+         |         doc_id
+         |  FROM documents
+         |) WHERE position <= $EpochHead""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY epoch, position"),
+
+    "corpus_budget_draw" ->
+      s"""WITH $allocCtes,
+         |planned AS (
+         |  SELECT source, s_tok, alloc_tokens,
+         |         alloc_tokens // s_tok AS full_epochs,
+         |         alloc_tokens % s_tok AS rem_tokens
+         |  FROM alloc
+         |),
+         |docs AS (
+         |  SELECT source, doc_id,
+         |         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         CAST(concat('0x', substring(md5('draw#' || doc_id), 1, 8))
+         |           AS BIGINT) AS hk
+         |  FROM documents
+         |),
+         |cummed AS (
+         |  SELECT d.source, d.n_tok, p.rem_tokens,
+         |         coalesce(sum(d.n_tok) OVER (PARTITION BY d.source
+         |           ORDER BY d.hk, d.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cum_before
+         |  FROM docs d JOIN planned p USING (source)
+         |),
+         |partials AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS partial_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS partial_tokens
+         |  FROM cummed WHERE cum_before < rem_tokens GROUP BY source
          |)
-         |SELECT source, s_tok AS n_tokens, CAST(w AS BIGINT) AS weight,
-         |       CAST(cap AS BIGINT) AS cap_tokens,
-         |       CAST(CASE WHEN rk <= j_star THEN cap
-         |            ELSE least(cap, (w * (budget - sat_cap)) // w_rem)
-         |       END AS BIGINT) AS alloc_tokens,
-         |       rk <= j_star AS saturated,
-         |       CAST(CASE WHEN rk <= j_star THEN cap
-         |            ELSE least(cap, (w * (budget - sat_cap)) // w_rem)
-         |       END AS DOUBLE) / s_tok AS epochs
-         |FROM level ORDER BY source""".stripMargin
+         |SELECT p.source, p.alloc_tokens, p.full_epochs,
+         |       coalesce(pa.partial_docs, 0) AS partial_docs,
+         |       coalesce(pa.partial_tokens, 0) AS partial_tokens,
+         |       p.full_epochs * p.s_tok + coalesce(pa.partial_tokens, 0)
+         |         AS drawn_tokens
+         |FROM planned p LEFT JOIN partials pa USING (source)
+         |ORDER BY p.source""".stripMargin
   )
 }

@@ -44,6 +44,51 @@ class BudgetSpec extends SparkSpec {
       assert(cap.toDouble / w <= lvl + 1.0, s"$src saturated above the level")
   }
 
+  test("draw covers the allocation; overshoot bounded by one straddler") {
+    import org.apache.spark.sql.functions._
+    val alloc = rows().map(r => r._1 -> (r._2, r._5)).toMap
+    val maxTok = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source")
+      .agg(max(size(split(col("text"), " ")).cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val draw = queries("corpus_budget_draw")(spark, sf).collect()
+    assert(draw.length == alloc.size)
+    for (r <- draw) {
+      val (src, a, fe, pd, pt, drawn) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (sTok, aTok) = alloc(src)
+      assert(a == aTok)
+      assert(fe == a / sTok, s"$src full epochs")
+      assert(drawn == fe * sTok + pt)
+      assert(drawn >= a, s"$src drew $drawn < alloc $a")
+      assert(drawn - a < maxTok(src),
+        s"$src overshoot ${drawn - a} ≥ longest doc ${maxTok(src)}")
+      assert((pd == 0) == (a % sTok == 0), s"$src partial-doc presence")
+    }
+  }
+
+  test("epoch order: distinct deterministic permutations, top-k plan") {
+    val df = queries("corpus_epoch_order")(spark, sf)
+    val out = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == Epochs.size * EpochHead)
+    val byEpoch = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    // positions are 1..EpochHead within each epoch, prefixes disagree
+    for (e <- Epochs)
+      assert(out.filter(_._1 == e).map(_._2).sorted.toSeq ==
+        (1L to EpochHead).toSeq)
+    assert(byEpoch(0L).toSeq != byEpoch(1L).toSeq,
+      "epoch permutations should differ")
+    // deterministic: a second evaluation reproduces the rows exactly
+    val again = queries("corpus_epoch_order")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+    // prefix plans as top-k, not a global sort of the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n${plan.take(1500)}")
+  }
+
   test("closed form matches the sequential greedy water-fill") {
     val rs = rows()
     // independent reimplementation: saturate sources one at a time in
