@@ -70,17 +70,18 @@ object RingRouter {
   }
 
   /** key → owning node under the ring: the vnode at the smallest position
-    * ≥ pos(key), wrapping to the ring's first position. Pure projection:
-    * `aggregate` counts positions below the key's (the successor's index
-    * in the sorted literal), `element_at` resolves the node. */
+    * ≥ pos(key), wrapping to the ring's first position. Pure projection —
+    * a codegen'd O(log V·N) binary search ([[graft.functions
+    * .SortedSuccessor]]) resolves the successor index, `element_at` the
+    * node. (The `aggregate`-over-literal-array formulation computes the
+    * same index but pays an interpreted lambda per vnode per key — 25 s
+    * vs < 1 s for one sf0.1 keyspace pass.) */
   def ringNodeCol(nodes: Seq[String])(key: Column): Column = {
     val r = ring(nodes)
-    val posArr = typedLit(r.map(_._1))
     val nodeArr = typedLit(r.map(_._2))
-    val kp = pos32(key)
-    val below = aggregate(posArr, lit(0),
-      (acc, p) => acc + when(p < kp, 1).otherwise(0))
-    element_at(nodeArr, pmod(below, lit(r.size)) + 1)
+    val idx = graft.functions.SortedSuccessor.sortedSuccessor(
+      r.map(_._1), pos32(key))
+    element_at(nodeArr, pmod(idx, lit(r.size)) + 1)
   }
 
   // ---- queries -----------------------------------------------------------

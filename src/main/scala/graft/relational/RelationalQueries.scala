@@ -33,6 +33,10 @@ object RelationalQueries {
   /** Q18's large-order cut (the canonical TPC-H value). */
   val Q18MinQty = 300
 
+  /** Q17's part filter (the fixture has no p_container; the brand cut
+    * alone stands in for Brand+container selectivity). */
+  val Q17Brand = "Brand#23"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: single scan, partial agg, one shuffle
     "q1_pricing_summary" -> ((s, dir) =>
@@ -92,6 +96,30 @@ object RelationalQueries {
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_date_us"), col("l_orderkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated-subquery
+    // shape `l_quantity < 0.2 * (SELECT avg(...) WHERE same part)`,
+    // decorrelated into a single window pass instead of the textbook
+    // aggregate+self-join: ONE scan of lineitem (brand-filtered through
+    // the broadcast part dimension, so the shuffle moves 1/#brands of
+    // the fact), windowed per-part sum+count, then the threshold test
+    // cross-multiplied into exact arithmetic — `qty·5·cnt < sum_qty`
+    // never computes the float average that would make the cut
+    // partition-order-dependent across engines.
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      val pf = t(s, dir, "part").filter(col("p_brand") === Q17Brand)
+        .select("p_partkey")
+      val w = Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        .withColumn("sum_qty", sum("qty").over(w))
+        .withColumn("cnt", count("*").over(w))
+        .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg((sum("price").cast("double") / 7.0).as("avg_yearly"))
     }),
 
     // TPC-H Q18 (large-volume customers): the aggregate-semi-join shape —
@@ -233,6 +261,18 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, o_date_us, o_orderpriority
         |ORDER BY revenue DESC, o_date_us, l_orderkey LIMIT 10""".stripMargin,
+
+    "q17_small_quantity_revenue" ->
+      s"""SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly FROM (
+         |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         |         sum(CAST(l_quantity AS DECIMAL(18,2)))
+         |           OVER (PARTITION BY l_partkey) AS sum_qty,
+         |         count(*) OVER (PARTITION BY l_partkey) AS cnt
+         |  FROM lineitem
+         |  JOIN (SELECT p_partkey FROM part WHERE p_brand = '$Q17Brand') p
+         |    ON l_partkey = p_partkey
+         |) WHERE qty * 5 * cnt < sum_qty""".stripMargin,
 
     "q18_large_orders" ->
       s"""WITH big AS (
