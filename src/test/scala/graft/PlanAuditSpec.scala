@@ -409,6 +409,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("waterfill plans one corpus scan; the rest is dimension windows") {
+    val p = graft.text.BudgetQueries.queries("corpus_budget_waterfill")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one corpus pass required, got $scans\n${p.take(2000)}")
+  }
+
+  test("q17 scans lineitem once — windowed decorrelation, no self-join") {
+    val p = graft.relational.RelationalQueries
+      .queries("q17_small_quantity_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one lineitem scan + one part scan; the textbook agg+self-join
+    // shape would scan lineitem twice
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected lineitem+part scans only, got $scans\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("substring spans: linear pipeline — no pair join anywhere") {
     val p = graft.dedup.DedupQueries.queries("dedup_substring_spans")(spark, sf)
       .queryExecution.executedPlan.toString
