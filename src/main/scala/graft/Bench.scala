@@ -51,17 +51,15 @@ object Bench {
     // untimed warmup: initialize parquet reader, codegen, and shuffle
     // machinery, and read EVERY fixture table end-to-end (all columns via
     // the noop sink) so no timed query absorbs the first cold read of a
-    // table's pages. events.parquet needs the pruned schema — its
-    // TIMESTAMP(NANOS) column is rejected by schema inference.
+    // table's pages. events.parquet goes through EventsQueries.events —
+    // the unit-normalizing reader every query uses.
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     for (t <- tables)
       try run(spark.read.parquet(s"$sfDir/$t.parquet"))
       catch { case _: Throwable => () }
     try {
-      run(spark.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-        .parquet(s"$sfDir/events.parquet"))
+      run(graft.events.EventsQueries.events(spark, sfDir))
       run(spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count())
       run(SparkEntry.entry(spark))
     } catch { case _: Throwable => () }

@@ -39,13 +39,30 @@ object EventsQueries {
       shims.expression(bits)))
 
   /** Event time is truncated to MICROseconds: DuckDB's parquet reader
-    * downcasts TIMESTAMP(NANOS) to its native µs TIMESTAMP, so µs is the
-    * finest granularity both engines can agree on. */
+    * reads TIMESTAMP(NANOS) and TIMESTAMP(MICROS) alike as its native µs
+    * TIMESTAMP, so µs is the finest granularity both engines can agree
+    * on. The fixture's physical unit has varied across driver rounds
+    * (NANOS in rounds 1-3, MICROS in round 4), so the raw INT64 is
+    * normalized by magnitude instead of assuming either: an epoch in ns
+    * exceeds 1e17 for any date after 1973-03, while an epoch in µs stays
+    * below 1e17 until year ~5138 — one codegen'd comparison per row. */
+  val RawNsFloor = 100000000000000000L // 1e17: above ⇒ nanos, below ⇒ micros
+
+  def tsUs(raw: Column): Column = {
+    // integral divide, NOT Column./ (double division would round an
+    // ~1.7e18 ns epoch at the 2^53 mantissa before dividing)
+    val ns2us = shims.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        shims.expression(raw),
+        org.apache.spark.sql.catalyst.expressions.Literal(1000L)))
+    when(raw >= RawNsFloor, ns2us).otherwise(raw)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame =
     s.read
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+      .withColumn("ts", tsUs(col("ts")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 10-minute windows per event type: the batch form of a
@@ -542,6 +559,7 @@ object EventsQueries {
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING")
         .parquet(s"$dir/events.parquet")
+        .withColumn("ts", tsUs(col("ts")))
         .withColumn("k",
           get_json_object(col("props"), "$.k").cast("long"))
       ev.groupBy("event_type")

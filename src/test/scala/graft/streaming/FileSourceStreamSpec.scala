@@ -24,7 +24,7 @@ class FileSourceStreamSpec extends SparkSpec {
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
         .parquet(inDir)
         .select(col("event_id").as("eventId"),
-          expr("ts div 1000").as("tsUs"),
+          graft.events.EventsQueries.tsUs(col("ts")).as("tsUs"),
           col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"))
         .as[Event]
