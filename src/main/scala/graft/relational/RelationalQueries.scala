@@ -224,6 +224,101 @@ object RelationalQueries {
         .filter(col("p_size") === 15 && col("p_name").contains("a"))
         .select("p_partkey", "p_name", "p_retailprice")
         .orderBy("p_partkey")),
+
+    // TPC-H Q4-shaped priority check: the EXISTS shape — orders with at
+    // least one late lineitem (shipped > 60 days after order; the fixture
+    // carries no l_commitdate/l_receiptdate, so ship-vs-order lateness
+    // substitutes). Plans as a LEFT SEMI join with the non-equi lateness
+    // predicate attached to the orderkey equi-join: each order emits at
+    // most once no matter how many lines are late — no DISTINCT, no
+    // post-join dedup, and the date filter pushes to the orders scan.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): the outer-join-
+    // distribution shape, built scale-right — orders pre-aggregate to one
+    // row per customer BEFORE the outer join (classic Q13 joins first and
+    // drags every order row through the join; pre-shrinking moves the
+    // same one corpus shuffle but joins #customers × #customers rows).
+    // Customers with no qualifying order surface through the LEFT join as
+    // coalesce(0) — the bucket the inner-join form silently drops.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey").agg(count("*").as("n"))
+      t(s, dir, "customer").select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count("*").as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q16-shaped supplier diversity: the NOT-IN anti-join +
+    // count-distinct shape. The part cut broadcasts (brand/type/size
+    // predicates prune the dimension before it ever meets the fact), the
+    // excluded-supplier set broadcasts as a LEFT ANTI join (the fixture
+    // has no supplier comments — the low-balance cut `s_acctbal < 1000`
+    // stands in, declared here and in the README row), and the distinct
+    // count runs as Spark's two-level partial-distinct aggregate — the
+    // fact table shuffles once, on the group keys.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val pf = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excl = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 1000).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc,
+          col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q22-shaped dormant high-balance customers: the decorrelated
+    // scalar-subquery + anti-join shape. The above-average-balance cut is
+    // the 1-row aggregate broadcast back over the customer scan, compared
+    // cross-multiplied in exact decimal (`bal·n > sum` — never the float
+    // average, which would make the boundary partition-order-dependent);
+    // "dormant" = no order since 2000-01-01, a LEFT ANTI join against the
+    // date-pruned orders scan (every customer in the fixture has SOME
+    // order, so plain Q22 NOT EXISTS would be empty; the recency cut is
+    // the declared substitution).
+    "q22_dormant_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
+          count("*").as("n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count("*").as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy("n_name")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -307,6 +402,57 @@ object RelationalQueries {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_size = 15 AND p_name LIKE '%a%'
         |ORDER BY p_partkey""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT coalesce(n, 0) AS c_count
+        |  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH thr AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT n_name, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS totacctbal
+        |FROM customer
+        |CROSS JOIN thr
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 
   private lazy val topPerNationSql: String =

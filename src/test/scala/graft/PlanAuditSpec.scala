@@ -428,6 +428,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("q4: EXISTS plans as one semi join — no distinct, no post-join dedup") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    // semi join emits each order at most once; a DISTINCT/dedup aggregate
+    // beyond the final groupBy would mean the inner-join+dedup anti-shape
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs <= 2, s"expected only the priority rollup (partial+final), got $aggs")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date window should push to its scan\n" + p.take(3000))
+  }
+
+  test("q13: orders pre-aggregate before the outer join") {
+    val p = plan("q13_customer_distribution")
+    // the per-customer count must sit BELOW the join (scale-right shape);
+    // plan order: final distribution agg … join … per-customer agg
+    val joinAt = p.indexOf("LeftOuter")
+    val innerAggAt = p.lastIndexOf("HashAggregate")
+    assert(joinAt >= 0, p.take(3000))
+    assert(innerAggAt > joinAt,
+      "per-customer aggregate should be planned below the outer join")
+  }
+
+  test("q16: part cut and excluded suppliers broadcast; anti join, partial distinct") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n === 2, s"part + excluded-supplier dims should broadcast, got $n")
+    assert(!p.contains("SortMergeJoin"), "the fact side must not shuffle for dims")
+  }
+
+  test("q22: threshold broadcast once; dormancy is an anti join on pruned orders") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "recency cut should push to the orders scan\n" + p.take(3000))
+    // customer scanned twice by design (threshold + main) but orders once
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 4, s"customer×2 + orders + nation = 4 scans, got $scans\n${p.take(2000)}")
+  }
+
   test("substring spans: linear pipeline — no pair join anywhere") {
     val p = graft.dedup.DedupQueries.queries("dedup_substring_spans")(spark, sf)
       .queryExecution.executedPlan.toString
