@@ -387,6 +387,34 @@ object EventsQueries {
         .orderBy(col("event_type").asc_nulls_first,
           col("value_bucket").asc_nulls_first)),
 
+    // explicit GROUPING SETS — the third leg of the rollup/cube/sets
+    // triple: exactly the requested grouping combinations ((type),
+    // (type, bucket), ()) and nothing else, where CUBE would also pay
+    // the (bucket)-only pass. Same single-shuffle expand-based plan as
+    // cube, just a smaller expansion factor — at 100 TB the skipped
+    // grouping is a whole corpus aggregation not computed. The grouping
+    // id is composed bitwise from grouping() in BOTH engines, so the
+    // "NULL because aggregated" vs "NULL in the data" ambiguity never
+    // reaches the compare.
+    "events_grouping_sets" -> ((s, dir) => {
+      val b = events(s, dir)
+        .withColumn("value_bucket",
+          when(col("value") < 50, "low").when(col("value") < 150, "mid")
+            .otherwise("high"))
+      b.groupingSets(
+          Seq(Seq(col("event_type")),
+            Seq(col("event_type"), col("value_bucket")),
+            Seq.empty[Column]),
+          col("event_type"), col("value_bucket"))
+        .agg((grouping(col("event_type")) * 2 +
+            grouping(col("value_bucket"))).cast("long").as("gid"),
+          count("*").as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("value_bucket").asc_nulls_first)
+    }),
+
     // set operation: (user, day) pairs that clicked but never purchased
     // that day (EXCEPT; user-level alone is empty — every user eventually
     // does everything in this fixture)
@@ -791,6 +819,24 @@ object EventsQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM bucketed GROUP BY CUBE (event_type, value_bucket)
         |ORDER BY event_type NULLS FIRST, value_bucket NULLS FIRST""".stripMargin),
+
+    "events_grouping_sets" -> (s"WITH ${eventsSql},\n" +
+      """bucketed AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 50 THEN 'low'
+        |              WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_bucket,
+        |         value
+        |  FROM ev
+        |)
+        |SELECT event_type, value_bucket,
+        |       CAST(2 * GROUPING(event_type) + GROUPING(value_bucket) AS BIGINT)
+        |         AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM bucketed
+        |GROUP BY GROUPING SETS ((event_type), (event_type, value_bucket), ())
+        |ORDER BY gid, event_type NULLS FIRST, value_bucket NULLS FIRST"""
+        .stripMargin),
 
     "events_click_no_purchase_day" -> (s"WITH ${eventsSql},\n" +
       """evd AS (SELECT user_id, event_type, ts // 86400000000 AS day FROM ev)

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tripwire for the driver-regenerated fixture: every assumption the
+  * engine bakes in about `/root/testdata` is asserted HERE, loudly, so a
+  * regeneration that changes an encoding or a shape fails one named spec
+  * instead of silently skewing dozens of oracle compares.
+  *
+  * Motivating incident: the round-4 regeneration switched events.ts from
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS). The then-reader divided the raw
+  * INT64 by 1000 unconditionally, every event collapsed onto day zero,
+  * and 7 data-sensitive specs failed while the queries themselves still
+  * "ran fine" — the divergence was only visible against the DuckDB
+  * oracle. These contracts make the next such change a one-line diagnosis.
+  */
+class FixtureContractSpec extends SparkSpec {
+
+  private def table(name: String) = spark.read.parquet(s"$sf/$name.parquet")
+
+  test("every fixture table carries exactly the expected columns") {
+    val expected = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    val diffs = expected.toSeq.sortBy(_._1).flatMap { case (t, cols) =>
+      val actual = table(t).columns.toSeq
+      if (actual == cols) None else Some(s"$t: expected $cols got $actual")
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
+
+  test("events raw epoch is one unit (ns or us) and lands in a sane decade") {
+    // read the physical INT64 exactly as the engine's reader does
+    val raw = spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$sf/events.parquet")
+    val r = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val floor = graft.events.EventsQueries.RawNsFloor
+    assert((lo >= floor) == (hi >= floor),
+      s"mixed epoch units in one file: min=$lo max=$hi straddle $floor")
+    // normalized event time must land in [2000, 2100): a regeneration
+    // that moves to ms or s epochs would escape this band
+    val us = graft.events.EventsQueries.events(spark, sf)
+      .agg(min("ts"), max("ts")).head()
+    val year2000Us = 946684800000000L
+    val year2100Us = 4102444800000000L
+    assert(us.getLong(0) >= year2000Us && us.getLong(1) < year2100Us,
+      s"normalized µs epochs out of band: ${us.getLong(0)}..${us.getLong(1)}")
+  }
+
+  test("date columns are timestamp-typed (inference-compatible, not NANOS)") {
+    // orders/lineitem dates are read WITHOUT explicit schemas throughout
+    // the engine: Spark rejects TIMESTAMP(NANOS) at inference, so this
+    // spec failing means every relational query just broke
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    for ((t, c) <- Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")) {
+      val dt = table(t).schema(c).dataType
+      assert(dt == TimestampType || dt == TimestampNTZType, s"$t.$c is $dt")
+    }
+  }
+
+  test("identifier keys are unique per table") {
+    val checks = Seq("events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id", "orders" -> "o_orderkey",
+      "customer" -> "c_custkey", "part" -> "p_partkey",
+      "supplier" -> "s_suppkey")
+    val dups = checks.flatMap { case (t, k) =>
+      val df =
+        if (t == "events") graft.events.EventsQueries.events(spark, sf)
+        else table(t)
+      val n = df.groupBy(col(k)).count().filter(col("count") > 1).count()
+      if (n == 0) None else Some(s"$t.$k: $n duplicated keys")
+    }
+    assert(dups.isEmpty, dups.mkString("\n"))
+  }
+
+  test("embeddings have one constant dimension and finite values") {
+    val dims = table("embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.length == 1, s"ragged embedding dims: ${dims.toSeq}")
+    val bad = table("embeddings")
+      .select(explode(col("embedding")).as("x"))
+      .filter(isnan(col("x")) || col("x").isNull).count()
+    assert(bad == 0, s"$bad NaN/null embedding components")
+  }
+
+  test("documents text is non-null and n_chars consistent") {
+    val d = table("documents")
+    assert(d.filter(col("text").isNull).count() == 0, "null document text")
+    val off = d.filter(length(col("text")) =!= col("n_chars")).count()
+    assert(off == 0, s"$off documents where n_chars != length(text)")
+  }
+}
