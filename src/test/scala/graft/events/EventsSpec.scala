@@ -166,6 +166,22 @@ class EventsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("grouping sets = cube minus the bucket-only grouping, values equal") {
+    // the law that pins WHAT the sets computation skipped: CUBE's four
+    // groupings minus (value_bucket) alone is exactly the three requested
+    // sets, and on the shared groupings every aggregate value matches
+    val gs = EventsQueries.moreQueries("events_grouping_sets")(spark, sf)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    val cube = EventsQueries.moreQueries("events_cube")(spark, sf)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val bucketOnly = cube.keySet.filter { case (t, b) => t.isEmpty && b.nonEmpty }
+    assert(gs.keySet === cube.keySet -- bucketOnly)
+    assert(bucketOnly.nonEmpty, "cube must actually contain the skipped sets")
+    for ((k, v) <- gs) assert(cube(k) === v, s"aggregate mismatch at $k")
+  }
+
   test("daily anomaly flags are exactly the |z| >= threshold days") {
     val flagged = EventsQueries.moreQueries("events_anomaly_day")(spark, sf)
       .collect()
