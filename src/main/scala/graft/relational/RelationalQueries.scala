@@ -291,6 +291,51 @@ object RelationalQueries {
           col("p_brand"), col("p_type"), col("p_size"))
     }),
 
+    // TPC-H Q14 (promo revenue share): the conditional-aggregate-ratio
+    // shape — both the filtered and the total sum come out of ONE pass
+    // over the month's lineitem (a WHERE p_type='PROMO' twin query would
+    // scan twice). Sums stay exact decimal; the percentage is written as
+    // the same two double ops on both engines (100·promo, then /total)
+    // so the final double is bit-identical.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val pf = t(s, dir, "part").select("p_partkey", "p_type")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            .as("promo_revenue"),
+          sum(revenue).cast("double").as("total_revenue"),
+          count("*").as("n_items"))
+        .withColumn("promo_pct",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+    }),
+
+    // TPC-H Q19 (disjunctive brand/size/quantity bands): the OR-of-ANDs
+    // join predicate that mixes columns from BOTH sides. Catalyst splits
+    // the disjunction per side — the part scan receives the OR of the
+    // brand+size conjunctions and the lineitem scan the OR of the
+    // quantity bands (both visible as PushedFilters, plan-pinned) — so
+    // each scan prunes before the join instead of evaluating the full
+    // predicate on the joined stream. Third band is empty at sf0.001 by
+    // selectivity; the aggregate stays non-empty from the other two.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val pf = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val bands =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 35))
+      t(s, dir, "lineitem")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey") && bands)
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count("*").as("n_items"))
+    }),
+
     // TPC-H Q22-shaped dormant high-balance customers: the decorrelated
     // scalar-subquery + anti-join shape. The above-average-balance cut is
     // the 1-row aggregate broadcast back over the customer scan, compared
@@ -436,6 +481,39 @@ object RelationalQueries {
         |                        WHERE s_acctbal < 1000)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_revenue,
+        |  count(*) AS n_items,
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS promo_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
 
     "q22_dormant_customers" ->
       """WITH thr AS (

@@ -469,6 +469,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 4, s"customer×2 + orders + nation = 4 scans, got $scans\n${p.take(2000)}")
   }
 
+  test("q14: one month-filtered fact pass feeds both conditional sums") {
+    val p = plan("q14_promo_revenue")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 2, s"lineitem + part only, got $scans\n${p.take(2000)}")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "month window should push to the lineitem scan\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q19: each side of the disjunction prunes its own scan") {
+    val p = plan("q19_disjunctive_revenue")
+    val liScan = p.linesIterator.find(_.contains("lineitem.parquet")).get
+    val partScan = p.linesIterator.find(_.contains("part.parquet")).get
+    // Catalyst splits the OR-of-ANDs per side: the quantity-band
+    // disjunction reaches the fact reader, the brand/size disjunction
+    // the dimension reader — neither side waits for the join to filter
+    assert(liScan.contains("l_quantity") && liScan.contains("Or("), liScan)
+    assert(partScan.contains("p_brand") && partScan.contains("Or("), partScan)
+  }
+
   test("substring spans: linear pipeline — no pair join anywhere") {
     val p = graft.dedup.DedupQueries.queries("dedup_substring_spans")(spark, sf)
       .queryExecution.executedPlan.toString
