@@ -18,6 +18,11 @@ import graft.oracle.Ora
   */
 object TextQueries {
 
+  /** PII patterns, shared by the flags audit and the redaction transform;
+    * kept to the regex subset Java and RE2/DuckDB interpret identically. */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongNumPat = "[0-9]{6,}"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -288,13 +293,30 @@ object TextQueries {
     "text_pii_flags" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        regexp_count(col("text"),
-          lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).cast("long")
+        regexp_count(col("text"), lit(EmailPat)).cast("long")
           .as("n_emails"),
-        regexp_count(col("text"), lit("[0-9]{6,}")).cast("long")
+        regexp_count(col("text"), lit(LongNumPat)).cast("long")
           .as("n_long_numbers"))
         .withColumn("has_pii",
           col("n_emails") > 0 || col("n_long_numbers") > 0)
+        .orderBy("doc_id")),
+
+    // PII redaction — the transform the flags query only audits: emails
+    // then long digit runs replaced with typed markers, in that order
+    // (an email's digits must not survive as a half-redacted number).
+    // Same two narrow regex passes on both engines (DuckDB needs the 'g'
+    // flag for replace-all; Spark's regexp_replace is global already),
+    // so the redacted text hash-matches bit-for-bit. Per-row, no
+    // shuffle — the 100 TB cost is exactly one corpus map pass.
+    "text_pii_redact" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        col("text"),
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+          lit(LongNumPat), lit("<NUMBER>")).as("redacted"))
+        .select(col("doc_id"), col("redacted"),
+          (col("redacted") =!= col("text")).as("changed"))
         .orderBy("doc_id")),
 
     // document fingerprinting: content hash via the engine's native
@@ -669,6 +691,18 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
         |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0
         |    OR len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUMBER>', 'g') AS redacted,
+        |  regexp_replace(
+        |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUMBER>', 'g') <> text AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
