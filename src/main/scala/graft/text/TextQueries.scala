@@ -23,6 +23,14 @@ object TextQueries {
   val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val LongNumPat = "[0-9]{6,}"
 
+  /** Context-window chunking geometry: 32-token spans every 24 tokens
+    * (25% overlap) — see `text_chunk_spans`. Production would use e.g.
+    * 1024/768; the fixture's documents top out near 100 tokens, so the
+    * smaller geometry is what makes multi-chunk docs, overlap, and the
+    * clipped last window all real in the oracle-checked output. */
+  val ChunkTokens = 32L
+  val ChunkStride = 24L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -244,6 +252,33 @@ object TextQueries {
         regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long")
           .as("n_re_tokens"))
         .orderBy("doc_id")),
+
+    // context-window chunking — the training/RAG prep step that cuts each
+    // document into fixed-size token windows with overlap: stride-96
+    // starts, 128-token spans, last window clipped to the document (a
+    // short doc is exactly one chunk). Pure integer span arithmetic over
+    // the whitespace token count — one narrow pass + a row-local explode,
+    // no shuffle, exact on both engines; the spans index into the SAME
+    // tokenization text_token_counts reports, so downstream slicing is
+    // consistent by construction.
+    "text_chunk_spans" -> ((s, dir) => {
+      val n = size(toks).cast("long")
+      toksed(s, dir)
+        .select(col("doc_id"), n.as("n_tokens"))
+        // starts needed to cover the doc: 1 + ceil(max(n-chunk,0)/stride),
+        // in exact integer arithmetic (`div`, never double `/`)
+        .withColumn("n_chunks", expr(
+          s"1 + (greatest(n_tokens - $ChunkTokens, 0L) + ${ChunkStride - 1}) " +
+            s"div $ChunkStride"))
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L), col("n_chunks") - 1L)))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * ChunkStride).as("start_tok"),
+          least(col("chunk_id") * ChunkStride + ChunkTokens,
+            col("n_tokens")).as("end_tok"))
+        .withColumn("chunk_len", col("end_tok") - col("start_tok"))
+        .orderBy("doc_id", "chunk_id")
+    }),
 
     // quality scoring: length/stopword-density composite, same IEEE double
     // op order as the oracle so the bits match
@@ -692,6 +727,35 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0
         |    OR len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_spans" ->
+      s"""WITH RECURSIVE counted AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents
+         |),
+         |planned AS (
+         |  SELECT doc_id, n_tokens,
+         |         1 + (greatest(n_tokens - $ChunkTokens, 0) + ${ChunkStride - 1})
+         |             // $ChunkStride AS n_chunks
+         |  FROM counted
+         |),
+         |series(i) AS (
+         |  SELECT CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT i + 1 FROM series
+         |  WHERE i + 1 < (SELECT max(n_chunks) FROM planned)
+         |)
+         |SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+         |       CAST(g.i * $ChunkStride AS BIGINT) AS start_tok,
+         |       CAST(least(g.i * $ChunkStride + $ChunkTokens,
+         |                  n_tokens) AS BIGINT) AS end_tok,
+         |       CAST(least(g.i * $ChunkStride + $ChunkTokens, n_tokens)
+         |            - g.i * $ChunkStride AS BIGINT) AS chunk_len
+         |FROM planned
+         |JOIN series g ON g.i < n_chunks
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_pii_redact" ->
       """SELECT doc_id,
