@@ -336,6 +336,29 @@ object RelationalQueries {
           count("*").as("n_items"))
     }),
 
+    // TPC-H Q15 (top supplier by quarterly revenue): the filter-by-
+    // aggregate-max shape, WITH ties — the per-supplier revenue view is
+    // computed once, its 1-row max broadcast back over it, and the
+    // equality cut is exact because both sides are the SAME decimal sum
+    // (a double max could tie-break differently across engines; decimal
+    // cannot). One fact shuffle for the view; everything after is
+    // broadcast-sized.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(revenue).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q22-shaped dormant high-balance customers: the decorrelated
     // scalar-subquery + anti-join shape. The above-average-balance cut is
     // the 1-row aggregate broadcast back over the customer scan, compared
@@ -514,6 +537,22 @@ object RelationalQueries {
         |       AND l_quantity BETWEEN 10 AND 25)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |           AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q22_dormant_customers" ->
       """WITH thr AS (
