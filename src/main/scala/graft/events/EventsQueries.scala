@@ -427,6 +427,19 @@ object EventsQueries {
         .orderBy("user_id", "day")
     }),
 
+    // the INTERSECT twin: (user, day) pairs that clicked AND purchased —
+    // with the EXCEPT above this completes the set-operation family the
+    // reference lacks outright. Same plan class: two filtered projections
+    // of one scan, distinct'd through a single (user, day) shuffle.
+    "events_click_and_purchase_day" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr("ts div 86400000000"))
+      ev.filter(col("event_type") === "click").select("user_id", "day")
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select("user_id", "day"))
+        .orderBy("user_id", "day")
+    }),
+
     // pivot: op counts as columns — the reference's full Gets/Puts/Deletes
     // OperationStats struct (internal/shard/shard.go:124-161), one row
     "kv_op_counters_pivot" -> ((s, dir) =>
@@ -842,6 +855,13 @@ object EventsQueries {
       """evd AS (SELECT user_id, event_type, ts // 86400000000 AS day FROM ev)
         |SELECT user_id, day FROM evd WHERE event_type = 'click'
         |EXCEPT
+        |SELECT user_id, day FROM evd WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin),
+
+    "events_click_and_purchase_day" -> (s"WITH ${eventsSql},\n" +
+      """evd AS (SELECT user_id, event_type, ts // 86400000000 AS day FROM ev)
+        |SELECT user_id, day FROM evd WHERE event_type = 'click'
+        |INTERSECT
         |SELECT user_id, day FROM evd WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin),
 
