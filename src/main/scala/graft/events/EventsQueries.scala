@@ -373,6 +373,34 @@ object EventsQueries {
         .orderBy(col("event_type").asc_nulls_first,
           col("value_bucket").asc_nulls_first)),
 
+    // weekday seasonality profile: per (type, weekday) the day count,
+    // total, per-day average, and share of the type's volume — the
+    // ingest-QA view that separates weekly periodicity from genuine
+    // anomalies (a quiet Sunday is seasonality; a quiet Tuesday is an
+    // incident). weekday 0 = Monday: epoch day 0 (1970-01-01) was a
+    // Thursday, hence the +3 before the mod — pure integer arithmetic,
+    // identical on both engines. Two tiny aggregates after the one
+    // (type, day) rollup shuffle; averages and shares are single
+    // divisions of exact integers.
+    "events_weekday_profile" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("day", expr(s"ts div $DayUs"))
+        .groupBy("event_type", "day").agg(count("*").as("n"))
+        .withColumn("weekday", pmod(col("day") + 3, lit(7L)))
+      val byWd = daily.groupBy("event_type", "weekday")
+        .agg(count("*").as("n_days"), sum("n").as("total_events"))
+      val byType = daily.groupBy("event_type")
+        .agg(sum("n").as("type_total"))
+      byWd.join(broadcast(byType), "event_type")
+        .select(col("event_type"), col("weekday"), col("n_days"),
+          col("total_events"),
+          (col("total_events").cast("double") / col("n_days"))
+            .as("avg_per_day"),
+          (col("total_events").cast("double") / col("type_total"))
+            .as("share"))
+        .orderBy("event_type", "weekday")
+    }),
+
     // CUBE: all four grouping combinations of (type, bucket) from one
     // shuffle — the cross-tab twin of events_rollup's hierarchy
     "events_cube" -> ((s, dir) =>
@@ -832,6 +860,26 @@ object EventsQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM bucketed GROUP BY CUBE (event_type, value_bucket)
         |ORDER BY event_type NULLS FIRST, value_bucket NULLS FIRST""".stripMargin),
+
+    "events_weekday_profile" -> (s"WITH ${eventsSql},\n" +
+      """daily AS (
+        |  SELECT event_type, ts // 86400000000 AS day, count(*) AS n
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |wd AS (
+        |  SELECT event_type, (day + 3) % 7 AS weekday,
+        |         count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total_events
+        |  FROM daily GROUP BY 1, 2
+        |),
+        |tt AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS type_total
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT wd.event_type, weekday, n_days, total_events,
+        |       total_events::DOUBLE / n_days AS avg_per_day,
+        |       total_events::DOUBLE / type_total AS share
+        |FROM wd JOIN tt ON wd.event_type = tt.event_type
+        |ORDER BY wd.event_type, weekday""".stripMargin),
 
     "events_grouping_sets" -> (s"WITH ${eventsSql},\n" +
       """bucketed AS (
