@@ -448,7 +448,7 @@ object EventsQueries {
     // does everything in this fixture)
     "events_click_no_purchase_day" -> ((s, dir) => {
       val ev = events(s, dir)
-        .withColumn("day", expr("ts div 86400000000"))
+        .withColumn("day", expr(s"ts div $DayUs"))
       ev.filter(col("event_type") === "click").select("user_id", "day")
         .except(ev.filter(col("event_type") === "purchase")
           .select("user_id", "day"))
@@ -461,7 +461,7 @@ object EventsQueries {
     // of one scan, distinct'd through a single (user, day) shuffle.
     "events_click_and_purchase_day" -> ((s, dir) => {
       val ev = events(s, dir)
-        .withColumn("day", expr("ts div 86400000000"))
+        .withColumn("day", expr(s"ts div $DayUs"))
       ev.filter(col("event_type") === "click").select("user_id", "day")
         .intersect(ev.filter(col("event_type") === "purchase")
           .select("user_id", "day"))
@@ -862,8 +862,8 @@ object EventsQueries {
         |ORDER BY event_type NULLS FIRST, value_bucket NULLS FIRST""".stripMargin),
 
     "events_weekday_profile" -> (s"WITH ${eventsSql},\n" +
-      """daily AS (
-        |  SELECT event_type, ts // 86400000000 AS day, count(*) AS n
+      s"""daily AS (
+        |  SELECT event_type, ts // $DayUs AS day, count(*) AS n
         |  FROM ev GROUP BY 1, 2
         |),
         |wd AS (
@@ -900,14 +900,14 @@ object EventsQueries {
         .stripMargin),
 
     "events_click_no_purchase_day" -> (s"WITH ${eventsSql},\n" +
-      """evd AS (SELECT user_id, event_type, ts // 86400000000 AS day FROM ev)
+      s"""evd AS (SELECT user_id, event_type, ts // $DayUs AS day FROM ev)
         |SELECT user_id, day FROM evd WHERE event_type = 'click'
         |EXCEPT
         |SELECT user_id, day FROM evd WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin),
 
     "events_click_and_purchase_day" -> (s"WITH ${eventsSql},\n" +
-      """evd AS (SELECT user_id, event_type, ts // 86400000000 AS day FROM ev)
+      s"""evd AS (SELECT user_id, event_type, ts // $DayUs AS day FROM ev)
         |SELECT user_id, day FROM evd WHERE event_type = 'click'
         |INTERSECT
         |SELECT user_id, day FROM evd WHERE event_type = 'purchase'

@@ -266,7 +266,10 @@ object RelationalQueries {
     }),
 
     // TPC-H Q16-shaped supplier diversity: the NOT-IN anti-join +
-    // count-distinct shape. The part cut broadcasts (brand/type/size
+    // count-distinct shape (the oracle spells it NOT EXISTS — the
+    // null-safe form that matches LEFT ANTI semantics even if a
+    // regenerated fixture ever carried a NULL supplier key; NOT IN
+    // would go all-NULL). The part cut broadcasts (brand/type/size
     // predicates prune the dimension before it ever meets the fact), the
     // excluded-supplier set broadcasts as a LEFT ANTI join (the fixture
     // has no supplier comments — the low-balance cut `s_acctbal < 1000`
@@ -500,8 +503,8 @@ object RelationalQueries {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
         |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                        WHERE s_acctbal < 1000)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 1000)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 

@@ -254,9 +254,10 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // context-window chunking — the training/RAG prep step that cuts each
-    // document into fixed-size token windows with overlap: stride-96
-    // starts, 128-token spans, last window clipped to the document (a
-    // short doc is exactly one chunk). Pure integer span arithmetic over
+    // document into fixed-size token windows with overlap: ChunkStride
+    // starts, ChunkTokens-long spans (see the constants), last window
+    // clipped to the document (a short doc is exactly one chunk). Pure
+    // integer span arithmetic over
     // the whitespace token count — one narrow pass + a row-local explode,
     // no shuffle, exact on both engines; the spans index into the SAME
     // tokenization text_token_counts reports, so downstream slicing is

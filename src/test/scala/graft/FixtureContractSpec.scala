@@ -72,6 +72,23 @@ class FixtureContractSpec extends SparkSpec {
     }
   }
 
+  test("events columns all materialize through the explicit-schema read") {
+    // events is read with an explicit schema everywhere (the ns-era
+    // reader contract), and Spark silently yields all-NULL for a column
+    // the file no longer carries — so the contract is "no nulls", not
+    // "schema equality": a dropped/renamed column fails HERE, not as an
+    // oracle hash mismatch three layers downstream
+    val ev = spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$sf/events.parquet")
+    val nulls = ev.select(ev.columns.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)).toSeq: _*).head()
+    val offenders = ev.columns.zipWithIndex
+      .collect { case (c, i) if nulls.getLong(i) > 0 => s"$c: ${nulls.getLong(i)} nulls" }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
   test("identifier keys are unique per table") {
     val checks = Seq("events" -> "event_id", "documents" -> "doc_id",
       "embeddings" -> "vec_id", "orders" -> "o_orderkey",

@@ -170,6 +170,13 @@ class EventsSpec extends SparkSpec {
     // the law that pins WHAT the sets computation skipped: CUBE's four
     // groupings minus (value_bucket) alone is exactly the three requested
     // sets, and on the shared groupings every aggregate value matches
+    // keying on the nullable (type, bucket) pair is only sound while the
+    // data itself has no NULL event_type (aggregated-NULL vs data-NULL
+    // would collide in the maps — the ambiguity the query's gid exists
+    // to prevent); assert that precondition rather than inherit it
+    assert(EventsQueries.events(spark, sf)
+      .filter(col("event_type").isNull).count() === 0L,
+      "fixture grew NULL event_type — key this law on gid instead")
     val gs = EventsQueries.moreQueries("events_grouping_sets")(spark, sf)
       .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
         (r.getLong(3), r.getDouble(4))).toMap
