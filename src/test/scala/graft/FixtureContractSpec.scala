@@ -104,6 +104,35 @@ class FixtureContractSpec extends SparkSpec {
     assert(dups.isEmpty, dups.mkString("\n"))
   }
 
+  test("date bands cover the windows the relational queries filter on") {
+    // q3/q4/q14/q15 window 1995-1996, q22's dormancy cut is 2000+; a
+    // regeneration that shifts the order calendar empties those windows
+    // and QuerySweep would only say "0 rows" — this names the cause
+    val o = table("orders")
+      .agg(min("o_orderdate"), max("o_orderdate")).head()
+    val (omin, omax) =
+      (o.get(0).toString.take(4).toInt, o.get(1).toString.take(4).toInt)
+    assert(omin <= 1995 && omax >= 2000,
+      s"orders span [$omin, $omax] no longer covers 1995..2000")
+    val l = table("lineitem")
+      .agg(min("l_shipdate"), max("l_shipdate")).head()
+    val lmin = l.get(0).toString.take(4).toInt
+    assert(lmin <= 1995 && l.get(1).toString.take(4).toInt >= 1996,
+      s"lineitem ship span starts $lmin — the 1995/1996 windows empty")
+  }
+
+  test("events cover enough distinct days for the daily analytics") {
+    // weekday profile needs all 7 weekdays; anomaly/retention/decay need
+    // a multi-day series — one day of events would zero them all
+    val days = graft.events.EventsQueries.events(spark, sf)
+      .select(expr(s"ts div ${graft.events.EventsQueries.DayUs}").as("day"))
+      .distinct()
+    val nDays = days.count()
+    assert(nDays >= 7, s"only $nDays distinct event days")
+    val nWeekdays = days.select(pmod(col("day") + 3, lit(7L))).distinct().count()
+    assert(nWeekdays === 7L, s"only $nWeekdays of 7 weekdays present")
+  }
+
   test("embeddings have one constant dimension and finite values") {
     val dims = table("embeddings")
       .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
