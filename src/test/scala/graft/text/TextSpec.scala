@@ -80,6 +80,45 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("chunk spans: full coverage, exact stride, clipped tail — property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val C = TextQueries.ChunkTokens
+    val S = TextQueries.ChunkStride
+    // the pure span plan for a doc of n tokens, as the query computes it
+    def spans(n: Long): Seq[(Long, Long)] = {
+      val chunks = 1 + (math.max(n - C, 0) + S - 1) / S
+      (0L until chunks).map(i => (i * S, math.min(i * S + C, n)))
+    }
+    val prop = Prop.forAll(Gen.chooseNum(0L, 5000L)) { n =>
+      val ss = spans(n)
+      val coverage = ss.forall { case (a, b) => a <= b } &&
+        ss.head._1 == 0 && ss.last._2 == math.max(n, 0) &&
+        // consecutive starts are exactly one stride apart, and every
+        // token position is inside some span (no gap: next start is
+        // before the previous end whenever more than one chunk exists)
+        ss.sliding(2).forall {
+          case Seq((a1, b1), (a2, _)) => a2 == a1 + S && a2 < b1
+          case _ => true
+        }
+      // only the FIRST chunk of an undersized doc, and the last chunk,
+      // may be shorter than C
+      val sized = ss.dropRight(1).drop(if (n < C) 1 else 0)
+        .forall { case (a, b) => b - a == C }
+      coverage && sized
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("chunk spans query ties to the pure plan on every fixture doc") {
+    val rows = TextQueries.queries("text_chunk_spans")(spark, sf)
+      .groupBy("doc_id")
+      .agg(max("end_tok").as("covered"), count("*").as("n_chunks"))
+      .join(TextQueries.queries("text_token_counts")(spark, sf)
+        .select(col("doc_id"), col("n_ws_tokens")), "doc_id")
+    val off = rows.filter(col("covered") =!= col("n_ws_tokens")).count()
+    assert(off === 0L, s"$off docs where chunk coverage != token count")
+  }
+
   test("pii flags count planted emails and long digit runs") {
     import java.nio.file.Files
     import spark.implicits._
