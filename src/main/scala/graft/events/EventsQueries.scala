@@ -58,9 +58,16 @@ object EventsQueries {
     when(raw >= RawNsFloor, ns2us).otherwise(raw)
   }
 
+  /** Raw physical schema of events.parquet (ts as the raw INT64 epoch;
+    * see [[tsUs]]). One definition — the engine, the bench warmup, and
+    * the fixture-contract specs must all read the same contract. */
+  val RawSchema =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+  val RawSchemaWithProps = RawSchema + ", props STRING"
+
   def events(s: SparkSession, dir: String): DataFrame =
     s.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .schema(RawSchema)
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", tsUs(col("ts")))
 
@@ -625,8 +632,7 @@ object EventsQueries {
     // exact integers.
     "events_props_stats" -> ((s, dir) => {
       val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
+        .schema(RawSchemaWithProps)
         .parquet(s"$dir/events.parquet")
         .withColumn("ts", tsUs(col("ts")))
         .withColumn("k",

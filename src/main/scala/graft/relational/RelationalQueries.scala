@@ -30,6 +30,9 @@ object RelationalQueries {
     (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .cast("decimal(18,4)")
 
+  /** timestamp literal for the fixture's date columns. */
+  private def date(d: String) = lit(d).cast("timestamp")
+
   /** Q18's large-order cut (the canonical TPC-H value). */
   val Q18MinQty = 300
 
@@ -41,7 +44,7 @@ object RelationalQueries {
     // TPC-H Q1-shaped pricing summary: single scan, partial agg, one shuffle
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .filter(col("l_shipdate") <= date("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
@@ -76,7 +79,7 @@ object RelationalQueries {
     // not carry — o_orderpriority substitutes (same plan shape; the
     // substitution is declared here and in the README row).
     "q3_shipping_priority" -> ((s, dir) => {
-      val cutoff = lit("1995-03-15").cast("timestamp")
+      val cutoff = date("1995-03-15")
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val ord = t(s, dir, "orders")
@@ -234,8 +237,8 @@ object RelationalQueries {
     // post-join dedup, and the date filter pushes to the orders scan.
     "q4_order_priority" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >= date("1995-01-01") &&
+          col("o_orderdate") < date("1996-01-01"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
       ord.join(li,
@@ -303,8 +306,8 @@ object RelationalQueries {
     "q14_promo_revenue" -> ((s, dir) => {
       val pf = t(s, dir, "part").select("p_partkey", "p_type")
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        .filter(col("l_shipdate") >= date("1995-09-01") &&
+          col("l_shipdate") < date("1995-10-01"))
         .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", revenue)
@@ -341,17 +344,20 @@ object RelationalQueries {
 
     // TPC-H Q15 (top supplier by quarterly revenue): the filter-by-
     // aggregate-max shape, WITH ties — the per-supplier revenue view is
-    // computed once, its 1-row max broadcast back over it, and the
-    // equality cut is exact because both sides are the SAME decimal sum
-    // (a double max could tie-break differently across engines; decimal
-    // cannot). One fact shuffle for the view; everything after is
-    // broadcast-sized.
+    // computed once (checkpointed: both its max and the equality cut read
+    // the materialized #suppliers-sized view, so the fact table is
+    // scanned once — without it the two branches each re-derive the
+    // whole view, and plan audit showed no exchange reuse), its 1-row
+    // max broadcast back over it, and the equality cut is exact because
+    // both sides are the SAME decimal sum (a double max could tie-break
+    // differently across engines; decimal cannot).
     "q15_top_supplier" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .filter(col("l_shipdate") >= date("1996-01-01") &&
+          col("l_shipdate") < date("1996-04-01"))
         .groupBy("l_suppkey")
         .agg(sum(revenue).as("total_rev"))
+        .localCheckpoint()
       val top = rev.agg(max(col("total_rev")).as("max_rev"))
       rev.crossJoin(broadcast(top))
         .filter(col("total_rev") === col("max_rev"))
@@ -377,7 +383,7 @@ object RelationalQueries {
         .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
           count("*").as("n"))
       val recent = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >= date("2000-01-01"))
         .select("o_custkey")
       cust.crossJoin(broadcast(thr))
         .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))

@@ -44,7 +44,7 @@ class FixtureContractSpec extends SparkSpec {
   test("events raw epoch is one unit (ns or us) and lands in a sane decade") {
     // read the physical INT64 exactly as the engine's reader does
     val raw = spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .schema(graft.events.EventsQueries.RawSchema)
       .parquet(s"$sf/events.parquet")
     val r = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
@@ -79,8 +79,7 @@ class FixtureContractSpec extends SparkSpec {
     // "schema equality": a dropped/renamed column fails HERE, not as an
     // oracle hash mismatch three layers downstream
     val ev = spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
+      .schema(graft.events.EventsQueries.RawSchemaWithProps)
       .parquet(s"$sf/events.parquet")
     val nulls = ev.select(ev.columns.map(c =>
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)).toSeq: _*).head()
@@ -109,16 +108,14 @@ class FixtureContractSpec extends SparkSpec {
     // regeneration that shifts the order calendar empties those windows
     // and QuerySweep would only say "0 rows" — this names the cause
     val o = table("orders")
-      .agg(min("o_orderdate"), max("o_orderdate")).head()
-    val (omin, omax) =
-      (o.get(0).toString.take(4).toInt, o.get(1).toString.take(4).toInt)
+      .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate")))).head()
+    val (omin, omax) = (o.getInt(0), o.getInt(1))
     assert(omin <= 1995 && omax >= 2000,
       s"orders span [$omin, $omax] no longer covers 1995..2000")
     val l = table("lineitem")
-      .agg(min("l_shipdate"), max("l_shipdate")).head()
-    val lmin = l.get(0).toString.take(4).toInt
-    assert(lmin <= 1995 && l.get(1).toString.take(4).toInt >= 1996,
-      s"lineitem ship span starts $lmin — the 1995/1996 windows empty")
+      .agg(min(year(col("l_shipdate"))), max(year(col("l_shipdate")))).head()
+    assert(l.getInt(0) <= 1995 && l.getInt(1) >= 1996,
+      s"lineitem ship span [${l.getInt(0)}, ${l.getInt(1)}] misses 1995/1996")
   }
 
   test("events cover enough distinct days for the daily analytics") {

@@ -489,6 +489,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(partScan.contains("p_brand") && partScan.contains("Or("), partScan)
   }
 
+  test("q15 scans the fact table once — revenue view checkpointed") {
+    val p = plan("q15_top_supplier")
+    // post-checkpoint, both the max and the equality cut read the
+    // materialized view: the only parquet scan left is the supplier dim
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"supplier scan only, got $scans\n${p.take(2000)}")
+  }
+
   test("substring spans: linear pipeline — no pair join anywhere") {
     val p = graft.dedup.DedupQueries.queries("dedup_substring_spans")(spark, sf)
       .queryExecution.executedPlan.toString

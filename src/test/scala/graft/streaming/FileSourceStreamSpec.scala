@@ -21,7 +21,7 @@ class FileSourceStreamSpec extends SparkSpec {
     val inDir = Files.createDirectory(base.resolve("in")).toString
     try {
       val stream = spark.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .schema(graft.events.EventsQueries.RawSchema)
         .parquet(inDir)
         .select(col("event_id").as("eventId"),
           graft.events.EventsQueries.tsUs(col("ts")).as("tsUs"),
