@@ -2,21 +2,148 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.mutable.ArrayBuffer
 
+/** Adaptive measurement logic, separated from the Spark plumbing so the
+  * contention defense itself is unit-testable (BenchLogicSpec simulates a
+  * host-load window and asserts `totalClean` stays within 15% of the quiet
+  * total — the round-4 verdict's acceptance test, deterministic in CI).
+  *
+  * The threat model, observed twice (rounds 2 and 4): the driver's bench
+  * lands during sustained host load, every sample of a handful of queries
+  * inflates 3-15x, and min-of-2 repeats records the contended number as if
+  * clean (149.3 s emitted for a suite that replays at 114.5 s). Defenses:
+  *
+  *   - **committed records**: `bench_record.json` (a clean run's
+  *     bench_detail.json, committed) gives every query a clean-time prior.
+  *     A measured min exceeding [[SuspectRatio]]x its record triggers extra
+  *     repeats — a genuine regression reproduces under re-runs, a host
+  *     stall eventually yields one clean sample;
+  *   - **bounded escalation**: at most [[MaxAttempts]] total samples per
+  *     query; a query still suspect after that is flagged `contended` and
+  *     its committed record (the best clean estimate) feeds `totalClean`
+  *     while the measured min still feeds `total` — the artifact carries
+  *     both numbers plus the flags, so a reader can separate code cost
+  *     from host luck;
+  *   - **sentinel turbulence**: the fixed constant-cost probe interleaved
+  *     every [[Bench.SentinelEvery]] queries marks blocks where the host
+  *     was loaded; queries WITHOUT a record (new this round) get an extra
+  *     repeat inside turbulent blocks and are flagged if their best two
+  *     samples still disagree by more than [[AgreePct]].
+  */
+object BenchLogic {
+
+  /** Records below this (seconds) are timer-noise territory; the 3x
+    * suspicion test uses max(record, floor) so a 10 ms query measured at
+    * 40 ms does not escalate. */
+  val RecordFloor = 0.05
+  val SuspectRatio = 3.0
+  val AgreePct = 0.20
+  val MaxAttempts = 6
+  val TurbulenceRatio = 2.0
+
+  final case class Outcome(name: String, samples: Vector[Double],
+                           best: Double, clean: Double, contended: Boolean)
+
+  final case class SuiteResult(outcomes: Vector[Outcome],
+                               sentinel: Vector[Double]) {
+    def total: Double = outcomes.collect { case o if o.best >= 0 => o.best }.sum
+    def totalClean: Double =
+      outcomes.collect { case o if o.clean >= 0 => o.clean }.sum
+    def contendedNames: Vector[String] =
+      outcomes.collect { case o if o.contended => o.name }
+  }
+
+  def bestTwoAgree(ok: Seq[Double]): Boolean = {
+    val s = ok.sorted
+    s.size >= 2 && (s(1) - s(0)) <= AgreePct * s(0)
+  }
+
+  private def suspect(okMin: Double, record: Option[Double]): Boolean =
+    record.exists(r => okMin > SuspectRatio * math.max(r, RecordFloor))
+
+  /** Measure one query adaptively. `runOnce` returns elapsed seconds or a
+    * negative value for failure. Escalation re-runs while the best sample
+    * still exceeds 3x the committed record; once escalated it also demands
+    * the best two samples agree within 20% before trusting the min. */
+  def measure(name: String, runOnce: () => Double, record: Option[Double],
+              baseRepeats: Int, turbulent: Boolean): Outcome = {
+    var samples = Vector.fill(baseRepeats)(0.0).map(_ => runOnce())
+    if (turbulent && record.isEmpty && samples.size < MaxAttempts)
+      samples :+= runOnce()
+    def ok = samples.filter(_ >= 0)
+    var escalated = false
+    while (ok.nonEmpty && samples.size < MaxAttempts &&
+           (suspect(ok.min, record) || (escalated && !bestTwoAgree(ok)))) {
+      escalated = true
+      samples :+= runOnce()
+    }
+    val okF = ok
+    if (okF.isEmpty) Outcome(name, samples, -1.0, -1.0, contended = false)
+    else {
+      val best = okF.min
+      val contended = suspect(best, record) ||
+        (record.isEmpty && turbulent && !bestTwoAgree(okF))
+      // contended + record: the committed clean time is the best available
+      // estimate of code cost (measured min is provably host-inflated).
+      // contended + no record: nothing better than the measured min exists;
+      // keep it but leave the flag so the reader discounts it.
+      val clean =
+        if (contended) record.map(r => math.min(best, r)).getOrElse(best)
+        else best
+      Outcome(name, samples, best, clean, contended)
+    }
+  }
+
+  /** Drive a whole suite: sentinel bracketing every `sentinelEvery`
+    * queries, turbulence derived from the latest sentinel vs the committed
+    * clean sentinel median (fallback: median observed so far). */
+  def runSuite(queries: Seq[(String, () => Double)], sentinel: () => Double,
+               records: Map[String, Double], recordSentinelMed: Option[Double],
+               baseRepeats: Int = 2, sentinelEvery: Int = 10): SuiteResult = {
+    val sentinels = ArrayBuffer[Double](sentinel())
+    def cleanSentMed: Double = recordSentinelMed.getOrElse {
+      val s = sentinels.sorted; s(s.size / 2)
+    }
+    val outcomes = queries.zipWithIndex.map { case ((name, runOnce), i) =>
+      val turbulent = sentinels.last > TurbulenceRatio * math.max(cleanSentMed, 0.01)
+      val o = measure(name, runOnce, records.get(name), baseRepeats, turbulent)
+      if ((i + 1) % sentinelEvery == 0) sentinels += sentinel()
+      o
+    }.toVector
+    sentinels += sentinel()
+    SuiteResult(outcomes, sentinels.toVector)
+  }
+
+  /** Minimal extractor for our own self-generated bench_detail.json format
+    * (flat "queries" object of name:number, flat "sentinel" array). Returns
+    * (per-query records, sentinel median); negative entries (recorded
+    * failures) are dropped. Tolerant: any parse miss yields empty. */
+  def loadRecord(text: String): (Map[String, Double], Option[Double]) = {
+    val qre = "\"queries\":\\{([^}]*)\\}".r
+    val sre = "\"sentinel\":\\[([^\\]]*)\\]".r
+    val pair = "\"([^\"]+)\":(-?[0-9.]+)".r
+    val queries = qre.findFirstMatchIn(text).map { m =>
+      pair.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2).toDouble)
+        .filter(_._2 >= 0).toMap
+    }.getOrElse(Map.empty)
+    val sentMed = sre.findFirstMatchIn(text).flatMap { m =>
+      val xs = m.group(1).split(",").toSeq.filter(_.nonEmpty)
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).sorted
+      if (xs.isEmpty) None else Some(xs(xs.size / 2))
+    }
+    (queries, sentMed)
+  }
+}
+
 /** Benchmark harness, hardened to be contention-auditable.
   *
-  * Round 2's driver run recorded 1147 s for a suite that replays at 93 s
-  * under the same configuration — non-uniform host stalls inflated single
-  * cold timings and nothing in the artifact could prove it. Three defenses:
-  *
-  *   - every query runs [[Repeats]] times and reports the MIN (the best
-  *     observation is the one least polluted by external load; all repeat
-  *     times are also emitted under "samples" so a reader can see spread);
-  *   - a fixed sentinel query (region groupBy — constant work, ~10 ms)
-  *     is interleaved every [[SentinelEvery]] queries and its time series
-  *     is emitted under "sentinel": drift in a constant-cost probe
-  *     timestamps host contention directly into the JSON;
-  *   - a query that throws records `-1` (never a small elapsed time
-  *     indistinguishable from success) and its exception under "errors".
+  * Round 2's driver run recorded 1147 s for a suite that replays at 93 s;
+  * round 4's recorded 149.3 s for a committed-clean 114.5 s. Defenses (see
+  * [[BenchLogic]] for the adaptive core): committed clean records trigger
+  * extra repeats for any query measured >3x its record; still-suspect
+  * queries are flagged `contended` and `total_clean` substitutes their
+  * committed record; a fixed sentinel query timestamps host load directly
+  * into the artifact; failures record `-1`, never a small elapsed time.
   */
 object Bench {
 
@@ -48,6 +175,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Committed clean-run records (bench_record.json = a clean run's
+    // bench_detail.json, updated only when a quiet-host run is committed).
+    // Records are sf-specific: only honored when the record's "sf" matches
+    // this run's, so an sf0.01 dev loop never compares against sf0.1 times.
+    val recordPath = sys.env.getOrElse("SPARK_GRAFT_RECORD", "bench_record.json")
+    val (records, recordSentMed) =
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(recordPath)), "UTF-8")
+        if (text.contains("\"sf\":\"" + sfDir + "\"")) BenchLogic.loadRecord(text)
+        else (Map.empty[String, Double], None)
+      } catch { case _: Throwable => (Map.empty[String, Double], None) }
+
     // untimed warmup: initialize parquet reader, codegen, and shuffle
     // machinery, and read EVERY fixture table end-to-end (all columns via
     // the noop sink) so no timed query absorbs the first cold read of a
@@ -72,13 +213,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val sentinelTimes = ArrayBuffer[Double]()
     val errors = ArrayBuffer[(String, String)]()
-    val samples = ArrayBuffer[(String, Seq[Double])]()
-    sentinelTimes += sentinelOnce()
-    val results = SparkEntry.queries.toSeq.zipWithIndex.map {
-      case ((name, fn), i) =>
-        val times = (0 until Repeats).map { _ =>
+    // sorted-name execution order: bench-over-bench per-query diffs stay
+    // cache-warmth-comparable as queries are added (hash order moved
+    // neighbors around every round).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = BenchLogic.runSuite(
+      ordered.map { case (name, fn) =>
+        name -> { () =>
           val t0 = System.nanoTime()
           val failed =
             try { run(fn(spark, sfDir)); false }
@@ -97,45 +239,46 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           if (failed) -1.0 else t
         }
-        samples += name -> times
-        if ((i + 1) % SentinelEvery == 0) sentinelTimes += sentinelOnce()
-        // min over successful repeats; -1 marks an always-failing query
-        val ok = times.filter(_ >= 0)
-        name -> (if (ok.nonEmpty) ok.min else -1.0)
-    }
-    sentinelTimes += sentinelOnce()
+      },
+      sentinelOnce _, records, recordSentMed,
+      baseRepeats = Repeats, sentinelEvery = SentinelEvery)
 
     // The driver captures only the LAST 2000 characters of stdout; rounds 2
     // and 3 emitted a single ~6 KB line (full per-query samples inline) and
     // the driver recorded `"parsed": null` both times — the artifact was a
     // truncated fragment. Two outputs now:
     //   - bench_detail.json (cwd): the complete record — every query's min
-    //     and raw repeat samples, the full sentinel series, full errors;
+    //     and raw repeat samples, the full sentinel series, full errors,
+    //     contended flags;
     //   - stdout: ONE compact JSON line, packed to stay under the capture
-    //     budget — headline total, sentinel median/max (the contention
-    //     signal), and the slowest queries greedily added until the line
-    //     would exceed ~1800 chars, with the rest summarized under "others".
+    //     budget — headline total + total_clean, sentinel median/max (the
+    //     contention signal), and the slowest queries greedily added until
+    //     the line would exceed ~1800 chars, the rest under "others".
     // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
     // decimal default locale would emit "0,339" and corrupt both JSON
     // outputs (exactly the parsed:null failure this format exists to fix)
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    val sortedSent = sentinelTimes.sorted
+    val results = suite.outcomes.map(o => o.name -> o.best)
+    val total = suite.total
+    val totalClean = suite.totalClean
+    val contended = suite.contendedNames
+    val sortedSent = suite.sentinel.sorted
     val sentMed = sortedSent(sortedSent.size / 2)
     val sentMax = sortedSent.last
 
     val detail = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      val sampleJson = samples.map { case (k, ts) =>
-        "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
+      val sampleJson = suite.outcomes.map { o =>
+        "\"" + o.name + "\":" + o.samples.map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val sentinelJson = sentinelTimes.map(r3).mkString("[", ",", "]")
+      val sentinelJson = suite.sentinel.map(r3).mkString("[", ",", "]")
       val errJson = errors.map { case (k, msg) =>
         "\"" + k + "\":\"" + jsonEscape(msg) + "\""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"repeats":$Repeats,"samples":$sampleJson,"sentinel":$sentinelJson,"errors":$errJson,"sf":"$sfDir"}"""
+      val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"contended":$contJson,"queries":$qs,"repeats":$Repeats,"samples":$sampleJson,"sentinel":$sentinelJson,"errors":$errJson,"record":"${if (records.isEmpty) "none" else recordPath}","sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -146,7 +289,7 @@ object Bench {
     var used = 0
     for ((k, v) <- byTime) {
       val entry = "\"" + k + "\":" + r3(v) + ","
-      if (used + entry.length < budget - 300) { // reserve room for the frame
+      if (used + entry.length < budget - 360) { // reserve room for the frame
         shown += k -> v; used += entry.length
       }
     }
@@ -155,7 +298,7 @@ object Bench {
     val restSum = rest.collect { case (_, t) if t >= 0 => t }.sum
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"repeats":$Repeats,"errors":${errors.size},"sentinel_med":${r3(sentMed)},"sentinel_max":${r3(sentMax)},"queries":$qs,"others":{"n":${rest.size},"sum":${r3(restSum)}},"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"n_contended":${contended.size},"n_queries":${results.size},"repeats":$Repeats,"errors":${errors.size},"sentinel_med":${r3(sentMed)},"sentinel_max":${r3(sentMax)},"queries":$qs,"others":{"n":${rest.size},"sum":${r3(restSum)}},"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,15 +132,56 @@ object EventsQueries {
           expr("percentile(value, 0.99)").as("p99"))
         .orderBy("event_type")),
 
-    // sketch path: HyperLogLog++ distinct counts — at 100 TB exact
-    // countDistinct shuffles every distinct value; the sketch is fixed-size
-    // per group and merges associatively. No DuckDB oracle (sketch
-    // estimates are engine-specific); EventsSpec bounds the error vs exact.
-    "events_approx_users" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count("*").as("n"))
-        .orderBy("event_type")),
+    // sketch path, ORACLE-CHECKED: deterministic register HyperLogLog
+    // (p=6, m=64 registers) over the engine's own fnv1a32 — unlike
+    // approx_count_distinct's engine-private xxhash64 sketch, every step
+    // is reproducible in ANSI SQL, so even the ESTIMATE oracle-checks
+    // bit-for-bit. bucket = low 6 hash bits; rank = leading zeros of the
+    // remaining 26-bit window + 1 (w=0 → 27, via 27 − bitlength(w)). The
+    // harmonic mean is evaluated in EXACT integer space: Z27 = Σ over all
+    // 64 registers of 2^(27−M_j), absent registers carrying M_j=0 → 2^27
+    // (max Σ = 2^33, no overflow), so the only floating-point ops are one
+    // constant product (0.709 × 2^39 — a power-of-two scale, exact in
+    // IEEE) and one division by an exactly-representable integer —
+    // bit-identical on any IEEE-754 engine. The small-range (linear
+    // counting) correction — raw ≤ 2.5m and zero registers present →
+    // m·ln(m/V) — needs a transcendental, but its argument domain is the
+    // 64 rationals 64/V, and Java's Math.log and DuckDB's ln() were
+    // verified bit-identical by enumeration over all 64 (the branch
+    // PREDICATE compares the bit-exact raw estimate, so branch choice is
+    // engine-invariant too). At 100 TB the shuffle carries 64 bytes of
+    // registers per group instead of the distinct user set; countDistinct
+    // here is the verification column, not the serving path.
+    "events_approx_users" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val reg = ev
+        .select(col("event_type"),
+          graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")).as("h"))
+        .withColumn("bucket", expr("h % 64"))
+        .withColumn("w", expr("h div 64"))
+        .withColumn("rank", when(col("w") === 0L, lit(27))
+          .otherwise(lit(27) - length(conv(col("w"), 10, 2))))
+        .groupBy("event_type", "bucket")
+        .agg(max("rank").as("mr"))
+      val est = reg.groupBy("event_type")
+        .agg(sum(pow2(lit(27) - col("mr"))).as("zp"),
+          count(lit(1)).as("nreg"))
+        .withColumn("z27",
+          col("zp") + (lit(64L) - col("nreg")) * lit(134217728L))
+        .withColumn("v", lit(64L) - col("nreg")) // zero registers
+        // 0.709 × m² × 2^27 = 0.709 × 2^39: exact power-of-two scaling
+        .withColumn("raw",
+          lit(0.709) * lit(549755813888.0) / col("z27").cast("double"))
+        .withColumn("approx_users",
+          when(col("raw") <= 160.0 && col("v") > 0L,
+            lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+            .otherwise(col("raw")))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+        .select("event_type", "approx_users", "exact_users")
+        .orderBy("event_type")
+    }),
 
     // sketch path, ORACLE-CHECKED: KMV bottom-k distinct estimate over the
     // engine's own fnv1a32 hashes — deterministic, so unlike the HLL row
@@ -1040,7 +1081,7 @@ object EventsQueries {
          |FROM kx GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
-  private val eventsSql =
+  private[events] val eventsSql =
     """ev AS (
       |  SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value
       |  FROM events
@@ -1145,6 +1186,49 @@ object EventsQueries {
          |SELECT k.event_type, k.kmv_users, e.exact_users
          |FROM kmv k JOIN exact e USING (event_type)
          |ORDER BY k.event_type""".stripMargin),
+
+    // deterministic register HLL: bucket/rank from fnv1a32, exact-integer
+    // harmonic sum (Z27), one constant product and one division — the
+    // same IEEE ops as the Spark side, so the estimate matches bit-exact.
+    // format('{:b}', w) = binary digits ⇒ its length is bitlength(w).
+    "events_approx_users" -> (s"WITH $eventsSql,\n" +
+      s"""hu AS (
+         |  SELECT DISTINCT event_type,
+         |         ${graft.oracle.Ora.fnv("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM ev
+         |),
+         |rk AS (
+         |  SELECT event_type, h % 64 AS bucket,
+         |         CASE WHEN h // 64 = 0 THEN 27
+         |              ELSE 27 - length(format('{:b}', h // 64)) END AS rank
+         |  FROM hu
+         |),
+         |reg AS (
+         |  SELECT event_type, bucket, max(rank) AS mr FROM rk GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT event_type,
+         |         sum(1::BIGINT << (27 - mr))::BIGINT
+         |           + (64 - count(*)) * 134217728 AS z27,
+         |         64 - count(*) AS v
+         |  FROM reg GROUP BY event_type
+         |),
+         |raw AS (
+         |  SELECT event_type, v,
+         |         0.709::DOUBLE * 549755813888.0 / CAST(z27 AS DOUBLE) AS raw
+         |  FROM est
+         |),
+         |exact AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM ev GROUP BY event_type
+         |)
+         |SELECT e.event_type,
+         |       CASE WHEN raw <= 160.0 AND v > 0
+         |            THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+         |            ELSE raw END AS approx_users,
+         |       x.exact_users
+         |FROM raw e JOIN exact x USING (event_type)
+         |ORDER BY event_type""".stripMargin),
 
     "events_type_stats" -> (s"WITH $eventsSql\n" +
       """SELECT event_type, count(*) AS n,
