@@ -9,7 +9,7 @@ import graft.graph.GraphXAnalytics
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
 import graft.profile.ProfileQueries
-import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries}
+import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.SimilarityQueries
 import graft.text.{BudgetQueries, PipelineQueries, TextQueries}
 
@@ -36,7 +36,8 @@ object SparkEntry {
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries,
-      RelationalQueries.queries, RangeJoinQueries.queries, PageRank.queries,
+      RelationalQueries.queries, TpchMoreQueries.queries,
+      RangeJoinQueries.queries, PageRank.queries,
       ProfileQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
@@ -47,7 +48,8 @@ object SparkEntry {
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       SkewQueries.oracle,
-      RelationalQueries.oracle, RangeJoinQueries.oracle, PageRank.oracle,
+      RelationalQueries.oracle, TpchMoreQueries.oracle,
+      RangeJoinQueries.oracle, PageRank.oracle,
       ProfileQueries.oracle)
 
   private def merged[V](modules: Seq[Map[String, V]]): Map[String, V] = {

@@ -926,7 +926,7 @@ object EventsQueries {
         |       total_events::DOUBLE / n_days AS avg_per_day,
         |       total_events::DOUBLE / type_total AS share
         |FROM wd JOIN tt ON wd.event_type = tt.event_type
-        |ORDER BY wd.event_type, weekday""".stripMargin),
+        |ORDER BY wd.event_type NULLS FIRST, weekday""".stripMargin),
 
     "events_grouping_sets" -> (s"WITH ${eventsSql},\n" +
       """bucketed AS (

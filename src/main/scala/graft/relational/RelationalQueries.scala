@@ -351,6 +351,11 @@ object RelationalQueries {
     // max broadcast back over it, and the equality cut is exact because
     // both sides are the SAME decimal sum (a double max could tie-break
     // differently across engines; decimal cannot).
+    // NOTE: localCheckpoint() is EAGER — constructing this DataFrame
+    // (even just to print its schema or plan) executes the lineitem
+    // scan+aggregate and pins the result's blocks until unpersisted.
+    // Verify/Bench unpersist between queries; other callers should be
+    // aware construction is not free.
     "q15_top_supplier" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= date("1996-01-01") &&

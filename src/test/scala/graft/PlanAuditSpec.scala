@@ -13,7 +13,8 @@ import graft.relational.RelationalQueries
 class PlanAuditSpec extends SparkSpec {
 
   private def plan(name: String): String =
-    RelationalQueries.queries(name)(spark, sf)
+    RelationalQueries.queries
+      .getOrElse(name, graft.relational.TpchMoreQueries.queries(name))(spark, sf)
       .queryExecution.executedPlan.toString
 
   test("q1: ship-date filter is pushed into the parquet scan") {
@@ -480,13 +481,56 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q19: each side of the disjunction prunes its own scan") {
     val p = plan("q19_disjunctive_revenue")
-    val liScan = p.linesIterator.find(_.contains("lineitem.parquet")).get
-    val partScan = p.linesIterator.find(_.contains("part.parquet")).get
+    val liScan = p.linesIterator.find(_.contains("lineitem.parquet"))
+      .getOrElse(fail(s"no lineitem scan line in plan:\n${p.take(2000)}"))
+    val partScan = p.linesIterator.find(_.contains("part.parquet"))
+      .getOrElse(fail(s"no part scan line in plan:\n${p.take(2000)}"))
     // Catalyst splits the OR-of-ANDs per side: the quantity-band
     // disjunction reaches the fact reader, the brand/size disjunction
     // the dimension reader — neither side waits for the join to filter
     assert(liScan.contains("l_quantity") && liScan.contains("Or("), liScan)
     assert(partScan.contains("p_brand") && partScan.contains("Or("), partScan)
+  }
+
+  test("q21: both correlations are semi/anti joins — no distinct explosion") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi join\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join\n${p.take(3000)}")
+    // the correlated-subquery anti-patterns: a distinct supplier-set
+    // materialization or a per-order count aggregate before the filter
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the status filter reaches the orders scan
+    val ordScan = p.linesIterator.find(_.contains("orders.parquet"))
+      .getOrElse(fail(s"no orders scan line in plan:\n${p.take(2000)}"))
+    assert(ordScan.contains("o_orderstatus"),
+      s"status filter not pushed to orders scan: $ordScan")
+  }
+
+  test("q10: quarter filter pushes to orders; top-20 is TakeOrdered") {
+    val p = plan("q10_returned_items")
+    val ordScan = p.linesIterator.find(_.contains("orders.parquet"))
+      .getOrElse(fail(s"no orders scan line in plan:\n${p.take(2000)}"))
+    assert(ordScan.contains("o_orderdate"),
+      s"quarter window not pushed to orders scan: $ordScan")
+    val liScan = p.linesIterator.find(_.contains("lineitem.parquet"))
+      .getOrElse(fail(s"no lineitem scan line in plan:\n${p.take(2000)}"))
+    assert(liScan.contains("l_returnflag"),
+      s"returnflag cut not pushed to lineitem scan: $liScan")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a global sort\n${p.take(3000)}")
+  }
+
+  test("q7: nation pair prunes both dimension broadcasts before the fact") {
+    val p = plan("q7_nation_volume")
+    // supplier and customer each broadcast after their nation pre-filter;
+    // the only exchange-heavy join is lineitem ⋈ orders
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"supp+cust must broadcast, got $bhj\n${p.take(3000)}")
+    val liScan = p.linesIterator.find(_.contains("lineitem.parquet"))
+      .getOrElse(fail(s"no lineitem scan line in plan:\n${p.take(2000)}"))
+    assert(liScan.contains("l_shipdate"),
+      s"ship window not pushed to the fact scan: $liScan")
   }
 
   test("q15 scans the fact table once — revenue view checkpointed") {
