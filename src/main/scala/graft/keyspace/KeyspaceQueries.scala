@@ -16,6 +16,9 @@ import graft.oracle.Ora
 object KeyspaceQueries {
   private val RangeStart = "order:2"
   private val RangeEnd = "order:3"
+  /** Keyset-pagination fixture: resume after this key, 50 keys per page. */
+  private val PageCursor = "order:5"
+  private val PageSize = 50
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1 — point GET: equality filter on the compacted state; with a
@@ -61,6 +64,22 @@ object KeyspaceQueries {
     "kv_list_keys_shard0" -> ((s, dir) =>
       KvLog.state(s, dir).filter(col("shard_id") === 0)
         .select("key").orderBy("key")),
+
+    // O4 — keyset-paginated listing: the reference names this gap itself
+    // ("Consider pagination for stores with >10k keys",
+    // internal/storage/store.go:425-426). `key > cursor ORDER BY key
+    // LIMIT n` — the stateless page contract that stays O(page) per call:
+    // unlike OFFSET, no rows before the cursor are ever sorted or even
+    // retained past the filter, and the client resumes with the last key
+    // it saw. Spark plans the sort+limit as TakeOrderedAndProject (a
+    // per-partition top-n + driver merge of n·#partitions rows), never a
+    // global sort; over the shard-partitioned layout the same query also
+    // prunes to the one shard directory (PartitionedLayout.listPage,
+    // plan-audited).
+    "kv_list_page" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .filter(col("shard_id") === 0 && col("key") > PageCursor)
+        .select("key").orderBy("key").limit(PageSize)),
 
     // O5 — range scan [start, end), sorted (shard.go:573-587).
     "kv_range_scan" -> ((s, dir) =>
@@ -174,6 +193,9 @@ object KeyspaceQueries {
 
     "kv_list_keys_shard0" -> Ora.withState(
       "SELECT key FROM kv_state WHERE shard_id = 0 ORDER BY key"),
+
+    "kv_list_page" -> Ora.withState(
+      s"SELECT key FROM kv_state WHERE shard_id = 0 AND key > '$PageCursor' ORDER BY key LIMIT $PageSize"),
 
     "kv_range_scan" -> Ora.withState(
       s"SELECT key, value FROM kv_state WHERE key >= '$RangeStart' AND key < '$RangeEnd' ORDER BY key"),

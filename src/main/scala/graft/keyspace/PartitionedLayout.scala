@@ -41,6 +41,17 @@ object PartitionedLayout {
       .filter(col("shard_id") === shard)
       .select("key")
 
+  /** Keyset-paginated per-shard listing (the reference's own noted gap,
+    * store.go:425-426): shard filter prunes to one directory at planning,
+    * the cursor predicate pushes into the parquet reader, and the
+    * sort+limit plans as TakeOrderedAndProject — per-partition top-n, no
+    * global sort, O(page) work per call no matter the store size. */
+  def listPage(spark: SparkSession, path: String, shard: Int,
+      cursor: String, n: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("shard_id") === shard && col("key") > cursor)
+      .select("key").orderBy("key").limit(n)
+
   /** Route a batch of keys: derive shard, join the assignment dimension —
     * the bulk form of GetNodeForKey. */
   def route(keys: DataFrame, assignments: DataFrame): DataFrame =

@@ -84,9 +84,102 @@ object PageRank {
     }
   }
 
+  // --- convergence-driven variant -----------------------------------------
+
+  /** Out-edges per nation in the partner graph: each nation points at its
+    * top-k trade partners by revenue (ties broken by name, so the graph
+    * is engine-deterministic). Sparse at every SF — the full nation×nation
+    * trade graph is COMPLETE from sf0.01 up, which would make PageRank
+    * uniform and the convergence loop a 1-iteration triviality. */
+  val PartnersPerNation = 5
+
+  /** Iteration cap — and, identically, the oracle's unroll depth. The
+    * loop stops at the exact fixed point of the rounded update (round-12
+    * makes delta == 0 reachable: once per-node changes fall under 5e-13
+    * the rounded values stop moving, and a fixed point of a deterministic
+    * map stays fixed forever). Because extra iterations past the fixed
+    * point are the identity, unrolling the oracle to the CAP is correct
+    * for any fixture whose loop converges at or before it — the unroll
+    * depth does not need to know the convergence count. If a fixture ever
+    * fails to reach the fixed point by the cap, both engines emit the
+    * same capped r_60, and PageRankConvergenceSpec (which pins the actual
+    * count) fails loudly. */
+  val ConvergeMaxIters = 60
+
+  /** Directed partner-graph edges: nation → its top-k partners. */
+  def partnerEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val supp = s.read.parquet(s"$dir/supplier.parquet")
+      .select("s_suppkey", "s_nationkey")
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    val pairRev = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("ck"),
+        col("n_name").as("a"))), col("c_nationkey") === col("ck"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sk"),
+        col("n_name").as("b"))), col("s_nationkey") === col("sk"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum(rev).cast("double").as("rev"))
+    pairRev
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")
+          .orderBy(col("rev").desc, col("b"))))
+      .filter(col("rn") <= PartnersPerNation)
+      .select(col("a").as("src"), col("b").as("dst"))
+  }
+
+  /** Iterate the rounded PageRank update to its exact fixed point
+    * (L∞ delta == 0). The per-iteration delta check is a 1-scalar
+    * control-plane fetch — the same convergence pattern as the connected-
+    * components XOR signature. L∞ (a max) is chosen over L1 (a sum)
+    * deliberately: every per-node delta is a difference of two round-12
+    * values, identical on any engine, and max is order-independent — an
+    * L1 sum's low bits would depend on reduction order. Returns the
+    * converged ranks and the iteration count at which delta hit 0. */
+  def convergedRanks(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val e = partnerEdges(s, dir).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val eDeg = e.join(deg, "src")
+    val nodes = deg.select(col("src").as("node"))
+    val n = nodes.count()
+    var r = nodes.select(col("node"), round(lit(1.0) / n, 12).as("pr"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < ConvergeMaxIters) {
+      iters += 1
+      val contrib = eDeg.join(r, eDeg("src") === r("node"))
+        .groupBy("dst").agg(sum(col("pr") / col("deg")).as("inflow"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1.0 - Damping)) / n +
+            lit(Damping) * coalesce(col("inflow"), lit(0.0)), 12).as("pr"))
+        .localCheckpoint()
+      val delta = next.alias("na")
+        .join(r.alias("ob"), col("na.node") === col("ob.node"))
+        .agg(max(abs(col("na.pr") - col("ob.pr"))).as("d"))
+        .collect()(0).getDouble(0)
+      converged = delta == 0.0
+      r = next
+    }
+    (r, iters)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_trade_graph" -> ((s, dir) =>
       ranks(s, dir).orderBy(col("pr").desc, col("node")).limit(TopN)),
+    "pagerank_converged" -> ((s, dir) =>
+      convergedRanks(s, dir)._1.orderBy(col("pr").desc, col("node"))),
   )
 
   val oracle: Map[String, String] = {
@@ -117,10 +210,60 @@ object PageRank {
          |  ) c ON d.src = c.dst
          |)""".stripMargin
     }.mkString(",\n")
-    Map("pagerank_trade_graph" ->
-      s"""WITH $base,
-         |$iters
-         |SELECT node, pr FROM r$Iterations
-         |ORDER BY pr DESC, node LIMIT $TopN""".stripMargin)
+    // converged variant: the same unrolled-iteration pattern over the
+    // top-k partner graph, unrolled to ConvergeMaxIters — past the exact
+    // fixed point every further iteration is the identity, so one unroll
+    // depth is correct for any fixture that converges by the cap (and a
+    // fixture that does NOT converge produces the same capped r_i on
+    // both engines). Each CTE is a 25-row join: trivial for the oracle.
+    val convBase =
+      s"""pairrev AS MATERIALIZED (
+         |  SELECT n1.n_name AS a, n2.n_name AS b,
+         |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+         |                       AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE n1.n_name <> n2.n_name
+         |  GROUP BY 1, 2
+         |),
+         |pedges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM (
+         |    SELECT a, b, row_number() OVER
+         |      (PARTITION BY a ORDER BY rev DESC, b) AS rn FROM pairrev)
+         |  WHERE rn <= $PartnersPerNation
+         |),
+         |pdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pedges GROUP BY src),
+         |pn AS MATERIALIZED (SELECT count(*) AS n FROM pdeg),
+         |c0 AS MATERIALIZED (SELECT src AS node,
+         |       round(1.0::DOUBLE / (SELECT n FROM pn), 12) AS pr FROM pdeg)""".stripMargin
+    val convIters = (1 to ConvergeMaxIters).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |         round((1.0::DOUBLE - $Damping) / (SELECT n FROM pn) +
+         |               $Damping::DOUBLE * coalesce(inflow, 0.0::DOUBLE), 12) AS pr
+         |  FROM pdeg d LEFT JOIN (
+         |    SELECT e.dst, sum(r.pr / dg.deg) AS inflow
+         |    FROM pedges e
+         |    JOIN c${i - 1} r ON e.src = r.node
+         |    JOIN pdeg dg ON e.src = dg.src
+         |    GROUP BY e.dst
+         |  ) c ON d.src = c.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "pagerank_trade_graph" ->
+        s"""WITH $base,
+           |$iters
+           |SELECT node, pr FROM r$Iterations
+           |ORDER BY pr DESC, node LIMIT $TopN""".stripMargin,
+      "pagerank_converged" ->
+        s"""WITH $convBase,
+           |$convIters
+           |SELECT node, pr FROM c$ConvergeMaxIters
+           |ORDER BY pr DESC, node""".stripMargin)
   }
 }

@@ -180,6 +180,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("keyset page: one shard directory, pushed cursor, TakeOrdered") {
+    val dir = Files.createTempDirectory("graft_kv_page").toString
+    try {
+      PartitionedLayout.write(KvLog.state(spark, sf).coalesce(1), dir)
+      val q = PartitionedLayout.listPage(spark, dir, 0, "order:5", 50)
+      val p = q.queryExecution.executedPlan.toString
+      // shard filter prunes at planning; cursor predicate reaches the
+      // reader; the page is a per-partition top-n, never a global sort
+      assert(p.contains("PartitionFilters"), p.take(3000))
+      assert(p.contains("GreaterThan(key,order:5)"), p.take(3000))
+      assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+      q.collect() // execute so scan metrics materialize
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+      assert(scanned === 1, s"expected 1 shard file scanned, got $scanned")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("range-sharded layout: a range scan reads only overlapping directories") {
     val dir = Files.createTempDirectory("graft_kv_ranged").toString
     // AQE wraps the sort's plan in query stages whose leaves hide the

@@ -23,6 +23,25 @@ class KeyspaceSpec extends SparkSpec {
     assert(KeyspaceQueries.queries("kv_point_get_missing")(spark, sf).count() === 0)
   }
 
+  test("keyset pagination walks the whole shard with no gaps or overlaps") {
+    val full = state.filter(col("shard_id") === 0)
+      .select("key").orderBy("key").collect().map(_.getString(0)).toSeq
+    val pageSize = 37 // deliberately not a divisor of the key count
+    var cursor = "" // every key sorts after the empty string
+    val walked = Seq.newBuilder[String]
+    var page = Seq.empty[String]
+    do {
+      page = state
+        .filter(col("shard_id") === 0 && col("key") > cursor)
+        .select("key").orderBy("key").limit(pageSize)
+        .collect().map(_.getString(0)).toSeq
+      walked ++= page
+      if (page.nonEmpty) cursor = page.last
+    } while (page.size == pageSize)
+    assert(walked.result() == full,
+      s"pagination walk diverged from the full listing (${full.size} keys)")
+  }
+
   test("LWW: updated keys show the second value, never the first") {
     val updated = state.filter(col("key") === "order:97").collect()
     assert(updated.length === 1)

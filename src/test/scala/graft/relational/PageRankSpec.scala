@@ -16,6 +16,20 @@ class PageRankSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("converged variant reaches the exact fixed point of the rounded map") {
+    val (ranks, iters) = PageRank.convergedRanks(spark, sf)
+    // converged strictly before the cap — the cap is headroom, not the
+    // stopping rule (if this fails after a fixture regen, the partner
+    // graph's mixing changed; raise ConvergeMaxIters = oracle unroll)
+    assert(iters < PageRank.ConvergeMaxIters,
+      s"no fixed point within ${PageRank.ConvergeMaxIters} iterations")
+    // pin the count: drift signals a changed fixture or changed rounding
+    assert(iters === 26, s"fixed point moved: $iters iterations")
+    // fixed point: one more application of the update changes nothing
+    val rows = ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.size === 25 && rows.values.forall(_ > 0))
+  }
+
   test("high-degree nodes outrank low-degree nodes on average") {
     val deg = PageRank.edges(spark, sf).groupBy("src").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
