@@ -71,6 +71,40 @@ object EventsQueries {
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", tsUs(col("ts")))
 
+  /** Per-(keys, bucket) HLL registers over `user_id` (p=6, m=64):
+    * bucket = low 6 fnv1a32 bits, rank = leading zeros of the remaining
+    * 26-bit window + 1 (w=0 → 27, via 27 − bitlength(w)). Registers
+    * merge by per-register max — see events_hll_rolling. */
+  private[events] def hllRegisters(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) :+
+        graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")).as("h"): _*)
+      .withColumn("bucket", expr("h % 64"))
+      .withColumn("w", expr("h div 64"))
+      .withColumn("rank", when(col("w") === 0L, lit(27))
+        .otherwise(lit(27) - length(conv(col("w"), 10, 2))))
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max("rank").as("mr"))
+
+  /** Registers → estimate, in EXACT integer space: Z27 = Σ 2^(27−M_j)
+    * over all 64 registers (absent ⇒ M_j = 0 ⇒ 2^27); the only floating
+    * ops are one constant product (0.709 × 2^39, an exact power-of-two
+    * scale) and one division — bit-identical on any IEEE engine. The
+    * linear-counting branch's ln() was verified bit-identical between
+    * Java and DuckDB by enumerating all 64 possible arguments. */
+  private[events] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(sum(pow2(lit(27) - col("mr"))).as("zp"),
+        count(lit(1)).as("nreg"))
+      .withColumn("z27",
+        col("zp") + (lit(64L) - col("nreg")) * lit(134217728L))
+      .withColumn("v", lit(64L) - col("nreg")) // zero registers
+      .withColumn("raw",
+        lit(0.709) * lit(549755813888.0) / col("z27").cast("double"))
+      .withColumn("approx_users",
+        when(col("raw") <= 160.0 && col("v") > 0L,
+          lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+          .otherwise(col("raw")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 10-minute windows per event type: the batch form of a
     // watermarked streaming window agg; partial aggregation map-side, one
@@ -154,33 +188,48 @@ object EventsQueries {
     // here is the verification column, not the serving path.
     "events_approx_users" -> ((s, dir) => {
       val ev = events(s, dir)
-      val reg = ev
-        .select(col("event_type"),
-          graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")).as("h"))
-        .withColumn("bucket", expr("h % 64"))
-        .withColumn("w", expr("h div 64"))
-        .withColumn("rank", when(col("w") === 0L, lit(27))
-          .otherwise(lit(27) - length(conv(col("w"), 10, 2))))
-        .groupBy("event_type", "bucket")
-        .agg(max("rank").as("mr"))
-      val est = reg.groupBy("event_type")
-        .agg(sum(pow2(lit(27) - col("mr"))).as("zp"),
-          count(lit(1)).as("nreg"))
-        .withColumn("z27",
-          col("zp") + (lit(64L) - col("nreg")) * lit(134217728L))
-        .withColumn("v", lit(64L) - col("nreg")) // zero registers
-        // 0.709 × m² × 2^27 = 0.709 × 2^39: exact power-of-two scaling
-        .withColumn("raw",
-          lit(0.709) * lit(549755813888.0) / col("z27").cast("double"))
-        .withColumn("approx_users",
-          when(col("raw") <= 160.0 && col("v") > 0L,
-            lit(64.0) * log(lit(64.0) / col("v").cast("double")))
-            .otherwise(col("raw")))
+      val reg = hllRegisters(ev, Seq("event_type"))
+      val est = hllEstimate(reg, Seq("event_type"))
       val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"))
       est.join(exact, "event_type")
         .select("event_type", "approx_users", "exact_users")
         .orderBy("event_type")
+    }),
+
+    // HLL set ALGEBRA — the property that makes the sketch the 100 TB
+    // serving path: registers MERGE by per-register max, so a rolling
+    // 7-day distinct-user series derives entirely from ≤ #days × 64
+    // stored register rows with NO second pass over the events (the same
+    // role events_kmv_overlap plays for the KMV sketch). Each target
+    // day's window union is max(mr) over its ≤ 7 contributing days'
+    // registers; the estimate then runs the identical exact-integer
+    // harmonic path as events_approx_users, so it oracle-checks
+    // bit-for-bit. The exact rolling count is the verification column —
+    // at scale it is precisely the recompute the merge avoids.
+    "events_hll_rolling" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("day", expr(s"ts div $DayUs"))
+      val regs = hllRegisters(ev, Seq("day"))
+        .localCheckpoint() // the stored sketch table: #days × ≤64 rows
+      val days = regs.select("day").distinct()
+        .select(col("day").as("target_day"))
+      val merged = regs
+        .select(col("day"), col("bucket"), col("mr"),
+          explode(sequence(lit(0L), lit(6L))).as("k"))
+        .withColumn("td", col("day") + col("k"))
+        .join(broadcast(days), col("td") === col("target_day"))
+        .groupBy("target_day", "bucket").agg(max("mr").as("mr"))
+      val est = hllEstimate(merged, Seq("target_day"))
+      val exact = ev
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0L), lit(6L))).as("k"))
+        .withColumn("td", col("day") + col("k"))
+        .join(broadcast(days), col("td") === col("target_day"))
+        .groupBy("target_day")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "target_day")
+        .select("target_day", "approx_users", "exact_users")
+        .orderBy("target_day")
     }),
 
     // sketch path, ORACLE-CHECKED: KMV bottom-k distinct estimate over the
@@ -1229,6 +1278,56 @@ object EventsQueries {
          |       x.exact_users
          |FROM raw e JOIN exact x USING (event_type)
          |ORDER BY event_type""".stripMargin),
+
+    // rolling 7-day HLL merge: per-day registers, window union by
+    // per-register max, then the identical exact-integer estimate path
+    "events_hll_rolling" -> (s"WITH $eventsSql,\n" +
+      s"""hu AS (
+         |  SELECT DISTINCT ts // $DayUs AS day,
+         |         ${graft.oracle.Ora.fnv("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM ev
+         |),
+         |rk AS (
+         |  SELECT day, h % 64 AS bucket,
+         |         CASE WHEN h // 64 = 0 THEN 27
+         |              ELSE 27 - length(format('{:b}', h // 64)) END AS rank
+         |  FROM hu
+         |),
+         |reg AS (
+         |  SELECT day, bucket, max(rank) AS mr FROM rk GROUP BY 1, 2
+         |),
+         |days AS (SELECT DISTINCT day AS target_day FROM reg),
+         |merged AS (
+         |  SELECT d.target_day, r.bucket, max(r.mr) AS mr
+         |  FROM reg r JOIN days d
+         |    ON r.day BETWEEN d.target_day - 6 AND d.target_day
+         |  GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT target_day,
+         |         sum(1::BIGINT << (27 - mr))::BIGINT
+         |           + (64 - count(*)) * 134217728 AS z27,
+         |         64 - count(*) AS v
+         |  FROM merged GROUP BY target_day
+         |),
+         |raw AS (
+         |  SELECT target_day, v,
+         |         0.709::DOUBLE * 549755813888.0 / CAST(z27 AS DOUBLE) AS raw
+         |  FROM est
+         |),
+         |exact AS (
+         |  SELECT d.target_day, count(DISTINCT user_id) AS exact_users
+         |  FROM (SELECT ts // $DayUs AS day, user_id FROM ev) e
+         |  JOIN days d ON e.day BETWEEN d.target_day - 6 AND d.target_day
+         |  GROUP BY 1
+         |)
+         |SELECT e.target_day,
+         |       CASE WHEN raw <= 160.0 AND v > 0
+         |            THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+         |            ELSE raw END AS approx_users,
+         |       x.exact_users
+         |FROM raw e JOIN exact x USING (target_day)
+         |ORDER BY target_day""".stripMargin),
 
     "events_type_stats" -> (s"WITH $eventsSql\n" +
       """SELECT event_type, count(*) AS n,

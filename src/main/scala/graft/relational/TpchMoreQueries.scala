@@ -40,6 +40,21 @@ object TpchMoreQueries {
   val LateDays = 365
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q6 forecast revenue: the pure scan-side query — every predicate
+    // (date window, discount band, quantity cut) pushes into the parquet
+    // reader, the aggregate is a single partial-then-final sum, and the
+    // answer is one row. The whole-table-scan baseline every other query
+    // is compared against.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= date("1997-01-01") &&
+          col("l_shipdate") < date("1998-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // Q7 volume shipping: both nation dimensions are PRE-filtered to the
     // two nations before touching the fact, so the supplier/customer
     // broadcasts carry only the relevant keys and lineitem rows drop at
@@ -215,6 +230,16 @@ object TpchMoreQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,

@@ -45,6 +45,21 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("HLL registers merge associatively: per-day max-merge equals direct") {
+    // the law events_hll_rolling's whole design rests on: the union of
+    // per-day sketches (per-register max) IS the sketch of the union
+    val ev = EventsQueries.events(spark, sf)
+      .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      .withColumn("all", lit(1))
+    val direct = EventsQueries.hllRegisters(ev, Seq("all"))
+      .select("bucket", "mr").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = EventsQueries.hllRegisters(ev, Seq("day"))
+      .groupBy("bucket").agg(max("mr").as("mr"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === direct)
+  }
+
   test("HLL sketch distinct counts land within the configured error bound") {
     // m=64 registers → 1.04/√64 ≈ 13% standard error; the small-range
     // regime (this fixture) takes the linear-counting branch. ~2σ bound.
