@@ -75,7 +75,7 @@ object EventsQueries {
     * bucket = low 6 fnv1a32 bits, rank = leading zeros of the remaining
     * 26-bit window + 1 (w=0 → 27, via 27 − bitlength(w)). Registers
     * merge by per-register max — see events_hll_rolling. */
-  private[events] def hllRegisters(df: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def hllRegisters(df: DataFrame, keys: Seq[String]): DataFrame =
     df.select(keys.map(col) :+
         graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")).as("h"): _*)
       .withColumn("bucket", expr("h % 64"))
@@ -91,7 +91,7 @@ object EventsQueries {
     * scale) and one division — bit-identical on any IEEE engine. The
     * linear-counting branch's ln() was verified bit-identical between
     * Java and DuckDB by enumerating all 64 possible arguments. */
-  private[events] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
     regs.groupBy(keys.map(col): _*)
       .agg(sum(pow2(lit(27) - col("mr"))).as("zp"),
         count(lit(1)).as("nreg"))
