@@ -118,6 +118,42 @@ class FixtureContractSpec extends SparkSpec {
       s"lineitem ship span [${l.getInt(0)}, ${l.getInt(1)}] misses 1995/1996")
   }
 
+  test("the literals the TPC-H shapes filter on exist in the fixture") {
+    // a regeneration that renames nations, reshuffles part types/names,
+    // or drops an order status would silently empty q6-q21's predicates
+    // (an empty result still oracle-matches — this names the cause)
+    val natNames = table("nation").select("n_name").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("NATION_3", "NATION_8").subsetOf(natNames),
+      s"q7/q8's nation literals missing from $natNames")
+    val suppNations = table("supplier").select("s_nationkey").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(Set(3, 8).subsetOf(suppNations),
+      s"q7's pair needs suppliers in nations 3 and 8, got $suppNations")
+    assert(table("orders").filter(col("o_orderstatus") === "F").count() > 0,
+      "q21's finished-order cut matches nothing")
+    assert(table("part").filter(col("p_type") === "PROMO").count() > 0,
+      "q8/q14's PROMO part type matches nothing")
+    assert(table("part").filter(col("p_name").contains("widget")).count() > 0,
+      "q9's widget name cut matches nothing")
+    assert(table("lineitem").filter(col("l_returnflag") === "R").count() > 0,
+      "q10's returned-items cut matches nothing")
+    assert(table("lineitem")
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24).count() > 0,
+      "q6's discount/quantity band matches nothing")
+  }
+
+  test("events event_type is never null (ORDER BY parity across engines)") {
+    // Spark's orderBy defaults NULLS FIRST, DuckDB's NULLS LAST: a NULL
+    // event_type would silently reorder every per-type result. The
+    // weekday-profile oracle spells NULLS FIRST, but the contract is
+    // cheaper to pin once here.
+    val nulls = graft.events.EventsQueries.events(spark, sf)
+      .filter(col("event_type").isNull).count()
+    assert(nulls === 0L, s"$nulls events with NULL event_type")
+  }
+
   test("events cover enough distinct days for the daily analytics") {
     // weekday profile needs all 7 weekdays; anomaly/retention/decay need
     // a multi-day series — one day of events would zero them all

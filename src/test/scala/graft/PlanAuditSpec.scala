@@ -553,6 +553,17 @@ class PlanAuditSpec extends SparkSpec {
       s"ship window not pushed to the fact scan: $liScan")
   }
 
+  test("hll rolling: the sketch path reads stored registers, not events") {
+    val p = graft.events.EventsQueries.queries("events_hll_rolling")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the register table is checkpointed; the ONLY events scan left in
+    // the plan is the exact-count verification side — the merge+estimate
+    // path must derive entirely from the ≤ #days×64 stored rows
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"sketch path must not rescan events: $scans scans\n${p.take(2000)}")
+  }
+
   test("q15 scans the fact table once — revenue view checkpointed") {
     val p = plan("q15_top_supplier")
     // post-checkpoint, both the max and the equality cut read the
