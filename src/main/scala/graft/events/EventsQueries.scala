@@ -73,15 +73,20 @@ object EventsQueries {
 
   /** Per-(keys, bucket) HLL registers over `user_id` (p=6, m=64):
     * bucket = low 6 fnv1a32 bits, rank = leading zeros of the remaining
-    * 26-bit window + 1 (w=0 → 27, via 27 − bitlength(w)). Registers
-    * merge by per-register max — see events_hll_rolling. */
+    * 26-bit window + 1 — one expression, 27 − bitLength(w), since
+    * bitLength(0) = 0 gives the w=0 → 27 case for free. The codegen'd
+    * [[graft.functions.BitLength]] keeps the whole derivation inside
+    * WholeStageCodegen (the `length(conv(w,10,2))` route allocates a
+    * radix string per row); the DuckDB oracle spells the same rank as
+    * `27 - length(format('{:b}', w))` with an explicit w=0 CASE.
+    * Registers merge by per-register max — see events_hll_rolling. */
   private[graft] def hllRegisters(df: DataFrame, keys: Seq[String]): DataFrame =
     df.select(keys.map(col) :+
         graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")).as("h"): _*)
       .withColumn("bucket", expr("h % 64"))
       .withColumn("w", expr("h div 64"))
-      .withColumn("rank", when(col("w") === 0L, lit(27))
-        .otherwise(lit(27) - length(conv(col("w"), 10, 2))))
+      .withColumn("rank",
+        lit(27) - graft.functions.BitLength.bitLength64(col("w")))
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(max("rank").as("mr"))
 
