@@ -34,6 +34,10 @@ object SimilarityQueries {
   val NProbe = 2 // IVF cells probed per query
   val QueryVec = 42L
   val KnnK = 3 // neighbors kept per vector in the batch kNN join
+  val KCoreK = 3 // minimum within-core degree for sim_knn_kcore
+  /** Peeling cap — and the oracle's unroll depth (identity past the
+    * fixed point; the fixture stabilizes in ~3 rounds). */
+  val KCoreMaxIters = 12
 
   /** Banded-LSH geometry for ANN near-dup PAIR generation (not point
     * lookup): 16 hyperplanes → 4 bands × 4 bits. A single 8-bit bucket
@@ -177,6 +181,47 @@ object SimilarityQueries {
     * (never a self-join: the bucket derivation runs once, from one
     * checkpoint), then each side's embedding and precomputed norm joins
     * back by id. */
+  /** The k-core peeling loop behind sim_knn_kcore; returns the core
+    * (vec_id, core_degree) and the round at which the edge set
+    * stabilized (for the convergence-pinning spec). */
+  private[graft] def knnKCoreWithRounds(s: SparkSession,
+      dir: String): (DataFrame, Int) = {
+    val knn = bucketCosinePairs(s, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("nbr"))))
+      .filter(col("rk") <= KnnK)
+    val canon = knn
+      .select(least(col("vec_id"), col("nbr")).as("a"),
+        greatest(col("vec_id"), col("nbr")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var edges = canon
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var n = edges.count()
+    var stable = false
+    var iters = 0
+    while (!stable && iters < KCoreMaxIters) {
+      iters += 1
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK).select(col("src").as("v"))
+        .localCheckpoint()
+      val next = edges
+        .join(keep, edges("src") === keep("v"), "left_semi")
+        .join(keep, edges("dst") === keep("v"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      stable = m == n
+      n = m
+      edges = next
+    }
+    (edges.groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("vec_id"), iters)
+  }
+
   private def bucketCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val b = bucketed(s, dir)
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -823,6 +868,21 @@ object SimilarityQueries {
         .select("vec_id", "nbr", "cos_sim", "rk")
         .orderBy("vec_id", "rk")),
 
+    // k-core of the kNN graph: the dense similarity clusters — every
+    // surviving vector has ≥ KCoreK neighbors that THEMSELVES survive,
+    // which is the structural signature of a template farm / boilerplate
+    // cluster (a hub with many one-off neighbors peels away; a clique
+    // does not). Iterative peeling: drop vertices of degree < k, re-check
+    // — each round is one degree aggregate + two semi joins on the edge
+    // key, and the edge set only shrinks, so later rounds move less
+    // data. Peeling is monotone ⇒ the edge COUNT is a sound fixed-point
+    // detector (equal count means nothing was removed), and the oracle
+    // unrolls to [[KCoreMaxIters]] — iterations past the fixed point are
+    // the identity, so one unroll depth is correct at any SF (the
+    // pagerank_converged pattern). SimilaritySpec pins the fixture's
+    // convergence round.
+    "sim_knn_kcore" -> ((s, dir) => knnKCoreWithRounds(s, dir)._1),
+
     // hard-negative mining for contrastive training: per vector, the
     // single most-similar bucket-mate carrying a DIFFERENT label — high
     // cosine + disagreeing supervision is exactly the "hard" pair a
@@ -1437,6 +1497,39 @@ object SimilarityQueries {
           |)
           |SELECT vec_id, label, nbr, nbr_label, cos_sim FROM ranked
           |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+
+      // k-core peeling unrolled to the cap (identity past the fixed
+      // point); MATERIALIZED per iteration — DuckDB's CTE inlining goes
+      // exponential on chained iteration CTEs otherwise
+      "sim_knn_kcore" -> (s"WITH $bucketPairsSql,\n" +
+        s"""ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cos_sim DESC, nbr) AS rk FROM bpairs
+           |),
+           |canon AS MATERIALIZED (
+           |  SELECT DISTINCT least(vec_id, nbr) AS a,
+           |                  greatest(vec_id, nbr) AS b
+           |  FROM ranked WHERE rk <= $KnnK
+           |),
+           |e0 AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst FROM canon
+           |  UNION ALL SELECT b, a FROM canon
+           |),
+           |""".stripMargin +
+        (1 to KCoreMaxIters).map { i =>
+          s"""kv$i AS MATERIALIZED (
+             |  SELECT src FROM e${i - 1} GROUP BY src
+             |  HAVING count(*) >= $KCoreK
+             |),
+             |e$i AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN kv$i s ON e.src = s.src
+             |  JOIN kv$i d ON e.dst = d.src
+             |)""".stripMargin
+        }.mkString(",\n") +
+        s"""
+           |SELECT src AS vec_id, count(*) AS core_degree
+           |FROM e$KCoreMaxIters GROUP BY src ORDER BY vec_id""".stripMargin),
 
       "sim_ann_multiprobe" -> (s"WITH $bucketedSql,\n" +
         s"""q AS (SELECT bucket % 16 AS c0, embedding FROM bucketed

@@ -336,4 +336,23 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(approx - exactDot) <= 64.0 * sA * sQ * 127.25)
     }
   }
+
+  test("kNN k-core: defining degree law, containment, pinned convergence") {
+    val (coreDf, rounds) = SimilarityQueries.knnKCoreWithRounds(spark, sf)
+    val core = coreDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty, "the fixture's kNN graph must have a 3-core")
+    // THE defining property: every survivor keeps >= k neighbors that
+    // themselves survived
+    core.values.foreach(d => assert(d >= SimilarityQueries.KCoreK))
+    // containment: the core is a subgraph of the kNN graph's vertex set
+    val knnVerts = SimilarityQueries.queries("sim_knn_join")(spark, sf)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(core.keySet.subsetOf(knnVerts))
+    // convergence is pinned: a fixture regen that changes the peel depth
+    // fails loudly here (raise KCoreMaxIters = the oracle unroll if it
+    // ever approaches the cap)
+    assert(rounds < SimilarityQueries.KCoreMaxIters, s"no fixed point: $rounds")
+    assert(rounds === 2, s"peel depth moved: $rounds rounds")
+  }
 }
