@@ -1,6 +1,7 @@
 package graft.keyspace
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.oracle.Ora
@@ -147,6 +148,27 @@ object KeyspaceQueries {
           sum(when(col("from_delta"), 1L).otherwise(0L)).as("n_delta_won"))
         .orderBy("shard_id")),
 
+    // O2+ — SCD Type-2 version history: every PUT opens a version, the
+    // key's next write (put or delete) closes it — the
+    // slowly-changing-dimension materialization of the op log, the
+    // time-travel index behind "value of K as of seq S" (one interval
+    // predicate instead of re-compacting the log prefix). One window
+    // (lead over seq per key) on the write log; a key's history lives in
+    // one task, keys parallel. KeyspaceSpec pins the SCD laws: intervals
+    // chain without gap or overlap, at most one open version per key,
+    // and the open slice IS the LWW compaction — the two derivations of
+    // "current" must agree row-for-row.
+    "kv_scd_history" -> ((s, dir) => {
+      val w = Window.partitionBy("key").orderBy("seq")
+      KvLog.log(s, dir)
+        .filter(col("op").isin("put", "delete"))
+        .withColumn("valid_to", lead(col("seq"), 1).over(w))
+        .filter(col("op") === "put")
+        .select(col("key"), col("value"), col("seq").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("key", "valid_from")
+    }),
+
     // time-travel diff: the changelog between the keyspace AS OF the
     // initial bulk load (base puts, seq ≡ 0 mod 8 in the fixture's seq
     // scheme) and now — updates/deletes/unchanged as a full-outer set
@@ -255,6 +277,17 @@ object KeyspaceQueries {
 
     // compacted values are never NULL, so value-nullity is a safe
     // presence test after the full outer join
+    "kv_scd_history" -> (s"WITH ${Ora.kvLog},\n" +
+      """writes AS (
+        |  SELECT key, op, value, seq,
+        |         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM kv_log WHERE op IN ('put', 'delete')
+        |)
+        |SELECT key, value, seq AS valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM writes WHERE op = 'put'
+        |ORDER BY key, valid_from""".stripMargin),
+
     "kv_version_diff" -> (s"WITH ${Ora.kvLog},\n" +
       """old_state AS (
         |  SELECT key, value FROM (

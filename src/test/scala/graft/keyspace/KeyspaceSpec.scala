@@ -23,6 +23,32 @@ class KeyspaceSpec extends SparkSpec {
     assert(KeyspaceQueries.queries("kv_point_get_missing")(spark, sf).count() === 0)
   }
 
+  test("SCD history: versions chain, ≤1 open per key, open slice = LWW state") {
+    val hist = KeyspaceQueries.queries("kv_scd_history")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(hist.nonEmpty)
+    // per key: intervals strictly chain on the write log (no overlap;
+    // gaps only where a delete closed the previous version)
+    hist.groupBy(_._1).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.isDefined && a._4.get <= b._3,
+            s"$k: version at ${a._3} not closed before ${b._3}")
+        case _ =>
+      }
+      assert(sorted.count(_._5) <= 1, s"$k: more than one open version")
+      assert(sorted.dropRight(1).forall(!_._5), s"$k: open version not last")
+    }
+    // the open slice IS the compacted LWW state, row for row — two
+    // derivations of "current" (interval logic vs max_by compaction)
+    val open = hist.filter(_._5).map(v => v._1 -> v._2).toMap
+    val lww = state.select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(open === lww, "SCD current slice diverged from LWW compaction")
+  }
+
   test("keyset pagination walks the whole shard with no gaps or overlaps") {
     val full = state.filter(col("shard_id") === 0)
       .select("key").orderBy("key").collect().map(_.getString(0)).toSeq
