@@ -66,7 +66,7 @@ object BenchLogic {
     * the best two samples agree within 20% before trusting the min. */
   def measure(name: String, runOnce: () => Double, record: Option[Double],
               baseRepeats: Int, turbulent: Boolean): Outcome = {
-    var samples = Vector.fill(baseRepeats)(0.0).map(_ => runOnce())
+    var samples = Vector.fill(baseRepeats)(runOnce())
     if (turbulent && record.isEmpty && samples.size < MaxAttempts)
       samples :+= runOnce()
     def ok = samples.filter(_ >= 0)
@@ -80,7 +80,12 @@ object BenchLogic {
     if (okF.isEmpty) Outcome(name, samples, -1.0, -1.0, contended = false)
     else {
       val best = okF.min
+      // an escalated query that exhausted its attempts without ever
+      // producing an agreeing pair is contended even when its min crept
+      // under the 3x line — a ~2.9x-inflated sample would otherwise
+      // enter total_clean unflagged
       val contended = suspect(best, record) ||
+        (escalated && !bestTwoAgree(okF)) ||
         (record.isEmpty && turbulent && !bestTwoAgree(okF))
       // contended + record: the committed clean time is the best available
       // estimate of code cost (measured min is provably host-inflated).
@@ -278,7 +283,7 @@ object Bench {
         "\"" + k + "\":\"" + jsonEscape(msg) + "\""
       }.mkString("{", ",", "}")
       val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"contended":$contJson,"queries":$qs,"repeats":$Repeats,"samples":$sampleJson,"sentinel":$sentinelJson,"errors":$errJson,"record":"${if (records.isEmpty) "none" else recordPath}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"contended":$contJson,"queries":$qs,"base_repeats":$Repeats,"max_attempts":${BenchLogic.MaxAttempts},"samples":$sampleJson,"sentinel":$sentinelJson,"errors":$errJson,"record":"${if (records.isEmpty) "none" else recordPath}","sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -298,7 +303,10 @@ object Bench {
     val restSum = rest.collect { case (_, t) if t >= 0 => t }.sum
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"n_contended":${contended.size},"n_queries":${results.size},"repeats":$Repeats,"errors":${errors.size},"sentinel_med":${r3(sentMed)},"sentinel_max":${r3(sentMax)},"queries":$qs,"others":{"n":${rest.size},"sum":${r3(restSum)}},"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // base_repeats/max_attempts, not "repeats": sampling is adaptive
+    // (2-6 per query), so a fixed repeats header would misdescribe the
+    // samples arrays
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"n_contended":${contended.size},"n_queries":${results.size},"base_repeats":$Repeats,"max_attempts":${BenchLogic.MaxAttempts},"errors":${errors.size},"sentinel_med":${r3(sentMed)},"sentinel_max":${r3(sentMax)},"queries":$qs,"others":{"n":${rest.size},"sum":${r3(restSum)}},"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

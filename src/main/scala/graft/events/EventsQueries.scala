@@ -226,6 +226,7 @@ object EventsQueries {
         .groupBy("target_day", "bucket").agg(max("mr").as("mr"))
       val est = hllEstimate(merged, Seq("target_day"))
       val exact = ev
+        .select("day", "user_id").distinct() // reduce BEFORE the 7x explode
         .select(col("day"), col("user_id"),
           explode(sequence(lit(0L), lit(6L))).as("k"))
         .withColumn("td", col("day") + col("k"))

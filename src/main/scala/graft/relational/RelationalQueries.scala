@@ -22,16 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[relational] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** revenue term: exact decimal of the per-row double product. */
-  private val revenue =
+  /** revenue term: exact decimal of the per-row double product. Shared
+    * with TpchMoreQueries — the money-decimal contract has ONE home. */
+  private[relational] val revenue =
     (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .cast("decimal(18,4)")
 
   /** timestamp literal for the fixture's date columns. */
-  private def date(d: String) = lit(d).cast("timestamp")
+  private[relational] def date(d: String) = lit(d).cast("timestamp")
 
   /** Q18's large-order cut (the canonical TPC-H value). */
   val Q18MinQty = 300

@@ -26,14 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object TpchMoreQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  private val revenue =
-    (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast("decimal(18,4)")
-
-  private def date(d: String) = lit(d).cast("timestamp")
+  // shared with RelationalQueries: one home for the table reader, the
+  // money-decimal contract, and the date-literal cast
+  import RelationalQueries.{t, revenue, date}
 
   /** Q21's adapted lateness horizon (the fixture's ship lag is synthetic
     * and independent of the order date; one year splits it ~1/3 late). */

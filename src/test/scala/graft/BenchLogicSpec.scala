@@ -37,6 +37,16 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(o.best == 9.0 && o.contended && o.clean == 1.0)
   }
 
+  test("escalated query that never agrees is flagged even when min dips under 3x") {
+    // sustained load with one sample creeping to 2.9x the record: the
+    // suspect ratio alone would report clean=2.9 unflagged — the
+    // escalation's own never-agreed criterion must flag it
+    val seq = Iterator(9.0, 9.1, 2.9, 9.2, 9.2, 9.2)
+    val o = measure("q", () => seq.next(), Some(1.0), 2, turbulent = false)
+    assert(o.samples.size == MaxAttempts)
+    assert(o.best == 2.9 && o.contended && o.clean == 1.0)
+  }
+
   test("genuine regression under a quiet host: flagged, clean keeps the record") {
     // A real 4x regression reproduces identically on every re-run; the
     // artifact flags it (total_clean is then too OPTIMISTIC, but `total`

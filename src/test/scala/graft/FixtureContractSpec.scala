@@ -138,6 +138,9 @@ class FixtureContractSpec extends SparkSpec {
       "q9's widget name cut matches nothing")
     assert(table("lineitem").filter(col("l_returnflag") === "R").count() > 0,
       "q10's returned-items cut matches nothing")
+    assert(table("orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count() > 0,
+      "q12's high-priority class literals match nothing")
     assert(table("lineitem")
       .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24).count() > 0,
