@@ -25,6 +25,8 @@ import graft.sketch.{BloomBits, CmsCounts, KmvDistinct, KmvMins}
   *     for set algebra over stored sketches
   *   - `cms_counts(str, d, w)` → count-min counters (aggregate)
   *   - `bloom_bits(str, m, k)` → Bloom filter words (aggregate)
+  *   - `bit_length64(long)`    → INT binary bit length (0 → 0; the HLL
+  *     rank / power-of-two bucket primitive)
   *
   * Register per-session with [[Graft.register]], or session-wide via
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -115,6 +117,13 @@ object Graft {
             BloomBits(item, m, k)
           case other => throw new IllegalArgumentException(
             s"bloom_bits(item, mBits, kHashes) takes 3 arguments with mBits, kHashes integer literals, got $other")
+        }
+      },
+      "bit_length64" -> { es =>
+        es match {
+          case Seq(e) => graft.functions.BitLength(e)
+          case other => throw new IllegalArgumentException(
+            s"bit_length64(long) takes 1 argument, got ${other.size}")
         }
       })
 

@@ -17,6 +17,13 @@ class GraftSqlSpec extends SparkSpec {
       .first().getLong(0) === 2L)
   }
 
+  test("bit_length64 registered for SQL, matches the Column API") {
+    Graft.register(spark)
+    assert(spark.sql("SELECT bit_length64(0L)").first().getInt(0) === 0)
+    assert(spark.sql("SELECT bit_length64(255L)").first().getInt(0) === 8)
+    assert(spark.sql("SELECT bit_length64(256L)").first().getInt(0) === 9)
+  }
+
   test("winnow registered for SQL and matches the Column API") {
     Graft.register(spark)
     val viaSql = spark.sql("SELECT winnow('abcdefghijklmno', 8, 4)")
