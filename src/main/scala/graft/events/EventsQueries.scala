@@ -315,6 +315,68 @@ object EventsQueries {
         .orderBy("day_a", "day_b")
     }),
 
+    // join-size estimation from sketches — the query-PLANNER primitive:
+    // |A ⋈ B| on a key pair, estimated from two 64-long KMV states and
+    // the two tables' (rows, distinct) profiles, with NO join executed.
+    // overlap keys = Jaccard(K(A∪B)) × union estimate (the kmv_overlap
+    // algebra); join rows = overlap × avg-multiplicity of each side
+    // (rows/distinct — the uniform-frequency model every cost-based
+    // optimizer starts from). At 100 TB this is the difference between
+    // costing a join plan and running it to find out; the exact join
+    // count here is the verification column. All sketch arithmetic is
+    // deterministic over fnv1a32, so the ESTIMATE oracle-checks
+    // bit-for-bit; the only doubles are fixed-order products/divisions.
+    // Honest accuracy note, measured by the verification columns: the
+    // fixture's short NUMERIC key strings expose fnv1a32's imperfect
+    // avalanche (the k-th smallest hash of {"0".."1499"} runs ~1.5× the
+    // uniform expectation → distinct estimates up to ~35% low, join size
+    // within ~2× — planner-grade, not billing-grade). A production
+    // deployment would put a stronger finalizer (murmur/xxhash-style
+    // mixing) under the sketch, the same remedy the Bloom filter's
+    // xor-fold already applies for its k probes; EventsSpec bounds the
+    // end-to-end estimate at 2.5× either way.
+    "events_join_card_est" -> ((s, dir) => {
+      val k = 64
+      val ev = events(s, dir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val a = ev.agg(
+        graft.sketch.KmvDistinct.kmvMins(
+          graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")), k)
+          .as("ma"),
+        graft.sketch.KmvDistinct.kmvDistinct(
+          graft.hash.Fnv1a32.fnv1a32(col("user_id").cast("string")), k)
+          .as("da"),
+        count(lit(1)).as("rows_a"))
+      val b = cust.agg(
+        graft.sketch.KmvDistinct.kmvMins(
+          graft.hash.Fnv1a32.fnv1a32(col("c_custkey").cast("string")), k)
+          .as("mb"),
+        graft.sketch.KmvDistinct.kmvDistinct(
+          graft.hash.Fnv1a32.fnv1a32(col("c_custkey").cast("string")), k)
+          .as("db"),
+        count(lit(1)).as("rows_b"))
+      val exact = ev.join(cust, col("user_id") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      a.crossJoin(broadcast(b)) // 1-row × 1-row sketch profiles
+        .withColumn("mu",
+          slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+        .withColumn("est_union",
+          when(size(col("mu")) < k, size(col("mu")).cast("double"))
+            .otherwise(lit((k - 1) * 4294967296.0) /
+              element_at(col("mu"), k).cast("double")))
+        .withColumn("est_jaccard",
+          size(array_intersect(array_intersect(col("mu"), col("ma")),
+            col("mb"))).cast("double") / least(lit(k), size(col("mu"))))
+        .withColumn("est_overlap_keys", col("est_union") * col("est_jaccard"))
+        .withColumn("est_join_rows",
+          col("est_overlap_keys") *
+            (col("rows_a").cast("double") / col("da")) *
+            (col("rows_b").cast("double") / col("db")))
+        .crossJoin(broadcast(exact))
+        .select("est_union", "est_jaccard", "est_overlap_keys",
+          "da", "db", "est_join_rows", "exact_join_rows")
+    }),
+
     // last-click revenue attribution: the batch twin of
     // streaming.StreamJoin — each purchase claims the same user's latest
     // click within the preceding 30 minutes; revenue rolls up per day
@@ -1411,5 +1473,60 @@ object EventsQueries {
          |       CAST(coalesce(x.exact_overlap, 0) AS BIGINT) AS exact_overlap
          |FROM est e LEFT JOIN exact x USING (day_a, day_b)
          |ORDER BY e.day_a, e.day_b""".stripMargin),
+
+    "events_join_card_est" -> (s"WITH $eventsSql,\n" +
+      s"""ah AS (
+         |  SELECT DISTINCT ${graft.oracle.Ora.fnv("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM ev
+         |),
+         |bh AS (
+         |  SELECT DISTINCT ${graft.oracle.Ora.fnv("CAST(c_custkey AS VARCHAR)")} AS h
+         |  FROM customer
+         |),
+         |am AS (
+         |  SELECT list(h ORDER BY h) AS ma,
+         |         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |              ELSE 63.0 * 4294967296.0
+         |                   / CAST((list(h ORDER BY h))[64] AS DOUBLE)
+         |         END AS da
+         |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ah)
+         |  WHERE rn <= 64
+         |),
+         |bm AS (
+         |  SELECT list(h ORDER BY h) AS mb,
+         |         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |              ELSE 63.0 * 4294967296.0
+         |                   / CAST((list(h ORDER BY h))[64] AS DOUBLE)
+         |         END AS db
+         |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM bh)
+         |  WHERE rn <= 64
+         |),
+         |counts AS (
+         |  SELECT (SELECT count(*) FROM ev) AS rows_a,
+         |         (SELECT count(*) FROM customer) AS rows_b,
+         |         (SELECT count(*) FROM ev
+         |          JOIN customer ON user_id = c_custkey) AS exact_join_rows
+         |),
+         |sk AS (
+         |  SELECT ma, mb, da, db,
+         |         list_sort(list_distinct(list_concat(ma, mb)))[1:64] AS mu
+         |  FROM am, bm
+         |),
+         |est AS (
+         |  SELECT da, db,
+         |    CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS DOUBLE)
+         |         ELSE 63.0 * 4294967296.0 / CAST(mu[64] AS DOUBLE)
+         |    END AS est_union,
+         |    CAST(len(list_intersect(list_intersect(mu, ma), mb)) AS DOUBLE)
+         |      / least(64, len(mu)) AS est_jaccard
+         |  FROM sk
+         |)
+         |SELECT est_union, est_jaccard,
+         |       est_union * est_jaccard AS est_overlap_keys, da, db,
+         |       est_union * est_jaccard
+         |         * (CAST(rows_a AS DOUBLE) / da)
+         |         * (CAST(rows_b AS DOUBLE) / db) AS est_join_rows,
+         |       CAST(exact_join_rows AS BIGINT) AS exact_join_rows
+         |FROM est, counts""".stripMargin),
   )
 }

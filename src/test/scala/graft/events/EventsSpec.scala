@@ -45,6 +45,20 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("join-cardinality estimate lands within its planner-grade bound") {
+    val r = EventsQueries.queries("events_join_card_est")(spark, sf)
+      .collect().head
+    val est = r.getAs[Double]("est_join_rows")
+    val exact = r.getAs[Long]("exact_join_rows").toDouble
+    assert(exact > 0)
+    // planner-grade: within 2.5x either way (fnv on short numeric keys
+    // costs real accuracy — documented at the query)
+    val ratio = est / exact
+    assert(ratio > 1 / 2.5 && ratio < 2.5, s"est $est vs exact $exact")
+    assert(r.getAs[Double]("est_jaccard") > 0.0 &&
+      r.getAs[Double]("est_jaccard") <= 1.0)
+  }
+
   test("HLL registers merge associatively: per-day max-merge equals direct") {
     // the law events_hll_rolling's whole design rests on: the union of
     // per-day sketches (per-register max) IS the sketch of the union
