@@ -802,6 +802,48 @@ object EventsQueries {
         .orderBy("event_type", "q")
     }),
 
+    // the planner family's second member (events_join_card_est is the
+    // first): filter-SELECTIVITY estimation from the same fixed-bin
+    // histogram the quantile sketch keeps — "how many rows pass
+    // `value < X`" answered from QBins longs per group, no scan. Full
+    // bins below the cutoff contribute exactly (an INTEGER sum — kept
+    // separate so reduction order cannot round differently across
+    // engines); the one straddling bin contributes linearly-interpolated
+    // mass (a single double term, added once at the end). The exact
+    // count is the verification column; estimator error is bounded by
+    // the straddling bin's count by construction.
+    "events_selectivity_est" -> ((s, dir) => {
+      val hist = events(s, dir)
+        .withColumn("bin",
+          least(lit(QBins - 1), floor(col("value") / lit(QBinW))
+            .cast("long")))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val cuts = explode(array(SelCuts.map(lit): _*)).as("cutoff")
+      val est = hist.withColumn("cutoff", cuts)
+        .withColumn("binlo", lit(QBinW) * col("bin"))
+        .withColumn("binhi", lit(QBinW) * (col("bin") + 1))
+        .groupBy("event_type", "cutoff")
+        .agg(
+          sum(when(col("binhi") <= col("cutoff"), col("c"))
+            .otherwise(0L)).as("full_rows"),
+          sum(when(col("binlo") < col("cutoff") &&
+              col("cutoff") < col("binhi"),
+            col("c").cast("double") *
+              ((col("cutoff") - col("binlo")) / lit(QBinW)))
+            .otherwise(0.0)).as("frac_rows"))
+        .withColumn("est_rows",
+          col("full_rows").cast("double") + col("frac_rows"))
+      val exact = events(s, dir)
+        .withColumn("cutoff", cuts)
+        .filter(col("value") < col("cutoff"))
+        .groupBy("event_type", "cutoff")
+        .agg(count(lit(1)).as("exact_rows"))
+      est.join(exact, Seq("event_type", "cutoff"), "left")
+        .select(col("event_type"), col("cutoff"), col("est_rows"),
+          coalesce(col("exact_rows"), lit(0L)).as("exact_rows"))
+        .orderBy("event_type", "cutoff")
+    }),
+
     // semi-structured extraction: the events table's JSON `props` column
     // parsed and aggregated per type — the payload-introspection path
     // every event pipeline needs. get_json_object is a narrow scalar
@@ -926,6 +968,9 @@ object EventsQueries {
   val QBins = 128 // histogram-sketch bins
   val QBinW = 4.0 // bin width (value domain is [0, 512))
   val QProbes = Seq(0.5, 0.9, 0.99)
+  /** Selectivity-probe cutoffs: off bin boundaries so the interpolated
+    * fraction is exercised, spread across the value distribution. */
+  val SelCuts = Seq(25.0, 77.0, 150.5, 401.25)
 
   // lazy: eventsSql is declared below; a strict val would capture null
   lazy val moreOracle: Map[String, String] = Map(
@@ -1205,6 +1250,38 @@ object EventsQueries {
          |       $QBinW * bin + $QBinW * (q * n - (cum - c)) / c AS est_value
          |FROM crossed WHERE rk = 1
          |ORDER BY event_type, q""".stripMargin),
+
+    "events_selectivity_est" -> (s"WITH ${eventsSql},\n" +
+      s"""hist AS (
+         |  SELECT event_type,
+         |         least(${QBins - 1}, CAST(floor(value / $QBinW) AS BIGINT)) AS bin,
+         |         count(*) AS c
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT event_type, cc.cutoff,
+         |         CAST(sum(CASE WHEN $QBinW * (bin + 1) <= cc.cutoff
+         |                       THEN c ELSE 0 END) AS BIGINT) AS full_rows,
+         |         sum(CASE WHEN $QBinW * bin < cc.cutoff
+         |                   AND cc.cutoff < $QBinW * (bin + 1)
+         |                  THEN CAST(c AS DOUBLE)
+         |                       * ((cc.cutoff - $QBinW * bin) / $QBinW)
+         |                  ELSE 0.0 END) AS frac_rows
+         |  FROM hist,
+         |       (VALUES ${SelCuts.map(x => s"(${x}::DOUBLE)").mkString(", ")}) cc(cutoff)
+         |  GROUP BY 1, 2
+         |),
+         |exact AS (
+         |  SELECT event_type, cc.cutoff, count(*) AS exact_rows
+         |  FROM ev,
+         |       (VALUES ${SelCuts.map(x => s"(${x}::DOUBLE)").mkString(", ")}) cc(cutoff)
+         |  WHERE value < cc.cutoff GROUP BY 1, 2
+         |)
+         |SELECT e.event_type, e.cutoff,
+         |       CAST(full_rows AS DOUBLE) + frac_rows AS est_rows,
+         |       CAST(coalesce(x.exact_rows, 0) AS BIGINT) AS exact_rows
+         |FROM est e LEFT JOIN exact x USING (event_type, cutoff)
+         |ORDER BY e.event_type, e.cutoff""".stripMargin),
 
     // ->> extracts the JSON field as text; the BIGINT cast matches
     // Spark's get_json_object(...).cast("long")

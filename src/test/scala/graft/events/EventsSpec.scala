@@ -65,6 +65,36 @@ class EventsSpec extends SparkSpec {
       s"mixing made it worse: raw $raw, mixed $mixed")
   }
 
+  test("selectivity estimate: error bounded by the straddling bin, monotone") {
+    val rows = (EventsQueries.queries ++ EventsQueries.moreQueries)(
+      "events_selectivity_est")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // histogram guarantee: everything outside the straddling bin is
+    // counted exactly, so the error cannot exceed that bin's population
+    val hist = EventsQueries.events(spark, sf)
+      .withColumn("bin", least(lit(EventsQueries.QBins - 1),
+        floor(col("value") / EventsQueries.QBinW).cast("long")))
+      .groupBy("event_type", "bin").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (t, cut, est, exact) =>
+      val straddle = hist.getOrElse(
+        (t, (cut / EventsQueries.QBinW).toLong), 0L)
+      assert(math.abs(est - exact) <= straddle.toDouble + 1e-9,
+        s"$t cut $cut: est $est exact $exact straddle-bin $straddle")
+    }
+    // monotone in the cutoff, per type
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byCut = rs.sortBy(_._2)
+      byCut.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 <= b._3 + 1e-9 && a._4 <= b._4)
+        case _ =>
+      }
+    }
+  }
+
   test("HLL registers merge associatively: per-day max-merge equals direct") {
     // the law events_hll_rolling's whole design rests on: the union of
     // per-day sketches (per-register max) IS the sketch of the union
