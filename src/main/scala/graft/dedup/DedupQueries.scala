@@ -59,6 +59,16 @@ object DedupQueries {
     * exact-integer-sum trick as the k-means centroid means). */
   val ScurveFp = 1048576.0
 
+  /** Edit-distance verify layer: each LSH candidate pair is compared on a
+    * fixed-length character prefix with a THRESHOLDED Levenshtein. The
+    * prefix cap bounds per-pair cost by a constant regardless of document
+    * length, and the threshold lets the banded O(k·n) algorithm bail out
+    * instead of filling the full O(n²) DP table — so the whole layer costs
+    * (Σ bucket²) × O(EditMaxDist × EditPrefix), never corpus² and never
+    * doc-length². */
+  val EditPrefix = 256
+  val EditMaxDist = 96
+
   /** Exact-Jaccard pairs ≥ threshold via shingle posting lists.
     *
     * One shuffle (groupBy shingle) builds posting lists; candidate pairs
@@ -122,6 +132,21 @@ object DedupQueries {
     mh.select(col("doc_id"),
       posexplode(array(bands: _*)).as(Seq("band", "sig")))
   }
+
+  /** Candidate pairs from the band buckets: groupBy(band, sig) posting
+    * lists (capped by the [[MaxPosting]] contract), pairs generated
+    * map-side from each list, deduped across bands. Shared by the
+    * Jaccard-verified LSH dedup and the edit-distance verify layer, so
+    * the two verification semantics are guaranteed to see the SAME
+    * candidate set. */
+  private[graft] def bandCandidates(sh: DataFrame): DataFrame =
+    bandSignatures(sh)
+      .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxPosting))
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
 
   /** New-batch (doc_id % 10 = 0) candidates against the index-side
     * posting lists — the probe stage of `dedup_lsh_incremental`, split
@@ -302,13 +327,7 @@ object DedupQueries {
       val sh = shingled(s, dir).localCheckpoint()
       // same posting-list shape as jaccardPairs; the MaxPosting bucket
       // cap is mirrored in the DuckDB oracle (contract, not approximation)
-      val cand = bandSignatures(sh)
-        .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")).between(2, MaxPosting))
-        .select(explode(col("ids")).as("doc_a"), col("ids"))
-        .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .distinct()
+      val cand = bandCandidates(sh)
       cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -318,6 +337,34 @@ object DedupQueries {
             size(array_union(col("sa.shingles"), col("sb.shingles"))))
             .as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Edit-distance near-dup: the CHARACTER-level complement of the
+    // token-level Jaccard verify. Same band-bucket candidate set (shared
+    // bandCandidates — bounded Σ bucket², never corpus²); each pair is
+    // then scored with Spark's 3-arg levenshtein, which runs the BANDED
+    // O(k·n) algorithm and returns -1 past the threshold — so a pair of
+    // wildly different docs costs O(EditMaxDist · EditPrefix), not a full
+    // DP table. Catches reorder-free edits (typo injection, detokenization
+    // drift) that shingle Jaccard underweights, and its cost model is the
+    // reason production near-dup stacks run edit distance only INSIDE an
+    // LSH bucket.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val sh = shingled(s, dir).localCheckpoint()
+      val pref = docs(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("p"))
+      bandCandidates(sh)
+        .join(pref.as("pa"), col("doc_a") === col("pa.doc_id"))
+        .join(pref.as("pb"), col("doc_b") === col("pb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa.p"), col("pb.p"), EditMaxDist)
+            .cast("long").as("edit_dist"),
+          length(col("pa.p")).as("len_a"), length(col("pb.p")).as("len_b"))
+        .filter(col("edit_dist") >= 0) // -1 ⇒ banded algorithm bailed out
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          (lit(1.0) - col("edit_dist").cast("double") /
+            greatest(col("len_a"), col("len_b"))).as("edit_sim"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -546,6 +593,27 @@ object DedupQueries {
        |)""".stripMargin
   }
 
+  /** Band-bucket candidate CTEs (band0..7 → bands → ok_buckets → cand) —
+    * SQL mirror of [[bandCandidates]]; appended after [[minhashSql]] by
+    * every oracle that verifies pairs from the LSH candidate set. */
+  private val lshCandSql: String =
+    (0 until NumBands).map { b =>
+      s"""band$b AS (SELECT doc_id,
+         |  $b AS band, CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS sig
+         |  FROM sigs)""".stripMargin
+    }.mkString(",\n") + ",\n" +
+    s"""bands AS (${(0 until NumBands).map(b => s"SELECT * FROM band$b").mkString(" UNION ALL ")}),
+       |ok_buckets AS (
+       |  SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING count(*) BETWEEN 2 AND $MaxPosting
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN ok_buckets o ON a.band = o.band AND a.sig = o.sig
+       |)""".stripMargin
+
   private val simhashSql: String =
     """tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -640,24 +708,8 @@ object DedupQueries {
          |FROM toks t LEFT JOIN dup d USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
-    "dedup_minhash_lsh" -> (s"WITH $minhashSql,\n" +
-      (0 until NumBands).map { b =>
-        s"""band$b AS (SELECT doc_id,
-           |  $b AS band, CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS sig
-           |  FROM sigs)""".stripMargin
-      }.mkString(",\n") + ",\n" +
-      s"""bands AS (${(0 until NumBands).map(b => s"SELECT * FROM band$b").mkString(" UNION ALL ")}),
-         |ok_buckets AS (
-         |  SELECT band, sig FROM bands GROUP BY band, sig
-         |  HAVING count(*) BETWEEN 2 AND $MaxPosting
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |  JOIN ok_buckets o ON a.band = o.band AND a.sig = o.sig
-         |)
-         |SELECT doc_a, doc_b,
+    "dedup_minhash_lsh" -> (s"WITH $minhashSql,\n$lshCandSql\n" +
+      s"""SELECT doc_a, doc_b,
          |       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
          |FROM cand
@@ -665,6 +717,20 @@ object DedupQueries {
          |JOIN sigs sb ON doc_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // same candidate CTEs as minhash_lsh; DuckDB has no thresholded
+    // levenshtein, so the oracle computes the full distance and filters —
+    // identical result set to Spark's banded bail-out + filter(>= 0)
+    "dedup_edit_distance" -> (s"WITH $minhashSql,\n$lshCandSql,\n" +
+      s"""pref AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS p FROM documents)
+         |SELECT doc_a, doc_b,
+         |       levenshtein(pa.p, pb.p) AS edit_dist,
+         |       1.0 - levenshtein(pa.p, pb.p)::DOUBLE / greatest(len(pa.p), len(pb.p)) AS edit_sim
+         |FROM cand
+         |JOIN pref pa ON doc_a = pa.doc_id
+         |JOIN pref pb ON doc_b = pb.doc_id
+         |WHERE levenshtein(pa.p, pb.p) <= $EditMaxDist
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_lsh_scurve" -> {

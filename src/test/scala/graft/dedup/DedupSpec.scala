@@ -158,4 +158,39 @@ class DedupSpec extends SparkSpec {
     assert(pairDocs.subsetOf(covered),
       s"near-dup docs without span coverage: ${pairDocs -- covered}")
   }
+
+  test("edit distance: banded levenshtein over LSH candidates, DP-verified") {
+    val rows = DedupQueries.queries("dedup_edit_distance")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "planted near-dups must survive the edit filter")
+    rows.foreach { case (a, b, d, sim) =>
+      assert(a < b, "canonical pair order")
+      assert(d >= 0 && d <= DedupQueries.EditMaxDist)
+      assert(sim > 0.0 && sim <= 1.0)
+    }
+    // independent full-DP verification: Spark's banded levenshtein must
+    // equal the classic O(n·m) table on the same prefixes
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(x: String, y: String): Int = {
+      var pr = Array.tabulate(y.length + 1)(identity)
+      for (i <- 1 to x.length) {
+        val cur = new Array[Int](y.length + 1)
+        cur(0) = i
+        for (j <- 1 to y.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, pr(j) + 1),
+            pr(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        pr = cur
+      }
+      pr(y.length)
+    }
+    rows.take(8).foreach { case (a, b, d, sim) =>
+      val pa = docs(a).take(DedupQueries.EditPrefix)
+      val pb = docs(b).take(DedupQueries.EditPrefix)
+      assert(d === lev(pa, pb).toLong, s"pair ($a,$b)")
+      assert(sim === 1.0 - d.toDouble / math.max(pa.length, pb.length))
+    }
+  }
 }
