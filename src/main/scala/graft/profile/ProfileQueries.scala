@@ -1,6 +1,6 @@
 package graft.profile
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the ingest audit that runs before any
@@ -45,9 +45,66 @@ object ProfileQueries {
       .orderBy("col_name")
   }
 
+  /** Language whitelist for the `lang_in_domain` constraint. */
+  val AllowedLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Data-quality constraint suite (the Deequ-style validation gate):
+    * a declarative set of completeness / uniqueness / compliance / bounds
+    * checks, ALL computed in ONE aggregate over ONE scan — the single-row
+    * metric vector is then unpivoted row-locally into one row per
+    * constraint with its measured metric, threshold, direction, and
+    * verdict. At 100 TB this is the shape that matters: a naive checker
+    * runs one job per constraint (k scans of the corpus); this runs k
+    * constraints for the price of one pass, and adding a constraint adds
+    * an aggregate expression, not a job. The only non-map-side piece is
+    * the exact uniqueness count (Spark plans the mixed distinct/plain
+    * aggregate with one Expand); relax to approx_count_distinct when the
+    * gate tolerates ±2%.
+    *
+    * The suite deliberately includes a constraint the fixture FAILS
+    * (`text_min_100_chars` at threshold 0.95) — a validation gate whose
+    * every check passes by construction proves nothing about its ability
+    * to fail. */
+  def constraints(d: DataFrame): DataFrame = {
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      count(col("doc_id")).as("n_doc"),
+      countDistinct(col("doc_id")).as("n_dist"),
+      sum(when(col("lang").isin(AllowedLangs: _*), 1L).otherwise(0L))
+        .as("n_lang"),
+      sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+        .as("n_cons"),
+      min(col("n_chars")).cast("double").as("min_nc"),
+      max(col("n_chars")).cast("double").as("max_nc"),
+      sum(when(length(col("text")) >= 100, 1L).otherwise(0L)).as("n_len100"),
+      count(col("source")).as("n_src"))
+    def frac(c: Column): Column = c.cast("double") / col("n")
+    val checks: Seq[(String, Column, Double, String)] = Seq(
+      ("doc_id_complete", frac(col("n_doc")), 1.0, "ge"),
+      ("doc_id_unique", frac(col("n_dist")), 1.0, "ge"),
+      ("lang_in_domain", frac(col("n_lang")), 1.0, "ge"),
+      ("n_chars_consistent", frac(col("n_cons")), 1.0, "ge"),
+      ("n_chars_min", col("min_nc"), 1.0, "ge"),
+      ("n_chars_max", col("max_nc"), 10000.0, "le"),
+      ("source_complete", frac(col("n_src")), 1.0, "ge"),
+      ("text_min_100_chars", frac(col("n_len100")), 0.95, "ge"))
+    val cells = checks.flatMap { case (name, metric, thr, cmp) =>
+      Seq(lit(name), metric, lit(thr), lit(cmp))
+    }
+    agg
+      .select(stack((lit(checks.size) +: cells): _*)
+        .as(Seq("check_name", "metric", "threshold", "cmp")))
+      .select(col("check_name"), col("metric"), col("threshold"), col("cmp"),
+        when(col("cmp") === "ge", col("metric") >= col("threshold"))
+          .otherwise(col("metric") <= col("threshold")).as("passed"))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_documents" -> ((s, dir) =>
-      profile(s.read.parquet(s"$dir/documents.parquet"), DocCols)))
+      profile(s.read.parquet(s"$dir/documents.parquet"), DocCols)),
+    "profile_constraints" -> ((s, dir) =>
+      constraints(s.read.parquet(s"$dir/documents.parquet"))))
 
   val oracle: Map[String, String] = Map(
     "profile_documents" -> {
@@ -63,5 +120,35 @@ object ProfileQueries {
          |       min(val) AS min_val, max(val) AS max_val,
          |       CAST(sum(length(val)) AS DOUBLE) / count(val) AS avg_len
          |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+    },
+
+    // mirror of `constraints`: one aggregate CTE, one UNION-ALL unpivot
+    "profile_constraints" -> {
+      val langs = AllowedLangs.map(l => s"'$l'").mkString(", ")
+      s"""WITH a AS (
+         |  SELECT count(*) AS n,
+         |         count(doc_id) AS n_doc,
+         |         count(DISTINCT doc_id) AS n_dist,
+         |         CAST(sum(CASE WHEN lang IN ($langs) THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |         CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_cons,
+         |         CAST(min(n_chars) AS DOUBLE) AS min_nc,
+         |         CAST(max(n_chars) AS DOUBLE) AS max_nc,
+         |         CAST(sum(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_len100,
+         |         count(source) AS n_src
+         |  FROM documents
+         |), c AS (
+         |  SELECT 'doc_id_complete' AS check_name, n_doc::DOUBLE / n AS metric, 1.0 AS threshold, 'ge' AS cmp FROM a
+         |  UNION ALL SELECT 'doc_id_unique', n_dist::DOUBLE / n, 1.0, 'ge' FROM a
+         |  UNION ALL SELECT 'lang_in_domain', n_lang::DOUBLE / n, 1.0, 'ge' FROM a
+         |  UNION ALL SELECT 'n_chars_consistent', n_cons::DOUBLE / n, 1.0, 'ge' FROM a
+         |  UNION ALL SELECT 'n_chars_min', min_nc, 1.0, 'ge' FROM a
+         |  UNION ALL SELECT 'n_chars_max', max_nc, 10000.0, 'le' FROM a
+         |  UNION ALL SELECT 'source_complete', n_src::DOUBLE / n, 1.0, 'ge' FROM a
+         |  UNION ALL SELECT 'text_min_100_chars', n_len100::DOUBLE / n, 0.95, 'ge' FROM a
+         |)
+         |SELECT check_name, metric, CAST(threshold AS DOUBLE) AS threshold, cmp,
+         |       CASE WHEN cmp = 'ge' THEN metric >= threshold
+         |            ELSE metric <= threshold END AS passed
+         |FROM c ORDER BY check_name""".stripMargin
     })
 }

@@ -42,4 +42,33 @@ class ProfileSpec extends SparkSpec {
     assert(docId.getLong(1) == docId.getLong(3), "doc_id not unique")
     assert(p.keySet == ProfileQueries.DocCols.toSet)
   }
+
+  test("constraint suite: one scan, verdicts match hand-derived truth") {
+    val df = ProfileQueries.queries("profile_constraints")(spark, sf)
+    // single-pass shape: exactly one FileScan in the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan.take(2000))
+
+    val rows = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getString(3), r.getBoolean(4)))
+      .toMap
+    // fixture truths: unique non-null ids, whitelisted langs, n_chars
+    // consistent with text — these constraints must PASS
+    for (c <- Seq("doc_id_complete", "doc_id_unique", "lang_in_domain",
+        "n_chars_consistent", "n_chars_max", "source_complete")) {
+      assert(rows(c)._4, s"$c should pass: ${rows(c)}")
+    }
+    // the deliberately-failing gate: docs under 100 chars exist and push
+    // compliance below 0.95 — a checker that can't fail proves nothing
+    val (metric, thr, cmp, passed) = rows("text_min_100_chars")
+    assert(cmp == "ge" && thr == 0.95)
+    assert(metric < 1.0, "fixture has sub-100-char docs")
+    assert(!passed, s"text_min_100_chars should fail: metric=$metric")
+    // verdict column is derived from (metric, threshold, cmp) — re-derive
+    rows.foreach { case (name, (m, t, c, p)) =>
+      val expect = if (c == "ge") m >= t else m <= t
+      assert(p == expect, s"$name verdict inconsistent")
+    }
+  }
 }
