@@ -77,6 +77,43 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Upper-triangle covariance cells (i, j, e_xy, cov) — the whitening/PCA
+    * precursor shared by `embed_covariance` and the power-iteration
+    * eigenvector. The (i, j) pair explosion streams straight into a
+    * map-side partial hash aggregate over the FIXED 2080 cells inside one
+    * codegen stage — nothing corpus-sized is materialized and the shuffle
+    * carries partitions × 2080 rows regardless of corpus size. E[x_i·x_j]
+    * on the 2^-20 fixed-point grid (exact integer sums, one correctly-
+    * rounded division) keeps every double bit-equal across engines;
+    * cov = E[xy] − E[x]·E[y] is then reader-exact too. */
+  private[graft] def covarianceCells(e: DataFrame): DataFrame = {
+    val means = e.select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("i")
+      .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
+        (count("*") * lit(KmeansFp))).as("mean_v"))
+      .select(col("i").cast("long").as("i"), col("mean_v"))
+      // 64-row dimension, two broadcast consumers
+      .localCheckpoint()
+    val cells = e
+      .select(col("embedding"),
+        posexplode(col("embedding")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"),
+        posexplode(col("embedding")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (col("vi").cast("double") * col("vj").cast("double")).as("p"))
+      .groupBy("i", "j")
+      .agg((sum(floor(col("p") * lit(KmeansFp) + lit(0.5))) /
+        (count("*") * lit(KmeansFp))).as("e_xy"))
+    cells
+      .join(broadcast(means.select(col("i"), col("mean_v").as("mean_i"))),
+        "i")
+      .join(broadcast(means.select(col("i").as("j"),
+        col("mean_v").as("mean_j"))), "j")
+      .select(col("i"), col("j"), col("e_xy"),
+        (col("e_xy") - col("mean_i") * col("mean_j")).as("cov"))
+  }
+
   /** (vec_id, embedding, bucket) with the 8-bit LSH bucket. */
   def bucketed(s: SparkSession, dir: String): DataFrame = {
     val bits = (0 until NumPlanes).map { j =>
@@ -156,6 +193,13 @@ object SimilarityQueries {
   /** Fixed-point scale for centroid means: elements quantize to multiples
     * of 2^-20 (~1e-6 — far below any clustering-relevant signal). */
   val KmeansFp = 1048576.0 // 2^20
+
+  /** Power-iteration rounds for the top-eigenvector query. Thirty-two L∞-
+    * normalized multiplies from the all-ones start separate the dominant
+    * eigenpair on this spectrum (spec-checked via the Cv ∥ λv residual);
+    * a production run would iterate to a residual bound instead — each
+    * extra round costs one Dim²-row multiply, nothing corpus-sized. */
+  val PowerIters = 32
 
   /** Per-dimension member mean over 2^-20 fixed-point quantized elements.
     * The scaled values are exact integers, so the sum is EXACT and
@@ -1000,34 +1044,64 @@ object SimilarityQueries {
     // the 2^-20 fixed-point grid (exact integer sums, one correctly-
     // rounded division) keeps every double bit-equal across engines;
     // cov = E[xy] − E[x]·E[y] is then reader-exact too.
-    "embed_covariance" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val means = e.select(posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy("i")
-        .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
-          (count("*") * lit(KmeansFp))).as("mean_v"))
-        .select(col("i").cast("long").as("i"), col("mean_v"))
-        // 64-row dimension, two broadcast consumers
-        .localCheckpoint()
-      val cells = e
-        .select(col("embedding"),
-          posexplode(col("embedding")).as(Seq("i", "vi")))
-        .select(col("i"), col("vi"),
-          posexplode(col("embedding")).as(Seq("j", "vj")))
-        .filter(col("j") >= col("i"))
-        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          (col("vi").cast("double") * col("vj").cast("double")).as("p"))
-        .groupBy("i", "j")
-        .agg((sum(floor(col("p") * lit(KmeansFp) + lit(0.5))) /
-          (count("*") * lit(KmeansFp))).as("e_xy"))
-      cells
-        .join(broadcast(means.select(col("i"), col("mean_v").as("mean_i"))),
-          "i")
-        .join(broadcast(means.select(col("i").as("j"),
-          col("mean_v").as("mean_j"))), "j")
-        .select(col("i"), col("j"), col("e_xy"),
-          (col("e_xy") - col("mean_i") * col("mean_j")).as("cov"))
-        .orderBy("i", "j")
+    "embed_covariance" -> ((s, dir) =>
+      covarianceCells(emb(s, dir)).orderBy("i", "j")),
+
+    // Principal component via power iteration — the eigen-decomposition
+    // tail of the covariance reduction, kept DISTRIBUTED and bit-exact
+    // instead of collected: the corpus is touched exactly once (inside
+    // covarianceCells); every iteration afterwards is a Dim²-row
+    // matrix-vector multiply (4096 rows — control-plane-sized forever,
+    // independent of corpus scale). All arithmetic that must agree with
+    // the oracle is EXACT-INTEGER: the covariance is quantized once to
+    // the 2^-20 grid, each w = C·v is an exact BIGINT sum (≤ 2^46),
+    // and L∞ normalization (divide by max |w|, itself exact) needs no
+    // sum-of-squares — the only doubles are correctly-rounded functions
+    // of exact integers, identical on both engines. The Rayleigh
+    // quotient's v·w crosses 2^63, so that one sum runs in DECIMAL(38,0)
+    // (DuckDB: HUGEINT) — still exact. Thirty-two iterations from the all-ones
+    // vector; convergence on this spectrum is spec-checked via the
+    // Cv ∥ λv residual.
+    "embed_top_eigvec" -> ((s, dir) => {
+      val tri = covarianceCells(emb(s, dir))
+        .select(col("i"), col("j"),
+          floor(col("cov") * lit(KmeansFp) + lit(0.5)).cast("long").as("c"))
+      val cov = tri
+        .union(tri.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+        .localCheckpoint() // 4096 rows, consumed by 7 multiplies
+      def multiply(v: DataFrame): DataFrame =
+        cov.join(v, "j").groupBy("i")
+          .agg(sum(col("c") * col("v")).as("w"))
+      // L∞ normalization via a whole-frame window (64 rows, one
+      // single-partition pass) instead of agg + crossJoin: w is
+      // referenced ONCE per round, so the plan stays a linear chain and
+      // all PowerIters rounds execute as one job — no per-round
+      // materialization barrier
+      val whole = Window.partitionBy(lit(1))
+      var v: DataFrame = s.range(Dim)
+        .select(col("id").as("j"), lit(1048576L).as("v"))
+      for (k <- 1 to PowerIters) {
+        v = multiply(v)
+          .select(col("i").as("j"),
+            floor(col("w").cast("double") * lit(KmeansFp) /
+              max(abs(col("w"))).over(whole).cast("double") + lit(0.5))
+              .cast("long").as("v"))
+        // bound optimizer/codegen cost on the growing chain; the
+        // checkpointed frame is 64 rows
+        if (k % 8 == 0) v = v.localCheckpoint()
+      }
+      val joined = multiply(v)
+        .join(v.select(col("j").as("i"), col("v")), "i")
+      val scalars = joined.agg(
+        sum(col("v").cast("decimal(38,0)") * col("w")).as("num"),
+        sum(col("v") * col("v")).as("den"))
+      joined.crossJoin(broadcast(scalars))
+        .select(col("i"),
+          (col("v").cast("double") / lit(KmeansFp)).as("component"),
+          (col("num").cast("double") / col("den").cast("double") /
+            lit(KmeansFp)).as("eigval"))
+        .orderBy("i")
     }),
 
     // SemDeDup-style semantic dedup: cluster, then prune inside cells.
@@ -1070,6 +1144,34 @@ object SimilarityQueries {
     }.mkString(" + ")
     val bucketedSql =
       s"bucketed AS (SELECT vec_id, embedding, $bitsSql AS bucket FROM embeddings)"
+
+    // SQL mirror of covarianceCells — shared by embed_covariance and the
+    // power-iteration eigenvector exactly as the Spark helper is
+    val covTriSql =
+      s"""means AS (
+         |  SELECT ii.i,
+         |         sum(CAST(floor(embedding[ii.i+1]::DOUBLE * $KmeansFp + 0.5)
+         |           AS BIGINT)) / (count(*) * $KmeansFp) AS mean_v
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range($Dim)) AS i) ii
+         |  GROUP BY ii.i
+         |),
+         |cells AS (
+         |  SELECT ii.i, jj.j,
+         |         sum(CAST(floor(embedding[ii.i+1]::DOUBLE *
+         |           embedding[jj.j+1]::DOUBLE * $KmeansFp + 0.5) AS BIGINT))
+         |           / (count(*) * $KmeansFp) AS e_xy
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(range($Dim)) AS i) ii
+         |  CROSS JOIN (SELECT unnest(range($Dim)) AS j) jj
+         |  WHERE jj.j >= ii.i
+         |  GROUP BY ii.i, jj.j
+         |),
+         |covtri AS (
+         |  SELECT c.i, c.j, c.e_xy, c.e_xy - (mi.mean_v * mj.mean_v) AS cov
+         |  FROM cells c
+         |  JOIN means mi ON c.i = mi.i
+         |  JOIN means mj ON c.j = mj.i
+         |)""".stripMargin
 
     // mirror of bucketCosinePairs — shared by sim_knn_join and
     // sim_hard_negatives exactly as the Spark helper is
@@ -1417,29 +1519,52 @@ object SimilarityQueries {
            |FROM vals GROUP BY i ORDER BY i""".stripMargin,
 
       "embed_covariance" ->
-        s"""WITH means AS (
-           |  SELECT ii.i,
-           |         sum(CAST(floor(embedding[ii.i+1]::DOUBLE * $KmeansFp + 0.5)
-           |           AS BIGINT)) / (count(*) * $KmeansFp) AS mean_v
-           |  FROM embeddings CROSS JOIN (SELECT unnest(range($Dim)) AS i) ii
-           |  GROUP BY ii.i
+        s"WITH $covTriSql\nSELECT i, j, e_xy, cov FROM covtri ORDER BY i, j",
+
+      // mirror of the power iteration: covtri quantized once to the 2^-20
+      // grid, then PowerIters unrolled (multiply, L∞-normalize) CTE pairs
+      // — every sum an exact integer, every double a correctly-rounded
+      // function of exact integers. The Rayleigh v·w crosses 2^63 →
+      // HUGEINT (Spark: DECIMAL(38,0)). Every iteration CTE is
+      // AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+      // references its w twice (normalize + max), so un-materialized
+      // unrolling re-expands the whole chain 2^PowerIters times.
+      "embed_top_eigvec" -> {
+        val iters = (1 to PowerIters).map { k =>
+          s"""w$k AS MATERIALIZED (
+             |  SELECT c.i, CAST(sum(c.c * v${k - 1}.v) AS BIGINT) AS w
+             |  FROM covfp c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY c.i
+             |),
+             |v$k AS MATERIALIZED (
+             |  SELECT i AS j, CAST(floor(w::DOUBLE * $KmeansFp /
+             |    (SELECT max(abs(w))::DOUBLE FROM w$k) + 0.5) AS BIGINT) AS v
+             |  FROM w$k
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $covTriSql,
+           |covfp AS MATERIALIZED (
+           |  SELECT i, j, CAST(floor(cov * $KmeansFp + 0.5) AS BIGINT) AS c
+           |  FROM covtri
+           |  UNION ALL
+           |  SELECT j, i, CAST(floor(cov * $KmeansFp + 0.5) AS BIGINT)
+           |  FROM covtri WHERE i <> j
            |),
-           |cells AS (
-           |  SELECT ii.i, jj.j,
-           |         sum(CAST(floor(embedding[ii.i+1]::DOUBLE *
-           |           embedding[jj.j+1]::DOUBLE * $KmeansFp + 0.5) AS BIGINT))
-           |           / (count(*) * $KmeansFp) AS e_xy
-           |  FROM embeddings
-           |  CROSS JOIN (SELECT unnest(range($Dim)) AS i) ii
-           |  CROSS JOIN (SELECT unnest(range($Dim)) AS j) jj
-           |  WHERE jj.j >= ii.i
-           |  GROUP BY ii.i, jj.j
+           |v0 AS (SELECT unnest(range($Dim))::BIGINT AS j, 1048576::BIGINT AS v),
+           |$iters,
+           |wf AS MATERIALIZED (
+           |  SELECT c.i, CAST(sum(c.c * v$PowerIters.v) AS BIGINT) AS w
+           |  FROM covfp c JOIN v$PowerIters ON c.j = v$PowerIters.j GROUP BY c.i
+           |),
+           |sc AS MATERIALIZED (
+           |  SELECT CAST(sum(v.v::HUGEINT * wf.w) AS DOUBLE) AS num,
+           |         CAST(sum(v.v * v.v) AS BIGINT) AS den
+           |  FROM wf JOIN v$PowerIters v ON wf.i = v.j
            |)
-           |SELECT c.i, c.j, c.e_xy, c.e_xy - (mi.mean_v * mj.mean_v) AS cov
-           |FROM cells c
-           |JOIN means mi ON c.i = mi.i
-           |JOIN means mj ON c.j = mj.i
-           |ORDER BY c.i, c.j""".stripMargin,
+           |SELECT wf.i, v.v::DOUBLE / $KmeansFp AS component,
+           |       sc.num / sc.den::DOUBLE / $KmeansFp AS eigval
+           |FROM wf JOIN v$PowerIters v ON wf.i = v.j CROSS JOIN sc
+           |ORDER BY wf.i""".stripMargin
+      },
 
       "sim_ann_int8_rerank" ->
         s"""WITH scaled AS (

@@ -355,4 +355,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rounds < SimilarityQueries.KCoreMaxIters, s"no fixed point: $rounds")
     assert(rounds === 2, s"peel depth moved: $rounds rounds")
   }
+
+  test("top eigvec: L-inf normalized, Rayleigh in bounds, residual small") {
+    val rows = SimilarityQueries.queries("embed_top_eigvec")(spark, sf)
+      .collect()
+    assert(rows.length == SimilarityQueries.Dim)
+    val comp = rows.map(r => r.getLong(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+    val eig = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == eig), "eigval constant across rows")
+    assert(comp.map(math.abs).max == 1.0, "L-inf normalized output")
+    // driver-side residual check on the true (double) covariance: after
+    // PowerIters rounds, C·v must be nearly parallel to λ·v
+    val cov = SimilarityQueries.queries("embed_covariance")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    def c(i: Int, j: Int): Double =
+      cov.getOrElse((i.toLong, j.toLong), cov((j.toLong, i.toLong)))
+    val n = comp.length
+    val cv = Array.tabulate(n)(i => (0 until n).map(j => c(i, j) * comp(j)).sum)
+    val trace = (0 until n).map(i => c(i, i)).sum
+    assert(eig > 0 && eig <= trace + 1e-9, s"eig=$eig trace=$trace")
+    assert(eig >= trace / n, "dominant eigenvalue at least the average")
+    val resid = math.sqrt(
+      cv.zip(comp).map { case (a, b) => val d = a - eig * b; d * d }.sum) /
+      math.sqrt(comp.map(x => x * x).sum)
+    assert(resid / eig < 0.03, s"unconverged: residual=$resid eig=$eig")
+  }
 }
