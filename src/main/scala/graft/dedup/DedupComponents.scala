@@ -210,6 +210,69 @@ object DedupComponents {
     reached.select(col("id").as("doc_id"), col("hops"))
   }
 
+  /** Fixed-point grid for SSSP edge weights (2^20, the repo-wide scale). */
+  val SsspFp = 1048576.0
+
+  /** Hop cap shared by the relaxation loop and the recursive-CTE oracle:
+    * the oracle explores paths of at most this many hops, so the Spark
+    * loop must converge strictly under it (spec-pinned). Near-dup
+    * components are small cliques — optimal paths are 1–3 hops. */
+  val SsspMaxHops = 12
+
+  /** Weighted multi-source SSSP (Bellman–Ford relaxation): the minimum
+    * total DISSIMILARITY from every vertex to its component's canonical,
+    * edge weight = 1 − jaccard quantized to the 2^-20 grid. Integer
+    * weights make every path sum exact, so min comparisons agree with the
+    * DuckDB recursive-CTE oracle bit-for-bit — no double accumulates
+    * anywhere. Unlike hop-BFS, a later round can IMPROVE an
+    * already-reached vertex (two strong near-dup hops can be cheaper than
+    * one weak hop), so each round relaxes the FULL distance table and the
+    * loop stops at the (count, sum) fixed point: distances only decrease
+    * and the reached set only grows, so an unchanged signature means an
+    * unchanged table. Each round is one join + one min-aggregate,
+    * checkpoint-truncated like the components loop. */
+  private[graft] def ssspFromCanonicalsWithRounds(
+      scored: DataFrame): (DataFrame, Int) = {
+    val e = scored.localCheckpoint()
+    val wgt = floor((lit(1.0) - col("jaccard")) * lit(SsspFp) + lit(0.5))
+      .cast("long")
+    val und = e
+      .select(col("doc_a").as("s"), col("doc_b").as("d"), wgt.as("w"))
+      .unionByName(
+        e.select(col("doc_b").as("s"), col("doc_a").as("d"), wgt.as("w")))
+      .localCheckpoint()
+    var dist = componentsFromAdj(adjacency(e.select("doc_a", "doc_b")))
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id").as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    // order-free table signature: (row count, exact integer dist sum) —
+    // both monotone under relaxation, so equality is a fixed point
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("dist"), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var s0 = sig(dist)
+    var rounds = 0
+    var converged = s0._1 == 0L
+    while (!converged && rounds < SsspMaxHops) {
+      val relaxed = und
+        .join(dist.withColumnRenamed("id", "sid"), col("s") === col("sid"))
+        .select(col("d").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      val s1 = sig(next)
+      converged = s1 == s0
+      s0 = s1
+      dist = next
+      rounds += 1
+    }
+    (dist.select(col("id").as("doc_id"),
+      (col("dist").cast("double") / lit(SsspFp)).as("dist"))
+      .orderBy("doc_id"), rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // components of the exact-Jaccard near-dup graph + keep/drop verdict
     "dedup_components" -> ((s, dir) => {
@@ -240,6 +303,15 @@ object DedupComponents {
       val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
         .select("doc_a", "doc_b")
       bfsFromCanonicals(pairs).orderBy("doc_id")
+    }),
+
+    // weighted twin of the hop distance: minimum accumulated
+    // dissimilarity to the canonical — the confidence score behind a
+    // transitive drop verdict (hops says HOW a doc reached the keep set;
+    // dist says how much similarity evidence the chain actually carries)
+    "graph_sssp_weighted" -> ((s, dir) => {
+      val scored = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+      ssspFromCanonicalsWithRounds(scored)._1
     }),
   )
 
@@ -300,5 +372,32 @@ object DedupComponents {
          |)
          |SELECT id AS doc_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM bfs GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // weighted walk: UNION dedups (id, dist, hops) states; the shared
+    // SsspMaxHops cap bounds the exploration exactly where the Spark
+    // loop's convergence is spec-pinned to land first. Integer weights on
+    // the 2^-20 grid keep every path sum exact.
+    "graph_sssp_weighted" -> (
+      s"""WITH RECURSIVE
+         |$componentsCteSql,
+         |wund AS (
+         |  SELECT doc_a AS s, doc_b AS d,
+         |         CAST(floor((1.0 - jaccard) * $SsspFp + 0.5) AS BIGINT) AS w
+         |  FROM jac WHERE jaccard >= ${DedupQueries.JaccardThreshold}
+         |  UNION ALL
+         |  SELECT doc_b, doc_a,
+         |         CAST(floor((1.0 - jaccard) * $SsspFp + 0.5) AS BIGINT)
+         |  FROM jac WHERE jaccard >= ${DedupQueries.JaccardThreshold}
+         |),
+         |walk(id, dist, hops) AS (
+         |  SELECT component, CAST(0 AS BIGINT), 0 FROM components
+         |  WHERE is_canonical
+         |  UNION
+         |  SELECT u.d, wk.dist + u.w, wk.hops + 1
+         |  FROM wund u JOIN walk wk ON u.s = wk.id
+         |  WHERE wk.hops < $SsspMaxHops
+         |)
+         |SELECT id AS doc_id, min(dist)::DOUBLE / $SsspFp AS dist
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin),
   )
 }

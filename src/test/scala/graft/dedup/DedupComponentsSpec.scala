@@ -101,4 +101,51 @@ class DedupComponentsSpec extends SparkSpec {
       if (h > 0) assert(adj(id).exists(nb => hops(nb) === h - 1))
     }
   }
+
+  test("weighted SSSP matches a driver-side Dijkstra exactly; rounds pinned") {
+    val scored = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+    val (df, rounds) = DedupComponents.ssspFromCanonicalsWithRounds(scored)
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    // the oracle explores at most SsspMaxHops hops — the loop must have
+    // found its fixed point strictly inside that budget
+    assert(rounds < DedupComponents.SsspMaxHops, s"unconverged in $rounds")
+
+    // driver-side multi-source Dijkstra on the same integer weights
+    val edges = scored.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        math.floor((1.0 - r.getDouble(2)) * DedupComponents.SsspFp + 0.5)
+          .toLong))
+    val adj = edges.flatMap { case (a, b, w) => Seq(a -> (b, w), b -> (a, w)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val canonicals = DedupComponents.queries("dedup_components")(spark, sf)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0))
+    val dist = collection.mutable.Map(canonicals.map(_ -> 0L): _*)
+    val pq = collection.mutable.PriorityQueue(
+      canonicals.map(c => (-0L, c)): _*)(Ordering.by(_._1))
+    while (pq.nonEmpty) {
+      val (nd, u) = pq.dequeue()
+      if (-nd == dist(u))
+        adj.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > -nd + w)) {
+            dist(v) = -nd + w
+            pq.enqueue((nd - w, v))
+          }
+        }
+    }
+    val expect = dist.map { case (k, v) =>
+      k -> v.toDouble / DedupComponents.SsspFp
+    }.toMap
+    assert(got === expect)
+    // weighted distance is consistent with hop distance: nonzero exactly
+    // off the canonicals, and never more than max-weight × hops
+    val hops = DedupComponents.queries("graph_bfs_hops")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === hops.keySet)
+    got.foreach { case (id, d) =>
+      assert((d == 0.0) === (hops(id) == 0L))
+      assert(d <= hops(id) * (1.0 - DedupQueries.JaccardThreshold) + 1e-9,
+        s"dist($id)=$d exceeds per-hop weight bound over ${hops(id)} hops")
+    }
+  }
 }
