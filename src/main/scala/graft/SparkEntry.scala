@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
-import graft.events.{CohortQueries, EventsQueries, SkewQueries}
+import graft.events.{CohortQueries, EventsQueries, SkewQueries, TrendQueries}
 import graft.graph.GraphXAnalytics
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
@@ -35,7 +35,7 @@ object SparkEntry {
       DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
-      SkewQueries.queries, CohortQueries.queries,
+      SkewQueries.queries, CohortQueries.queries, TrendQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
       ProfileQueries.queries)
@@ -47,7 +47,7 @@ object SparkEntry {
       DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
-      SkewQueries.oracle, CohortQueries.oracle,
+      SkewQueries.oracle, CohortQueries.oracle, TrendQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
       ProfileQueries.oracle)

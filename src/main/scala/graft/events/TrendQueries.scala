@@ -1,0 +1,193 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over the per-day event counts: CUSUM
+  * mean-shift detection and an OLS trend fit with a one-step forecast —
+  * the two monitors a pipeline runs over its own throughput series to
+  * catch a broken upstream (level shift) or a capacity trend before it
+  * becomes an incident.
+  *
+  * Scale shape: both queries reduce the corpus FIRST (one shuffle to
+  * per-(type, day) counts, map-side combined); every window and join
+  * afterwards runs over #days-sized tables. All statistics are built
+  * from EXACT integer sums — counts, indexes, and their products stay in
+  * BIGINT (bounds audited in comments) — so the doubles both engines
+  * derive from them are bit-identical, the repo-wide oracle contract.
+  */
+object TrendQueries {
+
+  /** CUSUM decision threshold, in units of the series' own σ. */
+  val CusumH = 4.0
+
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    EventsQueries.events(s, dir)
+      .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUSUM mean-shift: S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)) via the
+    // prefix-min identity S⁺_t = C_t − min(0, min_{s≤t} C_s) with
+    // C_t = Σ(x − μ) — which turns the RECURSION into two plain windows.
+    // μ is the per-type mean, so C_t is kept as the exact integer
+    // numerator C_t·nd = cum_n·nd − idx·s (≤ days·Σn ≈ 2^31 at sf0.1 —
+    // far inside BIGINT); running min/max over integers are exact, and
+    // the final /nd division is the only double. A shift fires when the
+    // drawup/drawdown exceeds CusumH·σ. Zero-allowance (k=0) CUSUM: the
+    // pure level-shift detector; subtract an allowance from y to trade
+    // sensitivity for run length.
+    "events_cusum_shift" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val st = d.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("n_events").as("s"),
+          sum(col("n_events") * col("n_events")).as("sq"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val withCum = d.join(broadcast(st), "event_type")
+        .withColumn("idx", row_number().over(wOrd))
+        .withColumn("cum_n", sum("n_events").over(wCum))
+        .withColumn("cum_num", col("cum_n") * col("nd") - col("idx") * col("s"))
+      val sigma = sqrt((col("sq").cast("double") -
+        col("s").cast("double") * col("s") / col("nd")) / col("nd"))
+      withCum
+        .withColumn("runmin", least(lit(0L), min("cum_num").over(wCum)))
+        .withColumn("runmax", greatest(lit(0L), max("cum_num").over(wCum)))
+        .select(col("event_type"), col("day"), col("n_events"),
+          ((col("cum_num") - col("runmin")).cast("double") / col("nd"))
+            .as("cusum_up"),
+          ((col("runmax") - col("cum_num")).cast("double") / col("nd"))
+            .as("cusum_down"),
+          sigma.as("sigma"))
+        .withColumn("is_shift",
+          col("cusum_up") > lit(CusumH) * col("sigma") ||
+            col("cusum_down") > lit(CusumH) * col("sigma"))
+        .orderBy("event_type", "day")
+    }),
+
+    // per-type OLS n = a + b·t over present days (t = day − first day of
+    // the type), plus fit quality and the one-step forecast. Every moment
+    // (Σt, Σt², Σn, Σtn, Σn²) is an exact BIGINT (worst factor nd·Σtn ≈
+    // 2^38 at sf0.1); slope/intercept/r² are fixed expressions over those
+    // exact longs — slope² and the r² denominators cross 2^63 territory,
+    // so THOSE products are taken in DOUBLE after the exact subtractions,
+    // identically on both engines.
+    "events_trend_forecast" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val wType = Window.partitionBy("event_type")
+      val withT = d
+        .withColumn("t", col("day") - min("day").over(wType))
+      val agg = withT.groupBy("event_type").agg(
+        count(lit(1)).as("nd"),
+        sum("t").as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum("n_events").as("sn"),
+        sum(col("t") * col("n_events")).as("stn"),
+        sum(col("n_events") * col("n_events")).as("snn"),
+        max("t").as("tmax"))
+      val num = col("nd") * col("stn") - col("st") * col("sn")
+      val den = col("nd") * col("stt") - col("st") * col("st")
+      val dvar = col("nd") * col("snn") - col("sn") * col("sn")
+      agg.filter(col("nd") >= 2 && den > 0)
+        .withColumn("slope", num.cast("double") / den.cast("double"))
+        .withColumn("intercept",
+          (col("sn").cast("double") - col("slope") * col("st")) / col("nd"))
+        .withColumn("r2",
+          when(dvar === 0L, lit(1.0)).otherwise(
+            num.cast("double") * num.cast("double") /
+              (den.cast("double") * dvar.cast("double"))))
+        .withColumn("forecast_next",
+          col("intercept") + col("slope") * (col("tmax") + lit(1L)))
+        .select("event_type", "nd", "slope", "intercept", "r2",
+          "forecast_next")
+        .withColumnRenamed("nd", "n_days")
+        .orderBy("event_type")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "events_cusum_shift" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT event_type, ts // ${EventsQueries.DayUs} AS day,
+         |         count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |st AS (
+         |  SELECT event_type, count(*) AS nd,
+         |         CAST(sum(n_events) AS BIGINT) AS s,
+         |         CAST(sum(n_events * n_events) AS BIGINT) AS sq
+         |  FROM d GROUP BY 1
+         |),
+         |cum AS (
+         |  SELECT d.event_type, d.day, d.n_events, st.nd, st.s, st.sq,
+         |         CAST(sum(n_events) OVER w AS BIGINT) * st.nd
+         |           - (row_number() OVER w) * st.s AS cum_num
+         |  FROM d JOIN st USING (event_type)
+         |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+         |               ROWS UNBOUNDED PRECEDING)
+         |),
+         |runs AS (
+         |  SELECT *,
+         |         least(0, min(cum_num) OVER w) AS runmin,
+         |         greatest(0, max(cum_num) OVER w) AS runmax,
+         |         sqrt((sq::DOUBLE - s::DOUBLE * s / nd) / nd) AS sigma
+         |  FROM cum
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |               ROWS UNBOUNDED PRECEDING)
+         |)
+         |SELECT event_type, day, n_events,
+         |       (cum_num - runmin)::DOUBLE / nd AS cusum_up,
+         |       (runmax - cum_num)::DOUBLE / nd AS cusum_down,
+         |       sigma,
+         |       ((cum_num - runmin)::DOUBLE / nd > $CusumH * sigma OR
+         |        (runmax - cum_num)::DOUBLE / nd > $CusumH * sigma) AS is_shift
+         |FROM runs
+         |ORDER BY event_type, day""".stripMargin),
+
+    "events_trend_forecast" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT event_type, ts // ${EventsQueries.DayUs} AS day,
+         |         count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |wt AS (
+         |  SELECT event_type, n_events,
+         |         day - min(day) OVER (PARTITION BY event_type) AS t
+         |  FROM d
+         |),
+         |a AS (
+         |  SELECT event_type, count(*) AS nd,
+         |         CAST(sum(t) AS BIGINT) AS st,
+         |         CAST(sum(t * t) AS BIGINT) AS stt,
+         |         CAST(sum(n_events) AS BIGINT) AS sn,
+         |         CAST(sum(t * n_events) AS BIGINT) AS stn,
+         |         CAST(sum(n_events * n_events) AS BIGINT) AS snn,
+         |         max(t) AS tmax
+         |  FROM wt GROUP BY 1
+         |),
+         |f AS (
+         |  SELECT event_type, nd,
+         |         nd * stn - st * sn AS num,
+         |         nd * stt - st * st AS den,
+         |         nd * snn - sn * sn AS dvar,
+         |         sn, st, tmax
+         |  FROM a WHERE nd >= 2 AND nd * stt - st * st > 0
+         |),
+         |fit AS (
+         |  SELECT event_type, nd, sn, st, tmax, num, den, dvar,
+         |         num::DOUBLE / den::DOUBLE AS slope
+         |  FROM f
+         |),
+         |fin AS (
+         |  SELECT event_type, nd, slope,
+         |         (sn::DOUBLE - slope * st) / nd AS intercept,
+         |         CASE WHEN dvar = 0 THEN 1.0
+         |              ELSE num::DOUBLE * num::DOUBLE
+         |                   / (den::DOUBLE * dvar::DOUBLE) END AS r2,
+         |         tmax
+         |  FROM fit
+         |)
+         |SELECT event_type, nd AS n_days, slope, intercept, r2,
+         |       intercept + slope * (tmax + 1) AS forecast_next
+         |FROM fin ORDER BY event_type""".stripMargin))
+}

@@ -1,0 +1,89 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The window-identity CUSUM and the moment-based OLS against direct
+  * driver-side recomputations from the raw daily counts — the recursion
+  * and the textbook formulas, not the windows. */
+class TrendSpec extends SparkSpec {
+
+  private def dailyCounts: Map[String, Seq[(Long, Long)]] =
+    EventsQueries.events(spark, sf)
+      .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+
+  test("cusum: window identity equals the textbook recursion exactly") {
+    val rows = TrendQueries.queries("events_cusum_shift")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(6)))
+      .toMap
+    assert(rows.nonEmpty)
+    dailyCounts.foreach { case (tpe, series) =>
+      val nd = series.length.toLong
+      val s = series.map(_._2).sum
+      // recursion on the EXACT integer numerators (values × nd), mirroring
+      // S+_t = max(0, S+_{t-1} + (x_t - mean)); same for the down side
+      var up = 0L
+      var down = 0L
+      series.foreach { case (day, n) =>
+        val y = n * nd - s // (x_t - mean) × nd, exact
+        up = math.max(0L, up + y)
+        down = math.max(0L, down - y)
+        val (gotN, gotUp, gotDown, _) = rows((tpe, day))
+        assert(gotN == n)
+        assert(gotUp == up.toDouble / nd, s"up($tpe,$day)")
+        assert(gotDown == down.toDouble / nd, s"down($tpe,$day)")
+      }
+    }
+    // the flag derives from the reported statistic and σ
+    val byType = dailyCounts.map { case (tpe, series) =>
+      val nd = series.length
+      val s = series.map(_._2).sum
+      val sq = series.map(x => x._2 * x._2).sum
+      tpe -> math.sqrt((sq.toDouble - s.toDouble * s / nd) / nd)
+    }
+    rows.foreach { case ((tpe, _), (_, u, d, flag)) =>
+      val sig = byType(tpe)
+      assert(flag == (u > TrendQueries.CusumH * sig ||
+        d > TrendQueries.CusumH * sig))
+    }
+  }
+
+  test("trend: OLS moments match the textbook fit; forecast extrapolates") {
+    val rows = TrendQueries.queries("events_trend_forecast")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))
+      .toMap
+    assert(rows.nonEmpty)
+    dailyCounts.foreach { case (tpe, series) =>
+      val t0 = series.map(_._1).min
+      val ts = series.map { case (day, n) => (day - t0, n) }
+      val nd = ts.length.toLong
+      val (st, stt) = (ts.map(_._1).sum, ts.map(x => x._1 * x._1).sum)
+      val (sn, stn) = (ts.map(_._2).sum, ts.map(x => x._1 * x._2).sum)
+      val snn = ts.map(x => x._2 * x._2).sum
+      val (num, den, dvar) =
+        (nd * stn - st * sn, nd * stt - st * st, nd * snn - sn * sn)
+      if (nd >= 2 && den > 0) {
+        val (gotNd, slope, intercept, r2, fc) = rows(tpe)
+        assert(gotNd == nd)
+        assert(slope == num.toDouble / den.toDouble)
+        assert(intercept == (sn.toDouble - slope * st) / nd)
+        val expR2 = if (dvar == 0L) 1.0
+          else num.toDouble * num.toDouble / (den.toDouble * dvar.toDouble)
+        assert(r2 == expR2)
+        assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+        assert(fc == intercept + slope * (ts.map(_._1).max + 1L))
+      } else assert(!rows.contains(tpe))
+    }
+  }
+}
