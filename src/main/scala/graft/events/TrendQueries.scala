@@ -39,7 +39,10 @@ object TrendQueries {
     // pure level-shift detector; subtract an allowance from y to trade
     // sensitivity for run length.
     "events_cusum_shift" -> ((s, dir) => {
-      val d = daily(s, dir)
+      // the day-sized reduction feeds BOTH the moment aggregate and the
+      // window chain — checkpoint it so the corpus is scanned once, not
+      // once per consumer (the reduced table is #days × #types rows)
+      val d = daily(s, dir).localCheckpoint()
       val st = d.groupBy("event_type")
         .agg(count(lit(1)).as("nd"), sum("n_events").as("s"),
           sum(col("n_events") * col("n_events")).as("sq"))

@@ -585,4 +585,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.forall(l => !l.contains("(g#") && !l.contains("(g,")),
       "an exchange partitions on the raw gram string")
   }
+
+  test("edit distance: LSH-bounded pairs, banded kernel, no pair explosion") {
+    val p = graft.dedup.DedupQueries.queries("dedup_edit_distance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // candidates come from posting lists, never a quadratic pair join
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the 3-arg (banded, early-exit) kernel — a plain levenshtein would
+    // pay the full DP table per pair
+    assert(p.contains("levenshtein"), p.take(3000))
+  }
+
+  test("top eigvec: 32 iterations add ZERO corpus scans to the plan") {
+    val p = graft.sim.SimilarityQueries.queries("embed_top_eigvec")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the corpus was reduced to the 2080 covariance cells at construction
+    // (checkpointed); every one of the PowerIters multiplies reads those
+    // cells — iteration count and corpus cost are fully decoupled
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"iteration chain must not rescan embeddings: $scans\n${p.take(2000)}")
+  }
+
+  test("cusum: corpus reduced once; windows run over the checkpointed days") {
+    val p = graft.events.TrendQueries.queries("events_cusum_shift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the day-sized reduction is checkpointed: the moment aggregate and
+    // the window chain both read it, so no events scan survives here
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"post-checkpoint scans: $scans\n${p.take(2000)}")
+  }
+
+  test("trend fit: one events scan feeds all five moments") {
+    val p = graft.events.TrendQueries.queries("events_trend_forecast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one-pass OLS requires 1 scan, got $scans\n${p.take(2000)}")
+    // the moments reduce map-side before the per-type shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "moment aggregation should be partial before the exchange\n" + p.take(3000))
+  }
 }
