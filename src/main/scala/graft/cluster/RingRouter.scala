@@ -84,6 +84,31 @@ object RingRouter {
     element_at(nodeArr, pmod(idx, lit(r.size)) + 1)
   }
 
+  /** Replica fan-out per key. */
+  val ReplicaN = 3
+
+  /** Preference list per vnode SLOT: the first `r` DISTINCT node owners
+    * walking clockwise from slot i — precomputed driver-side (slots ×
+    * walk, control-plane-sized) exactly the way Dynamo-style stores ship
+    * preference lists to routers, so the per-key cost stays ONE binary
+    * search + one array lookup no matter how many replicas. */
+  def replicaSets(nodes: Seq[String], r: Int): Seq[Seq[String]] = {
+    val rg = ring(nodes)
+    rg.indices.map { i =>
+      rg.indices.iterator.map(j => rg((i + j) % rg.size)._2)
+        .distinct.take(r).toSeq
+    }
+  }
+
+  /** key → its [[ReplicaN]]-node preference list (primary first). */
+  def replicaSetCol(nodes: Seq[String])(key: Column): Column = {
+    val rg = ring(nodes)
+    val setsArr = typedLit(replicaSets(nodes, ReplicaN))
+    val idx = graft.functions.SortedSuccessor.sortedSuccessor(
+      rg.map(_._1), pos32(key))
+    element_at(setsArr, pmod(idx, lit(rg.size)) + 1)
+  }
+
   // ---- queries -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -132,7 +157,27 @@ object RingRouter {
           (col("r.n_moved").cast("double") / col("r.n_keys"))
             .as("moved_frac"))
         .orderBy("method")
-    })
+    }),
+
+    // replica-placement load audit: for every key the ReplicaN-node
+    // preference list (first distinct successors clockwise — the
+    // Dynamo-style replica rule the reference's "replicas come later"
+    // roadmap names), aggregated to keys per (node, role). One keyspace
+    // pass; the per-key work is the SAME single binary search as primary
+    // routing because the walk is precomputed per vnode slot. The oracle
+    // derives the identical placement RELATIONALLY: per (key, node) the
+    // minimal clockwise wrap-distance, ranked — first-R-distinct-walk ≡
+    // R smallest per-node min-distances, so the preference-list shortcut
+    // itself is what the cross-engine check proves.
+    "route_replica_load" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .select(posexplode(replicaSetCol(RingNodes)(col("key")))
+          .as(Seq("role0", "node_id")))
+        .groupBy("node_id", "role0")
+        .agg(count(lit(1)).as("n_keys"))
+        .select(col("node_id"), (col("role0") + 1).cast("long").as("role"),
+          col("n_keys"))
+        .orderBy("node_id", "role"))
   )
 
   // ---- oracle ------------------------------------------------------------
@@ -192,6 +237,27 @@ object RingRouter {
          |  SELECT 'mod' AS method, n_keys, mod_m AS n_moved FROM summary
          |  UNION ALL
          |  SELECT 'ring', n_keys, ring_m FROM summary
-         |) ORDER BY method""".stripMargin)
+         |) ORDER BY method""".stripMargin),
+
+    // relational replica placement: clockwise wrap-distance per
+    // (key, node), min per node, rank — independent of the Spark side's
+    // precomputed preference lists
+    "route_replica_load" -> (s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |nodedist AS (
+         |  SELECT k.key, v.node,
+         |         min((v.pos - k.kp + 4294967296) % 4294967296) AS dist
+         |  FROM keyed k CROSS JOIN r4_vn v
+         |  GROUP BY k.key, v.node
+         |),
+         |roles AS (
+         |  SELECT key, node,
+         |         row_number() OVER (PARTITION BY key ORDER BY dist) AS role
+         |  FROM nodedist
+         |)
+         |SELECT node AS node_id, CAST(role AS BIGINT) AS role,
+         |       CAST(count(*) AS BIGINT) AS n_keys
+         |FROM roles WHERE role <= $ReplicaN
+         |GROUP BY 1, 2 ORDER BY node_id, role""".stripMargin)
   )
 }

@@ -69,4 +69,32 @@ class RingRouterSpec extends SparkSpec {
       s"expected no per-key shuffle beyond the count agg, got $n exchanges:\n" +
         finalPlan.toString.take(2000))
   }
+
+  test("preference lists: R distinct nodes, primary = successor, laws hold") {
+    val sets = RingRouter.replicaSets(RingRouter.RingNodes, RingRouter.ReplicaN)
+    assert(sets.size === RingRouter.RingNodes.size * RingRouter.VNodes)
+    sets.foreach { s =>
+      assert(s.size === RingRouter.ReplicaN)
+      assert(s.distinct.size === s.size, "replicas must be distinct nodes")
+    }
+    // slot i's primary is slot i's owner
+    val rg = RingRouter.ring(RingRouter.RingNodes)
+    sets.zip(rg).foreach { case (s, (_, owner)) => assert(s.head === owner) }
+
+    // the query's role-1 load equals the primary routing census, and each
+    // role layer carries every key exactly once
+    val load = RingRouter.queries("route_replica_load")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val primary = RingRouter.queries("route_ring_keys")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = primary.values.sum
+    primary.foreach { case (node, n1) =>
+      assert(load.getOrElse((node, 1L), 0L) === n1, s"primary load of $node")
+    }
+    (1 to RingRouter.ReplicaN).foreach { role =>
+      val layer = load.collect { case ((_, r), n) if r == role => n }.sum
+      assert(layer === total, s"role $role must cover every key once")
+    }
+  }
 }
