@@ -100,6 +100,14 @@ object RingRouter {
     }
   }
 
+  /** The failure scenario measured by `route_quorum_availability`. */
+  val FailedRingNode = "n2"
+
+  /** Read / write quorum sizes over [[ReplicaN]] replicas (R + W > N —
+    * the overlap that makes reads see the latest acked write). */
+  val QuorumR = 2
+  val QuorumW = 3
+
   /** key → its [[ReplicaN]]-node preference list (primary first). */
   def replicaSetCol(nodes: Seq[String])(key: Column): Column = {
     val rg = ring(nodes)
@@ -177,7 +185,31 @@ object RingRouter {
         .agg(count(lit(1)).as("n_keys"))
         .select(col("node_id"), (col("role0") + 1).cast("long").as("role"),
           col("n_keys"))
-        .orderBy("node_id", "role"))
+        .orderBy("node_id", "role")),
+
+    // quorum availability under a node failure: per key, how many of its
+    // preference-list replicas survive FailedRingNode going down, and
+    // whether R=2 reads / W=3 writes still reach quorum. The whole
+    // classification is a projection over the same one-binary-search
+    // routing pass — the availability report for a 100 TB keyspace costs
+    // exactly one keyspace scan. With 1 of 4 nodes down every key keeps
+    // ≥ 2 replicas (read availability 100% — the property quorum
+    // replication buys), while keys whose list contains the failed node
+    // lose W=3 write quorum until handoff.
+    "route_quorum_availability" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .select(size(array_except(
+          replicaSetCol(RingNodes)(col("key")),
+          typedLit(Seq(FailedRingNode)))).cast("long").as("n_healthy"))
+        .groupBy("n_healthy")
+        .agg(count(lit(1)).as("n_keys"))
+        .select(col("n_healthy"),
+          (col("n_healthy") >= QuorumR).as("read_ok"),
+          (col("n_healthy") >= QuorumW).as("write_ok"),
+          col("n_keys"),
+          (col("n_keys").cast("double") /
+            sum(col("n_keys")).over(Window.partitionBy())).as("share"))
+        .orderBy("n_healthy"))
   )
 
   // ---- oracle ------------------------------------------------------------
@@ -258,6 +290,36 @@ object RingRouter {
          |SELECT node AS node_id, CAST(role AS BIGINT) AS role,
          |       CAST(count(*) AS BIGINT) AS n_keys
          |FROM roles WHERE role <= $ReplicaN
-         |GROUP BY 1, 2 ORDER BY node_id, role""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY node_id, role""".stripMargin),
+
+    // same relational placement, then count surviving replicas per key
+    "route_quorum_availability" -> (
+      s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |nodedist AS (
+         |  SELECT k.key, v.node,
+         |         min((v.pos - k.kp + 4294967296) % 4294967296) AS dist
+         |  FROM keyed k CROSS JOIN r4_vn v
+         |  GROUP BY k.key, v.node
+         |),
+         |roles AS (
+         |  SELECT key, node,
+         |         row_number() OVER (PARTITION BY key ORDER BY dist) AS role
+         |  FROM nodedist
+         |),
+         |healthy AS (
+         |  SELECT key,
+         |         CAST(sum(CASE WHEN node <> '$FailedRingNode' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_healthy
+         |  FROM roles WHERE role <= $ReplicaN GROUP BY key
+         |),
+         |cls AS (
+         |  SELECT n_healthy, count(*) AS n_keys FROM healthy GROUP BY 1
+         |)
+         |SELECT n_healthy, n_healthy >= $QuorumR AS read_ok,
+         |       n_healthy >= $QuorumW AS write_ok,
+         |       CAST(n_keys AS BIGINT) AS n_keys,
+         |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
+         |FROM cls ORDER BY n_healthy""".stripMargin)
   )
 }

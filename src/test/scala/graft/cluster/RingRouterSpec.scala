@@ -97,4 +97,30 @@ class RingRouterSpec extends SparkSpec {
       assert(layer === total, s"role $role must cover every key once")
     }
   }
+
+  test("quorum: one node down keeps R=2 reads for every key; W=3 degrades") {
+    val rows = RingRouter.queries("route_quorum_availability")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // every key keeps >= ReplicaN - 1 distinct healthy replicas
+    rows.foreach { case (h, readOk, writeOk, _, _) =>
+      assert(h >= RingRouter.ReplicaN - 1 && h <= RingRouter.ReplicaN)
+      assert(readOk, "R=2 must survive a single node failure")
+      assert(writeOk === (h >= RingRouter.QuorumW))
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12, "shares sum to 1")
+    // keys that lost a replica = keys whose preference list contains the
+    // failed node, which is exactly the failed node's total replica load
+    val load = RingRouter.queries("route_replica_load")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val failedLoad = load.collect {
+      case (n, c) if n == RingRouter.FailedRingNode => c
+    }.sum
+    val degraded = rows.collect {
+      case (h, _, _, n, _) if h == RingRouter.ReplicaN - 1 => n
+    }.sum
+    assert(degraded === failedLoad)
+  }
 }
