@@ -195,7 +195,45 @@ object KeyspaceQueries {
         .groupBy("change_type").agg(count("*").as("n_keys"))
         .orderBy("change_type")
     }),
+
+    // Merkle anti-entropy tree per shard — the digest hierarchy two
+    // replicas exchange to find WHERE they diverge without shipping keys:
+    // equal roots end the conversation in one digest compare; a mismatch
+    // recurses down only the differing subtree, so reconciling one
+    // divergent key costs O(log leaves) digests instead of a keyspace
+    // scan. Leaves bucket by KEY hash (replicas must bucket identically
+    // regardless of value state); digests XOR the key=value entry hashes
+    // — order-free and incrementally maintainable (a PUT XORs the old
+    // entry out and the new one in: the update is O(path), no rebuild).
+    // Plan: the keyspace reduces to #shards×MerkleLeaves level-0 rows in
+    // ONE pass; all higher levels derive from those control-plane-sized
+    // rows. Empty buckets are absent (= identity digest) on both engines.
+    "kv_merkle_tree" -> ((s, dir) => {
+      val fnv = graft.hash.Fnv1a32.fnv1a32 _
+      val lvl0 = KvLog.state(s, dir)
+        .select(col("shard_id"),
+          // bucket on the hash's HIGH bits: shard_id is fnv % 4, so a
+          // low-bit bucket would be correlated with the shard (only
+          // leaves ≡ shard (mod 4) could ever be non-empty); the high
+          // half is independent of the mod-4 routing
+          pmod(shiftright(fnv(col("key")), 16), lit(MerkleLeaves.toLong))
+            .as("b"),
+          fnv(concat(col("key"), lit("="), col("value"))).as("h"))
+        .groupBy("shard_id", "b")
+        .agg(bit_xor(col("h")).as("d"))
+      lvl0
+        .select(col("shard_id"), col("b"), col("d"),
+          explode(typedLit(List.range(0, MerkleLevels))).as("level"))
+        .groupBy(col("shard_id"), col("level").cast("long").as("level"),
+          expr("shiftright(b, level)").as("bucket"))
+        .agg(bit_xor(col("d")).as("digest"))
+        .orderBy("shard_id", "level", "bucket")
+    }),
   )
+
+  /** Merkle geometry: 16 leaf buckets per shard, 5 levels (16→8→4→2→1). */
+  val MerkleLeaves = 16
+  val MerkleLevels = 5
 
   val oracle: Map[String, String] = Map(
     "kv_point_get" -> Ora.withState(
@@ -313,5 +351,20 @@ object KeyspaceQueries {
         |            ELSE 'unchanged' END AS change_type,
         |       count(*) AS n_keys
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "kv_merkle_tree" -> Ora.withState(
+      s""", ent AS (
+         |  SELECT shard_id, (${Ora.fnv("key")} >> 16) % $MerkleLeaves AS b,
+         |         ${Ora.fnv("(key || '=' || value)")} AS h
+         |  FROM kv_state
+         |),
+         |lvl0 AS (
+         |  SELECT shard_id, b, bit_xor(h) AS d FROM ent GROUP BY 1, 2
+         |)
+         |SELECT shard_id, CAST(lv.l AS BIGINT) AS level,
+         |       CAST(b >> lv.l AS BIGINT) AS bucket, bit_xor(d) AS digest
+         |FROM lvl0 CROSS JOIN (SELECT unnest(range($MerkleLevels)) AS l) lv
+         |GROUP BY shard_id, lv.l, b >> lv.l
+         |ORDER BY shard_id, level, bucket""".stripMargin),
   )
 }
