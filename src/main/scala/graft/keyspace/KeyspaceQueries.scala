@@ -208,32 +208,83 @@ object KeyspaceQueries {
     // Plan: the keyspace reduces to #shards×MerkleLeaves level-0 rows in
     // ONE pass; all higher levels derive from those control-plane-sized
     // rows. Empty buckets are absent (= identity digest) on both engines.
-    "kv_merkle_tree" -> ((s, dir) => {
-      val fnv = graft.hash.Fnv1a32.fnv1a32 _
-      val lvl0 = KvLog.state(s, dir)
-        .select(col("shard_id"),
-          // bucket on the hash's HIGH bits: shard_id is fnv % 4, so a
-          // low-bit bucket would be correlated with the shard (only
-          // leaves ≡ shard (mod 4) could ever be non-empty); the high
-          // half is independent of the mod-4 routing
-          pmod(shiftright(fnv(col("key")), 16), lit(MerkleLeaves.toLong))
-            .as("b"),
-          fnv(concat(col("key"), lit("="), col("value"))).as("h"))
-        .groupBy("shard_id", "b")
-        .agg(bit_xor(col("h")).as("d"))
-      lvl0
-        .select(col("shard_id"), col("b"), col("d"),
-          explode(typedLit(List.range(0, MerkleLevels))).as("level"))
-        .groupBy(col("shard_id"), col("level").cast("long").as("level"),
-          expr("shiftright(b, level)").as("bucket"))
-        .agg(bit_xor(col("d")).as("digest"))
-        .orderBy("shard_id", "level", "bucket")
+    "kv_merkle_tree" -> ((s, dir) =>
+      merkleTree(KvLog.state(s, dir))
+        .orderBy("shard_id", "level", "bucket")),
+
+    // anti-entropy in action: the CURRENT keyspace's tree against the
+    // tree of the seq-prefix snapshot (kv_version_diff's "old" replica).
+    // Per level, how many digest compares ran and how many diverged —
+    // the narrowing funnel that lets two replicas localize every
+    // divergent bucket in O(diverged · log leaves) digest exchanges,
+    // never a keyspace ship. Both trees reduce their state in one pass
+    // each; the diff joins control-plane-sized digest rows.
+    "kv_merkle_diff" -> ((s, dir) => {
+      val lg = KvLog.log(s, dir).localCheckpoint()
+      def st(df: DataFrame): DataFrame = df.select(col("key"), col("value"),
+        graft.hash.Fnv1a32.shardId(col("key")).as("shard_id"))
+      val newT = merkleTree(st(KvLog.compact(lg)))
+      val oldT = merkleTree(st(KvLog.compact(lg.filter(col("seq") % 8 === 0))))
+      newT.select(col("shard_id"), col("level"), col("bucket"),
+          col("digest").as("d_new"))
+        .join(oldT.select(col("shard_id"), col("level"), col("bucket"),
+          col("digest").as("d_old")),
+          Seq("shard_id", "level", "bucket"), "full_outer")
+        // absent bucket = identity digest 0 (same convention both trees)
+        .select(col("level"),
+          (coalesce(col("d_new"), lit(0L)) =!= coalesce(col("d_old"), lit(0L)))
+            .as("diverged"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("diverged"), 1L).otherwise(0L)).as("n_diverged"))
+        .orderBy("level")
     }),
   )
+
+  /** (shard_id, level, bucket, digest) over a (key, value, shard_id)
+    * state — see the `kv_merkle_tree` scaladoc for the geometry. */
+  private[keyspace] def merkleTree(state: DataFrame): DataFrame = {
+    val fnv = graft.hash.Fnv1a32.fnv1a32 _
+    val lvl0 = state
+      .select(col("shard_id"),
+        // bucket on the hash's HIGH bits: shard_id is fnv % 4, so a
+        // low-bit bucket would be correlated with the shard (only
+        // leaves ≡ shard (mod 4) could ever be non-empty); the high
+        // half is independent of the mod-4 routing
+        pmod(shiftright(fnv(col("key")), 16), lit(MerkleLeaves.toLong))
+          .as("b"),
+        fnv(concat(col("key"), lit("="), col("value"))).as("h"))
+      .groupBy("shard_id", "b")
+      .agg(bit_xor(col("h")).as("d"))
+    lvl0
+      .select(col("shard_id"), col("b"), col("d"),
+        explode(typedLit(List.range(0, MerkleLevels))).as("level"))
+      .groupBy(col("shard_id"), col("level").cast("long").as("level"),
+        expr("shiftright(b, level)").as("bucket"))
+      .agg(bit_xor(col("d")).as("digest"))
+  }
 
   /** Merkle geometry: 16 leaf buckets per shard, 5 levels (16→8→4→2→1). */
   val MerkleLeaves = 16
   val MerkleLevels = 5
+
+  /** SQL mirror of [[merkleTree]] over a (key, value, shard_id) CTE named
+    * `src`; emits `${p}_tree(shard_id, level, bucket, digest)`. */
+  private def treeSql(src: String, p: String): String =
+    s"""${p}_ent AS (
+       |  SELECT shard_id, (${Ora.fnv("key")} >> 16) % $MerkleLeaves AS b,
+       |         ${Ora.fnv("(key || '=' || value)")} AS h
+       |  FROM $src
+       |),
+       |${p}_lvl0 AS (
+       |  SELECT shard_id, b, bit_xor(h) AS d FROM ${p}_ent GROUP BY 1, 2
+       |),
+       |${p}_tree AS (
+       |  SELECT shard_id, CAST(lv.l AS BIGINT) AS level,
+       |         CAST(b >> lv.l AS BIGINT) AS bucket, bit_xor(d) AS digest
+       |  FROM ${p}_lvl0 CROSS JOIN (SELECT unnest(range($MerkleLevels)) AS l) lv
+       |  GROUP BY shard_id, lv.l, b >> lv.l
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "kv_point_get" -> Ora.withState(
@@ -353,18 +404,31 @@ object KeyspaceQueries {
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "kv_merkle_tree" -> Ora.withState(
-      s""", ent AS (
-         |  SELECT shard_id, (${Ora.fnv("key")} >> 16) % $MerkleLeaves AS b,
-         |         ${Ora.fnv("(key || '=' || value)")} AS h
-         |  FROM kv_state
-         |),
-         |lvl0 AS (
-         |  SELECT shard_id, b, bit_xor(h) AS d FROM ent GROUP BY 1, 2
-         |)
-         |SELECT shard_id, CAST(lv.l AS BIGINT) AS level,
-         |       CAST(b >> lv.l AS BIGINT) AS bucket, bit_xor(d) AS digest
-         |FROM lvl0 CROSS JOIN (SELECT unnest(range($MerkleLevels)) AS l) lv
-         |GROUP BY shard_id, lv.l, b >> lv.l
+      s""", ${treeSql("kv_state", "t")}
+         |SELECT shard_id, level, bucket, digest FROM t_tree
          |ORDER BY shard_id, level, bucket""".stripMargin),
+
+    "kv_merkle_diff" -> Ora.withState(
+      s""", old_state AS (
+         |  SELECT key, value, ${Ora.shard("key")} AS shard_id FROM (
+         |    SELECT key, arg_max(value, seq) AS value, arg_max(op, seq) AS op
+         |    FROM kv_log
+         |    WHERE op IN ('put', 'delete') AND seq % 8 = 0
+         |    GROUP BY key
+         |  ) WHERE op = 'put'
+         |),
+         |${treeSql("kv_state", "tn")},
+         |${treeSql("old_state", "ot")},
+         |j AS (
+         |  SELECT coalesce(n.level, o.level) AS level,
+         |         coalesce(n.digest, 0) <> coalesce(o.digest, 0) AS diverged
+         |  FROM tn_tree n FULL OUTER JOIN ot_tree o
+         |    ON n.shard_id = o.shard_id AND n.level = o.level
+         |   AND n.bucket = o.bucket
+         |)
+         |SELECT level, CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(sum(CASE WHEN diverged THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_diverged
+         |FROM j GROUP BY 1 ORDER BY level""".stripMargin),
   )
 }

@@ -191,4 +191,48 @@ class KeyspaceSpec extends SparkSpec {
         "the incremental XOR update must move the digest on the path")
     }
   }
+
+  test("merkle diff: monotone funnel, and every changed key's leaf diverges") {
+    import graft.hash.Fnv1a32.hashString
+    val rows = KeyspaceQueries.queries("kv_merkle_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.keySet === (0L until KeyspaceQueries.MerkleLevels).toSet)
+    // a diverged parent always has a diverged child (XOR of equals is
+    // equal), so divergence counts can only shrink going up
+    (1 until KeyspaceQueries.MerkleLevels).foreach { l =>
+      assert(rows(l.toLong)._2 <= rows(l.toLong - 1)._2, s"funnel at $l")
+    }
+    assert(rows((KeyspaceQueries.MerkleLevels - 1).toLong)._2 > 0,
+      "snapshot differs from current state; roots must diverge")
+
+    // completeness: every key the snapshot diff changed lives in a leaf
+    // bucket the tree flags (driver recompute of both states)
+    val lg = log.filter(col("op").isin("put", "delete"))
+      .select("key", "value", "op", "seq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def compacted(rows: Seq[(String, String, String, Long)]) =
+      rows.groupBy(_._1).view.mapValues(_.maxBy(_._4)).collect {
+        case (k, (_, v, "put", _)) => k -> v
+      }.toMap
+    val newS = compacted(lg.toSeq)
+    val oldS = compacted(lg.filter(_._4 % 8 == 0).toSeq)
+    val changedKeys = (newS.keySet ++ oldS.keySet)
+      .filter(k => newS.get(k) != oldS.get(k))
+    assert(changedKeys.nonEmpty)
+    def leaves(st: Map[String, String]) = st.toSeq
+      .groupBy { case (k, _) => (hashString(k) % 4,
+        (hashString(k) >> 16) % KeyspaceQueries.MerkleLeaves) }
+      .view.mapValues(_.map { case (k, v) => hashString(s"$k=$v") }
+        .reduce(_ ^ _)).toMap
+    val (ln, lo) = (leaves(newS), leaves(oldS))
+    val diverged = (ln.keySet ++ lo.keySet)
+      .filter(b => ln.getOrElse(b, 0L) != lo.getOrElse(b, 0L))
+    changedKeys.foreach { k =>
+      val b = (hashString(k) % 4, (hashString(k) >> 16) % KeyspaceQueries.MerkleLeaves)
+      assert(diverged.contains(b), s"changed key $k in non-diverged leaf")
+    }
+    // and the query's leaf count agrees with the recompute
+    assert(rows(0L)._2 === diverged.size)
+  }
 }
