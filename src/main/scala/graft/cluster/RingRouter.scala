@@ -209,7 +209,25 @@ object RingRouter {
           col("n_keys"),
           (col("n_keys").cast("double") /
             sum(col("n_keys")).over(Window.partitionBy())).as("share"))
-        .orderBy("n_healthy"))
+        .orderBy("n_healthy")),
+
+    // failover-load distribution: when FailedRingNode goes down, each of
+    // its primary keys promotes its first surviving replica — and because
+    // a node's 64 vnodes interleave with EVERYONE's vnodes around the
+    // circle, the orphaned load spreads across the surviving nodes
+    // instead of dog-piling one neighbor (the precise failure mode of
+    // non-virtual rings, and of mod placement where key k simply re-mods
+    // onto one fixed alternative). One keyspace projection; the spec
+    // bounds the takeover spread.
+    "route_failover_load" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .select(replicaSetCol(RingNodes)(col("key")).as("rs"))
+        .filter(element_at(col("rs"), 1) === FailedRingNode)
+        .select(element_at(col("rs"), 2).as("takeover_node"))
+        .groupBy("takeover_node").agg(count(lit(1)).as("n_keys"))
+        .withColumn("share", col("n_keys").cast("double") /
+          sum(col("n_keys")).over(Window.partitionBy()))
+        .orderBy("takeover_node"))
   )
 
   // ---- oracle ------------------------------------------------------------
@@ -320,6 +338,36 @@ object RingRouter {
          |       n_healthy >= $QuorumW AS write_ok,
          |       CAST(n_keys AS BIGINT) AS n_keys,
          |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
-         |FROM cls ORDER BY n_healthy""".stripMargin)
+         |FROM cls ORDER BY n_healthy""".stripMargin),
+
+    // primaries of the failed node (role 1) promote their role-2 replica
+    "route_failover_load" -> (
+      s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |nodedist AS (
+         |  SELECT k.key, v.node,
+         |         min((v.pos - k.kp + 4294967296) % 4294967296) AS dist
+         |  FROM keyed k CROSS JOIN r4_vn v
+         |  GROUP BY k.key, v.node
+         |),
+         |roles AS (
+         |  SELECT key, node,
+         |         row_number() OVER (PARTITION BY key ORDER BY dist) AS role
+         |  FROM nodedist
+         |),
+         |orphans AS (
+         |  SELECT key FROM roles WHERE role = 1 AND node = '$FailedRingNode'
+         |),
+         |takeover AS (
+         |  SELECT r.node AS takeover_node FROM roles r
+         |  JOIN orphans o ON r.key = o.key
+         |  WHERE r.role = 2
+         |),
+         |counts AS (
+         |  SELECT takeover_node, count(*) AS n_keys FROM takeover GROUP BY 1
+         |)
+         |SELECT takeover_node, CAST(n_keys AS BIGINT) AS n_keys,
+         |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
+         |FROM counts ORDER BY takeover_node""".stripMargin)
   )
 }

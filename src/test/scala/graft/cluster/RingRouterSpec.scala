@@ -123,4 +123,21 @@ class RingRouterSpec extends SparkSpec {
     }.sum
     assert(degraded === failedLoad)
   }
+
+  test("failover load spreads across ALL survivors — no dog-pile neighbor") {
+    val rows = RingRouter.queries("route_failover_load")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val survivors = RingRouter.RingNodes.filterNot(_ == RingRouter.FailedRingNode)
+    assert(rows.map(_._1).toSet === survivors.toSet,
+      "every surviving node should absorb some of the orphaned primaries")
+    // the vnode interleave bounds the takeover concentration: nobody
+    // absorbs a majority (a physical-neighbor ring would send 100% to one)
+    rows.foreach { case (n, _, share) =>
+      assert(share < 0.6, s"$n absorbs $share of the failover load")
+    }
+    // orphan count ties out against the primary census of the failed node
+    val primaries = RingRouter.queries("route_ring_keys")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._2).sum === primaries(RingRouter.FailedRingNode))
+  }
 }
