@@ -114,6 +114,42 @@ object SimilarityQueries {
         (col("e_xy") - col("mean_i") * col("mean_j")).as("cov"))
   }
 
+  /** The power-iteration core shared by `embed_top_eigvec` and
+    * `embed_pca_projection`: the converged 2^-20 fixed-point eigvector
+    * frame (j, v) plus the exact C·v multiply for Rayleigh consumers.
+    * Numeric contract in the `embed_top_eigvec` query comment. */
+  private def topEigvecFp(s: SparkSession,
+      e: DataFrame): (DataFrame, DataFrame => DataFrame) = {
+    val tri = covarianceCells(e)
+      .select(col("i"), col("j"),
+        floor(col("cov") * lit(KmeansFp) + lit(0.5)).cast("long").as("c"))
+    val cov = tri
+      .union(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint() // 4096 rows, consumed by every multiply
+    def multiply(v: DataFrame): DataFrame =
+      cov.join(v, "j").groupBy("i")
+        .agg(sum(col("c") * col("v")).as("w"))
+    // L∞ normalization via a whole-frame window (64 rows, one
+    // single-partition pass) instead of agg + crossJoin: w is referenced
+    // ONCE per round, so the plan stays a linear chain and all PowerIters
+    // rounds execute as one job — no per-round materialization barrier
+    val whole = Window.partitionBy(lit(1))
+    var v: DataFrame = s.range(Dim)
+      .select(col("id").as("j"), lit(1048576L).as("v"))
+    for (k <- 1 to PowerIters) {
+      v = multiply(v)
+        .select(col("i").as("j"),
+          floor(col("w").cast("double") * lit(KmeansFp) /
+            max(abs(col("w"))).over(whole).cast("double") + lit(0.5))
+            .cast("long").as("v"))
+      // bound optimizer/codegen cost on the growing chain; the
+      // checkpointed frame is 64 rows
+      if (k % 8 == 0) v = v.localCheckpoint()
+    }
+    (v, multiply)
+  }
+
   /** (vec_id, embedding, bucket) with the 8-bit LSH bucket. */
   def bucketed(s: SparkSession, dir: String): DataFrame = {
     val bits = (0 until NumPlanes).map { j =>
@@ -1063,34 +1099,7 @@ object SimilarityQueries {
     // vector; convergence on this spectrum is spec-checked via the
     // Cv ∥ λv residual.
     "embed_top_eigvec" -> ((s, dir) => {
-      val tri = covarianceCells(emb(s, dir))
-        .select(col("i"), col("j"),
-          floor(col("cov") * lit(KmeansFp) + lit(0.5)).cast("long").as("c"))
-      val cov = tri
-        .union(tri.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("c")))
-        .localCheckpoint() // 4096 rows, consumed by 7 multiplies
-      def multiply(v: DataFrame): DataFrame =
-        cov.join(v, "j").groupBy("i")
-          .agg(sum(col("c") * col("v")).as("w"))
-      // L∞ normalization via a whole-frame window (64 rows, one
-      // single-partition pass) instead of agg + crossJoin: w is
-      // referenced ONCE per round, so the plan stays a linear chain and
-      // all PowerIters rounds execute as one job — no per-round
-      // materialization barrier
-      val whole = Window.partitionBy(lit(1))
-      var v: DataFrame = s.range(Dim)
-        .select(col("id").as("j"), lit(1048576L).as("v"))
-      for (k <- 1 to PowerIters) {
-        v = multiply(v)
-          .select(col("i").as("j"),
-            floor(col("w").cast("double") * lit(KmeansFp) /
-              max(abs(col("w"))).over(whole).cast("double") + lit(0.5))
-              .cast("long").as("v"))
-        // bound optimizer/codegen cost on the growing chain; the
-        // checkpointed frame is 64 rows
-        if (k % 8 == 0) v = v.localCheckpoint()
-      }
+      val (v, multiply) = topEigvecFp(s, emb(s, dir))
       val joined = multiply(v)
         .join(v.select(col("j").as("i"), col("v")), "i")
       val scalars = joined.agg(
@@ -1102,6 +1111,40 @@ object SimilarityQueries {
           (col("num").cast("double") / col("den").cast("double") /
             lit(KmeansFp)).as("eigval"))
         .orderBy("i")
+    }),
+
+    // the eigvec put to work: every embedding projected onto the first
+    // principal component, reported as per-label projection stats — the
+    // one-number class-separation view (labels whose projection ranges
+    // barely overlap are linearly separable along PC1 alone). The
+    // projection keeps the repo's exactness contract: embedding elements
+    // quantize to the 2^-20 grid ONCE, the eigvec is already integer fp,
+    // so each dot product is an exact BIGINT sum (≤ 2^46) — order-free,
+    // engine-invariant — and the per-label moments divide exact integers.
+    // One corpus pass for the projection (the explode streams into a
+    // partial aggregate keyed by vec; the 64-row eigvec broadcasts), on
+    // top of the covariance derivation's own single pass.
+    "embed_pca_projection" -> ((s, dir) => {
+      val (v, _) = topEigvecFp(s, emb(s, dir))
+      val proj = emb(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("label"), col("j").cast("long").as("j"),
+          floor(col("x").cast("double") * lit(KmeansFp) + lit(0.5))
+            .cast("long").as("xq"))
+        .join(broadcast(v), "j")
+        .groupBy("vec_id", "label")
+        .agg(sum(col("xq") * col("v")).as("pfp"))
+      val ProjDen = 1099511627776.0 // 2^40: (2^-20 grid)²
+      proj.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("pfp").as("s"),
+          min("pfp").as("mn"), max("pfp").as("mx"))
+        .select(col("label"), col("n_vecs"),
+          (col("s").cast("double") / (col("n_vecs") * lit(ProjDen)))
+            .as("mean_proj"),
+          (col("mn").cast("double") / lit(ProjDen)).as("min_proj"),
+          (col("mx").cast("double") / lit(ProjDen)).as("max_proj"))
+        .orderBy("label")
     }),
 
     // SemDeDup-style semantic dedup: cluster, then prune inside cells.
@@ -1172,6 +1215,32 @@ object SimilarityQueries {
          |  JOIN means mi ON c.i = mi.i
          |  JOIN means mj ON c.j = mj.i
          |)""".stripMargin
+
+    // shared unrolled power-iteration chain ending at v$PowerIters —
+    // consumed by the eigvec report and the PCA projection
+    val eigChainSql: String = {
+      val iters = (1 to PowerIters).map { k =>
+        s"""w$k AS MATERIALIZED (
+           |  SELECT c.i, CAST(sum(c.c * v${k - 1}.v) AS BIGINT) AS w
+           |  FROM covfp c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY c.i
+           |),
+           |v$k AS MATERIALIZED (
+           |  SELECT i AS j, CAST(floor(w::DOUBLE * $KmeansFp /
+           |    (SELECT max(abs(w))::DOUBLE FROM w$k) + 0.5) AS BIGINT) AS v
+           |  FROM w$k
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$covTriSql,
+         |covfp AS MATERIALIZED (
+         |  SELECT i, j, CAST(floor(cov * $KmeansFp + 0.5) AS BIGINT) AS c
+         |  FROM covtri
+         |  UNION ALL
+         |  SELECT j, i, CAST(floor(cov * $KmeansFp + 0.5) AS BIGINT)
+         |  FROM covtri WHERE i <> j
+         |),
+         |v0 AS (SELECT unnest(range($Dim))::BIGINT AS j, 1048576::BIGINT AS v),
+         |$iters""".stripMargin
+    }
 
     // mirror of bucketCosinePairs — shared by sim_knn_join and
     // sim_hard_negatives exactly as the Spark helper is
@@ -1529,29 +1598,8 @@ object SimilarityQueries {
       // AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
       // references its w twice (normalize + max), so un-materialized
       // unrolling re-expands the whole chain 2^PowerIters times.
-      "embed_top_eigvec" -> {
-        val iters = (1 to PowerIters).map { k =>
-          s"""w$k AS MATERIALIZED (
-             |  SELECT c.i, CAST(sum(c.c * v${k - 1}.v) AS BIGINT) AS w
-             |  FROM covfp c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY c.i
-             |),
-             |v$k AS MATERIALIZED (
-             |  SELECT i AS j, CAST(floor(w::DOUBLE * $KmeansFp /
-             |    (SELECT max(abs(w))::DOUBLE FROM w$k) + 0.5) AS BIGINT) AS v
-             |  FROM w$k
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $covTriSql,
-           |covfp AS MATERIALIZED (
-           |  SELECT i, j, CAST(floor(cov * $KmeansFp + 0.5) AS BIGINT) AS c
-           |  FROM covtri
-           |  UNION ALL
-           |  SELECT j, i, CAST(floor(cov * $KmeansFp + 0.5) AS BIGINT)
-           |  FROM covtri WHERE i <> j
-           |),
-           |v0 AS (SELECT unnest(range($Dim))::BIGINT AS j, 1048576::BIGINT AS v),
-           |$iters,
-           |wf AS MATERIALIZED (
+      "embed_top_eigvec" -> (s"WITH $eigChainSql,\n" +
+        s"""wf AS MATERIALIZED (
            |  SELECT c.i, CAST(sum(c.c * v$PowerIters.v) AS BIGINT) AS w
            |  FROM covfp c JOIN v$PowerIters ON c.j = v$PowerIters.j GROUP BY c.i
            |),
@@ -1563,8 +1611,26 @@ object SimilarityQueries {
            |SELECT wf.i, v.v::DOUBLE / $KmeansFp AS component,
            |       sc.num / sc.den::DOUBLE / $KmeansFp AS eigval
            |FROM wf JOIN v$PowerIters v ON wf.i = v.j CROSS JOIN sc
-           |ORDER BY wf.i""".stripMargin
-      },
+           |ORDER BY wf.i""".stripMargin),
+
+      // projection onto v$PowerIters: exact-integer dot per vector, then
+      // per-label moments dividing exact integers
+      "embed_pca_projection" -> (s"WITH $eigChainSql,\n" +
+        s"""proj AS MATERIALIZED (
+           |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           |         CAST(sum(CAST(floor(e.embedding[d.i+1]::DOUBLE
+           |             * $KmeansFp + 0.5) AS BIGINT) * v.v) AS BIGINT) AS pfp
+           |  FROM embeddings e
+           |  CROSS JOIN (SELECT unnest(range($Dim)) AS i) d
+           |  JOIN v$PowerIters v ON v.j = d.i
+           |  GROUP BY e.vec_id, e.label
+           |)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           |       CAST(sum(pfp) AS BIGINT)::DOUBLE
+           |         / (count(*) * 1099511627776.0) AS mean_proj,
+           |       min(pfp)::DOUBLE / 1099511627776.0 AS min_proj,
+           |       max(pfp)::DOUBLE / 1099511627776.0 AS max_proj
+           |FROM proj GROUP BY label ORDER BY label""".stripMargin),
 
       "sim_ann_int8_rerank" ->
         s"""WITH scaled AS (

@@ -382,4 +382,31 @@ class SimilaritySpec extends SparkSpec {
       math.sqrt(comp.map(x => x * x).sum)
     assert(resid / eig < 0.03, s"unconverged: residual=$resid eig=$eig")
   }
+
+  test("pca projection: per-label stats equal an exact driver recompute") {
+    val rows = SimilarityQueries.queries("embed_pca_projection")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // recover the integer eigvector from the (exact) component doubles
+    val vfp = SimilarityQueries.queries("embed_top_eigvec")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1048576.0))
+      .toMap
+    val den = 1099511627776.0 // 2^40
+    val proj = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        r.getInt(2).toLong -> e.zipWithIndex.map { case (x, j) =>
+          math.floor(x.toDouble * 1048576.0 + 0.5).toLong * vfp(j.toLong)
+        }.sum
+      }
+    val byLab = proj.groupBy(_._1)
+    rows.foreach { r =>
+      val ps = byLab(r.getLong(0)).map(_._2)
+      assert(r.getLong(1) == ps.length)
+      assert(r.getDouble(2) == ps.sum.toDouble / (ps.length * den))
+      assert(r.getDouble(3) == ps.min.toDouble / den)
+      assert(r.getDouble(4) == ps.max.toDouble / den)
+    }
+  }
 }
