@@ -4,14 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
-import graft.events.{CohortQueries, EventsQueries, SkewQueries, TrendQueries}
+import graft.events.{CohortQueries, EventsQueries, JourneyQueries, SkewQueries, TrendQueries}
 import graft.graph.GraphXAnalytics
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
 import graft.profile.ProfileQueries
 import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.SimilarityQueries
-import graft.text.{BudgetQueries, PipelineQueries, TextQueries}
+import graft.text.{BudgetQueries, DistributionQueries, PipelineQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,7 @@ object SparkEntry {
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries, CohortQueries.queries, TrendQueries.queries,
+      JourneyQueries.queries, DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
       ProfileQueries.queries)
@@ -48,6 +49,7 @@ object SparkEntry {
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       SkewQueries.oracle, CohortQueries.oracle, TrendQueries.oracle,
+      JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
       ProfileQueries.oracle)

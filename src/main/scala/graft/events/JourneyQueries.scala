@@ -1,0 +1,128 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over the events table: the first-order Markov
+  * transition matrix of event types and RFM (recency / frequency /
+  * monetary) user segmentation — the two classic "what do users do next"
+  * and "which users matter" views a product pipeline derives from raw
+  * events.
+  *
+  * Scale shape: both queries make exactly ONE fact-sized shuffle on
+  * `user_id` — the per-user sequence window for Markov, the per-user
+  * aggregate for RFM — and everything downstream is types²-sized
+  * (transition cells) or user-sized (segment assignment, 4³ cells after
+  * the final rollup). At 100 TB the user_id shuffle is the semantic
+  * minimum for any per-user analysis; it is the same key sessionization
+  * and retention already shuffle on, so in a multi-query pipeline the
+  * exchange is reusable across all of them.
+  */
+object JourneyQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    EventsQueries.events(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // First-order Markov chain over event types: P(next | prev) estimated
+    // from every consecutive pair in each user's time-ordered stream.
+    // (ts, event_id) is a total order per user — fixture ts has duplicate
+    // values within a user, so the event_id tiebreak is what makes the
+    // lead() deterministic and the two engines agree. The probability is
+    // ONE double division of two exact longs (pair count / row total of
+    // the prev row) — bit-identical on both engines.
+    "events_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = ev(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val wPrev = Window.partitionBy("prev_type")
+      pairs
+        .withColumn("p",
+          col("n_pairs").cast("double") /
+            sum("n_pairs").over(wPrev).cast("double"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // RFM segmentation: per user recency (days since last event,
+    // relative to the corpus' last day), frequency (event count), and
+    // monetary (exact DECIMAL sum of value — double summation is
+    // order-dependent, so the decimal cast is what makes the two engines
+    // agree), each cut into quartiles by ntile(4) under a total order
+    // (metric, then user_id — the tiebreak both engines resolve
+    // identically). Output is the 4x4x4 segment rollup: cell sizes and
+    // the exact monetary mass per cell. The global max day is a 1-row
+    // aggregate broadcast into the user-sized table — no second
+    // fact-sized pass.
+    "events_rfm_segments" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      val perUser = e.groupBy("user_id").agg(
+        max("day").as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).as("monetary"))
+      val maxDay = perUser.agg(max("last_day").as("corpus_last_day"))
+      val scored = perUser.crossJoin(broadcast(maxDay))
+        .withColumn("recency", col("corpus_last_day") - col("last_day"))
+      val rW = Window.orderBy(col("recency").asc, col("user_id").asc)
+      val fW = Window.orderBy(col("frequency").desc, col("user_id").asc)
+      val mW = Window.orderBy(col("monetary").desc, col("user_id").asc)
+      scored
+        // ntile is IntegerType in Spark but BIGINT in DuckDB; cast so the
+        // compared schemas agree
+        .withColumn("r_q", ntile(4).over(rW).cast("long"))
+        .withColumn("f_q", ntile(4).over(fW).cast("long"))
+        .withColumn("m_q", ntile(4).over(mW).cast("long"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"),
+          sum("monetary").cast("double").as("total_monetary"))
+        .orderBy("r_q", "f_q", "m_q")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "events_markov_transitions" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      """seq AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM ev
+        |),
+        |pairs AS (
+        |  SELECT event_type AS prev_type, next_type,
+        |         count(*) AS n_pairs
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n_pairs,
+        |       CAST(n_pairs AS DOUBLE) /
+        |       CAST(sum(n_pairs) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM pairs ORDER BY prev_type, next_type""".stripMargin),
+
+    "events_rfm_segments" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""per_user AS (
+         |  SELECT user_id,
+         |         max(ts // ${EventsQueries.DayUs}) AS last_day,
+         |         count(*) AS frequency,
+         |         sum(CAST(value AS DECIMAL(18,2))) AS monetary
+         |  FROM ev GROUP BY user_id
+         |),
+         |scored AS (
+         |  SELECT user_id, frequency, monetary,
+         |         (SELECT max(last_day) FROM per_user) - last_day AS recency
+         |  FROM per_user
+         |),
+         |quartiled AS (
+         |  SELECT
+         |    ntile(4) OVER (ORDER BY recency ASC, user_id ASC) AS r_q,
+         |    ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+         |    ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_q,
+         |    monetary
+         |  FROM scored
+         |)
+         |SELECT r_q, f_q, m_q, count(*) AS n_users,
+         |       CAST(sum(monetary) AS DOUBLE) AS total_monetary
+         |FROM quartiled GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin))
+}

@@ -22,6 +22,13 @@ object TrendQueries {
   /** CUSUM decision threshold, in units of the series' own σ. */
   val CusumH = 4.0
 
+  /** Longest autocorrelation lag probed (covers a weekly cycle). */
+  val MaxAcfLag = 7
+
+  /** MAD outlier threshold: 3σ × 1.4826 (normal-consistency constant),
+    * written as one literal so both engines parse identical bits. */
+  val MadK = 4.4478
+
   private def daily(s: SparkSession, dir: String): DataFrame =
     EventsQueries.events(s, dir)
       .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
@@ -106,6 +113,75 @@ object TrendQueries {
           "forecast_next")
         .withColumnRenamed("nd", "n_days")
         .orderBy("event_type")
+    }),
+
+    // lag-k autocorrelation (k = 1..MaxAcfLag) of the total daily count
+    // series — the seasonality detector (a weekly cycle shows as a peak
+    // at k=7). The estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² is
+    // cleared of its mean-division by multiplying through by N²:
+    //   A_k = N²·Σxy_k − N·S1·(Sa_k+Sb_k) + n_k·S1²
+    //   B   = N²·S2 − N·S1²
+    // — every term an exact BIGINT (worst at sf0.1: N²·Σxy ≈ 2^50), so
+    // acf = A_k/B is ONE double division of two exact longs, bit-equal
+    // across engines. Lag pairs come from an equi-join on day+k (the
+    // lags are exploded onto the day-sized table first), never a range
+    // scan; gaps in the day series pair only the days actually present
+    // on both ends, which n_k records. Scale shape: one corpus shuffle
+    // to per-day counts; everything after runs on #days × MaxAcfLag
+    // rows.
+    "events_acf_daily" -> ((s, dir) => {
+      val d = EventsQueries.events(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+        .localCheckpoint() // feeds stats + both sides of the lag join
+      val st = d.agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      val lagged = d
+        .withColumn("lag", explode(sequence(lit(1L), lit(MaxAcfLag.toLong))))
+        .withColumn("pair_day", col("day") + col("lag"))
+      val paired = lagged.alias("a")
+        .join(d.alias("b"), col("a.pair_day") === col("b.day"))
+        .groupBy(col("a.lag").as("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.x") * col("b.x")).as("sxy"),
+          sum(col("a.x")).as("sa"),
+          sum(col("b.x")).as("sb"))
+      paired.crossJoin(broadcast(st))
+        .withColumn("num", col("n") * col("n") * col("sxy")
+          - col("n") * col("s1") * (col("sa") + col("sb"))
+          + col("n_pairs") * col("s1") * col("s1"))
+        .withColumn("den",
+          col("n") * col("n") * col("s2") - col("n") * col("s1") * col("s1"))
+        .select(col("lag"), col("n_pairs"),
+          (col("num").cast("double") / col("den").cast("double")).as("acf"))
+        .orderBy("lag")
+    }),
+
+    // MAD-based robust outlier days per event type: median and median-
+    // absolute-deviation are immune to the very outliers they hunt (the
+    // σ in a z-score is inflated by its own anomaly; the MAD is not).
+    // Exactness: daily counts are integers, so the interpolated median
+    // is (a+b)/2 — exact in doubles — and every |x−med| is a multiple of
+    // 0.5, so the deviation median is exact too; the threshold is one
+    // multiply and one add of identical doubles on both engines. The
+    // 4.4478 = 3σ × 1.4826 (the normal-consistency constant) is written
+    // as the same literal on both sides. Scale shape: the corpus reduces
+    // to #types × #days rows first; both medians are per-type aggregates
+    // over ≤ #days values (exact Percentile state is days-sized, never
+    // corpus-sized).
+    "events_mad_outliers" -> ((s, dir) => {
+      val d = daily(s, dir).localCheckpoint() // feeds med, mad, and output
+      val med = d.groupBy("event_type")
+        .agg(median(col("n_events")).as("med"))
+      val mad = d.join(broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(median(abs(col("n_events") - col("med"))).as("mad"))
+      d.join(broadcast(mad), "event_type")
+        .withColumn("is_outlier",
+          col("n_events") > col("med") + lit(MadK) * col("mad") ||
+            col("n_events") < col("med") - lit(MadK) * col("mad"))
+        .select("event_type", "day", "n_events", "med", "mad", "is_outlier")
+        .orderBy("event_type", "day")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -192,5 +268,53 @@ object TrendQueries {
          |)
          |SELECT event_type, nd AS n_days, slope, intercept, r2,
          |       intercept + slope * (tmax + 1) AS forecast_next
-         |FROM fin ORDER BY event_type""".stripMargin))
+         |FROM fin ORDER BY event_type""".stripMargin),
+
+    "events_acf_daily" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT ts // ${EventsQueries.DayUs} AS day, count(*) AS x
+         |  FROM ev GROUP BY 1
+         |),
+         |st AS (
+         |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+         |         CAST(sum(x * x) AS BIGINT) AS s2
+         |  FROM d
+         |),
+         |paired AS (
+         |  SELECT k.lag AS lag, count(*) AS n_pairs,
+         |         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         |         CAST(sum(a.x) AS BIGINT) AS sa,
+         |         CAST(sum(b.x) AS BIGINT) AS sb
+         |  FROM d a
+         |  CROSS JOIN (SELECT unnest(range(1, ${MaxAcfLag + 1})) AS lag) k
+         |  JOIN d b ON b.day = a.day + k.lag
+         |  GROUP BY 1
+         |)
+         |SELECT lag, n_pairs,
+         |       CAST(n * n * sxy - n * s1 * (sa + sb) + n_pairs * s1 * s1
+         |            AS DOUBLE) /
+         |       CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) AS acf
+         |FROM paired CROSS JOIN st
+         |ORDER BY lag""".stripMargin),
+
+    "events_mad_outliers" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT event_type, ts // ${EventsQueries.DayUs} AS day,
+         |         count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |med AS (
+         |  SELECT event_type, CAST(median(n_events) AS DOUBLE) AS med
+         |  FROM d GROUP BY 1
+         |),
+         |mad AS (
+         |  SELECT d.event_type, med,
+         |         CAST(median(abs(n_events - med)) AS DOUBLE) AS mad
+         |  FROM d JOIN med USING (event_type) GROUP BY 1, 2
+         |)
+         |SELECT d.event_type, day, n_events, med, mad,
+         |       (n_events > med + $MadK * mad OR
+         |        n_events < med - $MadK * mad) AS is_outlier
+         |FROM d JOIN mad USING (event_type)
+         |ORDER BY event_type, day""".stripMargin))
 }

@@ -651,6 +651,56 @@ object SimilarityQueries {
         sqrt(dot(col("embedding"), col("embedding"))).as("l2_norm"))
         .orderBy("vec_id")),
 
+    // Maximum-inner-product search via the norm-augmentation reduction
+    // (Shrivastava & Li, NeurIPS 2014 "ALSH"): append one dimension
+    // sqrt(M² − ‖x‖²) to every database vector (M = the corpus' max
+    // norm) and a 0 to the query — every augmented vector then has norm
+    // exactly M, so COSINE rank order of the augmented space IS inner-
+    // product rank order, and the whole cosine-LSH ANN stack becomes
+    // applicable to un-normalized embeddings (recommendation scores,
+    // classifier logits). The query outputs both rankings and whether
+    // they agree, computed the scale-right way: the top-k itself is a
+    // TakeOrdered (no global sort), and the augmented-cosine rank of
+    // those k rows is a count-above against a broadcast k-row dimension
+    // — one corpus pass, never a corpus-wide window. The two dot-product
+    // passes share one scan via localCheckpoint.
+    "sim_mips_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val db = e.filter(col("vec_id") =!= 0)
+      val m2 = db.agg(max(dot(col("embedding"), col("embedding"))).as("m2"))
+      val scored = db.crossJoin(broadcast(q)).crossJoin(broadcast(m2))
+        .select(col("vec_id"),
+          dot(col("embedding"), col("q_emb")).as("ip"),
+          dot(col("embedding"), col("embedding")).as("xx"),
+          dot(col("q_emb"), col("q_emb")).as("qq"),
+          col("m2"))
+        .withColumn("aug", sqrt(col("m2") - col("xx")))
+        // the honest augmented-vector cosine: ‖P(x)‖ is recomputed from
+        // xx + aug² (floating, both engines identically), not assumed M
+        .withColumn("mips_cos", col("ip") /
+          (sqrt(col("xx") + col("aug") * col("aug")) * sqrt(col("qq"))))
+        .localCheckpoint()
+      val top = scored.orderBy(col("ip").desc, col("vec_id")).limit(TopK)
+        .withColumn("rank_ip",
+          row_number().over(Window.orderBy(col("ip").desc, col("vec_id")))
+            .cast("long")) // window over the k already-taken rows only
+      val cand = top.select(col("vec_id").as("c_id"), col("rank_ip"),
+        col("ip").as("c_ip"), col("mips_cos").as("c_cos"))
+      val above = scored.select("vec_id", "mips_cos")
+        .crossJoin(broadcast(cand))
+        .filter(col("mips_cos") > col("c_cos") ||
+          (col("mips_cos") === col("c_cos") && col("vec_id") < col("c_id")))
+        .groupBy("c_id").agg(count(lit(1)).as("n_above"))
+      cand.join(above, Seq("c_id"), "left")
+        .select(col("rank_ip"), col("c_id").as("vec_id"),
+          col("c_ip").as("ip"), col("c_cos").as("mips_cos"),
+          (col("rank_ip") === lit(1L) + coalesce(col("n_above"), lit(0L)))
+            .as("rank_agrees"))
+        .orderBy("rank_ip")
+    }),
+
     // brute-force cosine top-k against query vector vec_id = 0
     "sim_topk_bruteforce" -> ((s, dir) => {
       val q = emb(s, dir).filter(col("vec_id") === 0)
@@ -1554,6 +1604,39 @@ object SimilarityQueries {
            |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
            |WHERE e.vec_id <> 0
            |ORDER BY cos_sim DESC, e.vec_id LIMIT $TopK""".stripMargin,
+
+      // rank_mips via row_number is equivalent to the Spark side's
+      // count-above + 1 because both use the identical
+      // (mips_cos DESC, vec_id) total order
+      "sim_mips_topk" ->
+        s"""WITH qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+           |db AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+           |m AS (SELECT max(${Ora.dot64("embedding", "embedding")}) AS m2 FROM db),
+           |scored AS (
+           |  SELECT vec_id,
+           |         ${Ora.dot64("embedding", "q_emb")} AS ip,
+           |         ${Ora.dot64("embedding", "embedding")} AS xx,
+           |         ${Ora.dot64("q_emb", "q_emb")} AS qq,
+           |         m2
+           |  FROM db, qv, m
+           |),
+           |sc2 AS (
+           |  SELECT vec_id, ip,
+           |         ip / (sqrt(xx + sqrt(m2 - xx) * sqrt(m2 - xx))
+           |               * sqrt(qq)) AS mips_cos
+           |  FROM scored
+           |),
+           |ranked AS (
+           |  SELECT vec_id, ip, mips_cos,
+           |         row_number() OVER (ORDER BY ip DESC, vec_id) AS rank_ip,
+           |         row_number() OVER (ORDER BY mips_cos DESC, vec_id)
+           |           AS rank_mips
+           |  FROM sc2
+           |)
+           |SELECT rank_ip, vec_id, ip, mips_cos,
+           |       rank_ip = rank_mips AS rank_agrees
+           |FROM ranked WHERE rank_ip <= $TopK
+           |ORDER BY rank_ip""".stripMargin,
 
       "embed_quantize_int8" ->
         """WITH scaled AS (

@@ -1,0 +1,68 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Conservation laws for the journey family (Markov transitions + RFM
+  * segmentation) — invariants that hold on ANY events corpus. */
+class JourneySpec extends SparkSpec {
+
+  test("markov: pair mass = events - users; rows are proper distributions") {
+    val rows = JourneyQueries.queries("events_markov_transitions")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ev = EventsQueries.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select(countDistinct("user_id")).head().getLong(0)
+    // every user with n events contributes exactly n-1 consecutive pairs
+    assert(rows.map(_._3).sum === nEvents - nUsers,
+      "transition pairs must partition the per-user consecutive pairs")
+    rows.foreach { case (a, b, n, p) =>
+      assert(n >= 1 && p > 0.0 && p <= 1.0, s"($a->$b) p=$p out of range")
+    }
+    // each prev row is a probability distribution, and p is the EXACT
+    // division of the pair count by the row total (bit-check)
+    rows.groupBy(_._1).foreach { case (prev, g) =>
+      val total = g.map(_._3).sum
+      g.foreach { case (_, _, n, p) =>
+        assert(p === n.toDouble / total.toDouble,
+          s"$prev: p is not the exact count ratio")
+      }
+      val mass = g.map(_._4).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"$prev: row mass $mass != 1")
+    }
+  }
+
+  test("rfm: cells cover all users; ntile buckets balanced within 1") {
+    val cells = JourneyQueries.queries("events_rfm_segments")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(cells.nonEmpty)
+    val ev = EventsQueries.events(spark, sf)
+    val nUsers = ev.select(countDistinct("user_id")).head().getLong(0)
+    assert(cells.map(_._4).sum === nUsers, "cells must partition the users")
+    cells.foreach { case (r, f, m, n, _) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4 &&
+        n >= 1, s"cell ($r,$f,$m) out of range")
+    }
+    // marginal of each dimension is an ntile(4): sizes differ by at most 1
+    for ((dim, pick) <- Seq[(String, ((Long, Long, Long, Long, Double)) => Long)](
+      ("r", _._1), ("f", _._2), ("m", _._3))) {
+      val sizes = cells.groupBy(pick).map { case (_, g) => g.map(_._4).sum }
+      assert(sizes.size === 4, s"$dim quartiles missing a bucket")
+      assert(sizes.max - sizes.min <= 1, s"$dim quartiles unbalanced: $sizes")
+    }
+    // monetary mass is conserved across the segmentation (cell doubles
+    // are individually rounded, so the check is tolerant, not bit-exact)
+    val globalMonetary = ev
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    val cellSum = cells.map(_._5).sum
+    assert(math.abs(cellSum - globalMonetary) <
+      1e-9 * math.max(1.0, math.abs(globalMonetary)),
+      s"monetary mass not conserved: $cellSum vs $globalMonetary")
+  }
+}

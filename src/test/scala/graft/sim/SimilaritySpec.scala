@@ -409,4 +409,31 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(4) == ps.max.toDouble / den)
     }
   }
+
+  test("mips: top-k bit-equal to a driver fold; reduction preserves rank") {
+    val rows = SimilarityQueries.queries("sim_mips_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq === (1L to 10L), "ranks 1..10 in order")
+    // the norm-augmentation reduction must not perturb the ranking on
+    // this corpus (constant augmented norm ⇒ cosine ∝ inner product)
+    assert(rows.forall(_._5), "augmented-cosine rank disagrees with IP rank")
+    // exact replication of Dot64's left-to-right double fold
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = vecs.find(_._1 == 0L).get._2
+    def ip(a: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * q(i); i += 1 }
+      acc
+    }
+    val expect = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, ip(v)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(10)
+    assert(rows.map(r => (r._2, r._3)).toSeq === expect.toSeq,
+      "top-10 inner products differ from the exact driver fold")
+  }
 }
