@@ -42,7 +42,10 @@ object DistributionQueries {
     // longs. Rank ties break on the token string — both engines compare
     // ASCII-only fixture tokens identically.
     "text_zipf_head" -> ((s, dir) => {
+      // the vocab-sized counts feed the rank window AND the corpus total
+      // — checkpoint so the corpus is tokenized once, not once per leg
       val freqs = words(s, dir).groupBy("w").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
       val total = freqs.agg(sum("freq").as("total"))
       val wRank = Window.orderBy(col("freq").desc, col("w").asc)
       freqs

@@ -96,6 +96,35 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality-ranked canonical selection: within each near-dup cluster
+    // keep the HIGHEST-quality member (tie: lowest doc_id), not the
+    // arbitrary min-id canonical the components algorithm emits — the
+    // difference between "dedup" and "dedup that keeps the best copy",
+    // which is what a training-corpus pipeline actually wants (the dup
+    // cluster often mixes a clean original with truncated or boiler-
+    // plated mirrors). Scale shape: the cluster membership table is
+    // dup-members-sized (≪ corpus); the quality join hash-partitions on
+    // doc_id, and the argmax window runs per-component over cluster-
+    // sized frames (bounded by the posting-list cap upstream). The
+    // quality double is bit-equal cross-engine (established by
+    // text_quality_score), so the DESC comparison can never disagree.
+    "corpus_canonical_keep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val comp = DedupComponents.components(
+        DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+          .select("doc_a", "doc_b"))
+        .select("doc_id", "component")
+      val q = TextQueries.tokenize(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), TextQueries.qualityCol.as("quality"))
+      val w = Window.partitionBy("component")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      comp.join(q, "doc_id")
+        .withColumn("is_kept", row_number().over(w) === 1)
+        .select("component", "doc_id", "quality", "is_kept")
+        .orderBy("component", "doc_id")
+    }),
+
     // the full cleaning cascade, summarized as verdict counts
     "corpus_clean_pipeline" -> ((s, dir) => {
       val docs = TextQueries.tokenize(
@@ -645,6 +674,26 @@ object PipelineQueries {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "corpus_canonical_keep" -> (
+      s"""WITH RECURSIVE
+         |${DedupComponents.componentsCteSql},
+         |q AS (
+         |  SELECT doc_id, ${TextQueries.qualitySqlExpr} AS quality
+         |  FROM documents
+         |),
+         |j AS (
+         |  SELECT c.doc_id, c.component, q.quality
+         |  FROM components c JOIN q USING (doc_id)
+         |),
+         |ranked AS (
+         |  SELECT component, doc_id, quality,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY quality DESC, doc_id) AS pick
+         |  FROM j
+         |)
+         |SELECT component, doc_id, quality, pick = 1 AS is_kept
+         |FROM ranked ORDER BY component, doc_id""".stripMargin),
+
     "corpus_clean_pipeline" -> (
       s"""WITH RECURSIVE
          |${DedupComponents.componentsCteSql},

@@ -626,4 +626,65 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "moment aggregation should be partial before the exchange\n" + p.take(3000))
   }
+
+  test("markov: one events scan, pair counts combine map-side") {
+    val p = graft.events.JourneyQueries
+      .queries("events_markov_transitions")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one corpus pass, got $scans scans\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      "pair counting must combine before the types² shuffle\n" + p.take(3000))
+    // the scan reads only the sequence columns, not value/props
+    val rs = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema line:\n${p.take(2000)}"))
+    assert(!rs.contains("value") && !rs.contains("props"),
+      s"sequence analysis must not read the payload columns: $rs")
+  }
+
+  test("acf: both join sides read the checkpointed day series, no rescan") {
+    val p = graft.events.TrendQueries.queries("events_acf_daily")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"post-checkpoint plan must not rescan events, got $scans\n${p.take(2000)}")
+    // the lag pairing is a hash equi-join on day+k (the only other join
+    // is the 1-row stats broadcast, which Spark plans as a nested loop —
+    // harmless at one row)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "lag pairing must be an equi-join\n" + p.take(3000))
+  }
+
+  test("zipf: both legs read the checkpointed vocab counts, no rescan") {
+    val p = graft.text.DistributionQueries.queries("text_zipf_head")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"rank + total must share one tokenize pass, got $scans\n${p.take(2000)}")
+  }
+
+  test("gini: one documents scan, token counts combine map-side") {
+    val p = graft.text.DistributionQueries.queries("text_token_gini")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one corpus pass, got $scans\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      "token counting must combine before the vocab shuffle\n" + p.take(3000))
+  }
+
+  test("mips: rank recheck broadcasts the k-row dim; no corpus-wide window") {
+    val p = graft.sim.SimilarityQueries.queries("sim_mips_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrdered"),
+      "top-k by inner product must be TakeOrdered, not a global sort\n" +
+        p.take(3000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "count-above must join against the broadcast candidates\n" + p.take(3000))
+    // the only Window left sorts the k candidate rows, downstream of the
+    // TakeOrdered — assert it is not partitionless over the scored corpus
+    // by checking the corpus side feeds an aggregate, not a sort-window
+    assert(p.contains("partial_count"),
+      "rank-above must be a count aggregate, not a rank window\n" + p.take(3000))
+  }
 }

@@ -303,4 +303,33 @@ class PipelineSpec extends SparkSpec {
       assert(nDrop <= nDocs && tokDrop <= tokTotal)
     }
   }
+
+  test("canonical keep: one best-quality keeper per cluster, same members") {
+    import org.apache.spark.sql.functions.col
+    val rows = PipelineQueries.queries("corpus_canonical_keep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // membership identical to the components verdict
+    val comp = graft.dedup.DedupComponents
+      .queries("dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet === comp,
+      "canonical-keep must rank exactly the dup-cluster members")
+    rows.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.size >= 2, s"component $c: a dup cluster has >= 2 members")
+      val kept = g.filter(_._4)
+      assert(kept.size === 1, s"component $c: exactly one keeper")
+      // the keeper is the quality argmax with the min-id tiebreak
+      val best = g.minBy { case (_, id, q, _) => (-q, id) }
+      assert(kept.head === best, s"component $c: keeper is not the argmax")
+    }
+    // quality column agrees with text_quality_score for the same docs
+    val qmap = TextQueries.queries("text_quality_score")(spark, sf)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (_, id, q, _) =>
+      assert(q === qmap(id), s"doc $id: quality drifts from the scorer")
+    }
+  }
 }
