@@ -313,6 +313,24 @@ object DedupComponents {
       val scored = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
       ssspFromCanonicalsWithRounds(scored)._1
     }),
+
+    // degree histogram of the near-dup graph: how many docs have k
+    // near-duplicates. The shape diagnostic a curator reads before
+    // trusting a dedup pass — a heavy tail here means boilerplate hubs
+    // (one template matching thousands), which the MaxPosting cap is
+    // supposed to bound; the histogram makes that bound observable.
+    // Scale shape: edges are already pair-capped upstream; two exact
+    // integer aggregations (doc-sized, then degree-sized), no joins.
+    "graph_degree_hist" -> ((s, dir) => {
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      val und = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      und.groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
   )
 
   /** Recursive-CTE chain computing (doc_id, component, is_canonical) from
@@ -399,5 +417,21 @@ object DedupComponents {
          |)
          |SELECT id AS doc_id, min(dist)::DOUBLE / $SsspFp AS dist
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    "graph_degree_hist" -> (
+      s"""WITH ${DedupQueries.jaccardPairsSql},
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM jac
+         |  WHERE jaccard >= ${DedupQueries.JaccardThreshold}
+         |),
+         |und AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges
+         |),
+         |deg AS (
+         |  SELECT s AS doc_id, count(*) AS degree FROM und GROUP BY s
+         |)
+         |SELECT degree, count(*) AS n_docs
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
   )
 }

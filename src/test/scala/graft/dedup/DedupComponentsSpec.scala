@@ -148,4 +148,20 @@ class DedupComponentsSpec extends SparkSpec {
         s"dist($id)=$d exceeds per-hop weight bound over ${hops(id)} hops")
     }
   }
+
+  test("degree histogram: handshake law and full dup-graph coverage") {
+    val hist = DedupComponents.queries("graph_degree_hist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.nonEmpty)
+    assert(hist.map(_._1).toSeq === hist.map(_._1).sorted.toSeq)
+    assert(hist.forall { case (deg, n) => deg >= 1 && n >= 1 })
+    val nEdges = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf).count()
+    // Σ degree·n_docs counts each undirected edge twice
+    assert(hist.map { case (d, n) => d * n }.sum === 2L * nEdges,
+      "handshake law violated")
+    // Σ n_docs = every doc that appears in the dup graph = components rows
+    val members = DedupComponents.queries("dedup_components")(spark, sf).count()
+    assert(hist.map(_._2).sum === members,
+      "histogram must cover exactly the dup-graph members")
+  }
 }
