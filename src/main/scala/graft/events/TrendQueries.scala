@@ -182,6 +182,82 @@ object TrendQueries {
             col("n_events") < col("med") - lit(MadK) * col("mad"))
         .select("event_type", "day", "n_events", "med", "mad", "is_outlier")
         .orderBy("event_type", "day")
+    }),
+
+    // χ² weekday-uniformity decomposition per event type: does traffic
+    // rate actually vary by weekday, or is the weekday profile noise?
+    // Expected count per weekday is proportional to how many days of
+    // that weekday the corpus contains (E_w = N·d_w/D — a corpus that
+    // ends mid-week must not fake a deficit on the missing weekdays).
+    // The output stays PER WEEKDAY (obs, exp, χ² contribution) rather
+    // than summing the 7 contributions into one statistic: each
+    // contribution is one exact-integer-derived double (sub = O_w·D −
+    // N·d_w is an exact BIGINT; the square is taken in double for
+    // headroom, then one division), while a cross-row double sum would
+    // be partition-order-dependent and break the bit-equality contract.
+    // Consumers sum 7 ordered rows; the spec checks the summed statistic
+    // against its driver-side replication.
+    "events_weekday_chi2" -> ((s, dir) => {
+      val d = daily(s, dir)
+        .withColumn("weekday", pmod(col("day") + 3, lit(7L)))
+        .localCheckpoint() // feeds per-weekday and per-type totals
+      val byWd = d.groupBy("event_type", "weekday")
+        .agg(count(lit(1)).as("d_w"), sum("n_events").as("obs"))
+      val byType = d.groupBy("event_type")
+        .agg(count(lit(1)).as("dd"), sum("n_events").as("nn"))
+      val sub = col("obs") * col("dd") - col("nn") * col("d_w")
+      byWd.join(broadcast(byType), "event_type")
+        .select(col("event_type"), col("weekday"), col("d_w"), col("obs"),
+          ((col("nn") * col("d_w")).cast("double") / col("dd").cast("double"))
+            .as("expected"),
+          (sub.cast("double") * sub.cast("double") /
+            (col("d_w") * col("nn") * col("dd")).cast("double"))
+            .as("chi2_part"))
+        .orderBy("event_type", "weekday")
+    }),
+
+    // Mann-Kendall trend test per type — the nonparametric companion to
+    // the OLS fit: S = Σ_{i<j} sign(x_j − x_i) over the day-ordered
+    // counts is immune to outliers and monotone transforms, and its
+    // tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    // / 18 makes z an honest test statistic. Everything up to the /18 is
+    // exact BIGINT; z adds one sqrt (IEEE correctly-rounded) and one
+    // division, identical on both engines. Scale shape: the corpus
+    // reduces to #days×#types first; the pair self-join is #days²-sized
+    // per type (~66k rows at a year of days) and NEVER corpus-sized —
+    // the whole point of reducing before the quadratic step.
+    "events_trend_mannkendall" -> ((s, dir) => {
+      val d = daily(s, dir).localCheckpoint() // pairs ×2 + ties + n
+      val pairs = d.alias("a")
+        .join(d.alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("b.n_events") > col("a.n_events"), 1L)
+          .when(col("b.n_events") < col("a.n_events"), -1L)
+          .otherwise(0L)).as("s_stat"))
+      val ties = d.groupBy("event_type", "n_events")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("tie_term"))
+      val n = d.groupBy("event_type").agg(count(lit(1)).as("nd"))
+      val varNum = col("nd") * (col("nd") - 1L) *
+        (lit(2L) * col("nd") + 5L) - col("tie_term")
+      pairs.join(broadcast(ties), "event_type")
+        .join(broadcast(n), "event_type")
+        .withColumn("var_s", varNum.cast("double") / lit(18.0))
+        .withColumn("z",
+          when(col("s_stat") > 0L,
+            (col("s_stat") - lit(1L)).cast("double") / sqrt(col("var_s")))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + lit(1L)).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("nd").as("n_days"), col("s_stat"),
+          col("var_s"), col("z"),
+          (abs(col("z")) > lit(1.96)).as("has_trend"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -316,5 +392,72 @@ object TrendQueries {
          |       (n_events > med + $MadK * mad OR
          |        n_events < med - $MadK * mad) AS is_outlier
          |FROM d JOIN mad USING (event_type)
-         |ORDER BY event_type, day""".stripMargin))
+         |ORDER BY event_type, day""".stripMargin),
+
+    "events_weekday_chi2" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT event_type, ts // ${EventsQueries.DayUs} AS day,
+         |         count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |bywd AS (
+         |  SELECT event_type, (day + 3) % 7 AS weekday, count(*) AS d_w,
+         |         CAST(sum(n_events) AS BIGINT) AS obs
+         |  FROM d GROUP BY 1, 2
+         |),
+         |bytype AS (
+         |  SELECT event_type, count(*) AS dd,
+         |         CAST(sum(n_events) AS BIGINT) AS nn
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT w.event_type, weekday, d_w, obs,
+         |       CAST(nn * d_w AS DOUBLE) / CAST(dd AS DOUBLE) AS expected,
+         |       CAST(obs * dd - nn * d_w AS DOUBLE) *
+         |       CAST(obs * dd - nn * d_w AS DOUBLE) /
+         |       CAST(d_w * nn * dd AS DOUBLE) AS chi2_part
+         |FROM bywd w JOIN bytype USING (event_type)
+         |ORDER BY event_type, weekday""".stripMargin),
+
+    "events_trend_mannkendall" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT event_type, ts // ${EventsQueries.DayUs} AS day,
+         |         count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT a.event_type,
+         |         CAST(sum(CASE WHEN b.n_events > a.n_events THEN 1
+         |                       WHEN b.n_events < a.n_events THEN -1
+         |                       ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM d a JOIN d b
+         |    ON a.event_type = b.event_type AND a.day < b.day
+         |  GROUP BY 1
+         |),
+         |ties AS (
+         |  SELECT event_type,
+         |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |  FROM (SELECT event_type, n_events, count(*) AS t
+         |        FROM d GROUP BY 1, 2)
+         |  GROUP BY 1
+         |),
+         |nd AS (SELECT event_type, count(*) AS nd FROM d GROUP BY 1),
+         |vs AS (
+         |  SELECT p.event_type, nd.nd, s_stat,
+         |         CAST(nd.nd * (nd.nd - 1) * (2 * nd.nd + 5) - tie_term
+         |              AS DOUBLE) / 18.0 AS var_s
+         |  FROM pairs p JOIN ties USING (event_type)
+         |               JOIN nd USING (event_type)
+         |)
+         |SELECT event_type, nd AS n_days, s_stat, var_s,
+         |       CASE WHEN s_stat > 0
+         |              THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+         |            WHEN s_stat < 0
+         |              THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+         |            ELSE 0.0 END AS z,
+         |       abs(CASE WHEN s_stat > 0
+         |                  THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+         |                WHEN s_stat < 0
+         |                  THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+         |                ELSE 0.0 END) > 1.96 AS has_trend
+         |FROM vs ORDER BY event_type""".stripMargin))
 }

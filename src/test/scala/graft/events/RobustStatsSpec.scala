@@ -70,4 +70,66 @@ class RobustStatsSpec extends SparkSpec {
         s"$tpe: $flagged of ${g.size} days flagged — MAD cannot do that")
     }
   }
+
+  private def dailyByType: Map[String, Seq[(Long, Long)]] =
+    EventsQueries.events(spark, sf)
+      .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+
+  test("weekday chi2: contributions bit-equal to exact integer clearing") {
+    val rows = TrendQueries.queries("events_weekday_chi2")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val d = dailyByType
+    rows.groupBy(_._1).foreach { case (tpe, g) =>
+      val days = d(tpe)
+      val dd = days.size.toLong
+      val nn = days.map(_._2).sum
+      assert(g.map(_._3).sum === dd, s"$tpe: weekday day counts cover D")
+      assert(g.map(_._4).sum === nn, s"$tpe: weekday masses cover N")
+      g.foreach { case (_, wd, dw, obs, expd, part) =>
+        val wdDays = days.filter { case (day, _) => (day + 3) % 7 == wd }
+        assert(wdDays.size.toLong === dw && wdDays.map(_._2).sum === obs,
+          s"$tpe wd $wd: observed mass differs from the direct count")
+        assert(expd === (nn * dw).toDouble / dd.toDouble)
+        val sub = obs * dd - nn * dw
+        assert(part === sub.toDouble * sub.toDouble /
+          (dw * nn * dd).toDouble, s"$tpe wd $wd: chi2 part differs")
+      }
+    }
+  }
+
+  test("mann-kendall: S, variance, and z bit-equal to the O(n²) loop") {
+    val rows = TrendQueries.queries("events_trend_mannkendall")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val d = dailyByType
+    assert(rows.map(_._1).toSet === d.keySet.filter(d(_).size >= 2))
+    rows.foreach { case (tpe, nDays, sStat, varS, z, hasTrend) =>
+      val xs = d(tpe).map(_._2)
+      assert(nDays === xs.size.toLong)
+      var s = 0L
+      for (i <- xs.indices; j <- i + 1 until xs.size)
+        s += java.lang.Long.signum(xs(j) - xs(i)).toLong
+      assert(sStat === s, s"$tpe: S differs from the pair loop")
+      val n = xs.size.toLong
+      val tieTerm = xs.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1L) * (2L * t + 5L)).sum
+      val expVar = (n * (n - 1L) * (2L * n + 5L) - tieTerm).toDouble / 18.0
+      assert(varS === expVar, s"$tpe: variance differs")
+      val expZ =
+        if (s > 0L) (s - 1L).toDouble / math.sqrt(expVar)
+        else if (s < 0L) (s + 1L).toDouble / math.sqrt(expVar)
+        else 0.0
+      assert(z === expZ, s"$tpe: z differs")
+      assert(hasTrend === (math.abs(expZ) > 1.96))
+    }
+  }
 }
