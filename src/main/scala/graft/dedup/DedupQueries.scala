@@ -26,6 +26,10 @@ import graft.oracle.Ora
 object DedupQueries {
 
   val JaccardThreshold = 0.5
+
+  /** Containment cut for the asymmetric dedup: a pair reports when
+    * either direction's |Sa∩Sb|/|S·| reaches this. */
+  val ContainmentThreshold = 0.5
   val NumMinhash = 16
   val NumBands = 8 // 2 rows per band
   val HammingMax = 3
@@ -94,11 +98,11 @@ object DedupQueries {
   private[graft] def jaccardPairsFrom(sh: DataFrame): DataFrame =
     jaccardScoredFrom(sh).filter(col("jaccard") >= JaccardThreshold)
 
-  /** The pre-threshold pair stage: every candidate pair (docs sharing ≥1
-    * shingle, posting-cap contract applied) with its exact Jaccard. The
-    * dedups consume it thresholded ([[jaccardPairsFrom]]); the LSH
-    * s-curve calibration consumes the full score range. */
-  private[graft] def jaccardScoredFrom(sh: DataFrame): DataFrame = {
+  /** Candidate pairs with raw overlap evidence: (doc_a, doc_b, shared,
+    * n_a, n_b) for every pair sharing ≥1 shingle under the posting-cap
+    * contract — the ONE pair chain both the symmetric (Jaccard) and
+    * asymmetric (containment) similarities derive from. */
+  private[graft] def pairOverlapFrom(sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val posting = sh
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -115,11 +119,20 @@ object DedupQueries {
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
+  }
+
+  /** The pre-threshold pair stage: every candidate pair (docs sharing ≥1
+    * shingle, posting-cap contract applied) with its exact Jaccard. The
+    * dedups consume it thresholded ([[jaccardPairsFrom]]); the LSH
+    * s-curve calibration consumes the full score range. */
+  private[graft] def jaccardScoredFrom(sh: DataFrame): DataFrame =
+    pairOverlapFrom(sh)
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("shared")))
+          (col("n_a") + col("n_b") - col("shared")))
           .as("jaccard"))
-  }
 
   /** (doc_id, band, sig) band-signature rows over an already-shingled
     * frame — the LSH index's key space, shared by the batch dedups and
@@ -267,6 +280,28 @@ object DedupQueries {
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // Asymmetric containment dedup: C(a→b) = |Sa∩Sb| / |Sa|. A short doc
+    // quoted wholesale inside a long one scores high containment but LOW
+    // Jaccard (the union is dominated by the long doc), so the symmetric
+    // threshold never fires — this is the wrapper/boilerplate detector
+    // the Jaccard pass structurally cannot be. Same posting-list pair
+    // chain (cost stays Σ bucket², capped — nothing new is quadratic);
+    // each containment is one double division of two exact integers.
+    "dedup_containment" -> ((s, dir) => {
+      val p = pairOverlapFrom(shingled(s, dir))
+        .withColumn("containment_a",
+          col("shared").cast("double") / col("n_a"))
+        .withColumn("containment_b",
+          col("shared").cast("double") / col("n_b"))
+      p.filter(greatest(col("containment_a"), col("containment_b")) >=
+          ContainmentThreshold)
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("containment_a"), col("containment_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // exact substring-span dedup at fixed n (the hashed-n-gram
     // approximation of suffix-array substring dedup, torua-class corpora
@@ -681,6 +716,21 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (s"WITH $jaccardPairsSql\n" +
       s"SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $JaccardThreshold " +
       "ORDER BY doc_a, doc_b"),
+
+    "dedup_containment" -> (s"WITH $jaccardPairsSql,\n" +
+      s"""cont AS (
+         |  SELECT doc_a, doc_b, shared,
+         |         CAST(sa.n_sh AS BIGINT) AS n_a,
+         |         CAST(sb.n_sh AS BIGINT) AS n_b,
+         |         CAST(shared AS DOUBLE) / sa.n_sh AS containment_a,
+         |         CAST(shared AS DOUBLE) / sb.n_sh AS containment_b
+         |  FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |)
+         |SELECT * FROM cont
+         |WHERE greatest(containment_a, containment_b) >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // mirror of dedup_substring_spans: positional grams via LATERAL
     // range, same fnv1a32 gram-hash key, same two-pass coverage shape

@@ -80,6 +80,46 @@ object JourneyQueries {
         .agg(count(lit(1)).as("n_users"),
           sum("monetary").cast("double").as("total_monetary"))
         .orderBy("r_q", "f_q", "m_q")
+    }),
+
+    // Pareto / whale curve: what share of all events do the top p% of
+    // users generate? Computed WITHOUT ranking users: the per-user
+    // counts collapse to a count-value histogram first, so the ordered
+    // cumulative runs over #distinct-count-values rows (tiny) instead of
+    // a corpus-wide row_number over every user — the difference between
+    // a histogram walk and a global sort at a billion users. Ties at the
+    // p% boundary are sliced pro-rata by count value ((k − users_above)
+    // × boundary count), which is exactly the top-k-by-(count, any
+    // tiebreak) event mass — share depends only on the count value, so
+    // the arbitrary tiebreak never surfaces. All integer arithmetic
+    // until the one share division.
+    "events_pareto_share" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = ev(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("c"))
+      val hist = perUser.groupBy("c").agg(count(lit(1)).as("n_users"))
+        .withColumn("events", col("c") * col("n_users"))
+        .localCheckpoint() // feeds the totals and the cumulative walk
+      val tot = hist.agg(sum("n_users").as("total_users"),
+        sum("events").as("total_events"))
+      val w = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist
+        .withColumn("cum_users", sum("n_users").over(w))
+        .withColumn("cum_events", sum("events").over(w))
+      val pcts = Seq(1L, 5L, 10L, 25L, 50L).toDF("pct")
+      val k = greatest(lit(1L), expr("(total_users * pct) div 100"))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+        .filter(col("cum_users") - col("n_users") < k && k <= col("cum_users"))
+        .select(col("pct"), k.as("k_users"),
+          (col("cum_events") - col("events") +
+            (k - (col("cum_users") - col("n_users"))) * col("c"))
+            .as("events_top"),
+          col("total_events"))
+        .withColumn("share",
+          col("events_top").cast("double") / col("total_events").cast("double"))
+        .drop("total_events")
+        .orderBy("pct")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -124,5 +164,41 @@ object JourneyQueries {
          |)
          |SELECT r_q, f_q, m_q, count(*) AS n_users,
          |       CAST(sum(monetary) AS DOUBLE) AS total_monetary
-         |FROM quartiled GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin))
+         |FROM quartiled GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin),
+
+    "events_pareto_share" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      """per_user AS (SELECT user_id, count(*) AS c FROM ev GROUP BY 1),
+        |hist AS (
+        |  SELECT c, count(*) AS n_users,
+        |         CAST(c * count(*) AS BIGINT) AS events
+        |  FROM per_user GROUP BY c
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(n_users) AS BIGINT) AS total_users,
+        |         CAST(sum(events) AS BIGINT) AS total_events
+        |  FROM hist
+        |),
+        |cum AS (
+        |  SELECT c, n_users, events,
+        |         CAST(sum(n_users) OVER w AS BIGINT) AS cum_users,
+        |         CAST(sum(events) OVER w AS BIGINT) AS cum_events
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+        |),
+        |pcts AS (SELECT unnest([1, 5, 10, 25, 50])::BIGINT AS pct),
+        |cand AS (
+        |  SELECT pct,
+        |         greatest(1, (total_users * pct) // 100) AS k_users,
+        |         cum_events - events +
+        |           (greatest(1, (total_users * pct) // 100) -
+        |            (cum_users - n_users)) * c AS events_top,
+        |         total_events
+        |  FROM cum, tot, pcts
+        |  WHERE cum_users - n_users < greatest(1, (total_users * pct) // 100)
+        |    AND greatest(1, (total_users * pct) // 100) <= cum_users
+        |)
+        |SELECT pct, k_users, events_top,
+        |       CAST(events_top AS DOUBLE) / CAST(total_events AS DOUBLE)
+        |         AS share
+        |FROM cand ORDER BY pct""".stripMargin))
 }

@@ -193,4 +193,30 @@ class DedupSpec extends SparkSpec {
       assert(sim === 1.0 - d.toDouble / math.max(pa.length, pb.length))
     }
   }
+
+  test("containment: dominates jaccard and covers every jaccard dup pair") {
+    val rows = DedupQueries.queries("dedup_containment")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, na, nb, ca, cb) =>
+      assert(a < b && shared >= 1 && shared <= math.min(na, nb),
+        s"($a,$b): overlap exceeds a set size")
+      // the emitted doubles are the exact divisions of the integer columns
+      assert(ca === shared.toDouble / na && cb === shared.toDouble / nb)
+      assert(math.max(ca, cb) >= DedupQueries.ContainmentThreshold)
+      // containment >= jaccard always (smaller denominator)
+      val jac = shared.toDouble / (na + nb - shared)
+      assert(ca >= jac - 1e-15 && cb >= jac - 1e-15)
+    }
+    // J >= 0.5 implies max containment >= 0.5: the symmetric dup set is
+    // a subset of the asymmetric one — containment only widens the net
+    val jacPairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contPairs = rows.map(r => (r._1, r._2)).toSet
+    assert(jacPairs.subsetOf(contPairs),
+      s"missing jaccard pairs: ${(jacPairs -- contPairs).take(5)}")
+    assert(contPairs.size >= jacPairs.size)
+  }
 }

@@ -65,4 +65,32 @@ class JourneySpec extends SparkSpec {
       1e-9 * math.max(1.0, math.abs(globalMonetary)),
       s"monetary mass not conserved: $cellSum vs $globalMonetary")
   }
+
+  test("pareto: bit-equal to sorting users and summing the top k") {
+    val rows = JourneyQueries.queries("events_pareto_share")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 5L, 10L, 25L, 50L))
+    val counts = EventsQueries.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val total = counts.sum
+    for ((pct, k, top, share) <- rows) {
+      val expectK = math.max(1L, counts.length.toLong * pct / 100L)
+      assert(k === expectK, s"$pct%: k differs")
+      val expectTop = counts.take(k.toInt).sum
+      assert(top === expectTop,
+        s"$pct%: histogram walk differs from the direct top-k sum")
+      assert(share === top.toDouble / total.toDouble)
+    }
+    // the curve is monotone and dominates uniformity
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._3 && a._4 <= b._4
+      case _           => true
+    })
+    rows.foreach { case (pct, k, _, share) =>
+      assert(share >= k.toDouble / counts.length.toDouble - 1e-12,
+        s"$pct%: top-k users cannot hold less than their headcount share")
+    }
+  }
 }
