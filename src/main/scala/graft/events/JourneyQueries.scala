@@ -93,34 +93,41 @@ object JourneyQueries {
     // tiebreak) event mass — share depends only on the count value, so
     // the arbitrary tiebreak never surfaces. All integer arithmetic
     // until the one share division.
-    "events_pareto_share" -> ((s, dir) => {
-      import s.implicits._
-      val perUser = ev(s, dir).groupBy("user_id")
-        .agg(count(lit(1)).as("c"))
-      val hist = perUser.groupBy("c").agg(count(lit(1)).as("n_users"))
-        .withColumn("events", col("c") * col("n_users"))
-        .localCheckpoint() // feeds the totals and the cumulative walk
-      val tot = hist.agg(sum("n_users").as("total_users"),
-        sum("events").as("total_events"))
-      val w = Window.orderBy(col("c").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist
-        .withColumn("cum_users", sum("n_users").over(w))
-        .withColumn("cum_events", sum("events").over(w))
-      val pcts = Seq(1L, 5L, 10L, 25L, 50L).toDF("pct")
-      val k = greatest(lit(1L), expr("(total_users * pct) div 100"))
-      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
-        .filter(col("cum_users") - col("n_users") < k && k <= col("cum_users"))
-        .select(col("pct"), k.as("k_users"),
-          (col("cum_events") - col("events") +
-            (k - (col("cum_users") - col("n_users"))) * col("c"))
-            .as("events_top"),
-          col("total_events"))
-        .withColumn("share",
-          col("events_top").cast("double") / col("total_events").cast("double"))
-        .drop("total_events")
-        .orderBy("pct")
-    }))
+    "events_pareto_share" -> ((s, dir) =>
+      paretoFromCounts(s,
+        ev(s, dir).groupBy("user_id").agg(count(lit(1)).as("c")))))
+
+  /** The histogram-walk core of `events_pareto_share` over any
+    * (user, c) count table — factored out so the tie-slicing boundary
+    * arithmetic is property-testable on seeded random distributions
+    * (the fixture's near-uniform counts barely exercise it). */
+  private[graft] def paretoFromCounts(s: SparkSession,
+      perUser: DataFrame): DataFrame = {
+    import s.implicits._
+    val hist = perUser.groupBy("c").agg(count(lit(1)).as("n_users"))
+      .withColumn("events", col("c") * col("n_users"))
+      .localCheckpoint() // feeds the totals and the cumulative walk
+    val tot = hist.agg(sum("n_users").as("total_users"),
+      sum("events").as("total_events"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum_users", sum("n_users").over(w))
+      .withColumn("cum_events", sum("events").over(w))
+    val pcts = Seq(1L, 5L, 10L, 25L, 50L).toDF("pct")
+    val k = greatest(lit(1L), expr("(total_users * pct) div 100"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+      .filter(col("cum_users") - col("n_users") < k && k <= col("cum_users"))
+      .select(col("pct"), k.as("k_users"),
+        (col("cum_events") - col("events") +
+          (k - (col("cum_users") - col("n_users"))) * col("c"))
+          .as("events_top"),
+        col("total_events"))
+      .withColumn("share",
+        col("events_top").cast("double") / col("total_events").cast("double"))
+      .drop("total_events")
+      .orderBy("pct")
+  }
 
   val oracle: Map[String, String] = Map(
     "events_markov_transitions" -> (s"WITH ${EventsQueries.eventsSql},\n" +

@@ -34,6 +34,35 @@ object TrendQueries {
       .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
 
+  /** The ACF core over any (day, x) series — factored out so the
+    * gap-handling lag pairing is property-testable on seeded random
+    * series with holes (the fixture's day series is dense, so the
+    * restricted-pair path would otherwise go unexercised). */
+  private[graft] def acfFromDaily(dayCounts: DataFrame): DataFrame = {
+    val d = dayCounts.localCheckpoint() // stats + both sides of the lag join
+    val st = d.agg(count(lit(1)).as("n"), sum("x").as("s1"),
+      sum(col("x") * col("x")).as("s2"))
+    val lagged = d
+      .withColumn("lag", explode(sequence(lit(1L), lit(MaxAcfLag.toLong))))
+      .withColumn("pair_day", col("day") + col("lag"))
+    val paired = lagged.alias("a")
+      .join(d.alias("b"), col("a.pair_day") === col("b.day"))
+      .groupBy(col("a.lag").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.x") * col("b.x")).as("sxy"),
+        sum(col("a.x")).as("sa"),
+        sum(col("b.x")).as("sb"))
+    paired.crossJoin(broadcast(st))
+      .withColumn("num", col("n") * col("n") * col("sxy")
+        - col("n") * col("s1") * (col("sa") + col("sb"))
+        + col("n_pairs") * col("s1") * col("s1"))
+      .withColumn("den",
+        col("n") * col("n") * col("s2") - col("n") * col("s1") * col("s1"))
+      .select(col("lag"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUSUM mean-shift: S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)) via the
     // prefix-min identity S⁺_t = C_t − min(0, min_{s≤t} C_s) with
@@ -129,33 +158,10 @@ object TrendQueries {
     // on both ends, which n_k records. Scale shape: one corpus shuffle
     // to per-day counts; everything after runs on #days × MaxAcfLag
     // rows.
-    "events_acf_daily" -> ((s, dir) => {
-      val d = EventsQueries.events(s, dir)
+    "events_acf_daily" -> ((s, dir) =>
+      acfFromDaily(EventsQueries.events(s, dir)
         .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
-        .groupBy("day").agg(count(lit(1)).as("x"))
-        .localCheckpoint() // feeds stats + both sides of the lag join
-      val st = d.agg(count(lit(1)).as("n"), sum("x").as("s1"),
-        sum(col("x") * col("x")).as("s2"))
-      val lagged = d
-        .withColumn("lag", explode(sequence(lit(1L), lit(MaxAcfLag.toLong))))
-        .withColumn("pair_day", col("day") + col("lag"))
-      val paired = lagged.alias("a")
-        .join(d.alias("b"), col("a.pair_day") === col("b.day"))
-        .groupBy(col("a.lag").as("lag"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("a.x") * col("b.x")).as("sxy"),
-          sum(col("a.x")).as("sa"),
-          sum(col("b.x")).as("sb"))
-      paired.crossJoin(broadcast(st))
-        .withColumn("num", col("n") * col("n") * col("sxy")
-          - col("n") * col("s1") * (col("sa") + col("sb"))
-          + col("n_pairs") * col("s1") * col("s1"))
-        .withColumn("den",
-          col("n") * col("n") * col("s2") - col("n") * col("s1") * col("s1"))
-        .select(col("lag"), col("n_pairs"),
-          (col("num").cast("double") / col("den").cast("double")).as("acf"))
-        .orderBy("lag")
-    }),
+        .groupBy("day").agg(count(lit(1)).as("x")))),
 
     // MAD-based robust outlier days per event type: median and median-
     // absolute-deviation are immune to the very outliers they hunt (the
