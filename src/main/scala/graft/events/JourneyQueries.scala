@@ -95,7 +95,31 @@ object JourneyQueries {
     // until the one share division.
     "events_pareto_share" -> ((s, dir) =>
       paretoFromCounts(s,
-        ev(s, dir).groupBy("user_id").agg(count(lit(1)).as("c")))))
+        ev(s, dir).groupBy("user_id").agg(count(lit(1)).as("c")))),
+
+    // Herfindahl concentration per event type: HHI = Σ_u n_{t,u}² / N_t²
+    // — "is this event type driven by a few users?" in one exact number
+    // (1/#users ⇒ perfectly spread, → 1 ⇒ one whale). The log-free
+    // diversity index: effective_users = 1/HHI is the entropy-style
+    // "equivalent uniform population" without ln()'s cross-engine
+    // rounding problem. Everything is exact integer sums (Σn² ≤ N·max n
+    // ≈ 2^40 at sf0.1) until one division; 1/HHI is a second division of
+    // the same bit-equal double. Scale: one (type, user) reduction — the
+    // same shuffle key the per-user family already uses — then a
+    // types-sized aggregate.
+    "events_type_concentration" -> ((s, dir) => {
+      val perTU = ev(s, dir).groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      perTU.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum("n").as("total"),
+          sum(col("n") * col("n")).as("sq"))
+        .select(col("event_type"), col("n_users"), col("total"),
+          (col("sq").cast("double") /
+            (col("total") * col("total")).cast("double")).as("hhi"))
+        .withColumn("effective_users", lit(1.0) / col("hhi"))
+        .orderBy("event_type")
+    }))
 
   /** The histogram-walk core of `events_pareto_share` over any
     * (user, c) count table — factored out so the tie-slicing boundary
@@ -207,5 +231,22 @@ object JourneyQueries {
         |SELECT pct, k_users, events_top,
         |       CAST(events_top AS DOUBLE) / CAST(total_events AS DOUBLE)
         |         AS share
-        |FROM cand ORDER BY pct""".stripMargin))
+        |FROM cand ORDER BY pct""".stripMargin),
+
+    "events_type_concentration" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      """tu AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_users,
+        |         CAST(sum(n) AS BIGINT) AS total,
+        |         CAST(sum(n * n) AS BIGINT) AS sq
+        |  FROM tu GROUP BY 1
+        |)
+        |SELECT event_type, n_users, total,
+        |       CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE) AS hhi,
+        |       1.0 / (CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE))
+        |         AS effective_users
+        |FROM agg ORDER BY event_type""".stripMargin))
 }

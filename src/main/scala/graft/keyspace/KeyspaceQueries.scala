@@ -104,6 +104,27 @@ object KeyspaceQueries {
         .agg(count("*").as("n_keys"), sum(length(col("value"))).as("n_bytes"))
         .orderBy("shard_id")),
 
+    // χ² shard-balance audit over the live compacted keyspace: is the
+    // FNV-1a placement actually uniform on the keys we HOLD (as opposed
+    // to the synthetic-vector spec)? Per-shard contribution
+    // (4·O_s − N)²/(16·N/4·…) is kept per shard like the weekday test —
+    // sub = 4·O_s − N is an exact BIGINT, squared in double, ONE
+    // division — so consumers sum 4 ordered rows and no cross-row double
+    // sum can reorder. A skewed shard here means routing hot-spotting at
+    // scale; the expected column is what rebalancing would target.
+    "kv_shard_chi2" -> ((s, dir) => {
+      val byShard = KvLog.state(s, dir).groupBy("shard_id")
+        .agg(count(lit(1)).as("n_keys"))
+      val tot = byShard.agg(sum("n_keys").as("nn"))
+      val sub = lit(4L) * col("n_keys") - col("nn")
+      byShard.crossJoin(broadcast(tot))
+        .select(col("shard_id"), col("n_keys"),
+          (col("nn").cast("double") / lit(4.0)).as("expected"),
+          (sub.cast("double") * sub.cast("double") /
+            (lit(4L) * col("nn")).cast("double")).as("chi2_part"))
+        .orderBy("shard_id")
+    }),
+
     // O2 edge — empty-value PUT (`store.go:84`, `cmd/node/node_test.go`):
     // an empty string is a real value distinct from a tombstone; it
     // survives LWW compaction (n_empty > 0) and contributes 0 to byte
@@ -321,6 +342,17 @@ object KeyspaceQueries {
       """SELECT shard_id, count(*) AS n_keys,
         |  CAST(sum(length(value)) AS BIGINT) AS n_bytes
         |FROM kv_state GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+
+    "kv_shard_chi2" -> Ora.withState(
+      """SELECT shard_id, n_keys,
+        |       CAST(nn AS DOUBLE) / 4.0 AS expected,
+        |       CAST(4 * n_keys - nn AS DOUBLE) *
+        |       CAST(4 * n_keys - nn AS DOUBLE) /
+        |       CAST(4 * nn AS DOUBLE) AS chi2_part
+        |FROM (SELECT shard_id, count(*) AS n_keys
+        |      FROM kv_state GROUP BY shard_id) b,
+        |     (SELECT CAST(count(*) AS BIGINT) AS nn FROM kv_state) t
+        |ORDER BY shard_id""".stripMargin),
 
     "kv_empty_value_edge" -> Ora.withState(
       """SELECT

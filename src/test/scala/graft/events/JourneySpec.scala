@@ -93,4 +93,29 @@ class JourneySpec extends SparkSpec {
         s"$pct%: top-k users cannot hold less than their headcount share")
     }
   }
+
+  test("type concentration: bit-equal to the direct HHI; bounds hold") {
+    val rows = JourneyQueries
+      .queries("events_type_concentration")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val perTU = EventsQueries.events(spark, sf)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_._1).toSet === perTU.keySet)
+    rows.foreach { case (tpe, nUsers, total, hhi, eff) =>
+      val ns = perTU(tpe)
+      assert(nUsers === ns.size.toLong && total === ns.sum)
+      val expect = ns.map(n => n * n).sum.toDouble /
+        (total * total).toDouble
+      assert(hhi === expect, s"$tpe: HHI differs from the direct sum")
+      assert(eff === 1.0 / expect)
+      // 1/n (perfect spread) <= HHI <= 1 (one whale); effective <= actual
+      assert(hhi >= 1.0 / nUsers - 1e-15 && hhi <= 1.0)
+      assert(eff <= nUsers + 1e-9)
+    }
+  }
 }

@@ -44,4 +44,27 @@ class ShardCountSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("shard chi2: bit-equal to the direct recompute; FNV stays uniform") {
+    import org.apache.spark.sql.functions.col
+    val rows = KeyspaceQueries.queries("kv_shard_chi2")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L), "one row per shard")
+    val counts = KvLog.state(spark, sf).groupBy("shard_id")
+      .agg(org.apache.spark.sql.functions.count(col("key")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nn = counts.values.sum
+    rows.foreach { case (sid, nKeys, expected, part) =>
+      assert(nKeys === counts(sid))
+      assert(expected === nn.toDouble / 4.0)
+      val sub = 4L * nKeys - nn
+      assert(part === sub.toDouble * sub.toDouble / (4L * nn).toDouble,
+        s"shard $sid: chi2 part differs")
+    }
+    // FNV placement should look uniform: χ²(df=3) at p=0.001 is 16.27 —
+    // a hash this far out would mean real hot-spotting at scale
+    val chi2 = rows.map(_._4).sum
+    assert(chi2 < 16.27, s"shard placement skewed: chi2=$chi2")
+  }
 }
