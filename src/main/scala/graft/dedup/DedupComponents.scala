@@ -331,6 +331,42 @@ object DedupComponents {
         .groupBy("degree").agg(count(lit(1)).as("n_docs"))
         .orderBy("degree")
     }),
+
+    // Degree assortativity of the near-dup graph: Pearson correlation of
+    // endpoint degrees over the directed edge list (each undirected edge
+    // counted in both orientations — the standard Newman estimator).
+    // Positive ⇒ hubs link to hubs (template farms cross-matching),
+    // negative ⇒ hubs link to leaves (one boilerplate matching many
+    // unique docs) — which of the two dedup failure modes a corpus has.
+    // All five moments are exact BIGINTs (degrees are posting-capped);
+    // the two centered second moments are multiplied in DOUBLE (their
+    // product can cross 2^63), then one sqrt and one division —
+    // identical op order on both engines. Edge and degree tables are
+    // dup-graph-sized, never corpus-sized.
+    "graph_assortativity" -> ((s, dir) => {
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val und = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val deg = und.groupBy(col("doc_a").as("v"))
+        .agg(count(lit(1)).as("k"))
+      val edges = und
+        .join(deg.select(col("v").as("doc_a"), col("k").as("kx")), "doc_a")
+        .join(deg.select(col("v").as("doc_b"), col("k").as("ky")), "doc_b")
+      val agg = edges.agg(count(lit(1)).as("m"),
+        sum("kx").as("sx"), sum("ky").as("sy"),
+        sum(col("kx") * col("ky")).as("sxy"),
+        sum(col("kx") * col("kx")).as("sxx"),
+        sum(col("ky") * col("ky")).as("syy"))
+      val num = col("m") * col("sxy") - col("sx") * col("sy")
+      val dx = col("m") * col("sxx") - col("sx") * col("sx")
+      val dy = col("m") * col("syy") - col("sy") * col("sy")
+      agg.select(col("m").as("m_directed_edges"),
+        when(dx === 0L || dy === 0L, lit(null).cast("double"))
+          .otherwise(num.cast("double") /
+            sqrt(dx.cast("double") * dy.cast("double")))
+          .as("assortativity"))
+    }),
   )
 
   /** Recursive-CTE chain computing (doc_id, component, is_canonical) from
@@ -433,5 +469,39 @@ object DedupComponents {
          |)
          |SELECT degree, count(*) AS n_docs
          |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
+
+    "graph_assortativity" -> (
+      s"""WITH ${DedupQueries.jaccardPairsSql},
+         |edges0 AS (
+         |  SELECT doc_a, doc_b FROM jac
+         |  WHERE jaccard >= ${DedupQueries.JaccardThreshold}
+         |),
+         |und AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM edges0
+         |  UNION ALL SELECT doc_b, doc_a FROM edges0
+         |),
+         |deg AS (SELECT s AS v, count(*) AS k FROM und GROUP BY s),
+         |e AS (
+         |  SELECT dx.k AS kx, dy.k AS ky
+         |  FROM und JOIN deg dx ON und.s = dx.v
+         |           JOIN deg dy ON und.d = dy.v
+         |),
+         |a AS (
+         |  SELECT count(*) AS m,
+         |         CAST(sum(kx) AS BIGINT) AS sx,
+         |         CAST(sum(ky) AS BIGINT) AS sy,
+         |         CAST(sum(kx * ky) AS BIGINT) AS sxy,
+         |         CAST(sum(kx * kx) AS BIGINT) AS sxx,
+         |         CAST(sum(ky * ky) AS BIGINT) AS syy
+         |  FROM e
+         |)
+         |SELECT m AS m_directed_edges,
+         |       CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+         |            THEN NULL
+         |            ELSE CAST(m * sxy - sx * sy AS DOUBLE) /
+         |                 sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+         |                      CAST(m * syy - sy * sy AS DOUBLE)) END
+         |         AS assortativity
+         |FROM a""".stripMargin),
   )
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.oracle.Ora
+
 /** Time-series diagnostics over the per-day event counts: CUSUM
   * mean-shift detection and an OLS trend fit with a one-step forecast —
   * the two monitors a pipeline runs over its own throughput series to
@@ -28,6 +30,12 @@ object TrendQueries {
   /** MAD outlier threshold: 3σ × 1.4826 (normal-consistency constant),
     * written as one literal so both engines parse identical bits. */
   val MadK = 4.4478
+
+  /** Bootstrap replicas and the 95% CI order-statistic ranks (5th and
+    * 196th of 200 sorted replica means ≈ the 2.5/97.5 percentiles). */
+  val BootB = 200L
+  val BootLoRank = 5L
+  val BootHiRank = 196L
 
   private def daily(s: SparkSession, dir: String): DataFrame =
     EventsQueries.events(s, dir)
@@ -162,6 +170,48 @@ object TrendQueries {
       acfFromDaily(EventsQueries.events(s, dir)
         .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
         .groupBy("day").agg(count(lit(1)).as("x")))),
+
+    // Bootstrap 95% CI for the mean daily event count — the error bar a
+    // dashboard should put on its headline number. The resampling is
+    // DETERMINISTIC (no RNG state anywhere): draw j of replica r picks
+    // day position fnv1a32("b:r:j") mod n, so both engines rebuild the
+    // identical 200 resamples and every replica mean is an exact integer
+    // sum over picked days divided once. The CI bounds are order
+    // statistics of the sorted replica means (ties broken by replica id)
+    // — no interpolation, just element picks. Scale shape: the resample
+    // table is B × #days rows built AFTER the corpus reduces to the
+    // daily series — bootstrap cost is decoupled from corpus size, which
+    // is the only way resampling survives 100 TB.
+    "events_bootstrap_ci" -> ((s, dir) => {
+      val d = EventsQueries.events(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val idx = d
+        .withColumn("i",
+          (row_number().over(Window.orderBy("day")) - 1).cast("long"))
+        .localCheckpoint() // #days-sized; feeds stats and the pick join
+      val st = idx.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val draws = s.range(BootB).select(col("id").as("r"))
+        .crossJoin(broadcast(st))
+        .withColumn("j", explode(sequence(lit(0L), col("n") - 1L)))
+        .withColumn("pos", pmod(graft.hash.Fnv1a32.fnv1a32(
+          concat_ws(":", lit("b"), col("r"), col("j"))), col("n")))
+      val means = draws
+        .join(idx.select("i", "x"), col("pos") === col("i"))
+        .groupBy("r", "n").agg(sum("x").as("s"))
+        .select(col("r"),
+          (col("s").cast("double") / col("n").cast("double")).as("m"))
+      val ranked = means.withColumn("rk",
+        row_number().over(Window.orderBy(col("m"), col("r"))).cast("long"))
+      val lo = ranked.filter(col("rk") === BootLoRank)
+        .select(col("m").as("ci_lo"))
+      val hi = ranked.filter(col("rk") === BootHiRank)
+        .select(col("m").as("ci_hi"))
+      st.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n").as("n_days"), lit(BootB).as("b_replicas"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean_obs"),
+          col("ci_lo"), col("ci_hi"))
+    }),
 
     // MAD-based robust outlier days per event type: median and median-
     // absolute-deviation are immune to the very outliers they hunt (the
@@ -378,6 +428,40 @@ object TrendQueries {
          |       CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) AS acf
          |FROM paired CROSS JOIN st
          |ORDER BY lag""".stripMargin),
+
+    "events_bootstrap_ci" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT ts // ${EventsQueries.DayUs} AS day, count(*) AS x
+         |  FROM ev GROUP BY 1
+         |),
+         |idx AS (
+         |  SELECT x, row_number() OVER (ORDER BY day) - 1 AS i FROM d
+         |),
+         |st AS (
+         |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM d
+         |),
+         |reps AS (SELECT unnest(range($BootB)) AS r),
+         |draws AS (
+         |  SELECT reps.r, j.j,
+         |         ${Ora.fnv("('b:' || CAST(reps.r AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))")} % st.n AS pos,
+         |         st.n AS n
+         |  FROM reps, st, LATERAL (SELECT unnest(range(st.n)) AS j) j
+         |),
+         |means AS (
+         |  SELECT r, CAST(sum(x) AS BIGINT) AS s, max(n) AS n
+         |  FROM draws JOIN idx ON pos = i GROUP BY r
+         |),
+         |m2 AS (
+         |  SELECT r, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM means
+         |),
+         |ranked AS (
+         |  SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM m2
+         |)
+         |SELECT n AS n_days, CAST($BootB AS BIGINT) AS b_replicas,
+         |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_obs,
+         |       (SELECT m FROM ranked WHERE rk = $BootLoRank) AS ci_lo,
+         |       (SELECT m FROM ranked WHERE rk = $BootHiRank) AS ci_hi
+         |FROM st""".stripMargin),
 
     "events_mad_outliers" -> (s"WITH ${EventsQueries.eventsSql},\n" +
       s"""d AS (

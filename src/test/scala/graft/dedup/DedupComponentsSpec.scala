@@ -164,4 +164,26 @@ class DedupComponentsSpec extends SparkSpec {
     assert(hist.map(_._2).sum === members,
       "histogram must cover exactly the dup-graph members")
   }
+
+  test("assortativity: bit-equal to the driver Pearson over the edge list") {
+    val Array(row) = DedupComponents.queries("graph_assortativity")(spark, sf)
+      .collect()
+    val (m, r) = (row.getLong(0), row.getDouble(1))
+    val pairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val und = pairs ++ pairs.map { case (a, b) => (b, a) }
+    assert(m === und.length.toLong)
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ks = und.map { case (s, d) => (deg(s), deg(d)) }
+    val (sx, sy) = (ks.map(_._1).sum, ks.map(_._2).sum)
+    val sxy = ks.map { case (x, y) => x * y }.sum
+    val sxx = ks.map { case (x, _) => x * x }.sum
+    val syy = ks.map { case (_, y) => y * y }.sum
+    val (dx, dy) = (m * sxx - sx * sx, m * syy - sy * sy)
+    assert(dx != 0L && dy != 0L, "fixture graph should have degree variance")
+    val expect = (m * sxy - sx * sy).toDouble /
+      math.sqrt(dx.toDouble * dy.toDouble)
+    assert(r === expect, "assortativity differs from the driver Pearson")
+    assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12)
+  }
 }

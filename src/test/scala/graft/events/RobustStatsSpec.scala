@@ -105,6 +105,39 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap ci: deterministic resamples replay bit-for-bit") {
+    val row = TrendQueries.queries("events_bootstrap_ci")(spark, sf)
+      .collect() match {
+      case Array(r) => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      case other => fail(s"expected exactly one row, got ${other.length}")
+    }
+    val (nDays, b, meanObs, ciLo, ciHi) = row
+    assert(b === TrendQueries.BootB)
+    val xs = dailyTotals.toSeq.sortBy(_._1).map(_._2)
+    assert(nDays === xs.size.toLong)
+    assert(meanObs === xs.sum.toDouble / xs.size.toDouble)
+    // replay all 200 resamples with the same hash-derived picks
+    val n = xs.size
+    val means = (0L until TrendQueries.BootB).map { r =>
+      var s = 0L
+      var j = 0
+      while (j < n) {
+        s += xs((graft.hash.Fnv1a32.hashString(s"b:$r:$j") % n).toInt)
+        j += 1
+      }
+      (s.toDouble / n.toDouble, r)
+    }.sorted
+    assert(ciLo === means((TrendQueries.BootLoRank - 1).toInt)._1,
+      "ci_lo is not the 5th sorted replica mean")
+    assert(ciHi === means((TrendQueries.BootHiRank - 1).toInt)._1,
+      "ci_hi is not the 196th sorted replica mean")
+    assert(ciLo <= ciHi)
+    // the interval should cover the observed mean on any sane corpus
+    assert(ciLo <= meanObs && meanObs <= ciHi,
+      s"95% CI [$ciLo, $ciHi] misses the observed mean $meanObs")
+  }
+
   test("mann-kendall: S, variance, and z bit-equal to the O(n²) loop") {
     val rows = TrendQueries.queries("events_trend_mannkendall")(spark, sf)
       .collect()
