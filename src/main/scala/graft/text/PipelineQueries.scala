@@ -95,6 +95,25 @@ object PipelineQueries {
     when(b === 0L, "test").when(b === 1L, "val").otherwise("train")
   }
 
+  /** Dup-cluster members ranked by quality: (component, doc_id, quality,
+    * is_kept) with is_kept on the per-component quality argmax (min-id
+    * tiebreak) — shared by the canonical-keep verdict and the gain
+    * measurement. */
+  private def canonicalRanked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = DedupComponents.components(
+      DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b"))
+      .select("doc_id", "component")
+    val q = TextQueries.tokenize(
+        s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), TextQueries.qualityCol.as("quality"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    comp.join(q, "doc_id")
+      .withColumn("is_kept", row_number().over(w) === 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality-ranked canonical selection: within each near-dup cluster
     // keep the HIGHEST-quality member (tie: lowest doc_id), not the
@@ -108,21 +127,30 @@ object PipelineQueries {
     // sized frames (bounded by the posting-list cap upstream). The
     // quality double is bit-equal cross-engine (established by
     // text_quality_score), so the DESC comparison can never disagree.
-    "corpus_canonical_keep" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val comp = DedupComponents.components(
-        DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
-          .select("doc_a", "doc_b"))
-        .select("doc_id", "component")
-      val q = TextQueries.tokenize(
-          s.read.parquet(s"$dir/documents.parquet"))
-        .select(col("doc_id"), TextQueries.qualityCol.as("quality"))
-      val w = Window.partitionBy("component")
-        .orderBy(col("quality").desc, col("doc_id").asc)
-      comp.join(q, "doc_id")
-        .withColumn("is_kept", row_number().over(w) === 1)
+    "corpus_canonical_keep" -> ((s, dir) =>
+      canonicalRanked(s, dir)
         .select("component", "doc_id", "quality", "is_kept")
-        .orderBy("component", "doc_id")
+        .orderBy("component", "doc_id")),
+
+    // What did quality-ranked keeping actually buy? Per cluster the
+    // kept-by-quality doc's score vs the min-id canonical's score the
+    // plain components verdict would have kept — `gain` is a subtraction
+    // of two already-bit-equal doubles, and `improved` marks clusters
+    // where ranking changed the outcome. The roll-up a curator reads to
+    // decide whether the ranking pass pays for itself.
+    "corpus_dedup_gain" -> ((s, dir) => {
+      val ranked = canonicalRanked(s, dir).localCheckpoint()
+      val best = ranked.filter(col("is_kept"))
+        .select(col("component"), col("doc_id").as("kept_doc"),
+          col("quality").as("kept_quality"))
+      // the components label IS the cluster's min doc_id, so the min-id
+      // keeper's quality is the row where doc_id = component
+      val minid = ranked.filter(col("doc_id") === col("component"))
+        .select(col("component"), col("quality").as("minid_quality"))
+      best.join(minid, "component")
+        .withColumn("gain", col("kept_quality") - col("minid_quality"))
+        .withColumn("improved", col("gain") > 0.0)
+        .orderBy("component")
     }),
 
     // the full cleaning cascade, summarized as verdict counts
@@ -693,6 +721,37 @@ object PipelineQueries {
          |)
          |SELECT component, doc_id, quality, pick = 1 AS is_kept
          |FROM ranked ORDER BY component, doc_id""".stripMargin),
+
+    "corpus_dedup_gain" -> (
+      s"""WITH RECURSIVE
+         |${DedupComponents.componentsCteSql},
+         |q AS (
+         |  SELECT doc_id, ${TextQueries.qualitySqlExpr} AS quality
+         |  FROM documents
+         |),
+         |j AS (
+         |  SELECT c.doc_id, c.component, q.quality
+         |  FROM components c JOIN q USING (doc_id)
+         |),
+         |ranked AS (
+         |  SELECT component, doc_id, quality,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY quality DESC, doc_id) AS pick
+         |  FROM j
+         |),
+         |best AS (
+         |  SELECT component, doc_id AS kept_doc, quality AS kept_quality
+         |  FROM ranked WHERE pick = 1
+         |),
+         |minid AS (
+         |  SELECT component, quality AS minid_quality
+         |  FROM j WHERE doc_id = component
+         |)
+         |SELECT component, kept_doc, kept_quality, minid_quality,
+         |       kept_quality - minid_quality AS gain,
+         |       kept_quality - minid_quality > 0 AS improved
+         |FROM best JOIN minid USING (component)
+         |ORDER BY component""".stripMargin),
 
     "corpus_clean_pipeline" -> (
       s"""WITH RECURSIVE

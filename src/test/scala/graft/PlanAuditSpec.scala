@@ -672,6 +672,39 @@ class PlanAuditSpec extends SparkSpec {
       "token counting must combine before the vocab shuffle\n" + p.take(3000))
   }
 
+  test("bootstrap: resamples build on the checkpointed day series only") {
+    val p = graft.events.TrendQueries.queries("events_bootstrap_ci")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the B×n draw table must derive from the reduced series — a parquet
+    // scan here would mean the bootstrap re-reads the corpus per replica
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"resampling must be corpus-decoupled, got $scans scans\n${p.take(2000)}")
+  }
+
+  test("hhi: one events scan; both aggregations combine map-side") {
+    val p = graft.events.JourneyQueries
+      .queries("events_type_concentration")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one corpus pass, got $scans\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      "the (type, user) reduction must combine before its shuffle\n" +
+        p.take(3000))
+  }
+
+  test("assortativity: both degree joins read the checkpointed edges") {
+    val p = graft.dedup.DedupComponents
+      .queries("graph_assortativity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // edges checkpoint feeds und, deg, and both endpoint joins — the
+    // jaccard pair chain must not run once per consumer
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"post-checkpoint plan must not rerun the pair chain, got $scans\n" +
+        p.take(2000))
+  }
+
   test("mips: rank recheck broadcasts the k-row dim; no corpus-wide window") {
     val p = graft.sim.SimilarityQueries.queries("sim_mips_topk")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -332,4 +332,30 @@ class PipelineSpec extends SparkSpec {
       assert(q === qmap(id), s"doc $id: quality drifts from the scorer")
     }
   }
+
+  test("dedup gain: reconciles keep verdicts; gain is never negative") {
+    val gains = PipelineQueries.queries("corpus_dedup_gain")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val keep = PipelineQueries.queries("corpus_canonical_keep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(gains.map(_._1).toSet === keep.map(_._1).toSet,
+      "one gain row per cluster")
+    val byComp = keep.groupBy(_._1)
+    gains.foreach { case (c, keptDoc, keptQ, minQ, gain, improved) =>
+      val g = byComp(c)
+      val kept = g.filter(_._4).head
+      assert(keptDoc === kept._2 && keptQ === kept._3,
+        s"component $c: gain row disagrees with the keep verdict")
+      val minid = g.find(_._2 == c).getOrElse(
+        fail(s"component $c: the min-id label must be a member"))
+      assert(minQ === minid._3)
+      assert(gain === keptQ - minQ)
+      // the argmax can never do worse than the min-id pick
+      assert(gain >= 0.0, s"component $c: negative gain $gain")
+      assert(improved === (gain > 0.0))
+    }
+  }
 }
