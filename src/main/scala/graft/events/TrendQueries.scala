@@ -37,6 +37,9 @@ object TrendQueries {
   val BootLoRank = 5L
   val BootHiRank = 196L
 
+  /** Permutation-test replicas for the weekday-effect p-value. */
+  val PermB = 100L
+
   private def daily(s: SparkSession, dir: String): DataFrame =
     EventsQueries.events(s, dir)
       .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
@@ -272,6 +275,68 @@ object TrendQueries {
         .orderBy("event_type", "weekday")
     }),
 
+    // Exact permutation test for the weekday effect on the global daily
+    // series: is the observed weekday χ² larger than chance? Each of
+    // PermB replicas re-deals the days into the SAME weekday slot sizes
+    // by ranking days on fnv1a32("p:r:day") — a deterministic
+    // permutation both engines rebuild identically — then the test
+    // statistic is recomputed per replica and the p-value is the exact
+    // rank (1 + #{χ²_r ≥ χ²_obs}) / (B + 1). Every χ² is a FIXED-ORDER
+    // seven-term fold (each term one cleared-denominator division over
+    // exact BIGINTs, pivoted to columns p0..p6 and added left-to-right)
+    // — never a cross-row double sum, so the doubles compare bit-equal.
+    // Scale shape: the permutation table is B × #days rows built AFTER
+    // the corpus reduces to the daily series (like the bootstrap), with
+    // the per-replica rank window partitioned by replica.
+    "events_weekday_permtest" -> ((s, dir) => {
+      val d0 = EventsQueries.events(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+        .withColumn("wd", pmod(col("day") + 3, lit(7L)))
+        .localCheckpoint() // slots, totals, observed, and every replica
+      val st = d0.agg(count(lit(1)).as("dd"), sum("x").as("nn"))
+      val wSlot = Window.orderBy("wd").rowsBetween(Window.unboundedPreceding, 0)
+      val slots = d0.groupBy("wd").agg(count(lit(1)).as("d_w"))
+        .withColumn("hi", sum("d_w").over(wSlot))
+        .withColumn("lo", col("hi") - col("d_w"))
+      def chi2Of(obsByWd: DataFrame): DataFrame = {
+        // obsByWd: (r, wd, d_w, obs) → (r, chi2) via a fixed-order fold
+        val sub = col("obs") * col("dd") - col("nn") * col("d_w")
+        val parts = obsByWd.crossJoin(broadcast(st))
+          .withColumn("part", sub.cast("double") * sub.cast("double") /
+            (col("d_w") * col("nn") * col("dd")).cast("double"))
+        val aggCols = (0L to 6L).map(w =>
+          coalesce(sum(when(col("wd") === w, col("part"))), lit(0.0))
+            .as(s"p$w"))
+        val pivoted = parts.groupBy("r").agg(aggCols.head, aggCols.tail: _*)
+        pivoted.select(col("r"),
+          (0L to 6L).map(w => col(s"p$w")).reduce(_ + _).as("chi2"))
+      }
+      val observed = chi2Of(
+        d0.groupBy("wd").agg(count(lit(1)).as("d_w"), sum("x").as("obs"))
+          .withColumn("r", lit(-1L)))
+        .select(col("chi2").as("chi2_obs"))
+      val reps = s.range(PermB).select(col("id").as("r"))
+      val positioned = reps.crossJoin(d0.select("day", "x"))
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy("r").orderBy(
+            graft.hash.Fnv1a32.fnv1a32(
+              concat_ws(":", lit("p"), col("r"), col("day"))),
+            col("day"))) - 1).cast("long"))
+      val permuted = positioned
+        .join(broadcast(slots),
+          col("pos") >= col("lo") && col("pos") < col("hi"))
+        .groupBy("r", "wd", "d_w").agg(sum("x").as("obs"))
+      chi2Of(permuted).crossJoin(broadcast(observed))
+        .agg(count(lit(1)).as("b_replicas"),
+          sum(when(col("chi2") >= col("chi2_obs"), 1L).otherwise(0L))
+            .as("n_ge"),
+          max("chi2_obs").as("chi2_obs"))
+        .select(col("chi2_obs"), col("b_replicas"), col("n_ge"),
+          ((col("n_ge") + 1L).cast("double") /
+            (col("b_replicas") + 1L).cast("double")).as("p_value"))
+    }),
+
     // Mann-Kendall trend test per type — the nonparametric companion to
     // the OLS fit: S = Σ_{i<j} sign(x_j − x_i) over the day-ordered
     // counts is immune to outliers and monotone transforms, and its
@@ -462,6 +527,78 @@ object TrendQueries {
          |       (SELECT m FROM ranked WHERE rk = $BootLoRank) AS ci_lo,
          |       (SELECT m FROM ranked WHERE rk = $BootHiRank) AS ci_hi
          |FROM st""".stripMargin),
+
+    "events_weekday_permtest" -> {
+      val pivotCols = (0 to 6).map(w =>
+        s"coalesce(sum(CASE WHEN wd = $w THEN part END), 0.0) AS p$w")
+        .mkString(",\n         ")
+      val chainSum = (0 to 6).map(w => s"p$w").mkString(" + ")
+      s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d0 AS (
+         |  SELECT day, x, (day + 3) % 7 AS wd
+         |  FROM (SELECT ts // ${EventsQueries.DayUs} AS day, count(*) AS x
+         |        FROM ev GROUP BY 1)
+         |),
+         |st AS (SELECT count(*) AS dd, CAST(sum(x) AS BIGINT) AS nn FROM d0),
+         |slots AS (
+         |  SELECT wd, d_w, hi, hi - d_w AS lo FROM (
+         |    SELECT wd, count(*) AS d_w,
+         |           CAST(sum(count(*)) OVER (ORDER BY wd
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |    FROM d0 GROUP BY wd)
+         |),
+         |obs0 AS (
+         |  SELECT CAST(-1 AS BIGINT) AS r, wd, count(*) AS d_w,
+         |         CAST(sum(x) AS BIGINT) AS obs
+         |  FROM d0 GROUP BY wd
+         |),
+         |reps AS (SELECT unnest(range($PermB)) AS r),
+         |positioned AS (
+         |  SELECT reps.r, d0.day, d0.x,
+         |         row_number() OVER (PARTITION BY reps.r ORDER BY
+         |           ${Ora.fnv("('p:' || CAST(reps.r AS VARCHAR) || ':' || CAST(d0.day AS VARCHAR))")},
+         |           d0.day) - 1 AS pos
+         |  FROM reps, d0
+         |),
+         |permuted AS (
+         |  SELECT r, wd, d_w, CAST(sum(x) AS BIGINT) AS obs
+         |  FROM positioned JOIN slots ON pos >= lo AND pos < hi
+         |  GROUP BY r, wd, d_w
+         |),
+         |parts_p AS (
+         |  SELECT r, wd,
+         |         CAST(obs * dd - nn * d_w AS DOUBLE) *
+         |         CAST(obs * dd - nn * d_w AS DOUBLE) /
+         |         CAST(d_w * nn * dd AS DOUBLE) AS part
+         |  FROM permuted, st
+         |),
+         |piv_p AS (
+         |  SELECT r,
+         |         $pivotCols
+         |  FROM parts_p GROUP BY r
+         |),
+         |chi2_r AS (SELECT r, $chainSum AS chi2 FROM piv_p),
+         |parts_o AS (
+         |  SELECT r, wd,
+         |         CAST(obs * dd - nn * d_w AS DOUBLE) *
+         |         CAST(obs * dd - nn * d_w AS DOUBLE) /
+         |         CAST(d_w * nn * dd AS DOUBLE) AS part
+         |  FROM obs0, st
+         |),
+         |piv_o AS (
+         |  SELECT r,
+         |         $pivotCols
+         |  FROM parts_o GROUP BY r
+         |),
+         |chi2_o AS (SELECT $chainSum AS chi2_obs FROM piv_o)
+         |SELECT max(chi2_obs) AS chi2_obs, count(*) AS b_replicas,
+         |       CAST(sum(CASE WHEN chi2 >= chi2_obs THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_ge,
+         |       CAST(CAST(sum(CASE WHEN chi2 >= chi2_obs THEN 1 ELSE 0 END)
+         |                 AS BIGINT) + 1 AS DOUBLE) /
+         |       CAST(count(*) + 1 AS DOUBLE) AS p_value
+         |FROM chi2_r, chi2_o""".stripMargin
+    },
 
     "events_mad_outliers" -> (s"WITH ${EventsQueries.eventsSql},\n" +
       s"""d AS (

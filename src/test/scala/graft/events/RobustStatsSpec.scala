@@ -138,6 +138,47 @@ class RobustStatsSpec extends SparkSpec {
       s"95% CI [$ciLo, $ciHi] misses the observed mean $meanObs")
   }
 
+  test("permutation test: all 100 permuted chi2 replay bit-for-bit") {
+    val Array(row) = TrendQueries
+      .queries("events_weekday_permtest")(spark, sf).collect()
+    val (chi2Obs, b, nGe, p) = (row.getDouble(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3))
+    assert(b === TrendQueries.PermB)
+    val days = dailyTotals.toSeq.sortBy(_._1)
+    val dd = days.size.toLong
+    val nn = days.map(_._2).sum
+    // weekday slot sizes from the true calendar, cumulative in wd order
+    val dw = days.groupBy { case (day, _) => (day + 3) % 7 }.view
+      .mapValues(_.size.toLong).toMap
+    val slotOrder = dw.keys.toSeq.sorted
+    def chi2Fold(obs: Map[Long, Long]): Double =
+      (0L to 6L).foldLeft(0.0) { (acc, w) =>
+        acc + (if (dw.contains(w)) {
+          val sub = obs.getOrElse(w, 0L) * dd - nn * dw(w)
+          sub.toDouble * sub.toDouble / (dw(w) * nn * dd).toDouble
+        } else 0.0)
+      }
+    val obsByWd = days.groupBy { case (day, _) => (day + 3) % 7 }.view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(chi2Obs === chi2Fold(obsByWd), "observed chi2 differs")
+    // slot position ranges [lo, hi) in wd order
+    val bounds = slotOrder.scanLeft(0L) { case (acc, w) => acc + dw(w) }
+    val slotOf = slotOrder.zip(bounds.zip(bounds.tail)).toMap
+    var countGe = 0L
+    for (r <- 0L until TrendQueries.PermB) {
+      val ranked = days.sortBy { case (day, _) =>
+        (graft.hash.Fnv1a32.hashString(s"p:$r:$day"), day)
+      }
+      val obs = slotOf.map { case (w, (lo, hi)) =>
+        w -> ranked.slice(lo.toInt, hi.toInt).map(_._2).sum
+      }
+      if (chi2Fold(obs) >= chi2Obs) countGe += 1
+    }
+    assert(nGe === countGe, "permutation rank count differs")
+    assert(p === (countGe + 1).toDouble / (TrendQueries.PermB + 1).toDouble)
+    assert(p > 0.0 && p <= 1.0)
+  }
+
   test("mann-kendall: S, variance, and z bit-equal to the O(n²) loop") {
     val rows = TrendQueries.queries("events_trend_mannkendall")(spark, sf)
       .collect()
