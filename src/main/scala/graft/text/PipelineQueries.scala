@@ -353,6 +353,19 @@ object PipelineQueries {
     // (sorting by length before batching exists to shrink exactly this
     // number). All integer arithmetic plus one final division; one
     // corpus pass, #buckets-sized output.
+    // Token-mass whale curve: what share of the corpus' tokens do the
+    // longest p% of documents hold? The packing/budget planner's first
+    // question (a heavy head means a few giant docs dominate epoch cost
+    // and deserve chunk-splitting). Reuses the histogram-walk Pareto
+    // core — count-value histogram + pro-rata boundary slice, never a
+    // corpus-wide ranking — over per-doc token counts.
+    "corpus_token_pareto" -> ((s, dir) =>
+      graft.events.JourneyQueries.paretoFromCounts(s,
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(size(split(col("text"), " ")).cast("long").as("c")))
+        .select(col("pct"), col("k_users").as("k_docs"),
+          col("events_top").as("tokens_top"), col("share"))),
+
     "corpus_length_buckets" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -867,6 +880,45 @@ object PipelineQueries {
          |       CAST(floor(${MixDraws.toDouble} * qs::DOUBLE / qs_total)
          |         AS BIGINT) AS n_draws
          |FROM counts, tot ORDER BY lang""".stripMargin),
+
+    "corpus_token_pareto" ->
+      """WITH per_doc AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS c
+        |  FROM documents
+        |),
+        |hist AS (
+        |  SELECT c, count(*) AS n_users,
+        |         CAST(c * count(*) AS BIGINT) AS events
+        |  FROM per_doc GROUP BY c
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(n_users) AS BIGINT) AS total_users,
+        |         CAST(sum(events) AS BIGINT) AS total_events
+        |  FROM hist
+        |),
+        |cum AS (
+        |  SELECT c, n_users, events,
+        |         CAST(sum(n_users) OVER w AS BIGINT) AS cum_users,
+        |         CAST(sum(events) OVER w AS BIGINT) AS cum_events
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+        |),
+        |pcts AS (SELECT unnest([1, 5, 10, 25, 50])::BIGINT AS pct),
+        |cand AS (
+        |  SELECT pct,
+        |         greatest(1, (total_users * pct) // 100) AS k_docs,
+        |         cum_events - events +
+        |           (greatest(1, (total_users * pct) // 100) -
+        |            (cum_users - n_users)) * c AS tokens_top,
+        |         total_events
+        |  FROM cum, tot, pcts
+        |  WHERE cum_users - n_users < greatest(1, (total_users * pct) // 100)
+        |    AND greatest(1, (total_users * pct) // 100) <= cum_users
+        |)
+        |SELECT pct, k_docs, tokens_top,
+        |       CAST(tokens_top AS DOUBLE) / CAST(total_events AS DOUBLE)
+        |         AS share
+        |FROM cand ORDER BY pct""".stripMargin,
 
     "corpus_length_buckets" ->
       """WITH d AS (

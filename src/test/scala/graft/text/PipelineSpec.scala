@@ -333,6 +333,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("token pareto: bit-equal to sorting docs by length") {
+    val rows = PipelineQueries.queries("corpus_token_pareto")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 5L, 10L, 25L, 50L))
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " "))
+        .cast("long"))
+      .collect().map(_.getLong(0)).sortBy(-_)
+    val total = lens.sum
+    for ((pct, k, top, share) <- rows) {
+      assert(k === math.max(1L, lens.length.toLong * pct / 100L))
+      assert(top === lens.take(k.toInt).sum,
+        s"$pct%: histogram walk differs from the direct longest-k sum")
+      assert(share === top.toDouble / total.toDouble)
+    }
+    // the longest half can never hold less than half the tokens
+    assert(rows.last._4 >= 0.5 - 1e-12)
+  }
+
   test("dedup gain: reconciles keep verdicts; gain is never negative") {
     val gains = PipelineQueries.queries("corpus_dedup_gain")(spark, sf)
       .collect()
