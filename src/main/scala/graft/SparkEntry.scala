@@ -11,7 +11,7 @@ import graft.multimodal.Multimodal
 import graft.profile.ProfileQueries
 import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.SimilarityQueries
-import graft.text.{BudgetQueries, DistributionQueries, PipelineQueries, TextQueries}
+import graft.text.{BudgetQueries, DistributionQueries, PipelineQueries, SweepQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,7 @@ object SparkEntry {
   private val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     Seq(KeyspaceQueries.queries, ClusterQueries.queries, RingRouter.queries,
       TextQueries.queries,
-      PipelineQueries.queries, BudgetQueries.queries,
+      PipelineQueries.queries, BudgetQueries.queries, SweepQueries.queries,
       DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
@@ -44,7 +44,7 @@ object SparkEntry {
   private val oracleModules: Seq[Map[String, String]] =
     Seq(KeyspaceQueries.oracle, ClusterQueries.oracle, RingRouter.oracle,
       TextQueries.oracle,
-      PipelineQueries.oracle, BudgetQueries.oracle,
+      PipelineQueries.oracle, BudgetQueries.oracle, SweepQueries.oracle,
       DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,

@@ -63,6 +63,44 @@ object CohortQueries {
           col("n_active").cast("double") / col("cohort_size").cast("double"))
         .select("cohort", "age", "n_active", "cohort_size", "retention_pct")
         .orderBy("cohort", "age")
+    }),
+
+    // deterministic A/B readout: users split by user_id parity (the
+    // assignment an experimentation system would persist — hash parity
+    // is replayable, so a task retry or a re-run reproduces the same
+    // arms), conversion = "user has ≥1 purchase event", compared with
+    // the pooled two-proportion z statistic. The corpus folds to ONE
+    // user-sized aggregate (shuffle on user_id, map-side combined) and
+    // then to a single row; every input to the z formula is an exact
+    // BIGINT count, and the double arithmetic (two divisions, one
+    // sqrt — IEEE-exact on both engines) is sequenced identically in
+    // the SQL twin, so even the test statistic hash-matches.
+    "events_ab_conversion" -> ((s, dir) => {
+      val perUser = EventsQueries.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      val row = perUser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+      val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      // degenerate variance (everyone or no one converts, pp∈{0,1})
+      // → z undefined: NULL on both engines, never a divide-by-zero
+      // (Spark runs ANSI and would throw; DuckDB would return NULL —
+      // the CASE makes the two agree by construction)
+      val se2 = pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") +
+         lit(1.0) / col("n_b").cast("double"))
+      row.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        pA.as("p_a"), pB.as("p_b"), (pB - pA).as("lift"),
+        when(se2 > 0.0, (pB - pA) / sqrt(se2))
+          .otherwise(lit(null).cast("double")).as("z"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -107,5 +145,45 @@ object CohortQueries {
          |       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
          |         AS retention_pct
          |FROM cells c JOIN cohort_size s ON c.cohort = s.cohort
-         |ORDER BY c.cohort, c.age""".stripMargin))
+         |ORDER BY c.cohort, c.age""".stripMargin),
+
+    "events_ab_conversion" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      """per_user AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv,
+        |         user_id % 2 AS arm
+        |  FROM ev GROUP BY user_id
+        |),
+        |counts AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM per_user
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+  CASE WHEN (CAST(conv_a + conv_b AS DOUBLE)
+        |             / CAST(n_a + n_b AS DOUBLE))
+        |            * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |                     / CAST(n_a + n_b AS DOUBLE))
+        |            * (1.0 / CAST(n_a AS DOUBLE)
+        |               + 1.0 / CAST(n_b AS DOUBLE)) > 0.0
+        |  THEN (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |         - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |       / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |               / CAST(n_a + n_b AS DOUBLE))
+        |              * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |                       / CAST(n_a + n_b AS DOUBLE))
+        |              * (1.0 / CAST(n_a AS DOUBLE)
+        |                 + 1.0 / CAST(n_b AS DOUBLE)))
+        |  ELSE NULL END AS z
+        |FROM counts""".stripMargin))
 }

@@ -260,6 +260,36 @@ object KeyspaceQueries {
           sum(when(col("diverged"), 1L).otherwise(0L)).as("n_diverged"))
         .orderBy("level")
     }),
+
+    // TTL expiry sweep: classify every key's compacted state at the log
+    // head H into live / expired / tombstoned under a retention window
+    // of half the sequence range (threshold H - H div 2 — derived from
+    // the log itself, so the query is scale-free). This is the planning
+    // read an operator runs BEFORE enabling TTL enforcement on a store:
+    // "how much of each shard would a given window reclaim?". Same
+    // single-shuffle shape as compaction — one key-sized aggregate
+    // (map-side combined), one broadcast of the 1-row horizon, then a
+    // 4-row shard rollup; no window, no second log scan.
+    "kv_ttl_expiry" -> ((s, dir) => {
+      val writes = KvLog.log(s, dir).filter(col("op").isin("put", "delete"))
+      val last = writes.groupBy("key")
+        .agg(max_by(col("op"), col("seq")).as("last_op"),
+          max(col("seq")).as("last_seq"))
+      val horizon = writes.agg(max(col("seq")).as("h"))
+      last.crossJoin(broadcast(horizon))
+        .select(graft.hash.Fnv1a32.shardId(col("key")).as("shard_id"),
+          when(col("last_op") === "delete", "tombstoned")
+            .when(col("last_seq") > col("h") - expr("h div 2"), "live")
+            .otherwise("expired").as("status"))
+        .groupBy("shard_id")
+        .agg(
+          sum(when(col("status") === "live", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("status") === "expired", 1L).otherwise(0L))
+            .as("n_expired"),
+          sum(when(col("status") === "tombstoned", 1L).otherwise(0L))
+            .as("n_tombstoned"))
+        .orderBy("shard_id")
+    }),
   )
 
   /** (shard_id, level, bucket, digest) over a (key, value, shard_id)
@@ -462,5 +492,30 @@ object KeyspaceQueries {
          |       CAST(sum(CASE WHEN diverged THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_diverged
          |FROM j GROUP BY 1 ORDER BY level""".stripMargin),
+
+    "kv_ttl_expiry" -> (s"WITH ${Ora.kvLog},\n" +
+      s"""writes AS (
+         |  SELECT * FROM kv_log WHERE op IN ('put', 'delete')
+         |),
+         |last AS (
+         |  SELECT key, arg_max(op, seq) AS last_op, max(seq) AS last_seq
+         |  FROM writes GROUP BY key
+         |),
+         |h AS (SELECT max(seq) AS h FROM writes),
+         |classed AS (
+         |  SELECT ${Ora.shard("key")} AS shard_id,
+         |         CASE WHEN last_op = 'delete' THEN 'tombstoned'
+         |              WHEN last_seq > h - h // 2 THEN 'live'
+         |              ELSE 'expired' END AS status
+         |  FROM last, h
+         |)
+         |SELECT shard_id,
+         |  CAST(sum(CASE WHEN status = 'live' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_live,
+         |  CAST(sum(CASE WHEN status = 'expired' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_expired,
+         |  CAST(sum(CASE WHEN status = 'tombstoned' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_tombstoned
+         |FROM classed GROUP BY shard_id ORDER BY shard_id""".stripMargin),
   )
 }

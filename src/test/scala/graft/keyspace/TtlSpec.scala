@@ -1,0 +1,64 @@
+package graft.keyspace
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Conservation laws for the TTL sweep and the batch-2 analytics. */
+class TtlSpec extends SparkSpec {
+
+  test("ttl expiry: classes partition the compacted key population") {
+    val rows = KeyspaceQueries.queries("kv_ttl_expiry")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val writes = KvLog.log(spark, sf)
+      .filter(col("op").isin("put", "delete"))
+    val nKeys = writes.select(countDistinct("key")).head().getLong(0)
+    val classed = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(classed === nKeys, "live+expired+tombstoned must cover every key")
+    // tombstoned across shards = keys whose LAST write is a delete
+    val nTomb = writes.groupBy("key")
+      .agg(max_by(col("op"), col("seq")).as("o"))
+      .filter(col("o") === "delete").count()
+    assert(rows.map(_.getLong(3)).sum === nTomb)
+    // the half-range window must leave both live and expired non-empty
+    // on any log whose seq range spans more than one write
+    assert(rows.map(_.getLong(1)).sum > 0, "no live keys — window degenerate")
+    assert(rows.map(_.getLong(2)).sum > 0, "no expired keys — window degenerate")
+  }
+
+  test("ngram novelty: every shingle occurrence owned exactly once overall") {
+    val rows = graft.text.SweepQueries
+      .queries("corpus_ngram_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ n_novel over sources = number of DISTINCT shingles in the corpus
+    // (each distinct shingle is novel in exactly one doc)
+    val distinctShingles = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.WordNgrams
+        .wordNgrams(split(col("text"), " "), 3)).as("sh"))
+      .select(countDistinct("sh")).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum === distinctShingles)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "novel cannot exceed shingles")
+      assert(r.getDouble(4) === r.getLong(3).toDouble / r.getLong(2).toDouble)
+    }
+  }
+
+  test("clustering coeff: degree-weighted totals match the triangle query") {
+    val byDeg = graft.graph.GraphXAnalytics
+      .queries("graph_clustering_coeff")(spark, sf).collect()
+    assert(byDeg.nonEmpty)
+    val triTotal = graft.graph.GraphXAnalytics
+      .queries("graph_triangle_count")(spark, sf)
+      .agg(sum("n_triangles")).head().getLong(0)
+    assert(byDeg.map(_.getLong(2)).sum === triTotal,
+      "per-degree triangle sums must conserve the per-vertex total")
+    byDeg.foreach { r =>
+      val (d, n) = (r.getLong(0), r.getLong(1))
+      assert(d >= 1 && n >= 1)
+      if (d >= 2) {
+        val c = r.getDouble(3)
+        assert(c >= 0.0 && c <= 1.0, s"coeff $c outside [0,1] at degree $d")
+      } else assert(r.isNullAt(3), "degree-1 coefficient must be NULL")
+    }
+  }
+}

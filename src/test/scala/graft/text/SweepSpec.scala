@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.DedupQueries
+
+/** Conservation laws for the curation sweeps — invariants that hold on
+  * ANY corpus, independent of the fixture's particular values. */
+class SweepSpec extends SparkSpec {
+
+  test("quality sweep: histogram conserves the corpus; cum is the suffix sum") {
+    val rows = SweepQueries.queries("corpus_quality_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum === nDocs, "histogram loses or invents docs")
+    // rows are qbin-ascending; cum_* must be the suffix sums
+    val sufDocs = rows.map(_._2).scanRight(0L)(_ + _).dropRight(1)
+    val sufToks = rows.map(_._3).scanRight(0L)(_ + _).dropRight(1)
+    assert(rows.map(_._4).toSeq === sufDocs.toSeq, "cum_docs != suffix sum")
+    assert(rows.map(_._5).toSeq === sufToks.toSeq, "cum_tokens != suffix sum")
+    // the loosest cutoff keeps everything
+    assert(rows.head._6 === 1.0 && rows.head._7 === 1.0,
+      "lowest bin's share must be exactly 1.0")
+    // shares are the exact ratios of the integer columns
+    val totToks = rows.map(_._3).sum
+    rows.foreach { case (qb, _, _, cd, ct, ds, ts) =>
+      assert(ds === cd.toDouble / nDocs.toDouble, s"doc_share off at bin $qb")
+      assert(ts === ct.toDouble / totToks.toDouble, s"token_share off at bin $qb")
+    }
+  }
+
+  test("dup flow: conserves the pair count and orders every source pair") {
+    val flow = SweepQueries.queries("corpus_dup_flow")(spark, sf).collect()
+    val nPairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf).count()
+    assert(flow.map(_.getLong(2)).sum === nPairs,
+      "matrix must attribute every near-dup pair exactly once")
+    flow.foreach { r =>
+      assert(r.getString(0) <= r.getString(1),
+        s"unordered cell (${r.getString(0)}, ${r.getString(1)})")
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("ab conversion: arms partition the users and z matches the formula") {
+    val r = graft.events.CohortQueries
+      .queries("events_ab_conversion")(spark, sf).head()
+    val (nA, convA, nB, convB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = graft.events.EventsQueries.events(spark, sf)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(nA + nB === users, "arms must partition the user set")
+    assert(convA <= nA && convB <= nB)
+    val pA = convA.toDouble / nA.toDouble
+    val pB = convB.toDouble / nB.toDouble
+    assert(r.getDouble(4) === pA && r.getDouble(5) === pB)
+    assert(r.getDouble(6) === pB - pA)
+    val pp = (convA + convB).toDouble / (nA + nB).toDouble
+    val se2 = pp * (1.0 - pp) * (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+    if (se2 > 0.0)
+      assert(r.getDouble(7) === (pB - pA) / math.sqrt(se2),
+        "z must be the pooled two-proportion statistic")
+    else
+      assert(r.isNullAt(7), "degenerate variance must yield NULL z")
+  }
+}
