@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.hash.Fnv1a32.fnv1a32
@@ -280,6 +281,31 @@ object DedupQueries {
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // dedup-threshold sweep: the candidate-pair Jaccard distribution as
+    // a 0.1-wide histogram with suffix-cumulative pair counts — "how
+    // many pairs would threshold t confirm?" for every t in one pass.
+    // This is the tuning read that turns JaccardThreshold from folklore
+    // into a measured choice, the dedup analog of
+    // corpus_quality_sweep. Costs exactly one run of the capped
+    // posting-list pair chain (no per-threshold re-scan, no explode);
+    // the histogram is ≤11 rows, so the un-partitioned window is free.
+    // floor(jaccard·10) is exact on both engines because jaccard itself
+    // is one double division of exact integers, sequenced identically.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val hist = jaccardScoredFrom(shingled(s, dir))
+        .select(floor(col("jaccard") * 10).cast("long").as("jbin"))
+        .groupBy("jbin").agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint() // ≤11 rows feed both the window and the total
+      val w = Window.orderBy(col("jbin").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("cum_pairs", sum("n_pairs").over(w))
+        .crossJoin(broadcast(hist.agg(sum("n_pairs").as("tot"))))
+        .select(col("jbin"), col("n_pairs"), col("cum_pairs"),
+          (col("cum_pairs").cast("double") / col("tot")).as("pair_share"))
+        .orderBy("jbin")
+    }),
 
     // Asymmetric containment dedup: C(a→b) = |Sa∩Sb| / |Sa|. A short doc
     // quoted wholesale inside a long one scores high containment but LOW
@@ -716,6 +742,23 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (s"WITH $jaccardPairsSql\n" +
       s"SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $JaccardThreshold " +
       "ORDER BY doc_a, doc_b"),
+
+    "dedup_threshold_sweep" -> (s"WITH $jaccardPairsSql,\n" +
+      """hist AS (
+        |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS jbin,
+        |         count(*) AS n_pairs
+        |  FROM jac GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM hist),
+        |cum AS (
+        |  SELECT jbin, n_pairs,
+        |         CAST(sum(n_pairs) OVER w AS BIGINT) AS cum_pairs
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY jbin DESC ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT jbin, n_pairs, cum_pairs,
+        |       CAST(cum_pairs AS DOUBLE) / tot AS pair_share
+        |FROM cum, tot ORDER BY jbin""".stripMargin),
 
     "dedup_containment" -> (s"WITH $jaccardPairsSql,\n" +
       s"""cont AS (

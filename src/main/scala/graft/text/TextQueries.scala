@@ -299,6 +299,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // character-class diversity: per-doc Simpson index over the four
+    // coarse classes (alpha / digit / whitespace / other). A near-zero
+    // score means one class dominates — digit dumps, whitespace
+    // padding, punctuation soup — the cheap structural-garbage signal
+    // that needs no tokenizer. Deliberately Simpson (1 − Σp²), NOT
+    // Shannon: entropy's ln() rounds differently across engines (same
+    // reason text_tfidf_keywords avoids it), while Simpson is integer
+    // counts + one exact rational — it hash-matches DuckDB bit-for-bit.
+    // Class counts via length-after-strip, so the whole row is one
+    // codegen'd projection: a single corpus scan, no explode, no
+    // shuffle except the output sort.
+    "text_charclass_simpson" -> ((s, dir) => {
+      val t = col("text")
+      val total = length(t).cast("long")
+      val nAlpha = (length(t) -
+        length(regexp_replace(t, "[A-Za-z]", ""))).cast("long")
+      val nDigit = (length(t) -
+        length(regexp_replace(t, "[0-9]", ""))).cast("long")
+      val nSpace = (length(t) -
+        length(regexp_replace(t, "\\s", ""))).cast("long")
+      docs(s, dir).select(
+          col("doc_id"), total.as("n_chars"), nAlpha.as("n_alpha"),
+          nDigit.as("n_digit"), nSpace.as("n_space"),
+          (total - nAlpha - nDigit - nSpace).as("n_other"))
+        .withColumn("simpson",
+          when(col("n_chars") > 0,
+            lit(1.0) -
+              (col("n_alpha") * col("n_alpha") +
+               col("n_digit") * col("n_digit") +
+               col("n_space") * col("n_space") +
+               col("n_other") * col("n_other")).cast("double") /
+                (col("n_chars") * col("n_chars")).cast("double"))
+            .otherwise(lit(null).cast("double")))
+        .orderBy("doc_id")
+    }),
+
     // language ID: distinctive-stopword voting with a fixed tie-break
     // (en > de > fr > es), 'unknown' when nothing votes
     "text_language_id" -> ((s, dir) =>
@@ -572,6 +608,33 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_charclass_simpson" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(length(text)
+        |           - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |           AS BIGINT) AS n_alpha,
+        |         CAST(length(text)
+        |           - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |           AS BIGINT) AS n_digit,
+        |         CAST(length(text)
+        |           - length(regexp_replace(text, '\s', '', 'g'))
+        |           AS BIGINT) AS n_space
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+        |       n_chars - n_alpha - n_digit - n_space AS n_other,
+        |       CASE WHEN n_chars > 0 THEN
+        |         1.0 - CAST(n_alpha * n_alpha + n_digit * n_digit
+        |                    + n_space * n_space
+        |                    + (n_chars - n_alpha - n_digit - n_space)
+        |                      * (n_chars - n_alpha - n_digit - n_space)
+        |                    AS DOUBLE)
+        |               / CAST(n_chars * n_chars AS DOUBLE)
+        |       ELSE NULL END AS simpson
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_vocab_coverage" ->
       s"""WITH tok AS (
          |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents

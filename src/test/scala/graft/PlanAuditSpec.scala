@@ -720,4 +720,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "rank-above must be a count aggregate, not a rank window\n" + p.take(3000))
   }
+
+  test("quality sweep: window + total read the checkpointed histogram, not the corpus") {
+    val p = graft.text.SweepQueries.queries("corpus_quality_sweep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the ≤21-row histogram is checkpointed; neither the cumulative
+    // window nor the grand-total broadcast may re-scan documents
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"sweep must fold the corpus once (checkpoint), got $scans scans\n" +
+        p.take(2000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "grand total must broadcast, not shuffle\n" + p.take(2000))
+  }
+
+  test("threshold sweep: one pair-chain run feeds the whole histogram") {
+    val p = graft.dedup.DedupQueries.queries("dedup_threshold_sweep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"per-threshold counts must come from ONE scored-pair pass " +
+        s"(checkpointed), got $scans scans\n" + p.take(2000))
+  }
+
+  test("ttl expiry: one orders scan; the horizon is a broadcast, not a rescan") {
+    val p = graft.keyspace.KeyspaceQueries.queries("kv_ttl_expiry")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 2,
+      s"log derivation may run twice (key agg + 1-row horizon) but never " +
+        s"more, got $scans\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row horizon must broadcast\n" + p.take(2000))
+  }
+
+  test("charclass simpson: a single scan, single projection, no shuffle joins") {
+    val p = graft.text.TextQueries.queries("text_charclass_simpson")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one corpus scan expected, got $scans\n${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-doc projection must not shuffle\n" + p.take(2000))
+    // (codegen span is only visible in the post-execution adaptive plan;
+    // the one-scan + no-hash-shuffle asserts above pin the shape)
+  }
 }

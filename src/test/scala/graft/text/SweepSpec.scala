@@ -45,6 +45,39 @@ class SweepSpec extends SparkSpec {
     }
   }
 
+  test("threshold sweep: suffix-cumulative and consistent with the 0.5 cut") {
+    val rows = DedupQueries.queries("dedup_threshold_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val suf = rows.map(_._2).scanRight(0L)(_ + _).dropRight(1)
+    assert(rows.map(_._3).toSeq === suf.toSeq, "cum_pairs != suffix sum")
+    // bins ≥ 5 are exactly the pairs the production threshold confirms
+    val ge5 = rows.filter(_._1 >= 5L).map(_._2).sum
+    val confirmed = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .count()
+    assert(ge5 === confirmed,
+      "histogram tail must reproduce the JaccardThreshold=0.5 pair count")
+    assert(rows.head._4 === 1.0, "lowest bin's share must be exactly 1.0")
+  }
+
+  test("charclass simpson: classes partition chars; score bounded by 3/4") {
+    val rows = TextQueries.queries("text_charclass_simpson")(spark, sf)
+      .collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong === nDocs, "one row per document")
+    rows.foreach { r =>
+      val (n, a, d, sp, o) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(a + d + sp + o === n, s"doc ${r.getLong(0)}: classes must partition")
+      if (n > 0) {
+        val simpson = r.getDouble(6)
+        assert(simpson >= 0.0 && simpson <= 0.75,
+          s"doc ${r.getLong(0)}: 4-class Simpson must be in [0, 3/4], got $simpson")
+      } else assert(r.isNullAt(6))
+    }
+  }
+
   test("ab conversion: arms partition the users and z matches the formula") {
     val r = graft.events.CohortQueries
       .queries("events_ab_conversion")(spark, sf).head()
