@@ -101,7 +101,49 @@ object CohortQueries {
         pA.as("p_a"), pB.as("p_b"), (pB - pA).as("lift"),
         when(se2 > 0.0, (pB - pA) / sqrt(se2))
           .otherwise(lit(null).cast("double")).as("z"))
+    }),
+
+    // two-sample Kolmogorov–Smirnov on purchase VALUE between the arms:
+    // does the treatment shift the whole spend distribution, not just
+    // the conversion rate? ECDFs are built over unit-width value bins
+    // ([[KsCrit05]] scaladoc) — one event-sized groupBy folds to a
+    // ≤201-row histogram, the cumulative window runs on the histogram,
+    // and D = max |F_a − F_b| is a 1-row reduce. Every count is BIGINT;
+    // the two ECDF divisions are sequenced identically in the SQL twin,
+    // so D and the √-based critical value hash-match.
+    "events_ks_values" -> ((s, dir) => {
+      val hist = EventsQueries.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value")).cast("long").as("vbin"))
+        .groupBy("vbin")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("a_n"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("b_n"))
+        .localCheckpoint() // ≤201 rows feed window + totals
+      val w = Window.orderBy("vbin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cdf = hist
+        .withColumn("cum_a", sum("a_n").over(w))
+        .withColumn("cum_b", sum("b_n").over(w))
+        .crossJoin(broadcast(hist.agg(sum("a_n").as("n_a"),
+          sum("b_n").as("n_b"))))
+      cdf.select(col("n_a"), col("n_b"),
+          abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+            col("cum_b").cast("double") / col("n_b").cast("double"))
+            .as("gap"))
+        .groupBy("n_a", "n_b").agg(max("gap").as("d_stat"))
+        .select(col("n_a"), col("n_b"), col("d_stat"),
+          (lit(KsCrit05) * sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))).as("d_crit"))
+        .withColumn("rejected", col("d_stat") > col("d_crit"))
     }))
+
+  /** KS bin width = 1 value unit; the fixture's `value` sits in [0, ~200]
+    * so ≤ ~201 bins. Binned ECDFs make the KS distance a histogram walk —
+    * the only shape that survives 100 TB, where an exact KS would global-
+    * sort every observation. (On binned data the statistic is exact for
+    * the binned distributions; the bin width is the resolution contract.) */
+  val KsCrit05 = 1.358 // c(α) for α = 0.05, two-sided large-sample
 
   val oracle: Map[String, String] = Map(
     "events_new_users_curve" -> (s"WITH ${EventsQueries.eventsSql},\n" +
@@ -185,5 +227,39 @@ object CohortQueries {
         |              * (1.0 / CAST(n_a AS DOUBLE)
         |                 + 1.0 / CAST(n_b AS DOUBLE)))
         |  ELSE NULL END AS z
-        |FROM counts""".stripMargin))
+        |FROM counts""".stripMargin),
+
+    "events_ks_values" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""hist AS (
+         |  SELECT CAST(floor(value) AS BIGINT) AS vbin,
+         |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS a_n,
+         |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS b_n
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(a_n) AS BIGINT) AS n_a,
+         |         CAST(sum(b_n) AS BIGINT) AS n_b
+         |  FROM hist
+         |),
+         |cdf AS (
+         |  SELECT CAST(sum(a_n) OVER w AS BIGINT) AS cum_a,
+         |         CAST(sum(b_n) OVER w AS BIGINT) AS cum_b
+         |  FROM hist
+         |  WINDOW w AS (ORDER BY vbin ROWS UNBOUNDED PRECEDING)
+         |),
+         |d AS (
+         |  SELECT n_a, n_b,
+         |         max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |               - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+         |           AS d_stat
+         |  FROM cdf, tot GROUP BY n_a, n_b
+         |)
+         |SELECT n_a, n_b, d_stat,
+         |       $KsCrit05 * sqrt(CAST(n_a + n_b AS DOUBLE)
+         |                        / CAST(n_a * n_b AS DOUBLE)) AS d_crit,
+         |       d_stat > $KsCrit05 * sqrt(CAST(n_a + n_b AS DOUBLE)
+         |                        / CAST(n_a * n_b AS DOUBLE)) AS rejected
+         |FROM d""".stripMargin))
 }

@@ -119,6 +119,53 @@ object JourneyQueries {
             (col("total") * col("total")).cast("double")).as("hhi"))
         .withColumn("effective_users", lit(1.0) / col("hhi"))
         .orderBy("event_type")
+    }),
+
+    // session-scoped funnel: view → click → purchase ordered WITHIN one
+    // gap-based session (events_funnel's day buckets count a morning
+    // view and an evening purchase as one conversion; the session cut
+    // is the intent-preserving unit). Sessionization is the same
+    // single-pass lag/run-length chain as events_sessionize — one
+    // shuffle on user_id that every later stage re-uses co-keyed —
+    // and the step tables are session-sized, not event-sized, before
+    // any join. Final row: funnel counts + two exact-ratio rates.
+    "events_session_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val sess = ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > EventsQueries.SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(wRun))
+        .select("user_id", "session_idx", "event_type", "ts")
+        .localCheckpoint() // feeds 4 step tables — sessionize ONCE
+      val keys = Seq("user_id", "session_idx")
+      val viewed = sess.filter(col("event_type") === "view")
+        .groupBy(keys.head, keys.tail: _*).agg(min("ts").as("v_ts"))
+      val clicked = sess.filter(col("event_type") === "click")
+        .join(viewed, keys).filter(col("ts") >= col("v_ts"))
+        .groupBy(keys.head, keys.tail: _*).agg(min("ts").as("c_ts"))
+      val purchased = sess.filter(col("event_type") === "purchase")
+        .join(clicked, keys).filter(col("ts") >= col("c_ts"))
+        .groupBy(keys.head, keys.tail: _*).agg(count(lit(1)).as("one"))
+      sess.agg(countDistinct(col("user_id"), col("session_idx"))
+          .as("n_sessions"))
+        .crossJoin(broadcast(viewed.agg(count(lit(1)).as("n_viewed"))))
+        .crossJoin(broadcast(clicked.agg(count(lit(1)).as("n_clicked"))))
+        .crossJoin(broadcast(purchased.agg(count(lit(1)).as("n_purchased"))))
+        .select(col("n_sessions"), col("n_viewed"),
+          col("n_clicked"), col("n_purchased"),
+          // empty upstream steps → NULL rate on both engines (Spark
+          // ANSI would throw on the bare division; DuckDB yields NULL)
+          when(col("n_viewed") > 0,
+            col("n_clicked").cast("double") / col("n_viewed").cast("double"))
+            .otherwise(lit(null).cast("double")).as("view_to_click"),
+          when(col("n_clicked") > 0,
+            col("n_purchased").cast("double") /
+              col("n_clicked").cast("double"))
+            .otherwise(lit(null).cast("double")).as("click_to_purchase"))
     }))
 
   /** The histogram-walk core of `events_pareto_share` over any
@@ -248,5 +295,55 @@ object JourneyQueries {
         |       CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE) AS hhi,
         |       1.0 / (CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE))
         |         AS effective_users
-        |FROM agg ORDER BY event_type""".stripMargin))
+        |FROM agg ORDER BY event_type""".stripMargin),
+
+    "events_session_funnel" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""lagged AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+         |                          ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev
+         |),
+         |sess AS (
+         |  SELECT user_id, event_type, ts,
+         |         CAST(sum(CASE WHEN prev_ts IS NULL
+         |                        OR ts - prev_ts > ${EventsQueries.SessionGapUs}
+         |                       THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           AS session_idx
+         |  FROM lagged
+         |),
+         |v1 AS (
+         |  SELECT user_id, session_idx, min(ts) AS v_ts FROM sess
+         |  WHERE event_type = 'view' GROUP BY 1, 2
+         |),
+         |c1 AS (
+         |  SELECT s.user_id, s.session_idx, min(s.ts) AS c_ts
+         |  FROM sess s JOIN v1 USING (user_id, session_idx)
+         |  WHERE s.event_type = 'click' AND s.ts >= v1.v_ts
+         |  GROUP BY 1, 2
+         |),
+         |p1 AS (
+         |  SELECT s.user_id, s.session_idx
+         |  FROM sess s JOIN c1 USING (user_id, session_idx)
+         |  WHERE s.event_type = 'purchase' AND s.ts >= c1.c_ts
+         |  GROUP BY 1, 2
+         |),
+         |tot AS (
+         |  SELECT count(*) AS n_sessions FROM
+         |    (SELECT DISTINCT user_id, session_idx FROM sess)
+         |)
+         |SELECT tot.n_sessions,
+         |  (SELECT count(*) FROM v1) AS n_viewed,
+         |  (SELECT count(*) FROM c1) AS n_clicked,
+         |  (SELECT count(*) FROM p1) AS n_purchased,
+         |  CASE WHEN (SELECT count(*) FROM v1) > 0 THEN
+         |    CAST((SELECT count(*) FROM c1) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM v1) AS DOUBLE)
+         |  ELSE NULL END AS view_to_click,
+         |  CASE WHEN (SELECT count(*) FROM c1) > 0 THEN
+         |    CAST((SELECT count(*) FROM p1) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM c1) AS DOUBLE)
+         |  ELSE NULL END AS click_to_purchase
+         |FROM tot""".stripMargin))
 }

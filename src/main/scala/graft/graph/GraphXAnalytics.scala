@@ -100,6 +100,44 @@ object GraphXAnalytics {
             .otherwise(lit(null).cast("double")))
         .orderBy("degree")
     }),
+
+    // modularity of the SOURCE partition over the near-dup graph: are
+    // duplicate edges concentrated within sources (mirrored feeds
+    // duplicating themselves) or spread across them (cross-crawl
+    // copies)? Per-source contribution q_s = e_ss/m − (deg_s/2m)²,
+    // computed as the exact rational (4m·e_ss − deg_s²)/(4m²) — every
+    // input an integer, ONE double division per row, so the doubles
+    // hash-match DuckDB. Σ q_s over sources is the partition's global
+    // modularity (the spec pins it into [−1, 1]). Shape: the pair list
+    // joins twice against the (doc_id, source) projection, folds to a
+    // ≤#sources table; the 1-row m/deg² totals broadcast.
+    "graph_source_modularity" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("source", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("source", "src_b"), "doc_b")
+        .localCheckpoint() // feeds intra counts, degrees, and totals
+      val intra = pairs.filter(col("src_a") === col("src_b"))
+        .groupBy(col("src_a").as("source"))
+        .agg(count(lit(1)).as("e_intra"))
+      val deg = pairs.select(col("src_a").as("source"))
+        .unionAll(pairs.select(col("src_b").as("source")))
+        .groupBy("source").agg(count(lit(1)).as("deg"))
+      val m = pairs.agg(count(lit(1)).as("m"))
+      deg.join(intra, Seq("source"), "left")
+        .select(col("source"), col("deg"),
+          coalesce(col("e_intra"), lit(0L)).as("e_intra"))
+        .crossJoin(broadcast(m))
+        .select(col("source"), col("deg"), col("e_intra"),
+          ((lit(4L) * col("m") * col("e_intra") - col("deg") * col("deg"))
+            .cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double")).as("q_contrib"))
+        .orderBy("source")
+    }),
   )
 
   /** Same closure oracle as the DataFrame variant — both must agree. */
@@ -161,5 +199,32 @@ object GraphXAnalytics {
          |              / CAST(n_nodes * degree * (degree - 1) AS DOUBLE)
          |         ELSE NULL END AS coeff
          |FROM byd ORDER BY degree""".stripMargin),
+
+    "graph_source_modularity" -> (s"WITH ${DedupQueries.jaccardPairsSql},\n" +
+      s"""p AS (
+         |  SELECT da.source AS src_a, db.source AS src_b
+         |  FROM jac
+         |  JOIN documents da ON jac.doc_a = da.doc_id
+         |  JOIN documents db ON jac.doc_b = db.doc_id
+         |  WHERE jaccard >= ${DedupQueries.JaccardThreshold}
+         |),
+         |intra AS (
+         |  SELECT src_a AS source, count(*) AS e_intra
+         |  FROM p WHERE src_a = src_b GROUP BY 1
+         |),
+         |deg AS (
+         |  SELECT source, count(*) AS deg FROM (
+         |    SELECT src_a AS source FROM p
+         |    UNION ALL SELECT src_b FROM p
+         |  ) GROUP BY source
+         |),
+         |m AS (SELECT count(*) AS m FROM p)
+         |SELECT d.source, CAST(d.deg AS BIGINT) AS deg,
+         |       CAST(coalesce(i.e_intra, 0) AS BIGINT) AS e_intra,
+         |       CAST(4 * m.m * coalesce(i.e_intra, 0) - d.deg * d.deg
+         |            AS DOUBLE)
+         |         / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+         |FROM deg d LEFT JOIN intra i ON d.source = i.source, m
+         |ORDER BY d.source""".stripMargin),
   )
 }

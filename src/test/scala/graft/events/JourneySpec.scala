@@ -118,4 +118,18 @@ class JourneySpec extends SparkSpec {
       assert(eff <= nUsers + 1e-9)
     }
   }
+
+  test("session funnel: stages are monotone and bounded by the session count") {
+    val r = JourneyQueries.queries("events_session_funnel")(spark, sf).head()
+    val (nS, nV, nC, nP) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nS > 0 && nV > 0, "fixture has views — funnel head can't be empty")
+    assert(nV <= nS && nC <= nV && nP <= nC, s"monotone violated: $nS $nV $nC $nP")
+    // session count must agree with the sessionize query's output
+    val nSessions = EventsQueries.queries("events_sessionize")(spark, sf).count()
+    assert(nS === nSessions, "funnel and sessionize disagree on sessions")
+    assert(r.getDouble(4) === nC.toDouble / nV.toDouble)
+    if (nC > 0) assert(r.getDouble(5) === nP.toDouble / nC.toDouble)
+    else assert(r.isNullAt(5))
+  }
 }

@@ -78,6 +78,36 @@ class SweepSpec extends SparkSpec {
     }
   }
 
+  test("ks: ECDF distance bounded, totals conserve the purchase count") {
+    val r = graft.events.CohortQueries
+      .queries("events_ks_values")(spark, sf).head()
+    val (nA, nB, d, crit) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val purchases = graft.events.EventsQueries.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(nA + nB === purchases, "arm histograms must conserve purchases")
+    assert(d >= 0.0 && d <= 1.0, s"KS distance $d outside [0,1]")
+    assert(crit === 1.358 * math.sqrt((nA + nB).toDouble / (nA * nB).toDouble))
+    assert(r.getBoolean(4) === (d > crit))
+  }
+
+  test("modularity: degrees sum to 2m, Σq in [-1,1], rows exact rationals") {
+    val rows = graft.graph.GraphXAnalytics
+      .queries("graph_source_modularity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === 2 * m, "handshake: Σdeg = 2m")
+    assert(rows.map(_.getLong(2)).sum <= m, "intra edges cannot exceed m")
+    rows.foreach { r =>
+      val (dg, ei) = (r.getLong(1), r.getLong(2))
+      assert(r.getDouble(3) ===
+        (4 * m * ei - dg * dg).toDouble / (4 * m * m).toDouble,
+        s"${r.getString(0)}: q_contrib is not the exact rational")
+    }
+    val q = rows.map(_.getDouble(3)).sum
+    assert(q >= -1.0 && q <= 1.0, s"global modularity $q outside [-1,1]")
+  }
+
   test("ab conversion: arms partition the users and z matches the formula") {
     val r = graft.events.CohortQueries
       .queries("events_ab_conversion")(spark, sf).head()
