@@ -111,32 +111,38 @@ object CohortQueries {
     // and D = max |F_a − F_b| is a 1-row reduce. Every count is BIGINT;
     // the two ECDF divisions are sequenced identically in the SQL twin,
     // so D and the √-based critical value hash-match.
-    "events_ks_values" -> ((s, dir) => {
-      val hist = EventsQueries.events(s, dir)
+    "events_ks_values" -> ((s, dir) =>
+      ksFromBinned(EventsQueries.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(pmod(col("user_id"), lit(2L)).as("arm"),
           floor(col("value")).cast("long").as("vbin"))
         .groupBy("vbin")
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("a_n"),
-          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("b_n"))
-        .localCheckpoint() // ≤201 rows feed window + totals
-      val w = Window.orderBy("vbin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cdf = hist
-        .withColumn("cum_a", sum("a_n").over(w))
-        .withColumn("cum_b", sum("b_n").over(w))
-        .crossJoin(broadcast(hist.agg(sum("a_n").as("n_a"),
-          sum("b_n").as("n_b"))))
-      cdf.select(col("n_a"), col("n_b"),
-          abs(col("cum_a").cast("double") / col("n_a").cast("double") -
-            col("cum_b").cast("double") / col("n_b").cast("double"))
-            .as("gap"))
-        .groupBy("n_a", "n_b").agg(max("gap").as("d_stat"))
-        .select(col("n_a"), col("n_b"), col("d_stat"),
-          (lit(KsCrit05) * sqrt((col("n_a") + col("n_b")).cast("double") /
-            (col("n_a") * col("n_b")).cast("double"))).as("d_crit"))
-        .withColumn("rejected", col("d_stat") > col("d_crit"))
-    }))
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("b_n")))))
+
+  /** The KS walk over any binned two-sample histogram (vbin, a_n, b_n) —
+    * factored out so the boundary arithmetic is property-testable on
+    * seeded random histograms ([[graft.events.StatsPropertySpec]]). */
+  private[graft] def ksFromBinned(histIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hist = histIn.localCheckpoint() // ≤#bins rows feed window + totals
+    val w = Window.orderBy("vbin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = hist
+      .withColumn("cum_a", sum("a_n").over(w))
+      .withColumn("cum_b", sum("b_n").over(w))
+      .crossJoin(broadcast(hist.agg(sum("a_n").as("n_a"),
+        sum("b_n").as("n_b"))))
+    cdf.select(col("n_a"), col("n_b"),
+        abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double"))
+          .as("gap"))
+      .groupBy("n_a", "n_b").agg(max("gap").as("d_stat"))
+      .select(col("n_a"), col("n_b"), col("d_stat"),
+        (lit(KsCrit05) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))).as("d_crit"))
+      .withColumn("rejected", col("d_stat") > col("d_crit"))
+  }
 
   /** KS bin width = 1 value unit; the fixture's `value` sits in [0, ~200]
     * so ≤ ~201 bins. Binned ECDFs make the KS distance a histogram walk —

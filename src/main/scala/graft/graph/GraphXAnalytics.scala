@@ -114,31 +114,41 @@ object GraphXAnalytics {
     "graph_source_modularity" -> ((s, dir) => {
       val src = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"))
-      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
-        .select("doc_a", "doc_b")
-        .join(src.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("source", "src_a"), "doc_a")
-        .join(src.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("source", "src_b"), "doc_b")
-        .localCheckpoint() // feeds intra counts, degrees, and totals
-      val intra = pairs.filter(col("src_a") === col("src_b"))
-        .groupBy(col("src_a").as("source"))
-        .agg(count(lit(1)).as("e_intra"))
-      val deg = pairs.select(col("src_a").as("source"))
-        .unionAll(pairs.select(col("src_b").as("source")))
-        .groupBy("source").agg(count(lit(1)).as("deg"))
-      val m = pairs.agg(count(lit(1)).as("m"))
-      deg.join(intra, Seq("source"), "left")
-        .select(col("source"), col("deg"),
-          coalesce(col("e_intra"), lit(0L)).as("e_intra"))
-        .crossJoin(broadcast(m))
-        .select(col("source"), col("deg"), col("e_intra"),
-          ((lit(4L) * col("m") * col("e_intra") - col("deg") * col("deg"))
-            .cast("double") /
-            (lit(4L) * col("m") * col("m")).cast("double")).as("q_contrib"))
-        .orderBy("source")
+      modularityFromLabeledEdges(
+        DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+          .select("doc_a", "doc_b")
+          .join(src.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("source", "src_a"), "doc_a")
+          .join(src.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("source", "src_b"), "doc_b"))
     }),
   )
+
+  /** Modularity of a label partition over any labeled undirected edge
+    * list (src_a, src_b) — factored so the exact-rational arithmetic is
+    * property-testable on seeded random graphs against a direct
+    * driver-side computation. */
+  private[graft] def modularityFromLabeledEdges(edges: DataFrame)
+      : DataFrame = {
+    val pairs = edges.select("src_a", "src_b")
+      .localCheckpoint() // feeds intra counts, degrees, and totals
+    val intra = pairs.filter(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source"))
+      .agg(count(lit(1)).as("e_intra"))
+    val deg = pairs.select(col("src_a").as("source"))
+      .unionAll(pairs.select(col("src_b").as("source")))
+      .groupBy("source").agg(count(lit(1)).as("deg"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    deg.join(intra, Seq("source"), "left")
+      .select(col("source"), col("deg"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"))
+      .crossJoin(broadcast(m))
+      .select(col("source"), col("deg"), col("e_intra"),
+        ((lit(4L) * col("m") * col("e_intra") - col("deg") * col("deg"))
+          .cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double")).as("q_contrib"))
+      .orderBy("source")
+  }
 
   /** Same closure oracle as the DataFrame variant — both must agree. */
   val oracle: Map[String, String] = Map(

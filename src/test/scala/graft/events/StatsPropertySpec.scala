@@ -72,4 +72,68 @@ class StatsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("ks walk: random sparse histograms equal the direct ECDF max-gap") {
+    import spark.implicits._
+    for (seed <- Seq(2, 13, 99)) {
+      val rnd = new Random(seed)
+      // sparse bins with empty stretches and one-sided bins (a_n or b_n
+      // zero) — the walk must carry the other side's CDF through them
+      val hist = (0L until 60L).filter(_ => rnd.nextDouble() > 0.4)
+        .map(b => (b, rnd.nextInt(5).toLong, rnd.nextInt(5).toLong))
+        .filter { case (_, a, b) => a + b > 0 }
+      val d = hist.toDF("vbin", "a_n", "b_n")
+      val r = CohortQueries.ksFromBinned(d).head()
+      val nA = hist.map(_._2).sum
+      val nB = hist.map(_._3).sum
+      assert(r.getLong(0) === nA && r.getLong(1) === nB, s"seed $seed")
+      // direct walk in bin order
+      var (ca, cb) = (0L, 0L)
+      val gaps = hist.sortBy(_._1).map { case (_, a, b) =>
+        ca += a; cb += b
+        math.abs(ca.toDouble / nA.toDouble - cb.toDouble / nB.toDouble)
+      }
+      assert(r.getDouble(2) === gaps.max,
+        s"seed $seed: D differs from the direct ECDF walk")
+      val crit = 1.358 * math.sqrt((nA + nB).toDouble / (nA * nB).toDouble)
+      assert(r.getDouble(3) === crit && r.getBoolean(4) === (gaps.max > crit),
+        s"seed $seed: critical value or verdict differs")
+    }
+  }
+
+  test("modularity: random labeled graphs equal the direct per-label rationals") {
+    import spark.implicits._
+    for (seed <- Seq(5, 21)) {
+      val rnd = new Random(seed)
+      // heavy self-label bias on some labels, none on others; label ids
+      // as strings to mirror the source column
+      val labels = Vector("s0", "s1", "s2", "s3", "s4")
+      val edges = Seq.fill(173) {
+        val a = labels(rnd.nextInt(labels.size))
+        val b = if (rnd.nextDouble() < 0.5) a
+                else labels(rnd.nextInt(labels.size))
+        (a, b)
+      }
+      val rows = graft.graph.GraphXAnalytics
+        .modularityFromLabeledEdges(edges.toDF("src_a", "src_b"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val m = edges.size.toLong
+      val degD = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val intraD = edges.filter(e => e._1 == e._2)
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(rows.map(_._1).toSet === degD.keySet, s"seed $seed")
+      for ((lbl, dg, ei, q) <- rows) {
+        assert(dg === degD(lbl) && ei === intraD.getOrElse(lbl, 0L),
+          s"seed $seed $lbl: degree or intra count differs")
+        assert(q === (4 * m * ei - dg * dg).toDouble / (4 * m * m).toDouble,
+          s"seed $seed $lbl: q_contrib differs from the exact rational")
+      }
+      // handshake + global bound
+      assert(rows.map(_._2).sum === 2 * m, s"seed $seed: handshake")
+      val qSum = rows.map(_._4).sum
+      assert(qSum >= -1.0 && qSum <= 1.0, s"seed $seed: Q=$qSum out of range")
+    }
+  }
 }
