@@ -166,6 +166,31 @@ object JourneyQueries {
             col("n_purchased").cast("double") /
               col("n_clicked").cast("double"))
             .otherwise(lit(null).cast("double")).as("click_to_purchase"))
+    }),
+
+    // gap sessions via Spark's NATIVE session_window aggregation — the
+    // compose-existing-ops twin of events_sessionize's hand-rolled
+    // lag/run-length chain. One shuffle on user_id, merging done by the
+    // session-window aggregate itself (and the same operator runs
+    // unchanged under Structured Streaming with a watermark — the
+    // flatMapGroupsWithState SessionStream exists for when per-session
+    // CUSTOM state is needed; this is the right tool when it isn't).
+    // Boundary semantics differ from the lag chain by one equality:
+    // session_window closes at ts == prev + gap (strict merge-while-<),
+    // the lag chain keeps it open — the oracle mirrors session_window's
+    // `>=` cut, and the fixture contract (µs timestamps, 30-minute gap)
+    // makes an exact-boundary event measure-zero either way.
+    "events_session_native" -> ((s, dir) => {
+      val gapUs = EventsQueries.SessionGapUs
+      ev(s, dir)
+        .groupBy(col("user_id"),
+          session_window(timestamp_micros(col("ts")),
+            s"${gapUs / 1000000L} seconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("start_us"),
+          (max(col("ts")) - min(col("ts"))).as("duration_us"))
+        .select("user_id", "n_events", "start_us", "duration_us")
+        .orderBy("user_id", "start_us")
     }))
 
   /** The histogram-walk core of `events_pareto_share` over any
@@ -345,5 +370,27 @@ object JourneyQueries {
          |    CAST((SELECT count(*) FROM p1) AS DOUBLE)
          |      / CAST((SELECT count(*) FROM c1) AS DOUBLE)
          |  ELSE NULL END AS click_to_purchase
-         |FROM tot""".stripMargin))
+         |FROM tot""".stripMargin),
+
+    // mirrors session_window's STRICT boundary: ts - prev >= gap closes
+    "events_session_native" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""lagged AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+         |                          ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev
+         |),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |         CAST(sum(CASE WHEN prev_ts IS NULL
+         |                        OR ts - prev_ts >= ${EventsQueries.SessionGapUs}
+         |                       THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           AS session_idx
+         |  FROM lagged
+         |)
+         |SELECT user_id, count(*) AS n_events, min(ts) AS start_us,
+         |       max(ts) - min(ts) AS duration_us
+         |FROM sess GROUP BY user_id, session_idx
+         |ORDER BY user_id, start_us""".stripMargin))
 }

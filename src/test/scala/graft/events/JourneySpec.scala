@@ -132,4 +132,17 @@ class JourneySpec extends SparkSpec {
     if (nC > 0) assert(r.getDouble(5) === nP.toDouble / nC.toDouble)
     else assert(r.isNullAt(5))
   }
+
+  test("native session_window reproduces the lag-chain sessions on the fixture") {
+    // boundary semantics differ only at ts - prev == gap exactly; the
+    // fixture has no such event (µs grid vs 30-minute gap), so the two
+    // must agree row-for-row on (user, start, n, duration)
+    val native = JourneyQueries.queries("events_session_native")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getLong(3)))
+    val lagged = EventsQueries.queries("events_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(2), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(native.toSeq === lagged.toSeq,
+      "session_window and the gaps-and-islands chain must agree")
+  }
 }
