@@ -222,7 +222,13 @@ object Bench {
     // sorted-name execution order: bench-over-bench per-query diffs stay
     // cache-warmth-comparable as queries are added (hash order moved
     // neighbors around every round).
+    // optional comma-separated name filter for scoped local timing runs
+    // (scaling audits, single-query perf loops); a filtered run writes
+    // its detail to bench_detail_subset.json so the committed full-suite
+    // record is never clobbered by a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val suite = BenchLogic.runSuite(
       ordered.map { case (name, fn) =>
         name -> { () =>
@@ -285,7 +291,8 @@ object Bench {
       val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"contended":$contJson,"queries":$qs,"base_repeats":$Repeats,"max_attempts":${BenchLogic.MaxAttempts},"samples":$sampleJson,"sentinel":$sentinelJson,"errors":$errJson,"record":"${if (records.isEmpty) "none" else recordPath}","sf":"$sfDir"}"""
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+        if (only.isEmpty) "bench_detail.json" else "bench_detail_subset.json"),
       detail.getBytes("UTF-8"))
 
     val budget = 1800
