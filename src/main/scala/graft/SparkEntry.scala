@@ -35,7 +35,8 @@ object SparkEntry {
       DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
-      SkewQueries.queries, CohortQueries.queries, TrendQueries.queries,
+      SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
+      TrendQueries.queries,
       JourneyQueries.queries, DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
@@ -48,7 +49,8 @@ object SparkEntry {
       DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
-      SkewQueries.oracle, CohortQueries.oracle, TrendQueries.oracle,
+      SkewQueries.oracle, CohortQueries.oracle, CohortQueries.moreOracle,
+      TrendQueries.oracle,
       JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,

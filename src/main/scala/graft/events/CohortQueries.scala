@@ -120,6 +120,41 @@ object CohortQueries {
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("a_n"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("b_n")))))
 
+  /** (queries continued) */
+  val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DAU / WAU / stickiness per day: the engagement ratio every product
+    // dashboard tracks. WAU(d) = distinct users over days [d-6, d] —
+    // computed by fanning each DISTINCT (day, user) activity row out to
+    // the ≤7 days it supports, then one distinct-count per target day.
+    // The fan-out multiplies the USER-DAY table (already reduced from
+    // events) by 7, never the event log; at 100 TB the activity table
+    // is the day-sized reduction, so this stays a fixed small multiple
+    // of the cheapest possible shape. Trailing windows shorter than 7
+    // days (the series head) are emitted as-is with a day_span column
+    // so the consumer can mask the ramp-in.
+    "events_dau_stickiness" -> ((s, dir) => {
+      val act = withDay(s, dir).select("day", "user_id").distinct()
+        .localCheckpoint() // feeds DAU, the fan-out, and the span count
+      val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = act
+        .select(col("user_id"), col("day"),
+          explode(sequence(col("day"), col("day") + 6)).as("tday"))
+        .join(act.select(col("day").as("tday")).distinct(), "tday")
+        .groupBy(col("tday").as("day"))
+        .agg(countDistinct("user_id").as("wau"))
+      val span = act.select(col("day")).distinct()
+        .select(col("day"), explode(sequence(col("day"), col("day") + 6))
+          .as("tday"))
+        .join(act.select(col("day").as("tday")).distinct(), "tday")
+        .groupBy(col("tday").as("day"))
+        .agg(count(lit(1)).as("day_span"))
+      dau.join(wau, "day").join(span, "day")
+        .select(col("day"), col("dau"), col("wau"), col("day_span"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    }))
+
   /** The KS walk over any binned two-sample histogram (vbin, a_n, b_n) —
     * factored out so the boundary arithmetic is property-testable on
     * seeded random histograms ([[graft.events.StatsPropertySpec]]). */
@@ -268,4 +303,34 @@ object CohortQueries {
          |       d_stat > $KsCrit05 * sqrt(CAST(n_a + n_b AS DOUBLE)
          |                        / CAST(n_a * n_b AS DOUBLE)) AS rejected
          |FROM d""".stripMargin))
+
+  val moreOracle: Map[String, String] = Map(
+    "events_dau_stickiness" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""ed AS (
+         |  SELECT DISTINCT ts // ${EventsQueries.DayUs} AS day, user_id
+         |  FROM ev
+         |),
+         |od AS (SELECT DISTINCT day FROM ed),
+         |dau AS (
+         |  SELECT day, count(DISTINCT user_id) AS dau FROM ed GROUP BY day
+         |),
+         |fan AS (
+         |  SELECT e.user_id, e.day + x.x AS tday
+         |  FROM ed e CROSS JOIN (SELECT unnest(range(7)) AS x) x
+         |),
+         |wau AS (
+         |  SELECT f.tday AS day, count(DISTINCT f.user_id) AS wau
+         |  FROM fan f JOIN od ON f.tday = od.day GROUP BY 1
+         |),
+         |span AS (
+         |  SELECT s.tday AS day, count(*) AS day_span FROM (
+         |    SELECT d.day + x.x AS tday
+         |    FROM od d CROSS JOIN (SELECT unnest(range(7)) AS x) x
+         |  ) s JOIN od ON s.tday = od.day GROUP BY 1
+         |)
+         |SELECT d.day, d.dau, w.wau, CAST(sp.day_span AS BIGINT) AS day_span,
+         |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+         |FROM dau d JOIN wau w ON d.day = w.day
+         |JOIN span sp ON d.day = sp.day
+         |ORDER BY d.day""".stripMargin))
 }

@@ -290,6 +290,33 @@ object KeyspaceQueries {
             .as("n_tombstoned"))
         .orderBy("shard_id")
     }),
+
+    // compaction GC ledger: per shard, the bytes the op log HOLDS (every
+    // put's value — what a log-structured store pays on disk) versus the
+    // bytes the compacted state KEEPS (the LWW winners that survive),
+    // and the reclaim ratio compaction would free. The planning number
+    // behind "when do we compact?" — at 100 TB log the ratio, not the
+    // absolute, drives the schedule. One checkpointed log feeds both
+    // legs; each leg is a shard-sized aggregate (map-side combined).
+    "kv_compaction_gc" -> ((s, dir) => {
+      val lg = KvLog.log(s, dir).localCheckpoint()
+      val shard = graft.hash.Fnv1a32.shardId(col("key"))
+      val logSide = lg.filter(col("op") === "put")
+        .groupBy(shard.as("shard_id"))
+        .agg(count(lit(1)).as("n_put_ops"),
+          sum(length(col("value"))).cast("long").as("log_bytes"))
+      val liveSide = KvLog.compact(lg)
+        .groupBy(shard.as("shard_id"))
+        .agg(count(lit(1)).as("n_live_keys"),
+          sum(length(col("value"))).cast("long").as("live_bytes"))
+      logSide.join(liveSide, "shard_id")
+        .select(col("shard_id"), col("n_put_ops"), col("log_bytes"),
+          col("n_live_keys"), col("live_bytes"),
+          (col("log_bytes") - col("live_bytes")).as("dead_bytes"),
+          ((col("log_bytes") - col("live_bytes")).cast("double") /
+            col("log_bytes").cast("double")).as("reclaim_ratio"))
+        .orderBy("shard_id")
+    }),
   )
 
   /** (shard_id, level, bucket, digest) over a (key, value, shard_id)
@@ -517,5 +544,31 @@ object KeyspaceQueries {
          |  CAST(sum(CASE WHEN status = 'tombstoned' THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_tombstoned
          |FROM classed GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+
+    "kv_compaction_gc" -> (s"WITH ${Ora.kvLog},\n" +
+      s"""log_side AS (
+         |  SELECT ${Ora.shard("key")} AS shard_id,
+         |         count(*) AS n_put_ops,
+         |         CAST(sum(length(value)) AS BIGINT) AS log_bytes
+         |  FROM kv_log WHERE op = 'put' GROUP BY 1
+         |),
+         |state AS (
+         |  SELECT key, arg_max(value, seq) AS value
+         |  FROM kv_log WHERE op IN ('put', 'delete')
+         |  GROUP BY key HAVING arg_max(op, seq) = 'put'
+         |),
+         |live_side AS (
+         |  SELECT ${Ora.shard("key")} AS shard_id,
+         |         count(*) AS n_live_keys,
+         |         CAST(sum(length(value)) AS BIGINT) AS live_bytes
+         |  FROM state GROUP BY 1
+         |)
+         |SELECT l.shard_id, l.n_put_ops, l.log_bytes,
+         |       v.n_live_keys, v.live_bytes,
+         |       l.log_bytes - v.live_bytes AS dead_bytes,
+         |       CAST(l.log_bytes - v.live_bytes AS DOUBLE)
+         |         / CAST(l.log_bytes AS DOUBLE) AS reclaim_ratio
+         |FROM log_side l JOIN live_side v ON l.shard_id = v.shard_id
+         |ORDER BY l.shard_id""".stripMargin),
   )
 }

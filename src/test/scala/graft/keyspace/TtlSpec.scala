@@ -26,6 +26,46 @@ class TtlSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "no expired keys — window degenerate")
   }
 
+  test("compaction gc: live never exceeds log; ratios exact; totals conserve") {
+    val rows = KeyspaceQueries.queries("kv_compaction_gc")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val lg = KvLog.log(spark, sf)
+    val putBytes = lg.filter(col("op") === "put")
+      .agg(sum(length(col("value")))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === putBytes, "log bytes must conserve")
+    val liveKeys = KvLog.compact(lg).count()
+    assert(rows.map(_.getLong(3)).sum === liveKeys, "live keys must conserve")
+    rows.foreach { r =>
+      val (lb, vb, db) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(vb <= lb && db === lb - vb, s"shard ${r.getLong(0)}: byte algebra")
+      assert(r.getDouble(6) === db.toDouble / lb.toDouble)
+      assert(r.getDouble(6) > 0.0,
+        "fixture has overwrites + tombstones — reclaim cannot be zero")
+    }
+  }
+
+  test("dau stickiness: bounds and full-week agreement with direct counts") {
+    val rows = graft.events.CohortQueries
+      .moreQueries("events_dau_stickiness")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val act = graft.events.EventsQueries.events(spark, sf)
+      .withColumn("day", expr(s"ts div ${graft.events.EventsQueries.DayUs}"))
+      .select("day", "user_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = act.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (d, dau, wau, span, stick) =>
+      assert(dau === byDay(d).size.toLong, s"day $d: DAU differs")
+      val window = (d - 6 to d).flatMap(byDay.get)
+      assert(wau === window.flatten.toSet.size.toLong, s"day $d: WAU differs")
+      assert(span === window.size.toLong, s"day $d: span differs")
+      assert(dau <= wau && stick === dau.toDouble / wau.toDouble)
+      assert(stick > 0.0 && stick <= 1.0)
+    }
+  }
+
   test("ngram novelty: every shingle occurrence owned exactly once overall") {
     val rows = graft.text.SweepQueries
       .queries("corpus_ngram_novelty")(spark, sf).collect()
