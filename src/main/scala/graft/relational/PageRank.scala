@@ -105,6 +105,9 @@ object PageRank {
     * same capped r_60, and PageRankConvergenceSpec (which pins the actual
     * count) fails loudly. */
   val ConvergeMaxIters = 60
+  /** Convergence-probe cadence for [[convergedRanks]] — see the loop
+    * comment; must divide into a stop at or past the true fixed point. */
+  val ConvergeCheckEvery = 4
 
   /** Directed partner-graph edges: nation → its top-k partners. */
   def partnerEdges(s: SparkSession, dir: String): DataFrame = {
@@ -165,11 +168,19 @@ object PageRank {
           round(lit((1.0 - Damping)) / n +
             lit(Damping) * coalesce(col("inflow"), lit(0.0)), 12).as("pr"))
         .localCheckpoint()
-      val delta = next.alias("na")
-        .join(r.alias("ob"), col("na.node") === col("ob.node"))
-        .agg(max(abs(col("na.pr") - col("ob.pr"))).as("d"))
-        .collect()(0).getDouble(0)
-      converged = delta == 0.0
+      // convergence is probed every [[ConvergeCheckEvery]] iterations,
+      // not every one: each probe is a driver round-trip (join + collect
+      // job), and past the exact fixed point further iterations are the
+      // IDENTITY on the rounded grid — running up to CheckEvery-1 extra
+      // identity steps is bit-harmless (the oracle unrolls to the cap),
+      // while the skipped probes cut a third of the loop's Spark jobs.
+      if (iters % ConvergeCheckEvery == 0 || iters == ConvergeMaxIters) {
+        val delta = next.alias("na")
+          .join(r.alias("ob"), col("na.node") === col("ob.node"))
+          .agg(max(abs(col("na.pr") - col("ob.pr"))).as("d"))
+          .collect()(0).getDouble(0)
+        converged = delta == 0.0
+      }
       r = next
     }
     (r, iters)

@@ -23,8 +23,13 @@ class PageRankSpec extends SparkSpec {
     // graph's mixing changed; raise ConvergeMaxIters = oracle unroll)
     assert(iters < PageRank.ConvergeMaxIters,
       s"no fixed point within ${PageRank.ConvergeMaxIters} iterations")
-    // pin the count: drift signals a changed fixture or changed rounding
-    assert(iters === 26, s"fixed point moved: $iters iterations")
+    // pin the count: drift signals a changed fixture or changed rounding.
+    // the TRUE fixed point is 26; the loop probes every ConvergeCheckEvery
+    // iterations, so it stops at the next probe boundary (28), the two
+    // extra steps being exact identities on the rounded grid
+    assert(iters === 28, s"fixed point moved: $iters iterations")
+    assert(iters % PageRank.ConvergeCheckEvery == 0,
+      "loop must stop on a probe boundary")
     // fixed point: one more application of the update changes nothing
     val rows = ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows.size === 25 && rows.values.forall(_ > 0))
