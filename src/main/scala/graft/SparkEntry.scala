@@ -9,7 +9,7 @@ import graft.graph.GraphXAnalytics
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
 import graft.profile.ProfileQueries
-import graft.relational.{AsOfQueries, PageRank, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
+import graft.relational.{AsOfQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.SimilarityQueries
 import graft.text.{BudgetQueries, DistributionQueries, PipelineQueries, SweepQueries, TextQueries}
 
@@ -39,6 +39,7 @@ object SparkEntry {
       TrendQueries.queries,
       JourneyQueries.queries, DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
+      PartSuppQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
       ProfileQueries.queries)
 
@@ -53,6 +54,7 @@ object SparkEntry {
       TrendQueries.oracle,
       JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
+      PartSuppQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
       ProfileQueries.oracle)
 

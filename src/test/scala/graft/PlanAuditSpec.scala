@@ -766,4 +766,33 @@ class PlanAuditSpec extends SparkSpec {
     // (codegen span is only visible in the post-execution adaptive plan;
     // the one-scan + no-hash-shuffle asserts above pin the shape)
   }
+
+  test("q2: dims broadcast; min-per-part and winners join share one keying") {
+    val p = graft.relational.PartSuppQueries
+      .queries("q2_min_cost_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "supplier/nation/region chain must broadcast\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed join anywhere in the chain\n" + p.take(3000))
+    // bonus: Spark injects a runtime bloom filter from the min-cost
+    // aggregate into the regional scan side — keep it visible
+    assert(p.contains("might_contain") || p.contains("bloom"),
+      "runtime filter from the winners join should prune the probe side\n" +
+        p.take(3000))
+  }
+
+  test("q20: ship window pushes to the lineitem scan; fold precedes the join") {
+    val p = graft.relational.PartSuppQueries
+      .queries("q20_promising_suppliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val liScan = p.linesIterator.find(_.contains("lineitem.parquet"))
+      .getOrElse(fail(s"no lineitem scan line in plan:\n${p.take(2000)}"))
+    assert(liScan.contains("l_shipdate"),
+      s"1997 window not pushed to the lineitem scan: $liScan")
+    assert(p.contains("partial_sum"),
+      "shipped quantity must combine map-side before the shuffle\n" +
+        p.take(3000))
+  }
 }
