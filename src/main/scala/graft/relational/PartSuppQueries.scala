@@ -168,6 +168,42 @@ object PartSuppQueries {
         .join(excess, col("s_suppkey") === col("ps_suppkey"))
         .select("s_name", "n_name")
         .orderBy("s_name")
+    }),
+
+    // Q9 at full fidelity: profit = revenue − supply cost, the term the
+    // partsupp-less q9_product_profit declares away. Revenue sums in
+    // DECIMAL (exact, associative); cost is ps_cents·l_quantity — both
+    // integer-valued, summed as DECIMAL(18,2)·cents → one exact BIGINT-
+    // scale sum; the subtraction and /100 happen once per output row.
+    // partsupp probes co-keyed on (part, supp); part/supplier dims
+    // broadcast; the only fact-fact shuffle is lineitem ⋈ orders.
+    "q9_profit_full" -> ((s, dir) => {
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey").as("sn_key"), col("n_name"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_partkey") % 5 === 0) // the widget-like part cut
+        .join(partsupp(s, dir),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(s.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+      li.groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          sum((col("ps_cents") * col("l_quantity").cast("long"))
+            .cast("decimal(18,0)")).cast("long").as("cost_cents"))
+        .select(col("nation"), col("o_year"), col("revenue"),
+          (col("cost_cents").cast("double") / 100.0).as("supply_cost"),
+          (col("revenue") - col("cost_cents").cast("double") / 100.0)
+            .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -229,5 +265,29 @@ object PartSuppQueries {
          |JOIN region r ON n.n_regionkey = r.r_regionkey
          |JOIN excess e ON s.s_suppkey = e.ps_suppkey
          |WHERE r.r_name = '$Region'
-         |ORDER BY s.s_name""".stripMargin)
+         |ORDER BY s.s_name""".stripMargin,
+
+    "q9_profit_full" ->
+      s"""WITH $partsuppSql
+         |SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+         |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |       CAST(CAST(sum(CAST(ps.ps_cents * CAST(l.l_quantity AS BIGINT)
+         |                          AS DECIMAL(18,0))) AS BIGINT) AS DOUBLE)
+         |         / 100.0 AS supply_cost,
+         |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+         |                     AS DECIMAL(18,4))) AS DOUBLE)
+         |         - CAST(CAST(sum(CAST(ps.ps_cents
+         |                              * CAST(l.l_quantity AS BIGINT)
+         |                              AS DECIMAL(18,0))) AS BIGINT) AS DOUBLE)
+         |           / 100.0 AS sum_profit
+         |FROM lineitem l
+         |JOIN partsupp2 ps ON l.l_partkey = ps.ps_partkey
+         |                 AND l.l_suppkey = ps.ps_suppkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE l.l_partkey % 5 = 0
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin)
 }
