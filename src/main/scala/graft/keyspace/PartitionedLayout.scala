@@ -116,6 +116,28 @@ object PartitionedLayout {
       .option("path", path).format("parquet")
       .saveAsTable(table)
 
+  /** Small-files compaction for a shard-partitioned layout — the #1
+    * operational chore of any long-lived 100 TB table: every incremental
+    * append writes one-file-per-task, and a year of appends turns point
+    * reads into thousand-file directory listings. This rewrites the
+    * layout with exactly one write task per shard (`repartition` on the
+    * partition column — each task owns its whole directory) bounded by
+    * `maxRecordsPerFile`, Spark's native file-size governor, so output is
+    * ceil(shard rows / target) files per shard: bin-packed, never one
+    * giant unsplittable file. Sorting within partitions by key keeps the
+    * files range-readable (min/max footer stats prune key lookups).
+    * Data is byte-identical — CompactFilesSpec proves row equality and
+    * the exact post-compaction file count. */
+  def compactFiles(spark: SparkSession, path: String, outPath: String,
+      targetRowsPerFile: Long): Unit =
+    spark.read.parquet(path)
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("key")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy("shard_id")
+      .parquet(outPath)
+
   /** Morton/Z-value of two bounded non-negative integer dimensions: the
     * low `bits` bits of `x` and `y` interleaved (x on even positions).
     * Built from shift/mask primitives only, so it stays inside
