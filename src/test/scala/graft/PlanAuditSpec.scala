@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q1: scan reads only the referenced columns") {
     val p = plan("q1_pricing_summary")
-    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema line in plan:\n${p.take(2000)}"))
     assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
       readSchema)
   }
