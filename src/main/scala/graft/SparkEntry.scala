@@ -37,7 +37,8 @@ object SparkEntry {
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
       TrendQueries.queries,
-      JourneyQueries.queries, DistributionQueries.queries,
+      JourneyQueries.queries, JourneyQueries.moreQueries,
+      DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
       PartSuppQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,

@@ -129,10 +129,15 @@ object JourneyQueries {
     // shuffle on user_id that every later stage re-uses co-keyed —
     // and the step tables are session-sized, not event-sized, before
     // any join. Final row: funnel counts + two exact-ratio rates.
-    "events_session_funnel" -> ((s, dir) => {
+    "events_session_funnel" -> ((s, dir) => sessionFunnelFrom(ev(s, dir))))
+
+  /** The session-funnel core over any (user_id, event_id, ts, event_type)
+    * frame — factored so random adversarial feeds can drive it
+    * (StatsPropertySpec) against a direct driver-side computation. */
+  private[graft] def sessionFunnelFrom(events: DataFrame): DataFrame = {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-      val sess = ev(s, dir)
+      val sess = events
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
@@ -166,8 +171,10 @@ object JourneyQueries {
             col("n_purchased").cast("double") /
               col("n_clicked").cast("double"))
             .otherwise(lit(null).cast("double")).as("click_to_purchase"))
-    }),
+  }
 
+  /** (queries continued — merged into SparkEntry alongside [[queries]]) */
+  val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // gap sessions via Spark's NATIVE session_window aggregation — the
     // compose-existing-ops twin of events_sessionize's hand-rolled
     // lag/run-length chain. One shuffle on user_id, merging done by the

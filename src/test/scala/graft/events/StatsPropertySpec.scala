@@ -101,6 +101,48 @@ class StatsPropertySpec extends SparkSpec {
     }
   }
 
+  test("session funnel: random feeds equal the direct step-ledger walk") {
+    import spark.implicits._
+    val gap = EventsQueries.SessionGapUs
+    for (seed <- Seq(4, 17)) {
+      val rnd = new Random(seed)
+      // bursty feed: few users, timestamps clustered so sessions really
+      // split; event types weighted toward views; ids unique
+      val feed = (0 until 400).map { i =>
+        val user = rnd.nextInt(5).toLong
+        val ts = rnd.nextInt(20).toLong * gap / 2 + rnd.nextInt(1000).toLong
+        val tpe = Seq("view", "view", "click", "purchase",
+          "error")(rnd.nextInt(5))
+        (i.toLong, ts, user, tpe)
+      }
+      val df = feed.toDF("event_id", "ts", "user_id", "event_type")
+      val r = JourneyQueries.sessionFunnelFrom(df).head()
+
+      // direct computation: per user, sort by (ts, id), split on gap,
+      // then the ordered v→c→p ledger inside each session
+      val sessions = feed.groupBy(_._3).toSeq.flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._1))
+        val splits = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(sorted.head))
+        for (Seq(a, b) <- sorted.sliding(2) if sorted.size > 1)
+          if (b._2 - a._2 > gap) splits += scala.collection.mutable.ArrayBuffer(b)
+          else splits.last += b
+        splits.map(_.toSeq)
+      }
+      val viewed = sessions.flatMap(se =>
+        se.filter(_._4 == "view").map(_._2).minOption.map(se -> _))
+      val clicked = viewed.flatMap { case (se, vTs) =>
+        se.filter(e => e._4 == "click" && e._2 >= vTs).map(_._2)
+          .minOption.map(se -> _) }
+      val purchased = clicked.count { case (se, cTs) =>
+        se.exists(e => e._4 == "purchase" && e._2 >= cTs) }
+      assert(r.getLong(0) === sessions.size.toLong, s"seed $seed: sessions")
+      assert(r.getLong(1) === viewed.size.toLong, s"seed $seed: viewed")
+      assert(r.getLong(2) === clicked.size.toLong, s"seed $seed: clicked")
+      assert(r.getLong(3) === purchased.toLong, s"seed $seed: purchased")
+    }
+  }
+
   test("modularity: random labeled graphs equal the direct per-label rationals") {
     import spark.implicits._
     for (seed <- Seq(5, 21)) {
