@@ -175,6 +175,35 @@ object JourneyQueries {
 
   /** (queries continued — merged into SparkEntry alongside [[queries]]) */
   val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // time-to-convert: the distribution of first-view → first-purchase
+    // delay within a (user, day), in 10-minute buckets with the
+    // cumulative conversion share — the latency face of the funnel
+    // (the funnel says HOW MANY convert; this says HOW FAST, the number
+    // an attribution window is calibrated against). Two user-day-sized
+    // aggregates and a ≤#buckets histogram; the corpus is touched once
+    // per step table, joins co-keyed on (user, day).
+    "events_conversion_lag" -> ((s, dir) => {
+      val ev = EventsQueries.events(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      val viewed = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "day").agg(min("ts").as("v_ts"))
+      val lag = ev.filter(col("event_type") === "purchase")
+        .join(viewed, Seq("user_id", "day"))
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id", "day").agg(min("ts").as("p_ts"))
+        .join(viewed, Seq("user_id", "day"))
+        .select(expr(s"(p_ts - v_ts) div ${10L * 60 * 1000000L}")
+          .as("lag_10min"))
+      val hist = lag.groupBy("lag_10min").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds the window and the total
+      val w = Window.orderBy("lag_10min")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.withColumn("cum", sum("n").over(w))
+        .crossJoin(broadcast(hist.agg(sum("n").as("tot"))))
+        .select(col("lag_10min"), col("n"), col("cum"),
+          (col("cum").cast("double") / col("tot")).as("cum_share"))
+        .orderBy("lag_10min")
+    }),
     // gap sessions via Spark's NATIVE session_window aggregation — the
     // compose-existing-ops twin of events_sessionize's hand-rolled
     // lag/run-length chain. One shuffle on user_id, merging done by the
@@ -378,6 +407,36 @@ object JourneyQueries {
          |      / CAST((SELECT count(*) FROM c1) AS DOUBLE)
          |  ELSE NULL END AS click_to_purchase
          |FROM tot""".stripMargin),
+
+    "events_conversion_lag" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""evd AS (
+         |  SELECT user_id, event_type, ts, ts // ${EventsQueries.DayUs} AS day
+         |  FROM ev
+         |),
+         |v1 AS (
+         |  SELECT user_id, day, min(ts) AS v_ts FROM evd
+         |  WHERE event_type = 'view' GROUP BY 1, 2
+         |),
+         |p1 AS (
+         |  SELECT e.user_id, e.day, min(e.ts) AS p_ts
+         |  FROM evd e JOIN v1 USING (user_id, day)
+         |  WHERE e.event_type = 'purchase' AND e.ts >= v1.v_ts
+         |  GROUP BY 1, 2
+         |),
+         |hist AS (
+         |  SELECT (p.p_ts - v.v_ts) // ${10L * 60 * 1000000L} AS lag_10min,
+         |         count(*) AS n
+         |  FROM p1 p JOIN v1 v USING (user_id, day)
+         |  GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM hist)
+         |SELECT lag_10min, n,
+         |       CAST(sum(n) OVER (ORDER BY lag_10min
+         |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |       CAST(sum(n) OVER (ORDER BY lag_10min
+         |                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot
+         |         AS cum_share
+         |FROM hist, tot ORDER BY lag_10min""".stripMargin),
 
     // mirrors session_window's STRICT boundary: ts - prev >= gap closes
     "events_session_native" -> (s"WITH ${EventsQueries.eventsSql},\n" +

@@ -133,6 +133,28 @@ class JourneySpec extends SparkSpec {
     else assert(r.isNullAt(5))
   }
 
+  test("conversion lag: conserves converting user-days; cum ends at 1") {
+    val rows = JourneyQueries.moreQueries("events_conversion_lag")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // direct count of converting (user, day) pairs: view then purchase
+    val ev = EventsQueries.events(spark, sf)
+      .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      .select("user_id", "day", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val conv = ev.groupBy(e => (e._1, e._2)).count { case (_, es) =>
+      es.filter(_._3 == "view").map(_._4).minOption.exists(v =>
+        es.exists(e => e._3 == "purchase" && e._4 >= v))
+    }
+    assert(rows.map(_._2).sum === conv.toLong,
+      "histogram must conserve the converting user-day count")
+    val prefix = rows.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_._3).toSeq === prefix.toSeq, "cum != prefix sum")
+    assert(rows.last._4 === 1.0, "cumulative share must end at exactly 1")
+    assert(rows.forall(_._1 >= 0), "lag cannot be negative")
+  }
+
   test("native session_window reproduces the lag-chain sessions on the fixture") {
     // boundary semantics differ only at ts - prev == gap exactly; the
     // fixture has no such event (µs grid vs 30-minute gap), so the two
