@@ -27,6 +27,9 @@ object SweepQueries {
     * one multiply-add chain — see [[TextQueries.qualityCol]]). */
   val QBins = 20
 
+  /** Output-writer count for `corpus_shard_plan`. */
+  val OutShards = 8L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -116,6 +119,36 @@ object SweepQueries {
         .withColumn("novelty_rate",
           col("n_novel").cast("double") / col("n_shingles").cast("double"))
         .orderBy("source")
+    }),
+
+    // balanced output-shard plan: docs ranked by token count descending
+    // and dealt round-robin across [[OutShards]] writers — the LPT-style
+    // deal that keeps training-shard sizes near-equal when doc lengths
+    // are heavy-tailed (a hash deal can land several whales on one
+    // writer; the size-ranked deal separates them by construction).
+    // One corpus scan to per-doc tokens, one global rank (the rank IS
+    // the operator — a total order over doc sizes; at 100 TB this is a
+    // range-partitioned sort over doc-count rows, not corpus bytes),
+    // then a shard-sized rollup with the imbalance read off as
+    // max/mean of exact BIGINT sums.
+    "corpus_shard_plan" -> ((s, dir) => {
+      val w = Window.orderBy(col("n_tok").desc, col("doc_id"))
+      val planned = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("shard",
+          pmod(row_number().over(w).cast("long") - 1L, lit(OutShards)))
+      val hist = planned.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .localCheckpoint() // feeds the rollup and the imbalance broadcast
+      hist.crossJoin(broadcast(hist.agg(
+          max("n_tokens").as("max_tok"), sum("n_tokens").as("tot_tok"))))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("tot_tok"))
+            .as("token_share"),
+          (col("max_tok") * OutShards).cast("double")
+            .divide(col("tot_tok").cast("double")).as("imbalance"))
+        .orderBy("shard")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -173,5 +206,29 @@ object SweepQueries {
         |       CAST(sum(p.n_novel) AS DOUBLE) / CAST(sum(p.n_sh) AS DOUBLE)
         |         AS novelty_rate
         |FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin))
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    "corpus_shard_plan" ->
+      s"""WITH planned AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         (row_number() OVER (ORDER BY len(string_split(text, ' '))
+         |            DESC, doc_id) - 1) % $OutShards AS shard
+         |  FROM documents
+         |),
+         |hist AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM planned GROUP BY shard
+         |),
+         |tot AS (
+         |  SELECT CAST(max(n_tokens) AS BIGINT) AS max_tok,
+         |         CAST(sum(n_tokens) AS BIGINT) AS tot_tok
+         |  FROM hist
+         |)
+         |SELECT shard, n_docs, n_tokens,
+         |       CAST(n_tokens AS DOUBLE) / tot_tok AS token_share,
+         |       CAST(max_tok * $OutShards AS DOUBLE)
+         |         / CAST(tot_tok AS DOUBLE) AS imbalance
+         |FROM hist, tot ORDER BY shard""".stripMargin)
 }

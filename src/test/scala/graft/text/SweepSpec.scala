@@ -78,6 +78,28 @@ class SweepSpec extends SparkSpec {
     }
   }
 
+  test("shard plan: deal is balanced, conserves tokens, imbalance exact") {
+    val rows = SweepQueries.queries("corpus_shard_plan")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length.toLong === SweepQueries.OutShards)
+    val totTok = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(rows.map(_._3).sum === totTok, "plan must conserve corpus tokens")
+    // round-robin law: doc counts differ by at most 1 across shards
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1,
+      "round-robin deal must balance doc counts within 1")
+    val imb = rows.map(_._5).distinct
+    assert(imb.length === 1 &&
+      imb.head === rows.map(_._3).max.toDouble * SweepQueries.OutShards /
+        totTok.toDouble)
+    assert(imb.head >= 1.0, "max shard cannot sit below the mean")
+    // the size-ranked deal should beat a 1.5x imbalance on any corpus
+    // whose whale docs are rank-separated (conservative bound)
+    assert(imb.head < 1.5, s"deal imbalance ${imb.head} suspiciously high")
+  }
+
   test("ks: ECDF distance bounded, totals conserve the purchase count") {
     val r = graft.events.CohortQueries
       .queries("events_ks_values")(spark, sf).head()
