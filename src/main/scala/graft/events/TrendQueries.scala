@@ -27,6 +27,9 @@ object TrendQueries {
   /** Longest autocorrelation lag probed (covers a weekly cycle). */
   val MaxAcfLag = 7
 
+  /** Scored origins in the rolling forecast backtest (the series tail). */
+  val BacktestOrigins = 10L
+
   /** MAD outlier threshold: 3σ × 1.4826 (normal-consistency constant),
     * written as one literal so both engines parse identical bits. */
   val MadK = 4.4478
@@ -153,6 +156,50 @@ object TrendQueries {
           "forecast_next")
         .withColumnRenamed("nd", "n_days")
         .orderBy("event_type")
+    }),
+
+    // rolling-origin backtest of the OLS forecaster: for each of the
+    // last [[BacktestOrigins]] days, fit on everything UP TO that day
+    // and score the one-step prediction against the next day's actual —
+    // the out-of-sample error a forecast is trusted (or not) on, where
+    // trend_forecast's r² is only in-sample. ALL per-origin moments are
+    // prefix sums over ONE day-ordered window pass (no per-origin
+    // refit scan — the series is touched once however many origins are
+    // scored); moments are exact BIGINTs and each origin's
+    // slope/intercept/error repeats trend_forecast's expression
+    // sequence bit-for-bit. Errors are emitted per origin, never
+    // summed — a cross-origin MAE would be an unordered double sum.
+    "events_forecast_backtest" -> ((s, dir) => {
+      val series = daily(s, dir).groupBy("day")
+        .agg(sum("n_events").as("n")) // total daily series
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val withT = series
+        .withColumn("t", col("day") - min("day").over(wAll))
+        .withColumn("total_days", count(lit(1)).over(wAll))
+      val cum = withT
+        .withColumn("nd", count(lit(1)).over(wCum))
+        .withColumn("st", sum("t").over(wCum))
+        .withColumn("stt", sum(col("t") * col("t")).over(wCum))
+        .withColumn("sn", sum("n").over(wCum))
+        .withColumn("stn", sum(col("t") * col("n")).over(wCum))
+        .withColumn("next_t", lead(col("t"), 1).over(Window.orderBy("day")))
+        .withColumn("next_n", lead(col("n"), 1).over(Window.orderBy("day")))
+      val num = col("nd") * col("stn") - col("st") * col("sn")
+      val den = col("nd") * col("stt") - col("st") * col("st")
+      cum
+        .filter(col("next_t").isNotNull && col("nd") >= 2 && den > 0 &&
+          col("nd") > col("total_days") - BacktestOrigins - 1)
+        .withColumn("slope", num.cast("double") / den.cast("double"))
+        .withColumn("intercept",
+          (col("sn").cast("double") - col("slope") * col("st")) / col("nd"))
+        .withColumn("yhat",
+          col("intercept") + col("slope") * col("next_t"))
+        .select(col("day").as("origin_day"), col("nd").as("n_fit"),
+          col("yhat"), col("next_n").as("actual"),
+          abs(col("yhat") - col("next_n").cast("double")).as("abs_err"))
+        .orderBy("origin_day")
     }),
 
     // lag-k autocorrelation (k = 1..MaxAcfLag) of the total daily count
@@ -466,6 +513,46 @@ object TrendQueries {
          |SELECT event_type, nd AS n_days, slope, intercept, r2,
          |       intercept + slope * (tmax + 1) AS forecast_next
          |FROM fin ORDER BY event_type""".stripMargin),
+
+    "events_forecast_backtest" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""series AS (
+         |  SELECT ts // ${EventsQueries.DayUs} AS day,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM ev GROUP BY 1
+         |),
+         |wt AS (
+         |  SELECT day, n,
+         |         day - min(day) OVER () AS t,
+         |         count(*) OVER () AS total_days
+         |  FROM series
+         |),
+         |cum AS (
+         |  SELECT day, n, t, total_days,
+         |         CAST(count(*) OVER w AS BIGINT) AS nd,
+         |         CAST(sum(t) OVER w AS BIGINT) AS st,
+         |         CAST(sum(t * t) OVER w AS BIGINT) AS stt,
+         |         CAST(sum(n) OVER w AS BIGINT) AS sn,
+         |         CAST(sum(t * n) OVER w AS BIGINT) AS stn,
+         |         lead(t) OVER (ORDER BY day) AS next_t,
+         |         lead(n) OVER (ORDER BY day) AS next_n
+         |  FROM wt
+         |  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |),
+         |fit AS (
+         |  SELECT day, nd, sn, st, next_t, next_n,
+         |         (nd * stn - st * sn)::DOUBLE
+         |           / (nd * stt - st * st)::DOUBLE AS slope
+         |  FROM cum
+         |  WHERE next_t IS NOT NULL AND nd >= 2
+         |    AND nd * stt - st * st > 0
+         |    AND nd > total_days - ${BacktestOrigins} - 1
+         |)
+         |SELECT day AS origin_day, nd AS n_fit,
+         |       (sn::DOUBLE - slope * st) / nd + slope * next_t AS yhat,
+         |       next_n AS actual,
+         |       abs((sn::DOUBLE - slope * st) / nd + slope * next_t
+         |           - next_n::DOUBLE) AS abs_err
+         |FROM fit ORDER BY origin_day""".stripMargin),
 
     "events_acf_daily" -> (s"WITH ${EventsQueries.eventsSql},\n" +
       s"""d AS (

@@ -86,4 +86,34 @@ class TrendSpec extends SparkSpec {
       } else assert(!rows.contains(tpe))
     }
   }
+
+  test("backtest: each origin's fit equals a direct prefix OLS refit") {
+    val rows = TrendQueries.queries("events_forecast_backtest")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    val series = EventsQueries.events(spark, sf)
+      .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = math.min(TrendQueries.BacktestOrigins, series.length - 1L)
+    assert(rows.length.toLong === want, "one scored row per tail origin")
+    val day0 = series.map(_._1).min
+    rows.foreach { case (origin, nFit, yhat, actual, absErr) =>
+      val prefix = series.filter(_._1 <= origin)
+      assert(nFit === prefix.length.toLong, s"origin $origin: fit size")
+      val (nd, ts) = (prefix.length.toLong, prefix.map(p => p._1 - day0))
+      val ns = prefix.map(_._2)
+      val (st, stt) = (ts.sum, ts.map(t => t * t).sum)
+      val (sn, stn) = (ns.sum, ts.zip(ns).map { case (t, n) => t * n }.sum)
+      val slope = (nd * stn - st * sn).toDouble /
+        (nd * stt - st * st).toDouble
+      val nextIdx = series.indexWhere(_._1 > origin)
+      val nextT = series(nextIdx)._1 - day0
+      assert(actual === series(nextIdx)._2, s"origin $origin: actual")
+      val expYhat = (sn.toDouble - slope * st) / nd + slope * nextT
+      assert(yhat === expYhat, s"origin $origin: out-of-sample prediction")
+      assert(absErr === math.abs(expYhat - actual.toDouble))
+    }
+  }
 }
