@@ -283,6 +283,33 @@ object DedupComponents {
         .orderBy("doc_id")
     }),
 
+    // dup-cluster size histogram: how many components have k members —
+    // the shape curation reads before choosing a keep policy (a corpus
+    // of pairs dedups cheaply; a few giant clusters mean boilerplate or
+    // a template farm, and the canonical-keep policy starts to matter).
+    // Two component-sized rollups on top of the shared component
+    // derivation; docs in no dup pair are singletons by definition and
+    // reported as size 1 from the doc-count complement, so the
+    // histogram conserves the whole corpus.
+    "dedup_component_sizes" -> ((s, dir) => {
+      val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+      val sizes = components(pairs)
+        .groupBy("component").agg(count(lit(1)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_components"))
+      val docTotal = s.read.parquet(s"$dir/documents.parquet")
+        .agg(count(lit(1)).as("n_docs"))
+      val inDup = sizes.agg(sum(col("k") * col("n_components")).as("n_in"))
+      val singletons = docTotal.crossJoin(broadcast(inDup))
+        .select(lit(1L).as("k"),
+          (col("n_docs") - coalesce(col("n_in"), lit(0L)))
+            .as("n_components"))
+      sizes.unionByName(singletons)
+        .groupBy("k").agg(sum("n_components").as("n_components"))
+        .filter(col("n_components") > 0)
+        .orderBy("k")
+    }),
+
     // same components by alternating star contraction — the variant that
     // stays O(log² n) rounds on ANY topology (label propagation pays
     // O(diameter); identical on near-dup cliques, decisive on the long
@@ -403,6 +430,30 @@ object DedupComponents {
          |$componentsCteSql
          |SELECT doc_id, component, is_canonical
          |FROM components ORDER BY doc_id""".stripMargin),
+
+    "dedup_component_sizes" -> (
+      s"""WITH RECURSIVE
+         |$componentsCteSql,
+         |comp_sizes AS (
+         |  SELECT component, count(*) AS k FROM components GROUP BY 1
+         |),
+         |comp_hist AS (
+         |  SELECT k, count(*) AS n_components FROM comp_sizes GROUP BY k
+         |),
+         |n_in AS (
+         |  SELECT CAST(coalesce(sum(k * n_components), 0) AS BIGINT) AS n
+         |  FROM comp_hist
+         |),
+         |docs_total AS (SELECT count(*) AS n_docs FROM documents),
+         |merged AS (
+         |  SELECT k, n_components FROM comp_hist
+         |  UNION ALL
+         |  SELECT 1 AS k, d.n_docs - i.n AS n_components
+         |  FROM docs_total d, n_in i
+         |)
+         |SELECT k, CAST(sum(n_components) AS BIGINT) AS n_components
+         |FROM merged GROUP BY k HAVING sum(n_components) > 0
+         |ORDER BY k""".stripMargin),
 
     // identical semantics to dedup_components — the algorithms must agree
     "dedup_components_star" -> (

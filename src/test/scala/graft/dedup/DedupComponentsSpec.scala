@@ -186,4 +186,24 @@ class DedupComponentsSpec extends SparkSpec {
     assert(r === expect, "assortativity differs from the driver Pearson")
     assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12)
   }
+
+  test("component-size histogram conserves the corpus and the components") {
+    val hist = DedupComponents
+      .queries("dedup_component_sizes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(hist.map { case (k, n) => k * n }.sum === nDocs,
+      "Σ k·n(k) must equal the corpus size (singletons included)")
+    // multi-doc entries must agree with the components query directly
+    val comp = DedupComponents.queries("dedup_components")(spark, sf)
+      .collect().map(r => r.getLong(1))
+      .groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    hist.filter(_._1 >= 2).foreach { case (k, n) =>
+      assert(comp.getOrElse(k, 0L) === n,
+        s"size-$k component count differs from the components query")
+    }
+    hist.foreach { case (k, n) => assert(k >= 1 && n >= 1) }
+  }
 }
