@@ -84,6 +84,32 @@ object RingRouter {
     element_at(nodeArr, pmod(idx, lit(r.size)) + 1)
   }
 
+  /** Heterogeneous capacities for the weighted ring: vnode count per
+    * node ∝ capacity, so a 3× box owns 3× the position space — THE
+    * consistent-hashing answer to mixed hardware (the reference's mod-N
+    * placement cannot express capacity at all). Weights are multiples of
+    * 32 to keep per-node balance noise comparable to the uniform ring. */
+  val WeightedVnodes: Seq[(String, Int)] =
+    Seq("n1" -> 32, "n2" -> 64, "n3" -> 96, "n4" -> 32)
+
+  /** Ring with per-node vnode counts ([[ring]] is the uniform case). */
+  def weightedRing(nw: Seq[(String, Int)]): Seq[(Long, String)] = {
+    val vs = for { (n, w) <- nw; i <- 0 until w } yield (posOf(s"$n#$i"), n)
+    require(vs.map(_._1).distinct.size == vs.size,
+      "vnode position collision — rename vnodes")
+    vs.sortBy(_._1)
+  }
+
+  /** key → owning node under the weighted ring — same codegen'd binary
+    * search as [[ringNodeCol]], only the position table differs. */
+  def weightedRingNodeCol(nw: Seq[(String, Int)])(key: Column): Column = {
+    val r = weightedRing(nw)
+    val nodeArr = typedLit(r.map(_._2))
+    val idx = graft.functions.SortedSuccessor.sortedSuccessor(
+      r.map(_._1), pos32(key))
+    element_at(nodeArr, pmod(idx, lit(r.size)) + 1)
+  }
+
   /** Replica fan-out per key. */
   val ReplicaN = 3
 
@@ -129,6 +155,36 @@ object RingRouter {
         .withColumn("share", col("n_keys").cast("double") /
           sum(col("n_keys")).over(Window.partitionBy()))
         .orderBy("node_id")),
+
+    // capacity-weighted placement: does the observed key load track each
+    // node's capacity share? ratio ≈ 1 everywhere is the pass condition
+    // (the spec bounds it); the load_ratio is ONE exact-integer cross
+    // ratio (n_keys·total_cap)/(total_keys·cap) so it hash-matches.
+    // Same single narrow keyspace pass + 4-row rollup as the uniform
+    // ring audit — capacity awareness costs nothing at query time
+    // because it lives entirely in the precomputed position table.
+    "route_ring_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val caps = WeightedVnodes.toDF("node_id", "capacity")
+        .withColumn("capacity", col("capacity").cast("long"))
+      val wAll = Window.partitionBy()
+      KvLog.state(s, dir)
+        .select(weightedRingNodeCol(WeightedVnodes)(col("key"))
+          .as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("n_keys"))
+        .join(broadcast(caps), "node_id")
+        .withColumn("total_keys", sum("n_keys").over(wAll))
+        .withColumn("total_cap", sum("capacity").over(wAll))
+        .select(col("node_id"), col("n_keys"), col("capacity"),
+          (col("n_keys").cast("double") / col("total_keys"))
+            .as("key_share"),
+          (col("capacity").cast("double") / col("total_cap"))
+            .as("capacity_share"),
+          ((col("n_keys") * col("total_cap")).cast("double") /
+            (col("total_keys") * col("capacity")).cast("double"))
+            .as("load_ratio"))
+        .orderBy("node_id")
+    }),
 
     // the scale-out measurement: fraction of keys that change owner when
     // n5 joins, ring vs the reference's mod placement. Both assignments
@@ -255,6 +311,20 @@ object RingRouter {
   private val vals4 = RingNodes.map(n => s"('$n')").mkString(",")
   private val vals5 = (RingNodes :+ JoinedNode).map(n => s"('$n')").mkString(",")
 
+  /** Weighted-ring vnode CTE: per-node vnode counts from WeightedVnodes. */
+  private val weightedRingCte: String = {
+    val vals = WeightedVnodes
+      .map { case (n, w) => s"('$n', $w)" }.mkString(",")
+    val maxW = WeightedVnodes.map(_._2).max
+    s"""rw_vn AS (
+       |  SELECT n.node, ${posSql("n.node || '#' || i.range")} AS pos
+       |  FROM (VALUES $vals) n(node, w), range($maxW) i
+       |  WHERE i.range < n.w
+       |),
+       |caps AS (SELECT node AS node_id, CAST(w AS BIGINT) AS capacity
+       |         FROM (VALUES $vals) c(node, w))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "route_ring_keys" -> (s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
       s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
@@ -264,6 +334,25 @@ object RingRouter {
          |SELECT node_id, CAST(n_keys AS BIGINT) AS n_keys,
          |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
          |FROM counts ORDER BY node_id""".stripMargin),
+
+    "route_ring_weighted" -> (s"WITH ${Ora.kvState},\n$weightedRingCte,\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |assigned AS (SELECT ${succExpr("rw")} AS node_id FROM keyed),
+         |counts AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_keys
+         |           FROM assigned GROUP BY node_id),
+         |tot AS (
+         |  SELECT CAST(sum(n_keys) AS BIGINT) AS total_keys FROM counts
+         |),
+         |totc AS (
+         |  SELECT CAST(sum(capacity) AS BIGINT) AS total_cap FROM caps
+         |)
+         |SELECT c.node_id, c.n_keys, k.capacity,
+         |       CAST(c.n_keys AS DOUBLE) / total_keys AS key_share,
+         |       CAST(k.capacity AS DOUBLE) / total_cap AS capacity_share,
+         |       CAST(c.n_keys * total_cap AS DOUBLE)
+         |         / CAST(total_keys * k.capacity AS DOUBLE) AS load_ratio
+         |FROM counts c JOIN caps k ON c.node_id = k.node_id, tot, totc
+         |ORDER BY c.node_id""".stripMargin),
 
     "route_ring_rebalance" -> (s"WITH ${Ora.kvState},\n" +
       s"${ringCte("r4", vals4)},\n${ringCte("r5", vals5)},\n" +

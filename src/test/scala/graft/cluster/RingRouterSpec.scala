@@ -140,4 +140,29 @@ class RingRouterSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.map(_._2).sum === primaries(RingRouter.FailedRingNode))
   }
+
+  test("weighted ring: load tracks capacity; conservation holds") {
+    val rows = RingRouter.queries("route_ring_weighted")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet === RingRouter.WeightedVnodes.map(_._1).toSet,
+      "every capacity-weighted node must own keys")
+    val nKeys = graft.keyspace.KvLog.state(spark, sf).count()
+    assert(rows.map(_._2).sum === nKeys, "placement must conserve the keyspace")
+    rows.foreach { case (n, k, cap, ks, cs, ratio) =>
+      assert(cap === RingRouter.WeightedVnodes.toMap.apply(n).toLong)
+      assert(ks === k.toDouble / nKeys.toDouble)
+      // vnode sampling noise at 32–96 vnodes stays well inside ±35%;
+      // a capacity-blind placement puts n3 at ratio ≈ 0.58 (1/4 load on
+      // 3/7 capacity) — the bound separates the two regimes
+      assert(ratio > 0.65 && ratio < 1.35,
+        s"$n: load/capacity ratio $ratio outside the weighted band")
+    }
+    // weighting must actually order the loads: the 96-vnode node carries
+    // more keys than every 32-vnode node
+    val byNode = rows.map(r => r._1 -> r._2).toMap
+    assert(byNode("n3") > byNode("n1") && byNode("n3") > byNode("n4"),
+      "3x capacity must attract more keys than 1x")
+  }
 }
