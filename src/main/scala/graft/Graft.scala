@@ -14,6 +14,8 @@ import graft.sketch.{BloomBits, CmsCounts, KmvDistinct, KmvMins}
   * get them alongside the Column API:
   *
   *   - `fnv1a32(str)`          → BIGINT hash in [0, 2^32)
+  *   - `char_class_counts(str)` → ARRAY<BIGINT> [alpha, digit, space]
+  *     one-pass byte-loop class counts
   *   - `dot64(arr, arr)`       → DOUBLE ordered-fold dot product
   *   - `word_ngrams(arr, n)`   → distinct n-gram shingles (n literal)
   *   - `word_set_hits(arr, 'w1,w2,…')` → tokens hitting the probe set
@@ -47,6 +49,13 @@ object Graft {
           case Seq(a, b) => Dot64(a, b)
           case other => throw new IllegalArgumentException(
             s"dot64(arr, arr) takes 2 arguments, got ${other.size}")
+        }
+      },
+      "char_class_counts" -> { es =>
+        es match {
+          case Seq(e) => graft.functions.CharClassCounts(e)
+          case other => throw new IllegalArgumentException(
+            s"char_class_counts(str) takes 1 argument, got ${other.size}")
         }
       },
       "word_ngrams" -> { es =>

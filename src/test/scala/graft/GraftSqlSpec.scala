@@ -17,6 +17,12 @@ class GraftSqlSpec extends SparkSpec {
       .first().getLong(0) === 2L)
   }
 
+  test("char_class_counts registered for SQL") {
+    Graft.register(spark)
+    assert(spark.sql("SELECT char_class_counts('ab1 ?')")
+      .first().getSeq[Long](0) === Seq(2L, 1L, 1L))
+  }
+
   test("bit_length64 registered for SQL, matches the Column API") {
     Graft.register(spark)
     assert(spark.sql("SELECT bit_length64(0L)").first().getInt(0) === 0)
