@@ -768,6 +768,34 @@ class PlanAuditSpec extends SparkSpec {
     // the one-scan + no-hash-shuffle asserts above pin the shape)
   }
 
+  test("shard plan: one corpus scan; the deal is a rank, not a shuffle join") {
+    val p = graft.text.SweepQueries.queries("corpus_shard_plan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the histogram is checkpointed, so only the planned-rank subtree
+    // remains in the final plan — and it must not re-scan the corpus
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"rollup must read the checkpointed histogram, got $scans scans\n" +
+        p.take(2000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the imbalance totals must broadcast\n" + p.take(2000))
+  }
+
+  test("weighted ring: placement is a projection — no join reaches the keyspace") {
+    val p = graft.cluster.RingRouter
+      .queries("route_ring_weighted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the ring lives in the codegen'd binary search (literal position
+    // table), so the fact side sees only scan → project → aggregate;
+    // the capacity join touches the 4-row rollup, never the keyspace
+    assert(p.contains("sorted_successor"),
+      "placement must resolve via the codegen'd successor search\n" +
+        p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "no keyspace-sized join may appear\n" + p.take(2000))
+  }
+
   test("q2: dims broadcast; min-per-part and winners join share one keying") {
     val p = graft.relational.PartSuppQueries
       .queries("q2_min_cost_supplier")(spark, sf)
