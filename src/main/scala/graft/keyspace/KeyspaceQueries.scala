@@ -261,6 +261,40 @@ object KeyspaceQueries {
         .orderBy("level")
     }),
 
+    // the anti-entropy repair PLAN: kv_merkle_diff says the snapshots
+    // diverge and at which tree level; this names the exact level-0
+    // leaves to re-sync and costs each one (keys + payload bytes to
+    // ship) — detect → localize → cost, the full Dynamo-style repair
+    // loop. The diverged leaf set is tree-sized (≤ shards×16 rows) and
+    // broadcasts; the keyspace is touched once to bucket and once per
+    // snapshot inside the shared checkpointed compaction.
+    "kv_merkle_repair_plan" -> ((s, dir) => {
+      val lg = KvLog.log(s, dir).localCheckpoint()
+      def st(df: DataFrame): DataFrame = df.select(col("key"), col("value"),
+        graft.hash.Fnv1a32.shardId(col("key")).as("shard_id"))
+      val newS = st(KvLog.compact(lg)).localCheckpoint()
+      val oldS = st(KvLog.compact(lg.filter(col("seq") % 8 === 0)))
+      val diverged = merkleTree(newS).filter(col("level") === 0L)
+        .select(col("shard_id"), col("bucket"), col("digest").as("d_new"))
+        .join(merkleTree(oldS).filter(col("level") === 0L)
+          .select(col("shard_id"), col("bucket"),
+            col("digest").as("d_old")),
+          Seq("shard_id", "bucket"), "full_outer")
+        .filter(coalesce(col("d_new"), lit(0L)) =!=
+          coalesce(col("d_old"), lit(0L)))
+        .select("shard_id", "bucket")
+      val fnv = graft.hash.Fnv1a32.fnv1a32 _
+      newS
+        .withColumn("bucket",
+          pmod(shiftright(fnv(col("key")), 16), lit(MerkleLeaves.toLong)))
+        .groupBy("shard_id", "bucket")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(length(col("key")) + length(col("value"))).cast("long")
+            .as("n_bytes"))
+        .join(broadcast(diverged), Seq("shard_id", "bucket"))
+        .orderBy("shard_id", "bucket")
+    }),
+
     // TTL expiry sweep: classify every key's compacted state at the log
     // head H into live / expired / tombstoned under a retention window
     // of half the sequence range (threshold H - H div 2 — derived from
@@ -519,6 +553,39 @@ object KeyspaceQueries {
          |       CAST(sum(CASE WHEN diverged THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_diverged
          |FROM j GROUP BY 1 ORDER BY level""".stripMargin),
+
+    "kv_merkle_repair_plan" -> Ora.withState(
+      s""", old_state AS (
+         |  SELECT key, value, ${Ora.shard("key")} AS shard_id FROM (
+         |    SELECT key, arg_max(value, seq) AS value, arg_max(op, seq) AS op
+         |    FROM kv_log
+         |    WHERE op IN ('put', 'delete') AND seq % 8 = 0
+         |    GROUP BY key
+         |  ) WHERE op = 'put'
+         |),
+         |${treeSql("kv_state", "rn")},
+         |${treeSql("old_state", "ro")},
+         |diverged AS (
+         |  SELECT coalesce(n.shard_id, o.shard_id) AS shard_id,
+         |         coalesce(n.bucket, o.bucket) AS bucket
+         |  FROM (SELECT * FROM rn_tree WHERE level = 0) n
+         |  FULL OUTER JOIN (SELECT * FROM ro_tree WHERE level = 0) o
+         |    ON n.shard_id = o.shard_id AND n.bucket = o.bucket
+         |  WHERE coalesce(n.digest, 0) <> coalesce(o.digest, 0)
+         |),
+         |bucketed AS (
+         |  SELECT shard_id,
+         |         (${Ora.fnv("key")} >> 16) % $MerkleLeaves AS bucket,
+         |         count(*) AS n_keys,
+         |         CAST(sum(length(key) + length(value)) AS BIGINT)
+         |           AS n_bytes
+         |  FROM kv_state GROUP BY 1, 2
+         |)
+         |SELECT b.shard_id, b.bucket, CAST(b.n_keys AS BIGINT) AS n_keys,
+         |       b.n_bytes
+         |FROM bucketed b JOIN diverged d
+         |  ON b.shard_id = d.shard_id AND b.bucket = d.bucket
+         |ORDER BY b.shard_id, b.bucket""".stripMargin),
 
     "kv_ttl_expiry" -> (s"WITH ${Ora.kvLog},\n" +
       s"""writes AS (

@@ -26,6 +26,30 @@ class TtlSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "no expired keys — window degenerate")
   }
 
+  test("repair plan: exactly the diverged leaves, costed from live state") {
+    val plan = KeyspaceQueries.queries("kv_merkle_repair_plan")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(plan.nonEmpty, "snapshots differ — the plan cannot be empty")
+    // leaf count ties out against the diff query's level-0 row
+    val lvl0 = KeyspaceQueries.queries("kv_merkle_diff")(spark, sf)
+      .collect().find(_.getLong(0) == 0L).get
+    assert(plan.size.toLong === lvl0.getLong(2),
+      "plan must name exactly the level-0 diverged leaves")
+    // every planned leaf's cost equals the live state's direct rollup
+    val state = KvLog.state(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val direct = state.groupBy { case (k, _, sh) =>
+      (sh, (graft.hash.Fnv1a32.hashString(k) >> 16) %
+        KeyspaceQueries.MerkleLeaves)
+    }.view.mapValues(g => (g.size.toLong,
+      g.map { case (k, v, _) => k.length.toLong + v.length }.sum)).toMap
+    plan.foreach { case (leaf, (nk, nb)) =>
+      assert(direct(leaf) === ((nk, nb)),
+        s"leaf $leaf: plan cost differs from the direct state rollup")
+    }
+  }
+
   test("compaction gc: live never exceeds log; ratios exact; totals conserve") {
     val rows = KeyspaceQueries.queries("kv_compaction_gc")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 4)
