@@ -61,6 +61,48 @@ class FixtureContractSpec extends SparkSpec {
       s"normalized µs epochs out of band: ${us.getLong(0)}..${us.getLong(1)}")
   }
 
+  test("footer logical type agrees with the magnitude-based unit pick") {
+    // the parquet footer is the AUTHORITATIVE unit declaration; tsUs
+    // normalizes per row by magnitude (so a regenerated fixture works
+    // without a code change) — this pins the two in agreement, so a
+    // file whose footer says MICROS but whose values look like NANOS
+    // (or vice versa) fails loudly instead of being silently "fixed"
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(s"$sf/events.parquet")
+    val fs = path.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(fail(s"no parquet part file under $path"))
+      else path
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val unit = try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.getFields.get(schema.getFieldIndex("ts"))
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit.toString
+        case other => fail(s"ts carries no timestamp annotation: $other")
+      }
+    } finally reader.close()
+    val rawMax = spark.read
+      .schema(graft.events.EventsQueries.RawSchema)
+      .parquet(s"$sf/events.parquet")
+      .agg(max("ts")).head().getLong(0)
+    val magnitudeSaysNanos = rawMax >= graft.events.EventsQueries.RawNsFloor
+    unit match {
+      case "NANOS"  => assert(magnitudeSaysNanos,
+        s"footer NANOS but values ($rawMax) classify as µs")
+      case "MICROS" => assert(!magnitudeSaysNanos,
+        s"footer MICROS but values ($rawMax) classify as ns")
+      case other    => fail(s"unexpected events epoch unit: $other")
+    }
+  }
+
   test("date columns are timestamp-typed (inference-compatible, not NANOS)") {
     // orders/lineitem dates are read WITHOUT explicit schemas throughout
     // the engine: Spark rejects TIMESTAMP(NANOS) at inference, so this
