@@ -100,11 +100,28 @@ object ProfileQueries {
       .orderBy("check_name")
   }
 
+  /** events columns profiled. `value` (DOUBLE) is deliberately absent:
+    * the profile stringifies, and double→string formatting has no
+    * cross-engine bit contract (Java shortest-repr vs DuckDB's) — the
+    * numeric column's health is covered by events_props_stats /
+    * events_value_quantiles instead. */
+  val EventCols: Seq[String] =
+    Seq("event_id", "ts", "user_id", "event_type", "props")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_documents" -> ((s, dir) =>
       profile(s.read.parquet(s"$dir/documents.parquet"), DocCols)),
     "profile_constraints" -> ((s, dir) =>
-      constraints(s.read.parquet(s"$dir/documents.parquet"))))
+      constraints(s.read.parquet(s"$dir/documents.parquet"))),
+    // the same ingest audit over the busiest table — ts is normalized to
+    // µs BEFORE stringification so the profile is unit-stable across
+    // fixture regenerations (the raw INT64 would silently change decade)
+    "profile_events" -> ((s, dir) =>
+      profile(s.read
+        .schema(graft.events.EventsQueries.RawSchemaWithProps)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", graft.events.EventsQueries.tsUs(col("ts"))),
+        EventCols)))
 
   val oracle: Map[String, String] = Map(
     "profile_documents" -> {
@@ -112,6 +129,25 @@ object ProfileQueries {
         s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM documents")
         .mkString("\n  UNION ALL ")
       s"""WITH u AS (
+         |  $legs
+         |)
+         |SELECT col_name, count(*) AS n_rows,
+         |       count(*) - count(val) AS n_null,
+         |       count(DISTINCT val) AS n_distinct,
+         |       min(val) AS min_val, max(val) AS max_val,
+         |       CAST(sum(length(val)) AS DOUBLE) / count(val) AS avg_len
+         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+    },
+
+    "profile_events" -> {
+      val legs = EventCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM ev")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ev AS (
+         |  SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, props
+         |  FROM events
+         |),
+         |u AS (
          |  $legs
          |)
          |SELECT col_name, count(*) AS n_rows,
