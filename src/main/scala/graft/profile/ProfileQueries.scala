@@ -121,7 +121,44 @@ object ProfileQueries {
         .schema(graft.events.EventsQueries.RawSchemaWithProps)
         .parquet(s"$dir/events.parquet")
         .withColumn("ts", graft.events.EventsQueries.tsUs(col("ts"))),
-        EventCols)))
+        EventCols)),
+
+    // drop-over-drop drift: the profile exists to be DIFFED — this runs
+    // it twice (the first half of doc_ids stands in for yesterday's
+    // drop) and joins per column: null-rate delta, the distinct-per-row
+    // ratio shift, and mean-length delta, with a drifted verdict at the
+    // documented tolerances. Each leg is the same one-scan unpivoted
+    // aggregate; the join is #columns-sized. Exact arithmetic
+    // throughout: every rate is one division of exact longs, every
+    // delta one subtraction of such rates.
+    "profile_drift" -> ((s, dir) => {
+      val full = s.read.parquet(s"$dir/documents.parquet")
+      val prev = full.filter(col("doc_id") < DriftSplitId)
+      def rates(df: DataFrame, tag: String): DataFrame =
+        profile(df, DocCols).select(col("col_name"),
+          (col("n_null").cast("double") / col("n_rows"))
+            .as(s"null_rate_$tag"),
+          (col("n_distinct").cast("double") / col("n_rows"))
+            .as(s"distinct_ratio_$tag"),
+          col("avg_len").as(s"avg_len_$tag"))
+      rates(full, "new").join(rates(prev, "old"), "col_name")
+        .select(col("col_name"),
+          (col("null_rate_new") - col("null_rate_old")).as("null_rate_d"),
+          (col("distinct_ratio_new") - col("distinct_ratio_old"))
+            .as("distinct_ratio_d"),
+          (col("avg_len_new") - col("avg_len_old")).as("avg_len_d"))
+        .withColumn("drifted",
+          abs(col("null_rate_d")) > DriftNullTol ||
+            abs(col("distinct_ratio_d")) > DriftDistinctTol ||
+            abs(col("avg_len_d")) > DriftLenTol)
+        .orderBy("col_name")
+    }))
+
+  /** Previous-drop stand-in boundary and the drift tolerances. */
+  val DriftSplitId = 250L
+  val DriftNullTol = 0.01
+  val DriftDistinctTol = 0.10
+  val DriftLenTol = 5.0
 
   val oracle: Map[String, String] = Map(
     "profile_documents" -> {
@@ -156,6 +193,33 @@ object ProfileQueries {
          |       min(val) AS min_val, max(val) AS max_val,
          |       CAST(sum(length(val)) AS DOUBLE) / count(val) AS avg_len
          |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+    },
+
+    "profile_drift" -> {
+      def legs(where: String) = DocCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val " +
+          s"FROM documents $where")
+        .mkString("\n  UNION ALL ")
+      def leg(name: String, where: String) =
+        s"""$name AS (
+           |  SELECT col_name,
+           |         (count(*) - count(val))::DOUBLE / count(*) AS null_rate,
+           |         count(DISTINCT val)::DOUBLE / count(*) AS distinct_ratio,
+           |         CAST(sum(length(val)) AS DOUBLE) / count(val) AS avg_len
+           |  FROM (${legs(where)}) GROUP BY col_name
+           |)""".stripMargin
+      s"""WITH ${leg("pn", "")},
+         |${leg("po", s"WHERE doc_id < $DriftSplitId")}
+         |SELECT n.col_name,
+         |       n.null_rate - o.null_rate AS null_rate_d,
+         |       n.distinct_ratio - o.distinct_ratio AS distinct_ratio_d,
+         |       n.avg_len - o.avg_len AS avg_len_d,
+         |       abs(n.null_rate - o.null_rate) > $DriftNullTol
+         |         OR abs(n.distinct_ratio - o.distinct_ratio)
+         |            > $DriftDistinctTol
+         |         OR abs(n.avg_len - o.avg_len) > $DriftLenTol AS drifted
+         |FROM pn n JOIN po o ON n.col_name = o.col_name
+         |ORDER BY n.col_name""".stripMargin
     },
 
     // mirror of `constraints`: one aggregate CTE, one UNION-ALL unpivot
