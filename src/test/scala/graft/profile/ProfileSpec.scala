@@ -1,5 +1,7 @@
 package graft.profile
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** The profiler's stats against hand-computed truth on a frame with the
@@ -70,5 +72,39 @@ class ProfileSpec extends SparkSpec {
       val expect = if (c == "ge") m >= t else m <= t
       assert(p == expect, s"$name verdict inconsistent")
     }
+  }
+
+  test("events profile: one row per column, ids fully distinct, ts in µs") {
+    val rows = ProfileQueries.queries("profile_events")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === ProfileQueries.EventCols.toSet)
+    val n = rows("event_id")._1
+    assert(rows.values.forall(_._1 == n), "every column sees every row")
+    assert(rows("event_id")._3 === n, "event_id must be fully distinct")
+    assert(rows.values.forall(_._2 == 0L), "fixture has no nulls")
+    // the stringified ts must be 16-digit µs, not 19-digit ns
+    val tsMin = ProfileQueries.queries("profile_events")(spark, sf)
+      .filter(col("col_name") === "ts").head().getString(4)
+    assert(tsMin.length === 16, s"ts profile not in µs: $tsMin")
+  }
+
+  test("drift: self-diff is zero; the half-drop diff flags only real shifts") {
+    val rows = ProfileQueries.queries("profile_drift")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(rows.keySet === ProfileQueries.DocCols.toSet)
+    rows.foreach { case (c, (nd, dd, ld, drifted)) =>
+      assert(nd === 0.0, s"$c: fixture has no nulls — null drift must be 0")
+      val expect = math.abs(nd) > ProfileQueries.DriftNullTol ||
+        math.abs(dd) > ProfileQueries.DriftDistinctTol ||
+        math.abs(ld) > ProfileQueries.DriftLenTol
+      assert(drifted === expect, s"$c: verdict inconsistent with deltas")
+    }
+    // doc_id's distinct ratio is 1 in both halves — it cannot drift
+    assert(rows("doc_id")._2 === 0.0)
   }
 }
