@@ -282,6 +282,35 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // the cap's ledger: per posting-list length, how many candidate
+    // pairs that bucket would emit (k·(k−1)/2 each) and whether the
+    // MaxPosting guardrail drops it — plus, in the shares, what fraction
+    // of the UNCAPPED quadratic cost the cap removes. At fixture scale
+    // the cap rarely fires; this query is the observability for the
+    // 100 TB corpus where a stop-shingle bucket of 10⁶ docs would
+    // otherwise emit 5·10¹¹ pairs. One shingle pass + a ≤#lengths
+    // histogram; all pair counts are exact BIGINTs.
+    "dedup_cap_ledger" -> ((s, dir) => {
+      val hist = shingled(s, dir)
+        .select(explode(col("shingles")).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("k"))
+        .filter(col("k") >= 2)
+        .groupBy("k").agg(count(lit(1)).as("n_postings"))
+        .withColumn("pairs", col("n_postings") * expr("k * (k - 1) div 2"))
+        .withColumn("capped", col("k") > MaxPosting)
+        .localCheckpoint() // feeds the rows and the total broadcast
+      hist.crossJoin(broadcast(hist.agg(
+          sum("pairs").as("pairs_uncapped"),
+          sum(when(!col("capped"), col("pairs")).otherwise(0L))
+            .as("pairs_kept"))))
+        .select(col("k"), col("n_postings"), col("pairs"), col("capped"),
+          (col("pairs").cast("double") / col("pairs_uncapped"))
+            .as("cost_share"),
+          (col("pairs_kept").cast("double") / col("pairs_uncapped"))
+            .as("kept_share"))
+        .orderBy("k")
+    }),
+
     // dedup-threshold sweep: the candidate-pair Jaccard distribution as
     // a 0.1-wide histogram with suffix-cumulative pair counts — "how
     // many pairs would threshold t confirm?" for every t in one pass.
@@ -742,6 +771,29 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (s"WITH $jaccardPairsSql\n" +
       s"SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $JaccardThreshold " +
       "ORDER BY doc_a, doc_b"),
+
+    "dedup_cap_ledger" -> (s"WITH $shingledSql,\n" +
+      s"""post AS (
+         |  SELECT sh, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(shingles) AS sh FROM shingled
+         |  ) GROUP BY sh HAVING count(*) >= 2
+         |),
+         |hist AS (
+         |  SELECT k, count(*) AS n_postings,
+         |         CAST(count(*) * (k * (k - 1) // 2) AS BIGINT) AS pairs,
+         |         k > $MaxPosting AS capped
+         |  FROM post GROUP BY k
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(pairs) AS BIGINT) AS pairs_uncapped,
+         |         CAST(sum(CASE WHEN NOT capped THEN pairs ELSE 0 END)
+         |           AS BIGINT) AS pairs_kept
+         |  FROM hist
+         |)
+         |SELECT k, n_postings, pairs, capped,
+         |       CAST(pairs AS DOUBLE) / pairs_uncapped AS cost_share,
+         |       CAST(pairs_kept AS DOUBLE) / pairs_uncapped AS kept_share
+         |FROM hist, tot ORDER BY k""".stripMargin),
 
     "dedup_threshold_sweep" -> (s"WITH $jaccardPairsSql,\n" +
       """hist AS (

@@ -45,6 +45,28 @@ class SweepSpec extends SparkSpec {
     }
   }
 
+  test("cap ledger: pair algebra exact; kept pairs bound the candidate set") {
+    val rows = DedupQueries.queries("dedup_cap_ledger")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, n, pairs, capped, _, _) =>
+      assert(pairs === n * (k * (k - 1) / 2), s"k=$k: pair algebra")
+      assert(capped === (k > DedupQueries.MaxPosting))
+    }
+    val keptShare = rows.map(_._6).distinct
+    assert(keptShare.length === 1, "kept_share is a constant column")
+    // the SUM of kept per-bucket pairs upper-bounds the DISTINCT pair
+    // count the chain actually scores (a pair sharing m shingles is
+    // counted m times here, deduped there)
+    val keptPairs = rows.filter(!_._4).map(_._3).sum
+    val actual = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .count()
+    assert(actual <= keptPairs,
+      "scored pairs cannot exceed the kept posting-pair budget")
+  }
+
   test("threshold sweep: suffix-cumulative and consistent with the 0.5 cut") {
     val rows = DedupQueries.queries("dedup_threshold_sweep")(spark, sf)
       .collect()
