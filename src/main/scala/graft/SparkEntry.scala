@@ -4,14 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
-import graft.events.{CohortQueries, EventsQueries, JourneyQueries, SkewQueries, TrendQueries}
+import graft.events.{CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SkewQueries, TrendQueries}
 import graft.graph.GraphXAnalytics
 import graft.keyspace.KeyspaceQueries
 import graft.multimodal.Multimodal
 import graft.profile.ProfileQueries
 import graft.relational.{AsOfQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
-import graft.sim.SimilarityQueries
-import graft.text.{BudgetQueries, DistributionQueries, PipelineQueries, SweepQueries, TextQueries}
+import graft.sim.{MatryoshkaQueries, SimilarityQueries}
+import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, PipelineQueries, SweepQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,9 +34,10 @@ object SparkEntry {
       PipelineQueries.queries, BudgetQueries.queries, SweepQueries.queries,
       DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
+      MatryoshkaQueries.queries, CollocationQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
-      TrendQueries.queries,
+      TrendQueries.queries, LifecycleQueries.queries,
       JourneyQueries.queries, JourneyQueries.moreQueries,
       DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
@@ -50,9 +51,10 @@ object SparkEntry {
       PipelineQueries.oracle, BudgetQueries.oracle, SweepQueries.oracle,
       DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
+      MatryoshkaQueries.oracle, CollocationQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       SkewQueries.oracle, CohortQueries.oracle, CohortQueries.moreOracle,
-      TrendQueries.oracle,
+      TrendQueries.oracle, LifecycleQueries.oracle,
       JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle,

@@ -1,0 +1,150 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Ora
+
+/** Matryoshka-style truncated-dimension retrieval: rank with a cheap
+  * PREFIX of the embedding, rerank the survivors with the full vector.
+  *
+  * The scale story: a Matryoshka-trained embedding keeps most of its
+  * ranking power in its leading dimensions, so the serving tier stores
+  * the first [[PrefixDims]] dims as their own (4× smaller) column and
+  * scans only that for phase 1 — at 100 TB that is 4× less I/O and 4×
+  * fewer FLOPs on the full-corpus pass, with the full vectors touched
+  * only for [[CandidateK]] candidates per query. The fixture stores one
+  * embedding column, so phase 1 slices in-flight; the plumbing (prefix
+  * score → candidate cut → full-precision rerank) is the real pipeline.
+  *
+  * Both phases use the ordered-fold dot product ([[Dot64]] /
+  * `Ora.dotN`), so every cosine is bit-identical to the DuckDB oracle.
+  */
+object MatryoshkaQueries {
+
+  /** Leading dims scanned in phase 1 (the "stored prefix column"). */
+  val PrefixDims = 16
+
+  /** Phase-1 survivors reranked with the full vector, per query. */
+  val CandidateK = 20
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def cosN(a: Column, b: Column, n: Int): Column = {
+    def p(c: Column) = slice(c, 1, n)
+    Dot64.dot64(p(a), p(b)) /
+      (sqrt(Dot64.dot64(p(a), p(a))) * sqrt(Dot64.dot64(p(b), p(b))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // recall@5 of the two-phase prefix path (and the no-rerank ablation)
+    // against the exact full-dim top-5, for the suite's fixed 10-query
+    // sample. The full-corpus legs are Q×N with constant Q — the
+    // measurement harness; the served path's phase-2 cost is Q×K.
+    "sim_trunc_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val sampled = col("vec_id") % 50 === 0 && col("vec_id") < 500
+      val qs = e.filter(sampled)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def topK(scored: DataFrame, k: Int): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k).drop("rk")
+      }
+      // phase 1: prefix-cosine over the whole corpus
+      val pre = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
+          cosN(col("embedding"), col("q_emb"), PrefixDims).as("cos_sim"))
+      val cands = topK(pre, CandidateK)
+      // phase 2: full-precision rerank of the K survivors
+      val reranked = topK(cands
+        .select(col("q_id"), col("vec_id"),
+          SimilarityQueries.cosine(col("embedding"), col("q_emb"))
+            .as("cos_sim")), 5)
+        .select("q_id", "vec_id")
+      // ablation: trust the prefix ranking outright
+      val norerank = topK(pre.select("q_id", "vec_id", "cos_sim"), 5)
+        .select("q_id", "vec_id")
+      val truth = topK(e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          SimilarityQueries.cosine(col("embedding"), col("q_emb"))
+            .as("cos_sim")), 5)
+        .select("q_id", "vec_id")
+      def recallOf(pred: DataFrame, method: String): DataFrame =
+        qs.select("q_id").join(
+            truth.join(pred, Seq("q_id", "vec_id"))
+              .groupBy("q_id").agg(count("*").as("hits")),
+            Seq("q_id"), "left")
+          .select(col("q_id"), lit(method).as("method"),
+            coalesce(col("hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall_at_5"))
+      recallOf(reranked, "trunc16_rerank")
+        .unionByName(recallOf(norerank, "trunc16_only"))
+        .orderBy("method", "q_id")
+    }))
+
+  private def cosNSql(a: String, b: String, n: Int): String =
+    s"${Ora.dotN(a, b, n)} / (sqrt(${Ora.dotN(a, a, n)}) * " +
+      s"sqrt(${Ora.dotN(b, b, n)}))"
+
+  val oracle: Map[String, String] = Map(
+    "sim_trunc_recall" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND vec_id < 500
+         |),
+         |pre AS (
+         |  SELECT q.q_id, e.vec_id, e.embedding, q.q_emb,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${cosNSql("e.embedding", "q.q_emb", PrefixDims)}
+         |             DESC, e.vec_id) AS rk
+         |  FROM embeddings e, qs q WHERE e.vec_id <> q.q_id
+         |),
+         |rerank AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY ${Ora.cos64("embedding", "q_emb")} DESC,
+         |                      vec_id) AS rk2
+         |    FROM pre WHERE rk <= $CandidateK
+         |  ) WHERE rk2 <= 5
+         |),
+         |norerank AS (
+         |  SELECT q_id, vec_id FROM pre WHERE rk <= 5
+         |),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${Ora.cos64("e.embedding", "q.q_emb")} DESC,
+         |                      e.vec_id) AS rk
+         |    FROM embeddings e, qs q WHERE e.vec_id <> q.q_id
+         |  ) WHERE rk <= 5
+         |),
+         |hits AS (
+         |  SELECT m.method, q.q_id,
+         |         CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits
+         |  FROM qs q
+         |  CROSS JOIN (SELECT unnest(['trunc16_rerank', 'trunc16_only'])
+         |              AS method) m
+         |  LEFT JOIN (
+         |    SELECT 'trunc16_rerank' AS method, t.q_id, count(*) AS hits
+         |    FROM truth t JOIN rerank r
+         |      ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+         |    GROUP BY 2
+         |    UNION ALL
+         |    SELECT 'trunc16_only', t.q_id, count(*)
+         |    FROM truth t JOIN norerank r
+         |      ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+         |    GROUP BY 2
+         |  ) h ON h.method = m.method AND h.q_id = q.q_id
+         |)
+         |SELECT q_id, method, n_hits,
+         |       n_hits / 5.0::DOUBLE AS recall_at_5
+         |FROM hits ORDER BY method, q_id""".stripMargin)
+}
