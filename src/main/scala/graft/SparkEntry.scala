@@ -6,7 +6,7 @@ import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
 import graft.events.{CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SkewQueries, TrendQueries}
 import graft.graph.GraphXAnalytics
-import graft.keyspace.KeyspaceQueries
+import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
 import graft.profile.ProfileQueries
 import graft.relational.{AsOfQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
@@ -29,7 +29,8 @@ object SparkEntry {
     KeyspaceQueries.queries("kv_point_get")(spark, "/root/testdata/sf0.001")
 
   private val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
-    Seq(KeyspaceQueries.queries, ClusterQueries.queries, RingRouter.queries,
+    Seq(KeyspaceQueries.queries, BloomGate.queries, ClusterQueries.queries,
+      RingRouter.queries,
       TextQueries.queries,
       PipelineQueries.queries, BudgetQueries.queries, SweepQueries.queries,
       DedupQueries.queries, DedupComponents.queries,
@@ -46,7 +47,8 @@ object SparkEntry {
       ProfileQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
-    Seq(KeyspaceQueries.oracle, ClusterQueries.oracle, RingRouter.oracle,
+    Seq(KeyspaceQueries.oracle, BloomGate.oracle, ClusterQueries.oracle,
+      RingRouter.oracle,
       TextQueries.oracle,
       PipelineQueries.oracle, BudgetQueries.oracle, SweepQueries.oracle,
       DedupQueries.oracle, DedupComponents.oracle,

@@ -134,14 +134,20 @@ object RingRouter {
   val QuorumR = 2
   val QuorumW = 3
 
-  /** key → its [[ReplicaN]]-node preference list (primary first). */
-  def replicaSetCol(nodes: Seq[String])(key: Column): Column = {
+  /** key → its first-`r` distinct-successor walk (primary first) — the
+    * general preference-list lookup; same one binary search + one array
+    * lookup per key regardless of `r`. */
+  def replicaListCol(nodes: Seq[String], r: Int)(key: Column): Column = {
     val rg = ring(nodes)
-    val setsArr = typedLit(replicaSets(nodes, ReplicaN))
+    val setsArr = typedLit(replicaSets(nodes, r))
     val idx = graft.functions.SortedSuccessor.sortedSuccessor(
       rg.map(_._1), pos32(key))
     element_at(setsArr, pmod(idx, lit(rg.size)) + 1)
   }
+
+  /** key → its [[ReplicaN]]-node preference list (primary first). */
+  def replicaSetCol(nodes: Seq[String])(key: Column): Column =
+    replicaListCol(nodes, ReplicaN)(key)
 
   // ---- queries -----------------------------------------------------------
 
@@ -283,7 +289,32 @@ object RingRouter {
         .groupBy("takeover_node").agg(count(lit(1)).as("n_keys"))
         .withColumn("share", col("n_keys").cast("double") /
           sum(col("n_keys")).over(Window.partitionBy()))
-        .orderBy("takeover_node"))
+        .orderBy("takeover_node")),
+
+    // hinted handoff: while FailedRingNode is down, a write to any key
+    // whose preference list contains it is accepted by the FIRST
+    // distinct successor beyond the list — the hint holder, which
+    // stores the write and replays it on recovery (the Dynamo sloppy-
+    // quorum rule; the mechanism route_quorum_availability's lost-W
+    // keys are waiting for). Per (hint holder, failed replica role)
+    // key counts, from the SAME single-binary-search routing pass —
+    // the walk is just precomputed at depth N+1 instead of N. Because
+    // vnodes interleave, hints spread over all survivors rather than
+    // dog-piling the failed node's ring neighbor.
+    "route_hinted_handoff" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .select(replicaListCol(RingNodes, ReplicaN + 1)(col("key"))
+          .as("rs"))
+        .withColumn("failed_role",
+          array_position(col("rs"), FailedRingNode))
+        .filter(col("failed_role").between(1L, ReplicaN.toLong))
+        .select(element_at(col("rs"), ReplicaN + 1).as("hint_node"),
+          col("failed_role"))
+        .groupBy("hint_node", "failed_role")
+        .agg(count(lit(1)).as("n_keys"))
+        .withColumn("share", col("n_keys").cast("double") /
+          sum(col("n_keys")).over(Window.partitionBy()))
+        .orderBy("hint_node", "failed_role"))
   )
 
   // ---- oracle ------------------------------------------------------------
@@ -457,6 +488,41 @@ object RingRouter {
          |)
          |SELECT takeover_node, CAST(n_keys AS BIGINT) AS n_keys,
          |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
-         |FROM counts ORDER BY takeover_node""".stripMargin)
+         |FROM counts ORDER BY takeover_node""".stripMargin),
+
+    // relational twin of the distinct-successor-walk hint rule: rank
+    // nodes by min wrap-distance per key (≡ the walk — the equivalence
+    // the replica queries pin), take the failed node's rank within the
+    // preference list and the rank-(N+1) node as hint holder
+    "route_hinted_handoff" -> (
+      s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |nodedist AS (
+         |  SELECT k.key, v.node,
+         |         min((v.pos - k.kp + 4294967296) % 4294967296) AS dist
+         |  FROM keyed k CROSS JOIN r4_vn v
+         |  GROUP BY k.key, v.node
+         |),
+         |roles AS (
+         |  SELECT key, node,
+         |         row_number() OVER (PARTITION BY key ORDER BY dist) AS role
+         |  FROM nodedist
+         |),
+         |fr AS (
+         |  SELECT key, role AS failed_role FROM roles
+         |  WHERE node = '$FailedRingNode' AND role <= $ReplicaN
+         |),
+         |hn AS (
+         |  SELECT key, node AS hint_node FROM roles
+         |  WHERE role = ${ReplicaN + 1}
+         |),
+         |counts AS (
+         |  SELECT h.hint_node, CAST(f.failed_role AS BIGINT) AS failed_role,
+         |         count(*) AS n_keys
+         |  FROM fr f JOIN hn h USING (key) GROUP BY 1, 2
+         |)
+         |SELECT hint_node, failed_role, CAST(n_keys AS BIGINT) AS n_keys,
+         |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
+         |FROM counts ORDER BY hint_node, failed_role""".stripMargin)
   )
 }

@@ -1,0 +1,126 @@
+package graft.keyspace
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Ora
+import graft.sketch.BloomBits
+
+/** Per-shard Bloom gate for negative point lookups — the LSM-store
+  * trick that makes "GET of a key that does not exist" cost zero disk
+  * reads: each shard keeps an `mBits`-bit filter over its LIVE keys
+  * (rebuilt at compaction), the router tests the filter before touching
+  * the store, and a miss short-circuits to 404. No false negatives by
+  * construction, so the gate never hides a live key; the measured
+  * false-positive rate is the fraction of absent-key probes that still
+  * pay a store read.
+  *
+  * Scale shape: the filter build is one pass over the compacted state
+  * with map-side partial aggregation (bitwise-OR merge, [[BloomBits]]),
+  * emitting `mBits/64` longs per shard — ~32 KiB/shard here, constant
+  * in key count. Probes join against the 4-row broadcast filter table.
+  * The exact-presence leg (the ground truth the FP measurement needs)
+  * is the harness, not the serving path — at 100 TB the router runs
+  * ONLY filter-test → conditional store read.
+  */
+object BloomGate {
+
+  /** Filter bits per shard (2^18 = 32 KiB). At the sf0.1 state (~37 K
+    * live keys/shard) that is n/m ≈ 0.14 → FP ≈ (1−e^{−kn/m})^k ≈ 6%;
+    * smaller SFs drive FP toward 0 (the spec pins the no-false-negative
+    * law instead of a rate). */
+  val KvBloomM = 262144
+
+  /** Hash probes per key. */
+  val KvBloomK = 2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the gate's scorecard, per shard, over the fixture's real read
+    // traffic (the op log's GETs, including repeats — read skew counts
+    // each probe): how many probes were present, how many the filter
+    // passed, how many absent probes slipped through (false positives),
+    // and how many short-circuited to 404 with zero store reads.
+    "kv_bloom_negative" -> ((s, dir) => {
+      val st = KvLog.state(s, dir)
+      val blooms = st.groupBy("shard_id")
+        .agg(BloomBits.bloomBits(col("key"), KvBloomM, KvBloomK).as("bf"))
+      val probes = KvLog.log(s, dir).filter(col("op") === "get")
+        .select(col("key"),
+          graft.hash.Fnv1a32.shardId(col("key")).as("shard_id"))
+      probes.join(broadcast(blooms), "shard_id")
+        .join(st.select(col("key"), lit(true).as("present")),
+          Seq("key"), "left")
+        .select(col("shard_id"),
+          BloomBits.mightContain(col("bf"), col("key"),
+            KvBloomM, KvBloomK).as("inb"),
+          coalesce(col("present"), lit(false)).as("present"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+          sum(when(col("inb"), 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(when(col("inb") && !col("present"), 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(!col("inb"), 1L).otherwise(0L)).as("n_short_circuit"))
+        .withColumn("fp_rate",
+          when(col("n_probes") - col("n_present") > 0L,
+            col("n_false_pos").cast("double") /
+              (col("n_probes") - col("n_present")))
+            .otherwise(lit(null).cast("double")))
+        .orderBy("shard_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // same filter relationally: the DISTINCT set of set-bit positions
+    // per shard stands in for the bit array; a probe passes iff all K
+    // of its positions are set (bit-for-bit the engine's hash chain:
+    // fnv1a32(key + ':' + i) → xor-fold → mod M)
+    "kv_bloom_negative" -> (s"WITH ${Ora.kvState},\n" +
+      s"""bits AS (
+         |  SELECT DISTINCT shard_id, xor(h, h // 65536) % $KvBloomM AS bit
+         |  FROM (
+         |    SELECT s.shard_id, ${Ora.fnv("s.key || ':' || ii.i")} AS h
+         |    FROM kv_state s
+         |    CROSS JOIN (SELECT unnest(range($KvBloomK)) AS i) ii)
+         |),
+         |probes AS (
+         |  SELECT seq, key, ${Ora.shard("key")} AS shard_id
+         |  FROM kv_log WHERE op = 'get'
+         |),
+         |pb AS (
+         |  SELECT seq, key, shard_id,
+         |         xor(h, h // 65536) % $KvBloomM AS bit
+         |  FROM (
+         |    SELECT p.seq, p.key, p.shard_id,
+         |           ${Ora.fnv("p.key || ':' || ii.i")} AS h
+         |    FROM probes p
+         |    CROSS JOIN (SELECT unnest(range($KvBloomK)) AS i) ii)
+         |),
+         |hit AS (
+         |  SELECT pb.seq, pb.key, pb.shard_id,
+         |         sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+         |           = $KvBloomK AS inb
+         |  FROM pb LEFT JOIN bits b
+         |    ON b.shard_id = pb.shard_id AND b.bit = pb.bit
+         |  GROUP BY 1, 2, 3
+         |),
+         |cls AS (
+         |  SELECT h.shard_id, h.inb,
+         |         CASE WHEN s.key IS NOT NULL THEN 1 ELSE 0 END AS pres
+         |  FROM hit h
+         |  LEFT JOIN (SELECT DISTINCT key FROM kv_state) s USING (key)
+         |)
+         |SELECT shard_id, count(*) AS n_probes,
+         |  CAST(sum(pres) AS BIGINT) AS n_present,
+         |  CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bloom_pass,
+         |  CAST(sum(CASE WHEN inb AND pres = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_pos,
+         |  CAST(sum(CASE WHEN NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_short_circuit,
+         |  CASE WHEN count(*) - sum(pres) > 0
+         |       THEN CAST(sum(CASE WHEN inb AND pres = 0 THEN 1 ELSE 0 END)
+         |                 AS DOUBLE)
+         |            / CAST(count(*) - sum(pres) AS BIGINT)
+         |       ELSE NULL END AS fp_rate
+         |FROM cls GROUP BY 1 ORDER BY shard_id""".stripMargin))
+}

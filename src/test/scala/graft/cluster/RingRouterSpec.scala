@@ -165,4 +165,31 @@ class RingRouterSpec extends SparkSpec {
     assert(byNode("n3") > byNode("n1") && byNode("n3") > byNode("n4"),
       "3x capacity must attract more keys than 1x")
   }
+
+  test("hinted handoff: holder is outside the list; census ties to replicas") {
+    val rows = RingRouter.queries("route_hinted_handoff")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the hint holder is always a SURVIVOR (never the failed node), and
+    // structurally never inside the key's own preference list: every
+    // depth-(N+1) walk has N+1 distinct nodes, so slot 4 is outside the
+    // first 3 by construction
+    assert(rows.forall(_._1 != RingRouter.FailedRingNode))
+    RingRouter.replicaSets(RingRouter.RingNodes, RingRouter.ReplicaN + 1)
+      .foreach(wk => assert(wk.distinct.size == RingRouter.ReplicaN + 1))
+    // per-role hint counts equal the failed node's replica-role census —
+    // exactly the keys whose preference list contains it at that role
+    val census = RingRouter.queries("route_replica_load")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (1 to RingRouter.ReplicaN).foreach { role =>
+      val hinted = rows.filter(_._2 == role.toLong).map(_._3).sum
+      assert(hinted ==
+        census.getOrElse((RingRouter.FailedRingNode, role.toLong), 0L),
+        s"role $role hint census mismatch")
+    }
+    // shares are a distribution
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+  }
 }
