@@ -92,6 +92,9 @@ object LifecycleQueries {
         .groupBy("day")
         .agg(sum(when(!col("cens"), 1L).otherwise(0L)).as("n_converted"),
           sum(when(col("cens"), 1L).otherwise(0L)).as("n_censored"))
+        // day-sized; feeds BOTH the factor-array fold and the final
+        // projection — checkpoint so the corpus is scanned once
+        .localCheckpoint()
       val wSuffix = Window.orderBy("day")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val withRisk = byDay

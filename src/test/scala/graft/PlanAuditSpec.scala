@@ -824,4 +824,52 @@ class PlanAuditSpec extends SparkSpec {
       "shipped quantity must combine map-side before the shuffle\n" +
         p.take(3000))
   }
+
+  test("window dedup: one corpus scan, lag + ledger in two exchanges") {
+    val df = graft.events.LifecycleQueries
+      .queries("events_window_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      s"one-pass shape requires 1 scan\n${p.take(2000)}")
+    // lag shuffles on (user, type); the per-type ledger re-keys once;
+    // the final tiny sort may add one more — never a scan-sized extra
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 3, s"expected <= 3 exchanges, got $n\n${p.take(3000)}")
+  }
+
+  test("kaplan-meier: corpus reduced once; factor array broadcasts") {
+    val df = graft.events.LifecycleQueries
+      .queries("events_kaplan_meier")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // byDay is checkpointed: the plan above the checkpoint reads the
+    // day-sized RDD, never the events parquet (that would double the
+    // corpus cost at 100 TB)
+    assert(!p.contains("FileScan parquet"),
+      s"plan must hang off the checkpointed day table\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row factor array must broadcast\n${p.take(2000)}")
+  }
+
+  test("pmi bigrams: unigram sides broadcast onto the candidate cut") {
+    val df = graft.text.CollocationQueries
+      .queries("text_pmi_bigrams")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both unigram joins must broadcast\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join on the vocabulary-sized sides\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort\n${p.take(2000)}")
+  }
+
+  test("bloom gate: 4-row filter table broadcasts onto the probe feed") {
+    val df = graft.keyspace.BloomGate
+      .queries("kv_bloom_negative")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-shard blooms must broadcast\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the scorecard aggregate must combine map-side\n${p.take(3000)}")
+  }
 }
