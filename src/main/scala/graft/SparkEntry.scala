@@ -8,7 +8,7 @@ import graft.events.{CohortQueries, EventsQueries, JourneyQueries, LifecycleQuer
 import graft.graph.GraphXAnalytics
 import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
-import graft.profile.ProfileQueries
+import graft.profile.{PrivacyQueries, ProfileQueries}
 import graft.relational.{AsOfQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.{MatryoshkaQueries, SimilarityQueries}
 import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, PipelineQueries, SweepQueries, TextQueries}
@@ -44,7 +44,7 @@ object SparkEntry {
       RelationalQueries.queries, TpchMoreQueries.queries,
       PartSuppQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
-      ProfileQueries.queries)
+      ProfileQueries.queries, PrivacyQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
     Seq(KeyspaceQueries.oracle, BloomGate.oracle, ClusterQueries.oracle,
@@ -61,7 +61,7 @@ object SparkEntry {
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
-      ProfileQueries.oracle)
+      ProfileQueries.oracle, PrivacyQueries.oracle)
 
   private def merged[V](modules: Seq[Map[String, V]]): Map[String, V] = {
     val total = modules.map(_.size).sum
