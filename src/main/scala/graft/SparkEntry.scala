@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
-import graft.events.{CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SkewQueries, TrendQueries}
+import graft.events.{BenfordQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SkewQueries, TrendQueries}
 import graft.graph.GraphXAnalytics
 import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
@@ -38,7 +38,7 @@ object SparkEntry {
       MatryoshkaQueries.queries, CollocationQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
-      TrendQueries.queries, LifecycleQueries.queries,
+      TrendQueries.queries, LifecycleQueries.queries, BenfordQueries.queries,
       JourneyQueries.queries, JourneyQueries.moreQueries,
       DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
@@ -56,7 +56,7 @@ object SparkEntry {
       MatryoshkaQueries.oracle, CollocationQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       SkewQueries.oracle, CohortQueries.oracle, CohortQueries.moreOracle,
-      TrendQueries.oracle, LifecycleQueries.oracle,
+      TrendQueries.oracle, LifecycleQueries.oracle, BenfordQueries.oracle,
       JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle,

@@ -86,6 +86,39 @@ object MatryoshkaQueries {
       recallOf(reranked, "trunc16_rerank")
         .unionByName(recallOf(norerank, "trunc16_only"))
         .orderBy("method", "q_id")
+    }),
+
+    // rank displacement: where does the TRUE nearest neighbor land in
+    // the prefix-16 ordering? rank 1 everywhere = the prefix is a
+    // perfect router; the reciprocal rank is the exact-rational summary
+    // (per query — never averaged across rows, which would be an
+    // order-dependent double sum). This is the statistic that sizes
+    // CandidateK: P(prefix_rank <= K) IS the rerank path's recall@1.
+    "sim_truth_rank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val sampled = col("vec_id") % 50 === 0 && col("vec_id") < 500
+      val qs = e.filter(sampled)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          SimilarityQueries.cosine(col("embedding"), col("q_emb"))
+            .as("full_cos"),
+          cosN(col("embedding"), col("q_emb"), PrefixDims).as("cos_sim"))
+      // both ranks land on the same row set: the row winning the full
+      // ordering (trk=1) carries its own prefix rank — one pass, one
+      // shuffle on q_id, no self-join
+      scored
+        .withColumn("trk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("full_cos").desc, col("vec_id"))))
+        .withColumn("prefix_rank", row_number().over(w))
+        .filter(col("trk") === 1)
+        .select(col("q_id"), col("vec_id").as("truth_id"),
+          col("prefix_rank").cast("long").as("prefix_rank"),
+          (lit(1.0) / col("prefix_rank")).as("reciprocal_rank"))
+        .orderBy("q_id")
     }))
 
   private def cosNSql(a: String, b: String, n: Int): String =
@@ -146,5 +179,29 @@ object MatryoshkaQueries {
          |)
          |SELECT q_id, method, n_hits,
          |       n_hits / 5.0::DOUBLE AS recall_at_5
-         |FROM hits ORDER BY method, q_id""".stripMargin)
+         |FROM hits ORDER BY method, q_id""".stripMargin,
+
+    "sim_truth_rank" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND vec_id < 500
+         |),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${Ora.cos64("e.embedding", "q.q_emb")} AS full_cos,
+         |         ${cosNSql("e.embedding", "q.q_emb", PrefixDims)} AS cos_sim
+         |  FROM embeddings e, qs q WHERE e.vec_id <> q.q_id
+         |),
+         |ranked AS (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY full_cos DESC, vec_id) AS trk,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos_sim DESC, vec_id) AS prefix_rank
+         |  FROM scored
+         |)
+         |SELECT q_id, vec_id AS truth_id,
+         |       CAST(prefix_rank AS BIGINT) AS prefix_rank,
+         |       1.0::DOUBLE / prefix_rank AS reciprocal_rank
+         |FROM ranked WHERE trk = 1 ORDER BY q_id""".stripMargin)
 }

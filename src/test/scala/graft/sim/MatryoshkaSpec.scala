@@ -37,4 +37,25 @@ class MatryoshkaSpec extends SparkSpec {
     assert(rerankSum > 0)
     assert(rerankSum >= onlySum)
   }
+
+  test("truth rank: reciprocal is exact; candidate cut law ties to recall") {
+    val tr = MatryoshkaQueries.queries("sim_truth_rank")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(tr.length == 10)
+    tr.foreach { case (_, _, rank, rr) =>
+      assert(rank >= 1)
+      assert(rr == 1.0 / rank)
+    }
+    // if the true NN lands inside the candidate cut, the full-precision
+    // rerank MUST recover it (it wins the rerank ordering outright) —
+    // the law that makes prefix_rank the statistic that sizes CandidateK
+    val rerankHits = rows.filter(_._2 == "trunc16_rerank")
+      .map(r => r._1 -> r._3).toMap
+    tr.foreach { case (q, _, rank, _) =>
+      if (rank <= MatryoshkaQueries.CandidateK)
+        assert(rerankHits(q) >= 1,
+          s"q $q: truth at prefix rank $rank inside K but rerank missed it")
+    }
+  }
 }
