@@ -4,12 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
-import graft.events.{BenfordQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SkewQueries, TrendQueries}
+import graft.events.{BenfordQueries, CausalQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SkewQueries, TrendQueries}
 import graft.graph.GraphXAnalytics
 import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
 import graft.profile.{PrivacyQueries, ProfileQueries}
-import graft.relational.{AsOfQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
+import graft.relational.{AsOfQueries, BasketQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.{MatryoshkaQueries, SimilarityQueries}
 import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, PipelineQueries, SweepQueries, TextQueries}
 
@@ -39,10 +39,11 @@ object SparkEntry {
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
       TrendQueries.queries, LifecycleQueries.queries, BenfordQueries.queries,
+      CausalQueries.queries,
       JourneyQueries.queries, JourneyQueries.moreQueries,
       DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
-      PartSuppQueries.queries,
+      PartSuppQueries.queries, BasketQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
       ProfileQueries.queries, PrivacyQueries.queries)
 
@@ -57,9 +58,10 @@ object SparkEntry {
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       SkewQueries.oracle, CohortQueries.oracle, CohortQueries.moreOracle,
       TrendQueries.oracle, LifecycleQueries.oracle, BenfordQueries.oracle,
+      CausalQueries.oracle,
       JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
-      PartSuppQueries.oracle,
+      PartSuppQueries.oracle, BasketQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
       ProfileQueries.oracle, PrivacyQueries.oracle)
 
