@@ -44,6 +44,11 @@ object LifecycleQueries {
   val HoltBeta = 0.1
   val HoltH = 7
 
+  /** Bot triage: minimum events for a stable burstiness estimate, and
+    * the review-queue size. */
+  val MinBotEvents = 10
+  val BotTopK = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Near-duplicate suppression: an event is a dup when the SAME
     // (user, type) fired within DedupWindowUs before it — one lag per
@@ -112,6 +117,34 @@ object LifecycleQueries {
         .select(col("day"), col("n_risk"), col("n_converted"),
           col("n_censored"), col("survival"))
         .orderBy("day")
+    }),
+
+    // Automation triage: rank users by inter-arrival burstiness
+    // cv² = Var(gap)/mean(gap)² — a fixed-timer bot scores ≈0, a
+    // Poisson-ish human ≈1, bursty sessions >1 — so the ASCENDING head
+    // of the ranking is the review queue for "too regular to be human",
+    // the behavioral-hygiene pass a training pipeline runs before
+    // user-generated text enters the corpus. Gaps are exact integer
+    // seconds; cv² is ONE division of exact BIGINTs ((g·Σg² − S₁²)/S₁²,
+    // bounds ≈2^55 at sf0.1), so the ranking is bit-stable. One corpus
+    // shuffle (lag by user) + a user-sized aggregate + TakeOrdered.
+    "events_bot_suspects" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      EventsQueries.events(s, dir)
+        .withColumn("gap_us", col("ts") - lag("ts", 1).over(w))
+        .withColumn("gap_s", expr("gap_us div 1000000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("gap_s")).as("n_gaps"),
+          sum("gap_s").as("s1"),
+          sum(col("gap_s") * col("gap_s")).as("s2"))
+        .filter(col("n_events") >= MinBotEvents && col("s1") > 0L)
+        .select(col("user_id"), col("n_events"), col("n_gaps"),
+          (col("s1").cast("double") / col("n_gaps")).as("mean_gap_s"),
+          ((col("n_gaps") * col("s2") - col("s1") * col("s1"))
+            .cast("double") / (col("s1") * col("s1"))).as("gap_cv2"))
+        .orderBy(col("gap_cv2"), col("user_id"))
+        .limit(BotTopK)
     }),
 
     // Holt's linear-trend smoothing over the daily event-count series:
@@ -203,6 +236,28 @@ object LifecycleQueries {
          |SELECT event_type, n_total, n_dup, n_total - n_dup AS n_kept,
          |       CAST(n_dup AS DOUBLE) / n_total AS dup_rate
          |FROM agg ORDER BY event_type NULLS FIRST""".stripMargin),
+
+    "events_bot_suspects" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""gaps AS (
+         |  SELECT user_id,
+         |         (ts - lag(ts) OVER (PARTITION BY user_id
+         |                             ORDER BY ts, event_id)) // 1000000
+         |           AS gap_s
+         |  FROM ev
+         |),
+         |st AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |         count(gap_s) AS n_gaps,
+         |         CAST(sum(gap_s) AS BIGINT) AS s1,
+         |         CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+         |  FROM gaps GROUP BY 1
+         |)
+         |SELECT user_id, n_events, n_gaps,
+         |       CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
+         |       CAST(n_gaps * s2 - s1 * s1 AS DOUBLE) / (s1 * s1)
+         |         AS gap_cv2
+         |FROM st WHERE n_events >= $MinBotEvents AND s1 > 0
+         |ORDER BY gap_cv2, user_id LIMIT $BotTopK""".stripMargin),
 
     "events_kaplan_meier" -> (s"WITH ${EventsQueries.eventsSql},\n" +
       s"""u AS (

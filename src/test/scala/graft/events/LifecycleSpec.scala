@@ -79,6 +79,32 @@ class LifecycleSpec extends SparkSpec {
     assert(rows.map(_._4).sum > 0)
   }
 
+  test("bot suspects: burstiness ranking equals the direct recount") {
+    val got = LifecycleQueries.queries("events_bot_suspects")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val expected = raw.groupBy(_._3).toSeq
+      .map { case (u, evs) =>
+        val ts = evs.sortBy(e => (e._2, e._1)).map(_._2)
+        val gaps = ts.zip(ts.drop(1)).map { case (a, b) => (b - a) / 1000000L }
+        val (s1, s2) = (gaps.sum, gaps.map(g => g * g).sum)
+        (u, ts.size.toLong, gaps.size.toLong, s1, s2)
+      }
+      .filter(x => x._2 >= LifecycleQueries.MinBotEvents && x._4 > 0)
+      .map { case (u, n, g, s1, s2) =>
+        (u, n, g, s1.toDouble / g, (g * s2 - s1 * s1).toDouble / (s1 * s1))
+      }
+      .sortBy(x => (x._5, x._1))
+      .take(LifecycleQueries.BotTopK)
+    assert(got.toSeq == expected)
+    // the queue is ordered most-metronomic first and cv2 is sane
+    assert(got.sliding(2).forall {
+      case Array(a, b) => a._5 <= b._5; case _ => true
+    })
+    assert(got.forall(_._5 >= 0.0))
+  }
+
   test("holt: fold equals the textbook recursion; forecast extrapolates") {
     val rows = LifecycleQueries.queries("events_holt_linear")(spark, sf)
       .collect()
