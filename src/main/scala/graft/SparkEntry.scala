@@ -11,7 +11,7 @@ import graft.multimodal.Multimodal
 import graft.profile.{PrivacyQueries, ProfileQueries}
 import graft.relational.{AsOfQueries, BasketQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.{MatryoshkaQueries, SimilarityQueries}
-import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, PipelineQueries, SweepQueries, TextQueries}
+import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, MaskingQueries, PipelineQueries, SweepQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,7 @@ object SparkEntry {
       DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
       MatryoshkaQueries.queries, CollocationQueries.queries,
+      MaskingQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
       TrendQueries.queries, LifecycleQueries.queries, BenfordQueries.queries,
@@ -55,6 +56,7 @@ object SparkEntry {
       DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
       MatryoshkaQueries.oracle, CollocationQueries.oracle,
+      MaskingQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       SkewQueries.oracle, CohortQueries.oracle, CohortQueries.moreOracle,
       TrendQueries.oracle, LifecycleQueries.oracle, BenfordQueries.oracle,

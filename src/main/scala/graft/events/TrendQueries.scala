@@ -426,6 +426,43 @@ object TrendQueries {
           col("var_s"), col("z"),
           (abs(col("z")) > lit(1.96)).as("has_trend"))
         .orderBy("event_type")
+    }),
+
+    // Theil–Sen robust trend per type — the MAGNITUDE companion to
+    // Mann-Kendall's direction test: slope = median of all pairwise
+    // slopes (each one exact-int difference ratio → a single IEEE
+    // division), intercept = median of per-point residuals n − b̂·day.
+    // Medians interpolate over SORTED values (percentile ≡
+    // quantile_cont, the documented bit-equal pair), so no
+    // summation-order hazard exists anywhere. Up to ~29% of the points
+    // can be arbitrarily corrupted before the estimate moves — the
+    // throughput-trend fit a pipeline can trust through incident days
+    // that wreck OLS. Same #days²-per-type pair shape as Mann-Kendall:
+    // the corpus reduces to per-day counts FIRST; pairs are day-sized².
+    "events_theilsen_trend" -> ((s, dir) => {
+      val d = daily(s, dir).localCheckpoint() // pairs ×2 + residuals + max
+      val slopes = d.alias("a")
+        .join(d.alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.n_events") - col("a.n_events")).cast("double") /
+            (col("b.day") - col("a.day"))).as("sl"))
+        .groupBy("event_type")
+        .agg(expr("percentile(sl, 0.5)").as("slope"),
+          count(lit(1)).as("n_pairs"))
+      val fit = d.join(broadcast(slopes), "event_type")
+        .withColumn("resid",
+          col("n_events").cast("double") - col("slope") * col("day"))
+        .groupBy("event_type")
+        .agg(max("slope").as("slope"), max("n_pairs").as("n_pairs"),
+          count(lit(1)).as("n_days"), max("day").as("max_day"),
+          expr("percentile(resid, 0.5)").as("intercept"))
+      fit.select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("slope"), col("intercept"),
+          (col("slope") * (col("max_day") + 1L) + col("intercept"))
+            .as("forecast_next"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -773,5 +810,34 @@ object TrendQueries {
          |                WHEN s_stat < 0
          |                  THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
          |                ELSE 0.0 END) > 1.96 AS has_trend
-         |FROM vs ORDER BY event_type""".stripMargin))
+         |FROM vs ORDER BY event_type""".stripMargin),
+
+    // quantile_cont ≡ Spark percentile (documented bit-equal pair);
+    // every input to both medians is a single exact-int division or a
+    // fixed-order product-subtract — no summation anywhere
+    "events_theilsen_trend" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""d AS (
+         |  SELECT event_type, ts // ${EventsQueries.DayUs} AS day,
+         |         count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2
+         |),
+         |slopes AS (
+         |  SELECT a.event_type,
+         |         quantile_cont(CAST(b.n_events - a.n_events AS DOUBLE)
+         |                       / (b.day - a.day), 0.5) AS slope,
+         |         count(*) AS n_pairs
+         |  FROM d a JOIN d b
+         |    ON a.event_type = b.event_type AND a.day < b.day
+         |  GROUP BY 1
+         |),
+         |fit AS (
+         |  SELECT d.event_type, s.slope, s.n_pairs,
+         |         count(*) AS n_days, max(day) AS max_day,
+         |         quantile_cont(CAST(n_events AS DOUBLE) - s.slope * day,
+         |                       0.5) AS intercept
+         |  FROM d JOIN slopes s USING (event_type) GROUP BY 1, 2, 3
+         |)
+         |SELECT event_type, n_days, n_pairs, slope, intercept,
+         |       slope * (max_day + 1) + intercept AS forecast_next
+         |FROM fit ORDER BY event_type""".stripMargin))
 }

@@ -116,4 +116,39 @@ class TrendSpec extends SparkSpec {
       assert(absErr === math.abs(expYhat - actual.toDouble))
     }
   }
+
+  // percentile's linear interpolation over sorted values: v[floor(h)] +
+  // (h - floor(h)) * (v[ceil(h)] - v[floor(h)]) at h = (n-1)*q
+  private def medianInterp(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val h = (s.length - 1) * 0.5
+    val lo = h.toInt
+    if (lo == h) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+  }
+
+  test("theil-sen: medians of pairwise slopes and residuals, exactly") {
+    val rows = TrendQueries.queries("events_theilsen_trend")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.nonEmpty)
+    dailyCounts.foreach { case (tpe, series) =>
+      val pairs = for {
+        i <- series.indices; j <- series.indices if i < j
+      } yield (series(j)._2 - series(i)._2).toDouble /
+        (series(j)._1 - series(i)._1)
+      val slope = medianInterp(pairs)
+      val intercept = medianInterp(series.map { case (d, n) =>
+        n.toDouble - slope * d
+      })
+      val (nd, np, gs, gi, fc) = rows(tpe)
+      assert(nd == series.length.toLong)
+      assert(np == pairs.length.toLong)
+      assert(gs == slope, s"slope($tpe)")
+      assert(gi == intercept, s"intercept($tpe)")
+      assert(fc == slope * (series.map(_._1).max + 1) + intercept)
+      // robustness sanity: the median slope is inside the pair range
+      assert(slope >= pairs.min && slope <= pairs.max)
+    }
+  }
 }
