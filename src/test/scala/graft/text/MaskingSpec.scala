@@ -52,4 +52,35 @@ class MaskingSpec extends SparkSpec {
     assert(totMasked / totTok > 0.10 && totMasked / totTok < 0.20,
       s"corpus corruption ${totMasked / totTok} outside the 15% band")
   }
+
+  test("span emit: reconstruction law — input + target rebuild the doc") {
+    val rows = MaskingQueries.queries("corpus_span_mask_emit")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length == docs.size)
+    val sentinel = "<X_(\\d+)>".r
+    rows.foreach { case (id, nTok, nSpans, nVisible, input, target) =>
+      // substituting each sentinel's span text back into the input must
+      // reproduce the original document exactly
+      val spans = sentinel.findAllMatchIn(target).toSeq
+      val bounds = spans.map(_.start) :+ target.length
+      val spanText = spans.zipWithIndex.map { case (m, i) =>
+        m.group(1).toInt -> target.substring(m.end, bounds(i + 1)).trim
+      }.toMap
+      val rebuilt = sentinel.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spanText(m.group(1).toInt)))
+      assert(rebuilt == docs(id), s"doc $id: reconstruction broke")
+      assert(nSpans == spanText.size.toLong)
+      // visible tokens + hidden span tokens account for every token
+      val hidden = spanText.values.map(_.split(" ", -1).length).sum
+      if (nSpans > 0)
+        assert(nVisible + hidden == nTok, s"doc $id: token accounting")
+      else assert(nVisible == nTok && target.isEmpty)
+    }
+  }
 }
