@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
-import graft.events.{BenfordQueries, CausalQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SkewQueries, TrendQueries}
+import graft.events.{BenfordQueries, CausalQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SeasonalQueries, SkewQueries, TrendQueries}
 import graft.graph.GraphXAnalytics
 import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
@@ -40,7 +40,7 @@ object SparkEntry {
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
       SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
       TrendQueries.queries, LifecycleQueries.queries, BenfordQueries.queries,
-      CausalQueries.queries,
+      CausalQueries.queries, SeasonalQueries.queries,
       JourneyQueries.queries, JourneyQueries.moreQueries,
       DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
@@ -60,7 +60,7 @@ object SparkEntry {
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
       SkewQueries.oracle, CohortQueries.oracle, CohortQueries.moreOracle,
       TrendQueries.oracle, LifecycleQueries.oracle, BenfordQueries.oracle,
-      CausalQueries.oracle,
+      CausalQueries.oracle, SeasonalQueries.oracle,
       JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle, BasketQueries.oracle,
