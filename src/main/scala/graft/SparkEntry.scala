@@ -9,6 +9,7 @@ import graft.graph.GraphXAnalytics
 import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
 import graft.profile.{PrivacyQueries, ProfileQueries}
+import graft.sources.KvGenQueries
 import graft.relational.{AsOfQueries, BasketQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.{MatryoshkaQueries, SimilarityQueries}
 import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, MaskingQueries, PipelineQueries, SweepQueries, TextQueries}
@@ -46,7 +47,7 @@ object SparkEntry {
       RelationalQueries.queries, TpchMoreQueries.queries,
       PartSuppQueries.queries, BasketQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
-      ProfileQueries.queries, PrivacyQueries.queries)
+      ProfileQueries.queries, PrivacyQueries.queries, KvGenQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
     Seq(KeyspaceQueries.oracle, BloomGate.oracle, ClusterQueries.oracle,
@@ -65,7 +66,7 @@ object SparkEntry {
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle, BasketQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
-      ProfileQueries.oracle, PrivacyQueries.oracle)
+      ProfileQueries.oracle, PrivacyQueries.oracle, KvGenQueries.oracle)
 
   private def merged[V](modules: Seq[Map[String, V]]): Map[String, V] = {
     val total = modules.map(_.size).sum
