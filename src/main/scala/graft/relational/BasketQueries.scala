@@ -69,6 +69,57 @@ object BasketQueries {
             (col("c1a") * col("c1b"))).as("lift"))
         .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
         .limit(TopK)
+    }),
+
+    // sequential rules — the TEMPORAL companion: a→b is supported by a
+    // customer iff some order with a strictly predates some order with
+    // b, which collapses to first_date(a) < last_date(b) per customer —
+    // so the corpus reduces to one (customer, brand, first, last) row
+    // per pair member and the quadratic step is per-customer-bounded,
+    // the same cost discipline as the co-occurrence rules. Confidence
+    // conditions on customers holding the antecedent at all; the
+    // reverse count exposes direction asymmetry (a→b ≫ b→a is an
+    // ordering signal co-occurrence cannot see).
+    "basket_sequence_rules" -> ((s, dir) => {
+      val spans = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/part.parquet")),
+          col("l_partkey") === col("p_partkey"))
+        .join(s.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
+        .agg(min("o_orderdate").as("first_d"),
+          max("o_orderdate").as("last_d"))
+        .localCheckpoint() // both sides of the pair join + the census
+      val c1 = spans.groupBy("item").agg(count(lit(1)).as("n_cust"))
+      // rev must come from the UNfiltered direction counts: a surviving
+      // a→b whose reverse fell under min-support still has a true
+      // nonzero reverse census
+      val seqAll = spans.as("a")
+        .join(spans.as("b"),
+          col("a.cust") === col("b.cust") &&
+            col("a.item") =!= col("b.item") &&
+            col("a.first_d") < col("b.last_d"))
+        .groupBy(col("a.item").as("antecedent"),
+          col("b.item").as("consequent"))
+        .agg(count(lit(1)).as("n_cust_seq"))
+        .localCheckpoint() // brand²-bounded; both directions read it
+      val seq = seqAll.filter(col("n_cust_seq") >= MinPairBaskets)
+      val rev = seqAll.select(col("antecedent").as("consequent"),
+        col("consequent").as("antecedent"),
+        col("n_cust_seq").as("n_cust_rev"))
+      seq
+        .join(broadcast(c1.select(col("item").as("antecedent"),
+          col("n_cust").as("n_cust_ante"))), "antecedent")
+        .join(broadcast(rev), Seq("antecedent", "consequent"), "left")
+        .select(col("antecedent"), col("consequent"), col("n_cust_seq"),
+          coalesce(col("n_cust_rev"), lit(0L)).as("n_cust_rev"),
+          col("n_cust_ante"),
+          (col("n_cust_seq").cast("double") / col("n_cust_ante"))
+            .as("confidence"))
+        .orderBy(col("n_cust_seq").desc, col("antecedent"),
+          col("consequent"))
+        .limit(TopK)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -100,5 +151,37 @@ object BasketQueries {
          |JOIN c1 cb ON cb.item = b.consequent
          |CROSS JOIN n
          |ORDER BY lift DESC, b.antecedent, b.consequent
+         |LIMIT $TopK""".stripMargin,
+
+    "basket_sequence_rules" ->
+      s"""WITH spans AS (
+         |  SELECT o.o_custkey AS cust, p.p_brand AS item,
+         |         min(o.o_orderdate) AS first_d,
+         |         max(o.o_orderdate) AS last_d
+         |  FROM lineitem l
+         |  JOIN part p ON p.p_partkey = l.l_partkey
+         |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2
+         |),
+         |c1 AS (SELECT item, count(*) AS n_cust FROM spans GROUP BY 1),
+         |seq_all AS (
+         |  SELECT a.item AS antecedent, b.item AS consequent,
+         |         count(*) AS n_cust_seq
+         |  FROM spans a JOIN spans b
+         |    ON a.cust = b.cust AND a.item <> b.item
+         |   AND a.first_d < b.last_d
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.antecedent, s.consequent,
+         |       s.n_cust_seq,
+         |       CAST(coalesce(r.n_cust_seq, 0) AS BIGINT) AS n_cust_rev,
+         |       c.n_cust AS n_cust_ante,
+         |       CAST(s.n_cust_seq AS DOUBLE) / c.n_cust AS confidence
+         |FROM seq_all s
+         |JOIN c1 c ON c.item = s.antecedent
+         |LEFT JOIN seq_all r
+         |  ON r.antecedent = s.consequent AND r.consequent = s.antecedent
+         |WHERE s.n_cust_seq >= $MinPairBaskets
+         |ORDER BY s.n_cust_seq DESC, s.antecedent, s.consequent
          |LIMIT $TopK""".stripMargin)
 }

@@ -44,4 +44,44 @@ class BasketSpec extends SparkSpec {
       assert(lift == (c * n).toDouble / (c1a * c1b))
     }
   }
+
+  test("sequence rules: temporal census equals the direct recount") {
+    val got = BasketQueries.queries("basket_sequence_rules")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("p_brand"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val spans = li.groupBy(e => (e._1, e._2)).view.mapValues { es =>
+      (es.map(_._3).min, es.map(_._3).max)
+    }.toMap
+    val c1 = spans.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val byCust = spans.toSeq.groupBy(_._1._1)
+    val seqAll = byCust.values.toSeq.flatMap { members =>
+      for {
+        ((_, a), (fa, _)) <- members
+        ((_, b), (_, lb)) <- members
+        if a != b && fa.isBefore(lb)
+      } yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = seqAll.toSeq
+      .filter(_._2 >= BasketQueries.MinPairBaskets)
+      .map { case ((a, b), c) =>
+        (a, b, c, seqAll.getOrElse((b, a), 0L), c1(a),
+          c.toDouble / c1(a))
+      }
+      .sortBy(x => (-x._3, x._1, x._2))
+      .take(BasketQueries.TopK)
+    assert(got.toSeq == expected)
+    // confidence is a probability over antecedent holders
+    assert(got.forall(r => r._6 > 0.0 && r._6 <= 1.0))
+  }
 }
