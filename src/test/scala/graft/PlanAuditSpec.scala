@@ -872,4 +872,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"the scorecard aggregate must combine map-side\n${p.take(3000)}")
   }
+
+  test("basket rules: item/census sides broadcast; top-k is TakeOrdered") {
+    val p = graft.relational.BasketQueries
+      .queries("basket_pair_rules")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort\n${p.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"unigram censuses must broadcast\n${p.take(3000)}")
+  }
+
+  test("theil-sen: corpus reduced before the day-pair quadratic step") {
+    val df = graft.events.TrendQueries
+      .queries("events_theilsen_trend")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the pair join runs over the checkpointed day table, not the scan
+    assert(!p.contains("FileScan parquet"),
+      s"pairs must join the checkpointed daily reduction\n${p.take(2000)}")
+  }
+
+  test("holt-winters: the fold hangs off the checkpointed day table") {
+    val df = graft.events.SeasonalQueries
+      .queries("events_holt_winters")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"no consumer may rescan the events parquet\n${p.take(2000)}")
+  }
+
+  test("span mask plan: one corpus scan feeds the whole ledger") {
+    val df = graft.text.MaskingQueries
+      .queries("corpus_span_mask_plan")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      s"one-pass shape requires 1 scan\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"pure window pipeline — no joins expected\n${p.take(2000)}")
+  }
+
+  test("dsv2 scan: source pushdown visible as a single BatchScan") {
+    val df = graft.sources.KvGenQueries
+      .queries("kv_dsv2_shard_scan")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), s"DSv2 scan expected\n${p.take(2000)}")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"shard summary must combine map-side\n${p.take(2000)}")
+  }
 }
