@@ -66,8 +66,15 @@ object SeasonalQueries {
   private def spark(e: String): String = e.replace("D2", "D")
   private def duck(e: String): String = e.replace("D2", "::DOUBLE")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_holt_winters" -> ((s, dir) => {
+  /** MAD fence for the residual anomaly query (3σ × the normal
+    * consistency constant — same literal as events_mad_outliers). */
+  val MadK = 4.4478
+
+  /** The fit rows (day, x, level, trend, seasonal, fitted) plus the
+    * final-state frame and day table — shared by the forecast query and
+    * the residual-anomaly query. */
+  private def hwFits(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
       val d = EventsQueries.events(s, dir)
         .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
         .groupBy("day").agg(count(lit(1)).as("n"))
@@ -120,6 +127,12 @@ object SeasonalQueries {
         .join(broadcast(fitRows), "day")
         .select(col("day"), col("n").cast("double").as("x"),
           col("level"), col("trend"), col("seasonal"), col("fitted"))
+      (fits, folded, d)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_holt_winters" -> ((s, dir) => {
+      val (fits, folded, d) = hwFits(s, dir)
       val maxd = d.agg(max("day").as("maxd"))
       val fc = folded
         .select(explode(sequence(lit(1), lit(ForecastH))).as("h"),
@@ -134,10 +147,36 @@ object SeasonalQueries {
           lit(null).cast("double").as("trend"),
           lit(null).cast("double").as("seasonal"), col("fitted"))
       fits.unionAll(fc).orderBy("day")
+    }),
+
+    // seasonal anomaly: a day is anomalous when its count deviates from
+    // the Holt–Winters one-step prediction beyond a MAD fence over the
+    // residual series — the seasonality-aware upgrade of
+    // events_mad_outliers (a normal Saturday dip no longer pages
+    // anyone; a Saturday SPIKE now does). Residual medians interpolate
+    // over sorted values (percentile ≡ quantile_cont), so the fence is
+    // bit-portable like every statistic here.
+    "events_seasonal_anomaly" -> ((s, dir) => {
+      val (fits, _, _) = hwFits(s, dir)
+      val resid = fits
+        .withColumn("resid", col("x") - col("fitted"))
+        .localCheckpoint() // day-sized; feeds the fence and the output
+      val fence = resid.agg(
+        expr("percentile(resid, 0.5)").as("med"))
+      val withMed = resid.crossJoin(broadcast(fence))
+      val mad = withMed
+        .agg(expr("percentile(abs(resid - med), 0.5)").as("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .select(col("day"), col("x"), col("fitted"), col("resid"),
+          col("med"), col("mad"),
+          (abs(col("resid") - col("med")) > lit(MadK) * col("mad"))
+            .as("is_anomaly"))
+        .orderBy("day")
     }))
 
-  val oracle: Map[String, String] = Map(
-    "events_holt_winters" -> {
+  /** The recursive-CTE prefix (through the `hw` state table) shared by
+    * both oracle statements. */
+  private val hwCtePrefix: String = {
       def acc(f: String) = s"h.$f"
       val x = "CAST(n.n AS DOUBLE)"
       val w = "n.w"
@@ -179,8 +218,12 @@ object SeasonalQueries {
          |         ${duck(swOf(acc, w))},
          |         ${duck(fitted(acc, w))}
          |  FROM hw h JOIN idx n ON n.i = h.i + 1
-         |)
-         |SELECT day, xv AS x, l AS level, b AS trend, seas AS seasonal,
+         |)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "events_holt_winters" -> (hwCtePrefix + "\n" +
+      s"""SELECT day, xv AS x, l AS level, b AS trend, seas AS seasonal,
          |       fitted
          |FROM hw WHERE i > ${2 * Period}
          |UNION ALL
@@ -192,6 +235,20 @@ object SeasonalQueries {
                 f => s"(SELECT $f FROM hw ORDER BY i DESC LIMIT 1)",
                 s"CAST(((SELECT max(day) FROM d) + fh.h + 3) % 7 AS INT)"))}
          |FROM (SELECT unnest(range(1, ${ForecastH + 1})) AS h) fh
-         |ORDER BY day""".stripMargin
-    })
+         |ORDER BY day""".stripMargin),
+
+    "events_seasonal_anomaly" -> (hwCtePrefix + ",\n" +
+      s"""resid AS (
+         |  SELECT day, xv AS x, fitted, xv - fitted AS resid
+         |  FROM hw WHERE i > ${2 * Period}
+         |),
+         |fence AS (SELECT quantile_cont(resid, 0.5) AS med FROM resid),
+         |mad AS (
+         |  SELECT quantile_cont(abs(resid - fence.med), 0.5) AS mad
+         |  FROM resid, fence
+         |)
+         |SELECT r.day, r.x, r.fitted, r.resid, fence.med, mad.mad,
+         |       abs(r.resid - fence.med) > $MadK::DOUBLE * mad.mad
+         |         AS is_anomaly
+         |FROM resid r, fence, mad ORDER BY r.day""".stripMargin))
 }

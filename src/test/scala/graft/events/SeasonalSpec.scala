@@ -61,4 +61,23 @@ class SeasonalSpec extends SparkSpec {
       assert(r.getDouble(5) == l + h.toDouble * b + s(((day + 3) % 7).toInt))
     }
   }
+
+  test("seasonal anomaly: fence laws over the residual series") {
+    val rows = SeasonalQueries
+      .queries("events_seasonal_anomaly")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, x, fitted, resid, med, mad, flag) =>
+      assert(resid == x - fitted)
+      assert(flag == (math.abs(resid - med) >
+        SeasonalQueries.MadK * mad))
+    }
+    // one fence for the whole series
+    assert(rows.map(r => (r._5, r._6)).distinct.length == 1)
+    assert(rows.head._6 >= 0.0)
+    // at least half the days sit inside any sane fence
+    assert(rows.count(!_._7) * 2 >= rows.length)
+  }
 }
