@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object CausalQueries {
 
+  /** χ² critical value at 1 df, α = 0.05 — the SRM alarm line. */
+  val SrmChi2Crit95 = 3.841
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_did_uplift" -> ((s, dir) => {
       val ev = EventsQueries.events(s, dir)
@@ -50,6 +53,73 @@ object CausalQueries {
         .select(col("arm"), col("period"), col("n_users"),
           col("n_purchases"), col("mean_purchases"), col("did_uplift"))
         .orderBy("arm", "period")
+    }),
+
+    // sample-ratio mismatch — the gate every experiment readout runs
+    // FIRST: under a 50/50 split the arm sizes differ only by chance,
+    // and chi² = (n_a − n_b)²/(n_a + n_b) (1 df) catches assignment
+    // bugs (bot filtering one arm, logging loss) before anyone reads a
+    // lift. One user-level aggregate; the statistic is one division of
+    // exact BIGINTs.
+    "events_ab_srm" -> ((s, dir) => {
+      EventsQueries.events(s, dir)
+        .select(pmod(col("user_id"), lit(2L)).as("arm"), col("user_id"))
+        .distinct()
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b"))).as("chi2"))
+        .withColumn("srm_flag", col("chi2") > SrmChi2Crit95)
+    }),
+
+    // CUPED variance reduction: adjust each arm's post-period outcome
+    // (purchases per user) by its pre-period activity covariate,
+    // yₐdj = ȳₐ − θ(x̄ₐ − x̄), θ = cov(x,y)/var(x) — the standard way to
+    // shrink experiment confidence intervals without more traffic. All
+    // moments (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs over per-user
+    // integer counts; θ, ρ² (the fraction of outcome variance the
+    // covariate removes) and the adjusted means are fixed-order double
+    // expressions over them. One corpus scan → user table → moments.
+    "events_cuped" -> ((s, dir) => {
+      val ev = EventsQueries.events(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      val sp = ev.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("split_day"))
+      val users = ev.crossJoin(broadcast(sp))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("split_day"), 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("day") >= col("split_day") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+        .localCheckpoint() // global moments + per-arm cells, one pass
+      val m = users.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val theta = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") / (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val rho2num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      val rho2 = rho2num.cast("double") * rho2num /
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")))
+      val stats = m.select(col("n"), col("sx"),
+        theta.as("theta"), rho2.as("rho2"))
+      users.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum("x").as("sx_arm"), sum("y").as("sy_arm"))
+        .crossJoin(broadcast(stats))
+        .select(col("arm"), col("n_users"),
+          (col("sy_arm").cast("double") / col("n_users")).as("mean_y"),
+          (col("sx_arm").cast("double") / col("n_users")).as("mean_x"),
+          col("theta"), col("rho2"),
+          (col("sy_arm").cast("double") / col("n_users") -
+            col("theta") * (col("sx_arm").cast("double") / col("n_users") -
+              col("sx").cast("double") / col("n"))).as("adjusted_mean"))
+        .orderBy("arm")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -87,5 +157,73 @@ object CausalQueries {
          |)
          |SELECT m.arm, m.period, m.n_users, m.n_purchases,
          |       m.mean_purchases, did.did_uplift
-         |FROM m, did ORDER BY m.arm, m.period""".stripMargin))
+         |FROM m, did ORDER BY m.arm, m.period""".stripMargin),
+
+    "events_ab_srm" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""u AS (SELECT DISTINCT user_id % 2 AS arm, user_id FROM ev),
+         |c AS (
+         |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_a,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_b
+         |  FROM u
+         |),
+         |x AS (
+         |  SELECT n_a, n_b,
+         |         CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+         |           AS chi2
+         |  FROM c
+         |)
+         |SELECT n_a, n_b, chi2, chi2 > $SrmChi2Crit95::DOUBLE AS srm_flag
+         |FROM x""".stripMargin),
+
+    "events_cuped" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""evd AS (
+         |  SELECT *, ts // ${EventsQueries.DayUs} AS day FROM ev
+         |),
+         |sp AS (
+         |  SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM evd
+         |),
+         |users AS (
+         |  SELECT user_id, user_id % 2 AS arm,
+         |         CAST(sum(CASE WHEN day < sp.split_day THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS x,
+         |         CAST(sum(CASE WHEN day >= sp.split_day
+         |                        AND event_type = 'purchase'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM evd, sp GROUP BY 1, 2
+         |),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM users
+         |),
+         |st AS (
+         |  SELECT n, sx,
+         |         CAST(n * sxy - sx * sy AS DOUBLE)
+         |           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         |         CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+         |           / (CAST(n * sxx - sx * sx AS DOUBLE)
+         |              * (n * syy - sy * sy)) AS rho2
+         |  FROM m
+         |),
+         |arms AS (
+         |  SELECT arm, count(*) AS n_users,
+         |         CAST(sum(x) AS BIGINT) AS sx_arm,
+         |         CAST(sum(y) AS BIGINT) AS sy_arm
+         |  FROM users GROUP BY 1
+         |)
+         |SELECT a.arm, a.n_users,
+         |       CAST(a.sy_arm AS DOUBLE) / a.n_users AS mean_y,
+         |       CAST(a.sx_arm AS DOUBLE) / a.n_users AS mean_x,
+         |       st.theta, st.rho2,
+         |       CAST(a.sy_arm AS DOUBLE) / a.n_users
+         |         - st.theta * (CAST(a.sx_arm AS DOUBLE) / a.n_users
+         |                       - CAST(st.sx AS DOUBLE) / st.n)
+         |         AS adjusted_mean
+         |FROM arms a, st ORDER BY a.arm""".stripMargin))
 }

@@ -36,4 +36,54 @@ class CausalSpec extends SparkSpec {
     val did = (m(1, "post") - m(1, "pre")) - (m(0, "post") - m(0, "pre"))
     assert(rows.forall(_._6 == did))
   }
+
+  test("srm: chi2 equals the two-cell formula over distinct users") {
+    val r = CausalQueries.queries("events_ab_srm")(spark, sf)
+      .collect().head
+    val users = EventsQueries.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val na = users.count(_ % 2 == 0).toLong
+    val nb = users.count(_ % 2 == 1).toLong
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    val chi2 = ((na - nb) * (na - nb)).toDouble / (na + nb)
+    assert(r.getDouble(2) == chi2)
+    assert(r.getBoolean(3) == (chi2 > CausalQueries.SrmChi2Crit95))
+  }
+
+  test("cuped: theta, rho2, and adjusted means equal the moment algebra") {
+    val rows = CausalQueries.queries("events_cuped")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    val raw = EventsQueries.events(spark, sf)
+      .select("ts", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0) / EventsQueries.DayUs, r.getLong(1),
+        r.getString(2)))
+    val split = (raw.map(_._1).min + raw.map(_._1).max + 1) / 2
+    val users = raw.groupBy(_._2).toSeq.map { case (u, es) =>
+      (u, es.count(_._1 < split).toLong,
+        es.count(e => e._1 >= split && e._3 == "purchase").toLong)
+    }
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val syy = users.map(u => u._3 * u._3).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val rho2 = (n * sxy - sx * sy).toDouble * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy))
+    rows.foreach { case (arm, nu, my, mx, th, r2, adj) =>
+      val au = users.filter(_._1 % 2 == arm)
+      assert(nu == au.length.toLong)
+      assert(my == au.map(_._3).sum.toDouble / au.length)
+      assert(mx == au.map(_._2).sum.toDouble / au.length)
+      assert(th == theta && r2 == rho2)
+      assert(adj == au.map(_._3).sum.toDouble / au.length -
+        theta * (au.map(_._2).sum.toDouble / au.length -
+          sx.toDouble / n))
+    }
+    // the covariate genuinely explains variance on this fixture
+    assert(rho2 > 0.0 && rho2 < 1.0)
+  }
 }
