@@ -26,6 +26,10 @@ object CausalQueries {
   /** χ² critical value at 1 df, α = 0.05 — the SRM alarm line. */
   val SrmChi2Crit95 = 3.841
 
+  /** z_{0.025} + z_{0.20} = 1.96 + 0.8416 for 80% power / 5% α, as one
+    * literal both engines parse to the same double. */
+  val ZSum8005 = 2.8016
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_did_uplift" -> ((s, dir) => {
       val ev = EventsQueries.events(s, dir)
@@ -120,6 +124,45 @@ object CausalQueries {
             col("theta") * (col("sx_arm").cast("double") / col("n_users") -
               col("sx").cast("double") / col("n"))).as("adjusted_mean"))
         .orderBy("arm")
+    }),
+
+    // minimum detectable effect at 80% power / 5% two-sided α — the
+    // "is this experiment even worth running" number, plus what CUPED
+    // buys: MDE = (z_{α/2}+z_β)·√(σ²(1/n_a+1/n_b)), and the adjusted
+    // series has variance σ²(1−ρ²), so MDE_cuped = MDE·√(1−ρ²). The
+    // z-sum is one literal (2.8016); σ² is the sample variance from
+    // exact integer moments; every float op is fixed-order.
+    "events_power_mde" -> ((s, dir) => {
+      val ev = EventsQueries.events(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      val sp = ev.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("split_day"))
+      val users = ev.crossJoin(broadcast(sp))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("split_day"), 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("day") >= col("split_day") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+        .localCheckpoint()
+      val m = users.agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val varY = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double") / (col("n").cast("double") * (col("n") - 1L))
+      val rho2num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      val rho2 = rho2num.cast("double") * rho2num /
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")))
+      val mde = lit(ZSum8005) * sqrt(varY *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      m.select(col("n_a"), col("n_b"),
+          (col("sy").cast("double") / col("n")).as("mean_y"),
+          varY.as("var_y"), rho2.as("rho2"), mde.as("mde_abs"),
+          (mde * sqrt(lit(1.0) - rho2)).as("mde_cuped_abs"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +268,53 @@ object CausalQueries {
          |         - st.theta * (CAST(a.sx_arm AS DOUBLE) / a.n_users
          |                       - CAST(st.sx AS DOUBLE) / st.n)
          |         AS adjusted_mean
-         |FROM arms a, st ORDER BY a.arm""".stripMargin))
+         |FROM arms a, st ORDER BY a.arm""".stripMargin),
+
+    "events_power_mde" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""evd AS (
+         |  SELECT *, ts // ${EventsQueries.DayUs} AS day FROM ev
+         |),
+         |sp AS (
+         |  SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM evd
+         |),
+         |users AS (
+         |  SELECT user_id, user_id % 2 AS arm,
+         |         CAST(sum(CASE WHEN day < sp.split_day THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS x,
+         |         CAST(sum(CASE WHEN day >= sp.split_day
+         |                        AND event_type = 'purchase'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM evd, sp GROUP BY 1, 2
+         |),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_a,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_b,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(y * y) AS BIGINT) AS syy,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM users
+         |),
+         |st AS (
+         |  SELECT n_a, n_b,
+         |         CAST(sy AS DOUBLE) / n AS mean_y,
+         |         CAST(n * syy - sy * sy AS DOUBLE)
+         |           / (CAST(n AS DOUBLE) * (n - 1)) AS var_y,
+         |         CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+         |           / (CAST(n * sxx - sx * sx AS DOUBLE)
+         |              * (n * syy - sy * sy)) AS rho2
+         |  FROM m
+         |)
+         |SELECT n_a, n_b, mean_y, var_y, rho2,
+         |       $ZSum8005::DOUBLE
+         |         * sqrt(var_y * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b))
+         |         AS mde_abs,
+         |       $ZSum8005::DOUBLE
+         |         * sqrt(var_y * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b))
+         |         * sqrt(1.0::DOUBLE - rho2) AS mde_cuped_abs
+         |FROM st""".stripMargin))
 }

@@ -86,4 +86,20 @@ class CausalSpec extends SparkSpec {
     // the covariate genuinely explains variance on this fixture
     assert(rho2 > 0.0 && rho2 < 1.0)
   }
+
+  test("power mde: closed form over exact moments; cuped shrinks it") {
+    val r = CausalQueries.queries("events_power_mde")(spark, sf)
+      .collect().head
+    val (na, nb, meanY, varY, rho2, mde, mdeC) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(na > 0 && nb > 0 && varY > 0)
+    assert(mde == CausalQueries.ZSum8005 *
+      math.sqrt(varY * (1.0 / na + 1.0 / nb)))
+    assert(mdeC == mde * math.sqrt(1.0 - rho2))
+    // CUPED strictly tightens whenever the covariate correlates
+    assert(mdeC < mde)
+    // sanity: the MDE is on the outcome's scale
+    assert(mde > 0 && mde < meanY * 10 + 1)
+  }
 }
