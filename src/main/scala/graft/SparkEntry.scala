@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
 import graft.events.{BenfordQueries, CausalQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SeasonalQueries, SkewQueries, TrendQueries}
-import graft.graph.GraphXAnalytics
+import graft.graph.{GraphXAnalytics, HitsQueries}
 import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
 import graft.profile.{PrivacyQueries, ProfileQueries}
@@ -35,7 +35,8 @@ object SparkEntry {
       TextQueries.queries,
       PipelineQueries.queries, BudgetQueries.queries, SweepQueries.queries,
       DedupQueries.queries, DedupComponents.queries,
-      GraphXAnalytics.queries, AsOfQueries.queries, SimilarityQueries.queries,
+      GraphXAnalytics.queries, HitsQueries.queries,
+      AsOfQueries.queries, SimilarityQueries.queries,
       MatryoshkaQueries.queries, CollocationQueries.queries,
       MaskingQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
@@ -55,7 +56,8 @@ object SparkEntry {
       TextQueries.oracle,
       PipelineQueries.oracle, BudgetQueries.oracle, SweepQueries.oracle,
       DedupQueries.oracle, DedupComponents.oracle,
-      GraphXAnalytics.oracle, AsOfQueries.oracle, SimilarityQueries.oracle,
+      GraphXAnalytics.oracle, HitsQueries.oracle,
+      AsOfQueries.oracle, SimilarityQueries.oracle,
       MatryoshkaQueries.oracle, CollocationQueries.oracle,
       MaskingQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
