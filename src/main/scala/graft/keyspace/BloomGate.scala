@@ -1,6 +1,7 @@
 package graft.keyspace
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.oracle.Ora
@@ -34,7 +35,48 @@ object BloomGate {
   /** Hash probes per key. */
   val KvBloomK = 2
 
+  /** Per-block restart interval for the front-coding estimate: every
+    * Nth key is stored in full so point lookups can binary-search
+    * blocks (the RocksDB/LevelDB block layout). */
+  val RestartInterval = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // front-coding savings estimate for the sorted key dictionary —
+    // the SSTable block layout question "what does prefix compression
+    // buy on THIS keyspace?". Per shard, keys sort and each key stores
+    // only its suffix after the longest common prefix with its
+    // predecessor, except every 16th key (a restart point) which
+    // stores in full. The lcp is an ordered zip of the two char arrays
+    // (first-mismatch position) — pure lambda algebra both engines
+    // share; all byte counts are exact BIGINTs, the savings rate one
+    // division. One compaction pass + one per-shard window.
+    "kv_prefix_compress_est" -> ((s, dir) => {
+      val w = Window.partitionBy("shard_id").orderBy("key")
+      KvLog.state(s, dir)
+        .select(col("shard_id"), col("key"))
+        .withColumn("prev", lag("key", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("lcp", expr(
+          s"""CASE WHEN prev IS NULL OR (rn - 1) % $RestartInterval = 0
+            |THEN 0
+            |ELSE coalesce(array_position(
+            |  zip_with(split(key, ''), split(prev, ''),
+            |    (x, y) -> CASE WHEN x IS NULL OR y IS NULL OR x != y
+            |              THEN 0 ELSE 1 END), 0) - 1,
+            |  least(length(key), length(prev)))
+            |END""".stripMargin))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(length(col("key")).cast("long")).as("raw_bytes"),
+          sum((length(col("key")).cast("long") - col("lcp")))
+            .as("coded_bytes"),
+          sum(when(col("lcp") === 0L, 1L).otherwise(0L))
+            .as("n_full_keys"))
+        .withColumn("savings_rate",
+          (col("raw_bytes") - col("coded_bytes")).cast("double") /
+            col("raw_bytes"))
+        .orderBy("shard_id")
+    }),
     // the gate's scorecard, per shard, over the fixture's real read
     // traffic (the op log's GETs, including repeats — read skew counts
     // each probe): how many probes were present, how many the filter
@@ -70,6 +112,41 @@ object BloomGate {
     }))
 
   val oracle: Map[String, String] = Map(
+    "kv_prefix_compress_est" -> (s"WITH ${Ora.kvState},\n" +
+      s"""keys AS (
+         |  SELECT shard_id, key,
+         |         lag(key) OVER (PARTITION BY shard_id ORDER BY key)
+         |           AS prev,
+         |         row_number() OVER (PARTITION BY shard_id ORDER BY key)
+         |           AS rn
+         |  FROM kv_state
+         |),
+         |lcps AS (
+         |  SELECT shard_id, key,
+         |         CASE WHEN prev IS NULL
+         |                OR (rn - 1) % $RestartInterval = 0 THEN 0
+         |              ELSE coalesce(list_position(list_transform(
+         |                list_zip(string_split(key, ''),
+         |                         string_split(prev, '')),
+         |                z -> CASE WHEN z[1] IS NULL OR z[2] IS NULL
+         |                            OR z[1] <> z[2]
+         |                     THEN 0 ELSE 1 END), 0) - 1,
+         |                least(length(key), length(prev)))
+         |         END AS lcp
+         |  FROM keys
+         |),
+         |agg AS (
+         |  SELECT shard_id, count(*) AS n_keys,
+         |         CAST(sum(length(key)) AS BIGINT) AS raw_bytes,
+         |         CAST(sum(length(key) - lcp) AS BIGINT) AS coded_bytes,
+         |         CAST(sum(CASE WHEN lcp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_full_keys
+         |  FROM lcps GROUP BY 1
+         |)
+         |SELECT *, CAST(raw_bytes - coded_bytes AS DOUBLE) / raw_bytes
+         |         AS savings_rate
+         |FROM agg ORDER BY shard_id""".stripMargin),
+
     // same filter relationally: the DISTINCT set of set-bit positions
     // per shard stands in for the bit array; a probe passes iff all K
     // of its positions are set (bit-for-bit the engine's hash chain:

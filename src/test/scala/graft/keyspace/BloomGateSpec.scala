@@ -34,4 +34,37 @@ class BloomGateSpec extends SparkSpec {
       KvLog.state(spark, sf).select("key"), Seq("key"), "leftsemi").count()
     assert(rows.map(_._3).sum == livePresent)
   }
+
+  test("prefix compression: ledger equals a direct front-coding replay") {
+    val rows = BloomGate.queries("kv_prefix_compress_est")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val state = KvLog.state(spark, sf)
+      .select("shard_id", "key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      i
+    }
+    val expected = state.groupBy(_._1).view.mapValues { ks =>
+      val sorted = ks.map(_._2).sorted
+      val lcps = sorted.zipWithIndex.map { case (k, i) =>
+        if (i == 0 || i % BloomGate.RestartInterval == 0) 0
+        else lcp(k, sorted(i - 1))
+      }
+      val raw = sorted.map(_.length.toLong).sum
+      val coded = sorted.zip(lcps).map { case (k, l) => k.length - l.toLong }.sum
+      (sorted.length.toLong, raw, coded, lcps.count(_ == 0).toLong)
+    }.toMap
+    rows.foreach { case (sh, n, raw, coded, full, rate) =>
+      val (en, eraw, ecoded, efull) = expected(sh)
+      assert(n == en && raw == eraw && coded == ecoded && full == efull,
+        s"shard $sh")
+      assert(rate == (raw - coded).toDouble / raw)
+      // front-coding must actually save on the order:<k> keyspace
+      assert(rate > 0.3, s"shard $sh saves only $rate")
+    }
+  }
 }
