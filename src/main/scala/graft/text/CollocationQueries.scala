@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.oracle.Ora
+
 /** Collocation mining over the document corpus: PMI-style association
   * between adjacent tokens, kept in its algebraic RATIO form (observed
   * over expected) so both engines compute it from exact integer counts
@@ -63,6 +65,60 @@ object CollocationQueries {
           col("lift"))
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(TopK)
+    }),
+
+    // Kneser–Ney bigram LM over the train split, scoring the val split
+    // — the LM-filter upgrade of text_lm_holdout's Laplace model: KN
+    // discounts every seen bigram by d = 3/4 and redistributes the mass
+    // by CONTINUATION counts (how many contexts a word completes), the
+    // fix for Laplace's overestimate of frequent-but-rigid words. The
+    // whole probability is ONE exact rational per bigram:
+    //   p = [max(4·c12 − 3, 0)·Nt + 3·N1L(w1)·N1R(w2)] / (4·c1·Nt)
+    // (d = 3/4 scaled by 4; Nt = distinct train bigram types; N1L/N1R =
+    // distinct right/left neighbors), floored into 2²⁰ fixed point so
+    // per-doc sums stay in exact BIGINT — zero float summation.
+    // Unseen context (c1 = 0) backs off to the pure continuation
+    // probability N1R/Nt. One bigram pass; model tables are type-sized.
+    "text_lm_kneser_ney" -> ((s, dir) => {
+      val occ = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"),
+          PipelineQueries.splitOf(col("doc_id")).as("split"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("split"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> struct(element_at(toks, i+1) AS w1, " +
+            "element_at(toks, i+2) AS w2))")).as("bg"))
+        .select(col("doc_id"), col("split"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .localCheckpoint() // train model + val probe share one pass
+      val m12 = occ.filter(col("split") === "train")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint() // c1, N1L, N1R, Nt all derive from it
+      val m1 = m12.groupBy("w1").agg(sum("c12").as("c1"),
+        count(lit(1)).as("n1l"))
+      val n1r = m12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      val nt = m12.agg(count(lit(1)).as("nt"))
+      occ.filter(col("split") === "val")
+        .join(broadcast(m12), Seq("w1", "w2"), "left")
+        .join(broadcast(m1), Seq("w1"), "left")
+        .join(broadcast(n1r), Seq("w2"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("doc_id"),
+          expr(s"""CASE WHEN coalesce(c1, bigint(0)) = 0
+            |THEN coalesce(n1r, bigint(0)) * 1048576 div nt
+            |ELSE (greatest(4 * coalesce(c12, bigint(0)) - 3, bigint(0))
+            |        * nt
+            |      + 3 * coalesce(n1l, bigint(0))
+            |        * coalesce(n1r, bigint(0))) * 1048576
+            |     div (4 * c1 * nt)
+            |END""".stripMargin).as("p_fp"),
+          when(col("c12").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_fp").as("sum_fp"),
+          sum("oov").as("n_unseen"))
+        .withColumn("mean_p", col("sum_fp").cast("double") /
+          (col("n_bigrams") * lit(1048576L)).cast("double"))
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -93,5 +149,54 @@ object CollocationQueries {
          |JOIN uni uy ON uy.w = p.w2
          |CROSS JOIN n1 CROSS JOIN n2
          |WHERE p.c12 >= $MinPairCount
-         |ORDER BY lift DESC, p.w1, p.w2 LIMIT $TopK""".stripMargin)
+         |ORDER BY lift DESC, p.w1, p.w2 LIMIT $TopK""".stripMargin,
+
+    "text_lm_kneser_ney" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         CASE WHEN ${Ora.fnv("'split:' || doc_id")} % 10 = 0
+         |                THEN 'test'
+         |              WHEN ${Ora.fnv("'split:' || doc_id")} % 10 = 1
+         |                THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+         |),
+         |occ AS (
+         |  SELECT doc_id, split, toks[i+1] AS w1, toks[i+2] AS w2
+         |  FROM d, unnest(range(len(toks)-1)) AS u(i)
+         |),
+         |m12 AS (
+         |  SELECT w1, w2, count(*) AS c12 FROM occ
+         |  WHERE split = 'train' GROUP BY 1, 2
+         |),
+         |m1 AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1l
+         |  FROM m12 GROUP BY 1
+         |),
+         |nr AS (SELECT w2, count(*) AS n1r FROM m12 GROUP BY 1),
+         |nt AS (SELECT count(*) AS nt FROM m12),
+         |scored AS (
+         |  SELECT o.doc_id,
+         |         CASE WHEN coalesce(m1.c1, 0) = 0
+         |              THEN coalesce(r.n1r, 0) * 1048576 // nt.nt
+         |              ELSE (greatest(4 * coalesce(m12.c12, 0) - 3, 0)
+         |                      * nt.nt
+         |                    + 3 * coalesce(m1.n1l, 0)
+         |                      * coalesce(r.n1r, 0)) * 1048576
+         |                   // (4 * m1.c1 * nt.nt)
+         |         END AS p_fp,
+         |         CASE WHEN m12.c12 IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM occ o
+         |  LEFT JOIN m12 ON o.w1 = m12.w1 AND o.w2 = m12.w2
+         |  LEFT JOIN m1 ON o.w1 = m1.w1
+         |  LEFT JOIN nr r ON o.w2 = r.w2
+         |  CROSS JOIN nt
+         |  WHERE o.split = 'val'
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       CAST(sum(p_fp) AS BIGINT) AS sum_fp,
+         |       CAST(sum(oov) AS BIGINT) AS n_unseen,
+         |       CAST(sum(p_fp) AS DOUBLE)
+         |         / CAST(count(*) * 1048576 AS DOUBLE) AS mean_p
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)
 }
