@@ -463,6 +463,38 @@ object TrendQueries {
           (col("slope") * (col("max_day") + 1L) + col("intercept"))
             .as("forecast_next"))
         .orderBy("event_type")
+    }),
+
+    // distribution-free 95% CI for the median of event VALUE per type,
+    // via binomial order statistics: the interval [x₍ₗₒ₎, x₍ₕᵢ₎] with
+    // lo = max(1, ⌊(n − 1.96√n)/2⌋), hi = min(n, ⌈(n + 1.96√n)/2⌉ + 1)
+    // covers the true median at ≥95% for ANY distribution — no
+    // normality assumption, no bootstrap replicas. The rank bounds are
+    // fixed-order double expressions floored to exact BIGINTs; the
+    // bound VALUES are exact rank selections (row_number, not
+    // interpolation), so everything hash-matches. One shuffle to rank
+    // per type; the aggregate is type-sized.
+    "events_median_ci" -> ((s, dir) => {
+      val ev = EventsQueries.events(s, dir)
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val zr = sqrt(col("n").cast("double")) * lit(1.96)
+      val ranks = counts
+        .withColumn("lo_rank", greatest(lit(1L),
+          floor((col("n").cast("double") - zr) / lit(2.0))))
+        .withColumn("hi_rank", least(col("n"),
+          ceil((col("n").cast("double") + zr) / lit(2.0)) + lit(1L)))
+      val w = Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+      ev.withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(ranks), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          expr("percentile(value, 0.5)").as("median"),
+          max(when(col("rk") === col("lo_rank"), col("value")))
+            .as("ci_lo"),
+          max(when(col("rk") === col("hi_rank"), col("value")))
+            .as("ci_hi"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -839,5 +871,33 @@ object TrendQueries {
          |)
          |SELECT event_type, n_days, n_pairs, slope, intercept,
          |       slope * (max_day + 1) + intercept AS forecast_next
-         |FROM fit ORDER BY event_type""".stripMargin))
+         |FROM fit ORDER BY event_type""".stripMargin),
+
+    "events_median_ci" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""counts AS (
+         |  SELECT event_type, count(*) AS n FROM ev GROUP BY 1
+         |),
+         |ranks AS (
+         |  SELECT event_type, n,
+         |         greatest(1, CAST(floor((CAST(n AS DOUBLE)
+         |             - sqrt(CAST(n AS DOUBLE)) * 1.96::DOUBLE)
+         |             / 2.0::DOUBLE) AS BIGINT)) AS lo_rank,
+         |         least(n, CAST(ceil((CAST(n AS DOUBLE)
+         |             + sqrt(CAST(n AS DOUBLE)) * 1.96::DOUBLE)
+         |             / 2.0::DOUBLE) AS BIGINT) + 1) AS hi_rank
+         |  FROM counts
+         |),
+         |rk AS (
+         |  SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY value NULLS FIRST, event_id)
+         |           AS rk
+         |  FROM ev
+         |)
+         |SELECT r.event_type, max(k.n) AS n,
+         |       quantile_cont(r.value, 0.5) AS median,
+         |       max(CASE WHEN r.rk = k.lo_rank THEN r.value END) AS ci_lo,
+         |       max(CASE WHEN r.rk = k.hi_rank THEN r.value END) AS ci_hi
+         |FROM rk r JOIN ranks k USING (event_type)
+         |GROUP BY 1 ORDER BY r.event_type""".stripMargin))
 }

@@ -151,4 +151,29 @@ class TrendSpec extends SparkSpec {
       assert(slope >= pairs.min && slope <= pairs.max)
     }
   }
+
+  test("median ci: order-statistic bounds bracket the median per type") {
+    val rows = TrendQueries.queries("events_median_ci")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val values = EventsQueries.events(spark, sf)
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (tpe, n, median, lo, hi) =>
+      val vs = values(tpe).sortBy(v => (v._2, v._3)).map(_._2)
+      assert(n == vs.length.toLong)
+      val loR = math.max(1L,
+        math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong)
+      val hiR = math.min(n,
+        math.ceil((n + 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong + 1)
+      assert(lo == vs((loR - 1).toInt), s"$tpe lo")
+      assert(hi == vs((hiR - 1).toInt), s"$tpe hi")
+      // the interval brackets the reported median, and is nondegenerate
+      assert(lo <= median && median <= hi, s"$tpe bracket")
+      assert(lo < hi, s"$tpe width")
+    }
+  }
 }
