@@ -163,6 +163,62 @@ object CausalQueries {
           (col("sy").cast("double") / col("n")).as("mean_y"),
           varY.as("var_y"), rho2.as("rho2"), mde.as("mde_abs"),
           (mde * sqrt(lit(1.0) - rho2)).as("mde_cuped_abs"))
+    }),
+
+    // post-stratified treatment effect: bucket users by PRE-period
+    // activity (fixed integer edges — not data-dependent quantiles, so
+    // strata are reproducible across runs and engines), compare arms
+    // WITHIN each stratum, and weight the per-stratum differences by
+    // stratum size. Controls any arm imbalance that correlates with
+    // activity — the nonparametric sibling of CUPED. Per-stratum rows
+    // carry the full census; the pooled effect folds the (at most 4)
+    // stratum terms in stratum order via a sorted-array aggregate, so
+    // the cross-stratum double sum is engine-identical.
+    "events_stratified_effect" -> ((s, dir) => {
+      val ev = EventsQueries.events(s, dir)
+        .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
+      val sp = ev.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("split_day"))
+      val users = ev.crossJoin(broadcast(sp))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("split_day"), 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("day") >= col("split_day") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+        .withColumn("stratum", expr(
+          "CASE WHEN x < 10 THEN 0 WHEN x < 25 THEN 1 " +
+            "WHEN x < 45 THEN 2 ELSE 3 END"))
+      val cells = users.groupBy("stratum")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sy_c"),
+          sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("sy_t"))
+        // a stratum missing an arm contributes no comparable diff;
+        // guard the divisions (ANSI would throw)
+        .withColumn("diff",
+          when(col("n_c") > 0L && col("n_t") > 0L,
+            col("sy_t").cast("double") / col("n_t") -
+              col("sy_c").cast("double") / col("n_c")))
+        .localCheckpoint() // <=4 rows; feeds the fold and the output
+      val pooled = cells
+        .agg(sort_array(collect_list(when(col("diff").isNotNull,
+          struct(col("stratum"), (col("diff") * col("n_users"))
+            .as("wdiff"), col("n_users"))))).as("ws"))
+        .select(expr(
+          """aggregate(ws, CAST(0.0 AS DOUBLE),
+            |  (acc, t) -> acc + t.wdiff) /
+            |CAST(aggregate(ws, bigint(0), (acc, t) -> acc + t.n_users)
+            |     AS DOUBLE)""".stripMargin).as("stratified_effect"))
+      cells.crossJoin(broadcast(pooled))
+        .select(col("stratum"), col("n_users"), col("n_c"), col("n_t"),
+          when(col("n_c") > 0L,
+            col("sy_c").cast("double") / col("n_c")).as("mean_c"),
+          when(col("n_t") > 0L,
+            col("sy_t").cast("double") / col("n_t")).as("mean_t"),
+          col("diff"), col("stratified_effect"))
+        .orderBy("stratum")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -316,5 +372,66 @@ object CausalQueries {
          |       $ZSum8005::DOUBLE
          |         * sqrt(var_y * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b))
          |         * sqrt(1.0::DOUBLE - rho2) AS mde_cuped_abs
-         |FROM st""".stripMargin))
+         |FROM st""".stripMargin),
+
+    "events_stratified_effect" -> (s"WITH ${EventsQueries.eventsSql},\n" +
+      s"""evd AS (
+         |  SELECT *, ts // ${EventsQueries.DayUs} AS day FROM ev
+         |),
+         |sp AS (
+         |  SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM evd
+         |),
+         |users AS (
+         |  SELECT user_id, user_id % 2 AS arm,
+         |         CAST(sum(CASE WHEN day < sp.split_day THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS x,
+         |         CAST(sum(CASE WHEN day >= sp.split_day
+         |                        AND event_type = 'purchase'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM evd, sp GROUP BY 1, 2
+         |),
+         |strat AS (
+         |  SELECT *, CASE WHEN x < 10 THEN 0 WHEN x < 25 THEN 1
+         |                 WHEN x < 45 THEN 2 ELSE 3 END AS stratum
+         |  FROM users
+         |),
+         |cells AS (
+         |  SELECT stratum, count(*) AS n_users,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_c,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_t,
+         |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+         |           AS sy_c,
+         |         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+         |           AS sy_t
+         |  FROM strat GROUP BY 1
+         |),
+         |diffs AS (
+         |  SELECT *, CASE WHEN n_c > 0 AND n_t > 0
+         |                 THEN CAST(sy_t AS DOUBLE) / n_t
+         |                      - CAST(sy_c AS DOUBLE) / n_c END AS diff
+         |  FROM cells
+         |),
+         |pooled AS (
+         |  SELECT list_reduce(
+         |           list_prepend(0.0::DOUBLE,
+         |             list_transform(
+         |               list(struct_pack(stratum := stratum,
+         |                                wdiff := diff * n_users)
+         |                    ORDER BY stratum)
+         |                 FILTER (WHERE diff IS NOT NULL),
+         |               z -> z.wdiff)),
+         |           (a, b) -> a + b)
+         |         / CAST(sum(n_users) FILTER (WHERE diff IS NOT NULL)
+         |                AS DOUBLE) AS stratified_effect
+         |  FROM diffs
+         |)
+         |SELECT d.stratum, d.n_users, d.n_c, d.n_t,
+         |       CASE WHEN d.n_c > 0
+         |            THEN CAST(d.sy_c AS DOUBLE) / d.n_c END AS mean_c,
+         |       CASE WHEN d.n_t > 0
+         |            THEN CAST(d.sy_t AS DOUBLE) / d.n_t END AS mean_t,
+         |       d.diff, p.stratified_effect
+         |FROM diffs d, pooled p ORDER BY d.stratum""".stripMargin))
 }

@@ -102,4 +102,49 @@ class CausalSpec extends SparkSpec {
     // sanity: the MDE is on the outcome's scale
     assert(mde > 0 && mde < meanY * 10 + 1)
   }
+
+  test("stratified effect: cells and the pooled fold equal the recount") {
+    val rows = CausalQueries
+      .queries("events_stratified_effect")(spark, sf)
+      .collect()
+    val raw = EventsQueries.events(spark, sf)
+      .select("ts", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0) / EventsQueries.DayUs, r.getLong(1),
+        r.getString(2)))
+    val split = (raw.map(_._1).min + raw.map(_._1).max + 1) / 2
+    val users = raw.groupBy(_._2).toSeq.map { case (u, es) =>
+      val x = es.count(_._1 < split).toLong
+      val y = es.count(e => e._1 >= split && e._3 == "purchase").toLong
+      val st = if (x < 10) 0L else if (x < 25) 1L else if (x < 45) 2L else 3L
+      (u % 2, st, y)
+    }
+    val cells = users.groupBy(_._2).view.mapValues { us =>
+      val c = us.filter(_._1 == 0L); val t = us.filter(_._1 == 1L)
+      (us.length.toLong, c.length.toLong, t.length.toLong,
+        c.map(_._3).sum, t.map(_._3).sum)
+    }.toMap
+    val diffs = cells.toSeq.sortBy(_._1).flatMap {
+      case (st, (nu, nc, nt, syc, syt)) if nc > 0 && nt > 0 =>
+        Some((st, nu, syt.toDouble / nt - syc.toDouble / nc))
+      case _ => None
+    }
+    val pooled = diffs.foldLeft(0.0) { case (a, (_, nu, d)) =>
+      a + d * nu
+    } / diffs.map(_._2).sum.toDouble
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val st = r.getInt(0).toLong
+      val (nu, nc, nt, syc, syt) = cells(st)
+      assert(r.getLong(1) == nu && r.getLong(2) == nc && r.getLong(3) == nt)
+      // a stratum can lack an arm at tiny SFs — its means are NULL and
+      // it is excluded from the pooled effect, by design
+      assert(r.isNullAt(4) == (nc == 0))
+      if (nc > 0) assert(r.getDouble(4) == syc.toDouble / nc)
+      assert(r.isNullAt(5) == (nt == 0))
+      if (nt > 0) assert(r.getDouble(5) == syt.toDouble / nt)
+      assert(r.isNullAt(6) == (nc == 0 || nt == 0))
+      assert(r.getDouble(7) == pooled)
+    }
+    assert(diffs.nonEmpty)
+  }
 }
