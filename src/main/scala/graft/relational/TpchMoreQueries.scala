@@ -222,6 +222,33 @@ object TpchMoreQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    }),
+
+    // order-to-ship SLA profile: days from order placement to FIRST
+    // shipment, summarized per order priority — the fulfillment
+    // latency distribution an operations team reads (p50 for the
+    // typical case, p90 for the SLA tail). Lag days are exact integer
+    // epoch-day differences; the percentiles are the
+    // percentile/quantile_cont bit-equal pair over those exact ints.
+    // One lineitem reduction to per-order min ship date, one broadcast
+    // orders join, one priority-sized aggregate.
+    "orders_fulfillment_lag" -> ((s, dir) => {
+      val firstShip = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min("l_shipdate").as("first_ship"))
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("first_ship"), col("o_orderdate")).cast("long")
+            .as("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          min("lag_days").as("min_days"),
+          expr("percentile(lag_days, 0.5)").as("p50_days"),
+          expr("percentile(lag_days, 0.9)").as("p90_days"),
+          max("lag_days").as("max_days"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -332,5 +359,23 @@ object TpchMoreQueries {
          |                  WHERE l3.l_orderkey = l1.l_orderkey
          |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
          |GROUP BY s_name
-         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "orders_fulfillment_lag" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(l_shipdate) AS first_ship
+        |  FROM lineitem GROUP BY 1
+        |),
+        |lag AS (
+        |  SELECT o.o_orderpriority,
+        |         CAST(datediff('day', o.o_orderdate, fs.first_ship)
+        |              AS BIGINT) AS lag_days
+        |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       min(lag_days) AS min_days,
+        |       quantile_cont(lag_days, 0.5) AS p50_days,
+        |       quantile_cont(lag_days, 0.9) AS p90_days,
+        |       max(lag_days) AS max_days
+        |FROM lag GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 }

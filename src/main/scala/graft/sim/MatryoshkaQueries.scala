@@ -29,6 +29,9 @@ object MatryoshkaQueries {
   /** Phase-1 survivors reranked with the full vector, per query. */
   val CandidateK = 20
 
+  /** Cut depths measured by the recall curve. */
+  val RecallKs: Seq[Int] = Seq(1, 5, 10, 20)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -119,6 +122,39 @@ object MatryoshkaQueries {
           col("prefix_rank").cast("long").as("prefix_rank"),
           (lit(1.0) / col("prefix_rank")).as("reciprocal_rank"))
         .orderBy("q_id")
+    }),
+
+    // the recall CURVE: recall@k of the prefix-16 ordering against the
+    // exact ordering for k ∈ {1,5,10,20}, per query — the tuning table
+    // for the candidate-cut knob (sim_truth_rank gives the top-1 story;
+    // this gives the whole frontier). Both rankings land on the same
+    // scored rows (two windows, one shuffle); recall@k = |both ranks
+    // ≤ k| / k, an exact-int division.
+    "sim_recall_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val sampled = col("vec_id") % 50 === 0 && col("vec_id") < 500
+      val qs = e.filter(sampled)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          SimilarityQueries.cosine(col("embedding"), col("q_emb"))
+            .as("full_cos"),
+          cosN(col("embedding"), col("q_emb"), PrefixDims).as("pre_cos"))
+        .withColumn("trk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("full_cos").desc, col("vec_id"))))
+        .withColumn("prk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("pre_cos").desc, col("vec_id"))))
+      scored
+        .select(col("q_id"), col("trk"), col("prk"),
+          explode(typedLit(RecallKs)).as("k"))
+        .filter(col("trk") <= col("k"))
+        .groupBy("q_id", "k")
+        .agg(sum(when(col("prk") <= col("k"), 1L).otherwise(0L))
+          .as("n_hits"))
+        .select(col("q_id"), col("k").cast("long").as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / col("k")).as("recall_at_k"))
+        .orderBy("q_id", "k")
     }))
 
   private def cosNSql(a: String, b: String, n: Int): String =
@@ -203,5 +239,30 @@ object MatryoshkaQueries {
          |SELECT q_id, vec_id AS truth_id,
          |       CAST(prefix_rank AS BIGINT) AS prefix_rank,
          |       1.0::DOUBLE / prefix_rank AS reciprocal_rank
-         |FROM ranked WHERE trk = 1 ORDER BY q_id""".stripMargin)
+         |FROM ranked WHERE trk = 1 ORDER BY q_id""".stripMargin,
+
+    "sim_recall_curve" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND vec_id < 500
+         |),
+         |ranked AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${Ora.cos64("e.embedding", "q.q_emb")} DESC,
+         |                    e.vec_id) AS trk,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${cosNSql("e.embedding", "q.q_emb", PrefixDims)}
+         |             DESC, e.vec_id) AS prk
+         |  FROM embeddings e, qs q WHERE e.vec_id <> q.q_id
+         |)
+         |SELECT q_id, CAST(k.k AS BIGINT) AS k,
+         |       CAST(sum(CASE WHEN prk <= k.k THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hits,
+         |       CAST(sum(CASE WHEN prk <= k.k THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / k.k AS recall_at_k
+         |FROM ranked
+         |CROSS JOIN (SELECT unnest([${RecallKs.mkString(", ")}]) AS k) k
+         |WHERE trk <= k.k
+         |GROUP BY q_id, k.k ORDER BY q_id, k""".stripMargin)
 }

@@ -58,4 +58,29 @@ class MatryoshkaSpec extends SparkSpec {
           s"q $q: truth at prefix rank $rank inside K but rerank missed it")
     }
   }
+
+  test("recall curve: laws tie it to truth-rank and the recall legs") {
+    val curve = MatryoshkaQueries.queries("sim_recall_curve")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(curve.size == 10 * MatryoshkaQueries.RecallKs.size)
+    curve.foreach { case ((_, k), (hits, rec)) =>
+      assert(hits >= 0 && hits <= k)
+      assert(rec == hits.toDouble / k)
+    }
+    // absolute hit count is monotone in k (top-k sets are nested)
+    val byQ = curve.toSeq.groupBy(_._1._1)
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_._1._2).map(_._2._1)
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a <= b })
+    }
+    // recall@1 agrees with sim_truth_rank: hit iff the truth NN sits at
+    // prefix rank 1
+    val tr = MatryoshkaQueries.queries("sim_truth_rank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    tr.foreach { case (q, rank) =>
+      assert(curve((q, 1L))._1 == (if (rank == 1L) 1L else 0L), s"q $q")
+    }
+  }
 }
