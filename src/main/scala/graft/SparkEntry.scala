@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cluster.{ClusterQueries, RingRouter}
 import graft.dedup.{DedupComponents, DedupQueries}
-import graft.events.{BenfordQueries, CausalQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SeasonalQueries, SkewQueries, TrendQueries}
+import graft.events.{BenfordQueries, CausalQueries, CohortQueries, EventsQueries, JourneyQueries, LifecycleQueries, SeasonalQueries, SkewQueries, TrendQueries, WorkingSetQueries}
 import graft.graph.{GraphXAnalytics, HitsQueries}
 import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
@@ -43,6 +43,7 @@ object SparkEntry {
       SkewQueries.queries, CohortQueries.queries, CohortQueries.moreQueries,
       TrendQueries.queries, LifecycleQueries.queries, BenfordQueries.queries,
       CausalQueries.queries, SeasonalQueries.queries,
+      WorkingSetQueries.queries,
       JourneyQueries.queries, JourneyQueries.moreQueries,
       DistributionQueries.queries,
       RelationalQueries.queries, TpchMoreQueries.queries,
@@ -64,6 +65,7 @@ object SparkEntry {
       SkewQueries.oracle, CohortQueries.oracle, CohortQueries.moreOracle,
       TrendQueries.oracle, LifecycleQueries.oracle, BenfordQueries.oracle,
       CausalQueries.oracle, SeasonalQueries.oracle,
+      WorkingSetQueries.oracle,
       JourneyQueries.oracle, DistributionQueries.oracle,
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle, BasketQueries.oracle,

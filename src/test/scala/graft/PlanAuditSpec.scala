@@ -910,6 +910,21 @@ class PlanAuditSpec extends SparkSpec {
       s"pure window pipeline — no joins expected\n${p.take(2000)}")
   }
 
+  test("lru curve: interval join is chunk-keyed, never a cross product") {
+    // the distance join pre-checkpoint (the final plan hides it behind
+    // the checkpointed RDDs)
+    val (_, dists) = graft.events.WorkingSetQueries
+      .accessesAndDistances(spark, sf)
+    val p = dists.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val keyed = p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("chunk") &&
+        !l.contains("NestedLoop"))
+    assert(keyed,
+      s"no chunk-keyed join found — interval join degenerated\n" +
+        p.take(3000))
+  }
+
   test("dsv2 scan: source pushdown visible as a single BatchScan") {
     val df = graft.sources.KvGenQueries
       .queries("kv_dsv2_shard_scan")(spark, sf)
