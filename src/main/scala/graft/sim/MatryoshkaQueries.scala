@@ -32,6 +32,9 @@ object MatryoshkaQueries {
   /** Cut depths measured by the recall curve. */
   val RecallKs: Seq[Int] = Seq(1, 5, 10, 20)
 
+  /** Probe depths measured by the IVF sweep. */
+  val NProbes: Seq[Int] = Seq(1, 2, 3, 4)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -155,6 +158,60 @@ object MatryoshkaQueries {
         .select(col("q_id"), col("k").cast("long").as("k"), col("n_hits"),
           (col("n_hits").cast("double") / col("k")).as("recall_at_k"))
         .orderBy("q_id", "k")
+    }),
+
+    // the OTHER tuning knob's sweep: IVF recall@5 at nprobe 1..4 —
+    // together with sim_recall_curve this is the full ANN tuning
+    // surface (scan-cost knob × cell-probe knob). Candidate cells per
+    // (query, nprobe) come from one centroid ranking exploded across
+    // nprobe values; every (q, nprobe) leg reranks its pruned candidate
+    // set with the full cosine against the exact top-5 truth.
+    "sim_ivf_nprobe_sweep" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val sampled = col("vec_id") % 50 === 0 && col("vec_id") < 500
+      val qs = e.filter(sampled)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def top5(scored: DataFrame, part: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(part.map(col): _*)
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+      }
+      val truth = top5(e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          SimilarityQueries.cosine(col("embedding"), col("q_emb"))
+            .as("cos_sim")), Seq("q_id"))
+        .select("q_id", "vec_id")
+      val cents = SimilarityQueries.coarseCentroids(e)
+      val assigned = SimilarityQueries.assignedCells(e)
+      val qc = qs.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_emb"), col("cell"),
+          SimilarityQueries.cosine(col("q_emb"), col("c_emb"))
+            .as("cos_c"))
+        .withColumn("rc", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos_c").desc, col("cell"))))
+      val probes = qc
+        .select(col("q_id"), col("q_emb"), col("cell"), col("rc"),
+          explode(typedLit(NProbes)).as("nprobe"))
+        .filter(col("rc") <= col("nprobe"))
+        .select("q_id", "q_emb", "cell", "nprobe")
+      val pred = top5(assigned.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("nprobe"), col("vec_id"),
+          SimilarityQueries.cosine(col("embedding"), col("q_emb"))
+            .as("cos_sim")), Seq("q_id", "nprobe"))
+        .select("q_id", "nprobe", "vec_id")
+      qs.select("q_id")
+        .crossJoin(broadcast(
+          s.range(0, 1).select(explode(typedLit(NProbes)).as("nprobe"))))
+        .join(truth.join(pred, Seq("q_id", "vec_id"))
+          .groupBy("q_id", "nprobe").agg(count(lit(1)).as("hits")),
+          Seq("q_id", "nprobe"), "left")
+        .select(col("q_id"), col("nprobe").cast("long").as("nprobe"),
+          coalesce(col("hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall_at_5"))
+        .orderBy("q_id", "nprobe")
     }))
 
   private def cosNSql(a: String, b: String, n: Int): String =
@@ -264,5 +321,70 @@ object MatryoshkaQueries {
          |FROM ranked
          |CROSS JOIN (SELECT unnest([${RecallKs.mkString(", ")}]) AS k) k
          |WHERE trk <= k.k
-         |GROUP BY q_id, k.k ORDER BY q_id, k""".stripMargin)
+         |GROUP BY q_id, k.k ORDER BY q_id, k""".stripMargin,
+
+    "sim_ivf_nprobe_sweep" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND vec_id < 500
+         |),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${Ora.cos64("e.embedding", "q.q_emb")} DESC,
+         |                      e.vec_id) AS rk
+         |    FROM embeddings e, qs q WHERE e.vec_id <> q.q_id
+         |  ) WHERE rk <= 5
+         |),
+         |centroids AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${SimilarityQueries.NumCells}
+         |),
+         |ascored AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
+         |                    c.cell) AS rk
+         |  FROM embeddings e, centroids c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM ascored WHERE rk = 1
+         |),
+         |qc AS (
+         |  SELECT q.q_id, q.q_emb, c.cell,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${Ora.cos64("q.q_emb", "c.c_emb")} DESC,
+         |                    c.cell) AS rc
+         |  FROM qs q, centroids c
+         |),
+         |probes AS (
+         |  SELECT q_id, q_emb, cell, p.p AS nprobe
+         |  FROM qc
+         |  CROSS JOIN (SELECT unnest([${NProbes.mkString(", ")}]) AS p) p
+         |  WHERE rc <= p.p
+         |),
+         |pred AS (
+         |  SELECT q_id, nprobe, vec_id FROM (
+         |    SELECT pr.q_id, pr.nprobe, a.vec_id,
+         |           row_number() OVER (PARTITION BY pr.q_id, pr.nprobe
+         |             ORDER BY ${Ora.cos64("a.embedding", "pr.q_emb")} DESC,
+         |                      a.vec_id) AS rk
+         |    FROM assigned a JOIN probes pr ON a.cell = pr.cell
+         |    WHERE a.vec_id <> pr.q_id
+         |  ) WHERE rk <= 5
+         |),
+         |hits AS (
+         |  SELECT t.q_id, p.nprobe, count(*) AS hits
+         |  FROM truth t JOIN pred p
+         |    ON t.q_id = p.q_id AND t.vec_id = p.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT q.q_id, CAST(np.p AS BIGINT) AS nprobe,
+         |       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+         |       coalesce(h.hits, 0) / 5.0::DOUBLE AS recall_at_5
+         |FROM qs q
+         |CROSS JOIN (SELECT unnest([${NProbes.mkString(", ")}]) AS p) np
+         |LEFT JOIN hits h ON h.q_id = q.q_id AND h.nprobe = np.p
+         |ORDER BY q.q_id, nprobe""".stripMargin)
 }

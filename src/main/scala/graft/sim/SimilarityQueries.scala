@@ -185,7 +185,7 @@ object SimilarityQueries {
   val KmeansIters = 2
 
   /** The fixed-seed coarse centroid dimension (vec_id < NumCells). */
-  private def coarseCentroids(e: DataFrame): DataFrame =
+  private[sim] def coarseCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
 
@@ -193,7 +193,7 @@ object SimilarityQueries {
     * IVF serving path, the recall measurement, and the semantic-dedup
     * prune, so the assignment (and its tie-break) can never drift
     * between the path being measured and the measurement. */
-  private def assignedCells(e: DataFrame): DataFrame = {
+  private[sim] def assignedCells(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cell"))
     e.crossJoin(broadcast(coarseCentroids(e)))

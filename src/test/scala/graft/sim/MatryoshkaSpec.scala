@@ -83,4 +83,26 @@ class MatryoshkaSpec extends SparkSpec {
       assert(curve((q, 1L))._1 == (if (rank == 1L) 1L else 0L), s"q $q")
     }
   }
+
+  test("nprobe sweep: recall monotone in probes; nprobe=2 matches NProbe leg") {
+    val sweep = MatryoshkaQueries
+      .queries("sim_ivf_nprobe_sweep")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(sweep.size == 10 * MatryoshkaQueries.NProbes.size)
+    // probing more cells can only grow the candidate set: hits monotone
+    sweep.keys.map(_._1).toSeq.distinct.foreach { q =>
+      val hs = MatryoshkaQueries.NProbes.map(p => sweep((q, p.toLong)))
+      assert(hs.zip(hs.drop(1)).forall { case (a, b) => a <= b }, s"q $q")
+    }
+    // the sweep's nprobe=2 leg IS sim_ann_recall's ivf leg — same
+    // candidates, same truth
+    val ivf = SimilarityQueries.queries("sim_ann_recall")(spark, sf)
+      .collect()
+      .filter(_.getString(1) == "ivf")
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ivf.foreach { case (q, hits) =>
+      assert(sweep((q, SimilarityQueries.NProbe.toLong)) == hits, s"q $q")
+    }
+  }
 }
