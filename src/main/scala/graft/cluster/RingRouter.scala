@@ -149,6 +149,39 @@ object RingRouter {
   def replicaSetCol(nodes: Seq[String])(key: Column): Column =
     replicaListCol(nodes, ReplicaN)(key)
 
+  /** Rack assignment for the anti-affinity placement (two racks — the
+    * two-AZ deployment every small cluster actually runs). */
+  val NodeRacks: Map[String, String] =
+    Map("n1" -> "r1", "n2" -> "r1", "n3" -> "r2", "n4" -> "r2")
+
+  /** Rack-aware preference list per vnode slot: primary = successor;
+    * the SECOND replica is the first clockwise node on a DIFFERENT rack
+    * than the primary (a whole-rack outage must leave a replica), and
+    * the remaining slots fill with the walk's next unused nodes. The
+    * Cassandra NetworkTopologyStrategy shape, precomputed per slot
+    * exactly like [[replicaSets]]. */
+  def rackAwareSets(nodes: Seq[String], r: Int): Seq[Seq[String]] = {
+    val rg = ring(nodes)
+    rg.indices.map { i =>
+      val walk = rg.indices.iterator.map(j => rg((i + j) % rg.size)._2)
+        .distinct.toSeq
+      val primary = walk.head
+      val crossRack = walk.tail
+        .find(n => NodeRacks(n) != NodeRacks(primary))
+      val picked = Seq(primary) ++ crossRack.toSeq
+      (picked ++ walk.filterNot(picked.contains)).take(r)
+    }
+  }
+
+  /** key → its rack-aware [[ReplicaN]] preference list. */
+  def rackAwareCol(nodes: Seq[String])(key: Column): Column = {
+    val rg = ring(nodes)
+    val setsArr = typedLit(rackAwareSets(nodes, ReplicaN))
+    val idx = graft.functions.SortedSuccessor.sortedSuccessor(
+      rg.map(_._1), pos32(key))
+    element_at(setsArr, pmod(idx, lit(rg.size)) + 1)
+  }
+
   // ---- queries -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,7 +347,28 @@ object RingRouter {
         .agg(count(lit(1)).as("n_keys"))
         .withColumn("share", col("n_keys").cast("double") /
           sum(col("n_keys")).over(Window.partitionBy()))
-        .orderBy("hint_node", "failed_role"))
+        .orderBy("hint_node", "failed_role")),
+
+    // rack-aware replica load: the anti-affinity placement's per-(node,
+    // role) census plus how many keys each role REASSIGNED relative to
+    // plain ring order — the cost of the rack constraint, measured. The
+    // spec proves the invariant the constraint buys: every key's
+    // replica set spans both racks, so a whole-rack outage never loses
+    // all copies. Same single-binary-search pass as every placement
+    // query; the rack walk is precomputed per vnode slot.
+    "route_rack_aware_load" -> ((s, dir) =>
+      KvLog.state(s, dir)
+        .select(rackAwareCol(RingNodes)(col("key")).as("ra"),
+          replicaSetCol(RingNodes)(col("key")).as("plain"))
+        .select(posexplode(col("ra")).as(Seq("role0", "node_id")),
+          col("plain"))
+        .select(col("node_id"), (col("role0") + 1).cast("long").as("role"),
+          (col("node_id") =!= element_at(col("plain"), col("role0") + 1))
+            .as("moved"))
+        .groupBy("node_id", "role")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("n_reassigned"))
+        .orderBy("node_id", "role"))
   )
 
   // ---- oracle ------------------------------------------------------------
@@ -523,6 +577,61 @@ object RingRouter {
          |)
          |SELECT hint_node, failed_role, CAST(n_keys AS BIGINT) AS n_keys,
          |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
-         |FROM counts ORDER BY hint_node, failed_role""".stripMargin)
+         |FROM counts ORDER BY hint_node, failed_role""".stripMargin),
+
+    // relational rack-aware placement: primary = min-dist rank 1, the
+    // cross-rack slot = lowest rank on the other rack, the filler =
+    // lowest rank not yet picked — each pick one QUALIFY window
+    "route_rack_aware_load" -> (
+      s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |nodedist AS (
+         |  SELECT k.key, v.node,
+         |         min((v.pos - k.kp + 4294967296) % 4294967296) AS dist
+         |  FROM keyed k CROSS JOIN r4_vn v
+         |  GROUP BY k.key, v.node
+         |),
+         |roles AS (
+         |  SELECT key, node,
+         |         row_number() OVER (PARTITION BY key ORDER BY dist) AS role
+         |  FROM nodedist
+         |),
+         |racks AS (
+         |  SELECT * FROM (VALUES ${NodeRacks.toSeq.sorted
+                .map { case (n, r) => s"('$n','$r')" }.mkString(",")})
+         |       t(node, rack)
+         |),
+         |prim AS (SELECT key, node AS p1 FROM roles WHERE role = 1),
+         |xrack AS (
+         |  SELECT r.key, r.node AS p2 FROM roles r
+         |  JOIN prim ON prim.key = r.key
+         |  JOIN racks rp ON rp.node = prim.p1
+         |  JOIN racks rr ON rr.node = r.node
+         |  WHERE rr.rack <> rp.rack
+         |  QUALIFY row_number() OVER (PARTITION BY r.key
+         |                             ORDER BY r.role) = 1
+         |),
+         |third AS (
+         |  SELECT r.key, r.node AS p3 FROM roles r
+         |  JOIN prim ON prim.key = r.key
+         |  JOIN xrack ON xrack.key = r.key
+         |  WHERE r.node <> prim.p1 AND r.node <> xrack.p2
+         |  QUALIFY row_number() OVER (PARTITION BY r.key
+         |                             ORDER BY r.role) = 1
+         |),
+         |ra AS (
+         |  SELECT key, 1 AS role, p1 AS node FROM prim
+         |  UNION ALL SELECT key, 2, p2 FROM xrack
+         |  UNION ALL SELECT key, 3, p3 FROM third
+         |),
+         |plain AS (SELECT key, node, role FROM roles WHERE role <= $ReplicaN),
+         |j AS (
+         |  SELECT ra.node AS node_id, CAST(ra.role AS BIGINT) AS role,
+         |         CASE WHEN ra.node <> p.node THEN 1 ELSE 0 END AS moved
+         |  FROM ra JOIN plain p ON p.key = ra.key AND p.role = ra.role
+         |)
+         |SELECT node_id, role, count(*) AS n_keys,
+         |       CAST(sum(moved) AS BIGINT) AS n_reassigned
+         |FROM j GROUP BY 1, 2 ORDER BY node_id, role""".stripMargin)
   )
 }

@@ -192,4 +192,32 @@ class RingRouterSpec extends SparkSpec {
     // shares are a distribution
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
   }
+
+  test("rack-aware placement: every slot walk spans both racks") {
+    // the invariant the constraint buys, proven over ALL vnode slots:
+    // no rack holds all three replicas of any slot
+    val sets = RingRouter.rackAwareSets(RingRouter.RingNodes,
+      RingRouter.ReplicaN)
+    sets.foreach { wk =>
+      assert(wk.distinct.size == RingRouter.ReplicaN)
+      assert(wk.map(RingRouter.NodeRacks).distinct.size >= 2,
+        s"walk $wk is rack-concentrated")
+      // the first two slots alone already span racks (a whole-rack
+      // outage keeps a replica even at R=2 effective)
+      assert(RingRouter.NodeRacks(wk(0)) != RingRouter.NodeRacks(wk(1)))
+    }
+    // census conserves the keyspace per role, and the primary never
+    // moves (the constraint reorders only the tail)
+    val rows = RingRouter.queries("route_rack_aware_load")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nKeys = KvLog.state(spark, sf).count()
+    (1L to RingRouter.ReplicaN.toLong).foreach { role =>
+      assert(rows.filter(_._2 == role).map(_._3).sum == nKeys, s"role $role")
+    }
+    assert(rows.filter(_._2 == 1L).forall(_._4 == 0L),
+      "primary placement must be untouched by the rack constraint")
+    // and the constraint genuinely reorders some tails on this ring
+    assert(rows.filter(_._2 > 1L).map(_._4).sum > 0L)
+  }
 }
