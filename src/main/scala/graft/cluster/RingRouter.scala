@@ -154,6 +154,10 @@ object RingRouter {
   val NodeRacks: Map[String, String] =
     Map("n1" -> "r1", "n2" -> "r1", "n3" -> "r2", "n4" -> "r2")
 
+  /** Replication factor for the rack-outage comparison (pairs — where
+    * rack concentration actually loses data). */
+  val RackPairR = 2
+
   /** Rack-aware preference list per vnode slot: primary = successor;
     * the SECOND replica is the first clockwise node on a DIFFERENT rack
     * than the primary (a whole-rack outage must leave a replica), and
@@ -368,7 +372,46 @@ object RingRouter {
         .groupBy("node_id", "role")
         .agg(count(lit(1)).as("n_keys"),
           sum(when(col("moved"), 1L).otherwise(0L)).as("n_reassigned"))
-        .orderBy("node_id", "role"))
+        .orderBy("node_id", "role")),
+
+    // the rack constraint's payoff, measured at replication factor 2
+    // (the replica-pair deployment where it actually bites — at R=3
+    // over 2-node racks a distinct-node walk structurally cannot lose
+    // all copies): kill rack r1 whole and count, under both pair
+    // placements, the keys that lost EVERY replica and the keys left
+    // on their last copy. Plain ring order concentrates some slots'
+    // pairs inside one rack (vnodes don't know racks) → all-lost > 0;
+    // anti-affinity pairs always span racks → all-lost = 0 by
+    // construction, the number the spec pins. One keyspace projection
+    // computing both placements in the same pass.
+    "route_rack_outage_compare" -> ((s, dir) => {
+      val r1Nodes = NodeRacks.toSeq.filter(_._2 == "r1").map(_._1)
+      val rg = ring(RingNodes)
+      val plainArr = typedLit(replicaSets(RingNodes, RackPairR))
+      val raArr = typedLit(rackAwareSets(RingNodes, RackPairR))
+      val idx = graft.functions.SortedSuccessor.sortedSuccessor(
+        rg.map(_._1), pos32(col("key")))
+      val slot = pmod(idx, lit(rg.size)) + 1
+      KvLog.state(s, dir)
+        .select(element_at(plainArr, slot).as("plain"),
+          element_at(raArr, slot).as("rack_aware"))
+        .select(explode(map(
+          lit("plain"), col("plain"),
+          lit("rack_aware"), col("rack_aware"))).as(Seq("placement", "rs")))
+        .select(col("placement"),
+          size(array_except(col("rs"), typedLit(r1Nodes)))
+            .cast("long").as("n_surv"))
+        .groupBy("placement")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("n_surv") === 0L, 1L).otherwise(0L))
+            .as("n_all_lost"),
+          sum(when(col("n_surv") === 1L, 1L).otherwise(0L))
+            .as("n_last_copy"))
+        .withColumn("survive_rate",
+          (col("n_keys") - col("n_all_lost")).cast("double") /
+            col("n_keys"))
+        .orderBy("placement")
+    })
   )
 
   // ---- oracle ------------------------------------------------------------
@@ -632,6 +675,70 @@ object RingRouter {
          |)
          |SELECT node_id, role, count(*) AS n_keys,
          |       CAST(sum(moved) AS BIGINT) AS n_reassigned
-         |FROM j GROUP BY 1, 2 ORDER BY node_id, role""".stripMargin)
+         |FROM j GROUP BY 1, 2 ORDER BY node_id, role""".stripMargin),
+
+    "route_rack_outage_compare" -> {
+      val r1In = NodeRacks.toSeq.filter(_._2 == "r1").map(_._1).sorted
+        .map(n => s"'$n'").mkString(", ")
+      s"WITH ${Ora.kvState},\n${ringCte("r4", vals4)},\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |nodedist AS (
+         |  SELECT k.key, v.node,
+         |         min((v.pos - k.kp + 4294967296) % 4294967296) AS dist
+         |  FROM keyed k CROSS JOIN r4_vn v
+         |  GROUP BY k.key, v.node
+         |),
+         |roles AS (
+         |  SELECT key, node,
+         |         row_number() OVER (PARTITION BY key ORDER BY dist) AS role
+         |  FROM nodedist
+         |),
+         |racks AS (
+         |  SELECT * FROM (VALUES ${NodeRacks.toSeq.sorted
+                .map { case (n, r) => s"('$n','$r')" }.mkString(",")})
+         |       t(node, rack)
+         |),
+         |prim AS (SELECT key, node AS p1 FROM roles WHERE role = 1),
+         |xrack AS (
+         |  SELECT r.key, r.node AS p2 FROM roles r
+         |  JOIN prim ON prim.key = r.key
+         |  JOIN racks rp ON rp.node = prim.p1
+         |  JOIN racks rr ON rr.node = r.node
+         |  WHERE rr.rack <> rp.rack
+         |  QUALIFY row_number() OVER (PARTITION BY r.key
+         |                             ORDER BY r.role) = 1
+         |),
+         |third AS (
+         |  SELECT r.key, r.node AS p3 FROM roles r
+         |  JOIN prim ON prim.key = r.key
+         |  JOIN xrack ON xrack.key = r.key
+         |  WHERE r.node <> prim.p1 AND r.node <> xrack.p2
+         |  QUALIFY row_number() OVER (PARTITION BY r.key
+         |                             ORDER BY r.role) = 1
+         |),
+         |members AS (
+         |  SELECT 'plain' AS placement, key, node FROM roles
+         |  WHERE role <= $RackPairR
+         |  UNION ALL SELECT 'rack_aware', key, p1 FROM prim
+         |  UNION ALL SELECT 'rack_aware', key, p2 FROM xrack
+         |),
+         |surv AS (
+         |  SELECT placement, key,
+         |         CAST(sum(CASE WHEN node NOT IN ($r1In) THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_surv
+         |  FROM members GROUP BY 1, 2
+         |),
+         |agg AS (
+         |  SELECT placement, count(*) AS n_keys,
+         |         CAST(sum(CASE WHEN n_surv = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_all_lost,
+         |         CAST(sum(CASE WHEN n_surv = 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_last_copy
+         |  FROM surv GROUP BY 1
+         |)
+         |SELECT *, CAST(n_keys - n_all_lost AS DOUBLE) / n_keys
+         |         AS survive_rate
+         |FROM agg ORDER BY placement""".stripMargin
+    }
   )
 }

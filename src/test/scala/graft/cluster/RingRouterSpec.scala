@@ -220,4 +220,27 @@ class RingRouterSpec extends SparkSpec {
     // and the constraint genuinely reorders some tails on this ring
     assert(rows.filter(_._2 > 1L).map(_._4).sum > 0L)
   }
+
+  test("rack outage: anti-affinity pairs drive all-lost to exactly zero") {
+    val rows = RingRouter.queries("route_rack_outage_compare")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    val nKeys = KvLog.state(spark, sf).count()
+    assert(rows.keySet == Set("plain", "rack_aware"))
+    rows.values.foreach { case (n, _, _, _) => assert(n == nKeys) }
+    // plain R=2 pairs can land entirely in rack r1 (vnodes don't know
+    // racks) — real data loss under the rack outage…
+    val (_, plainLost, _, plainRate) = rows("plain")
+    assert(plainLost > 0L,
+      "fixture ring should expose rack-concentrated pairs")
+    assert(plainRate < 1.0)
+    // …while every anti-affinity pair spans racks by construction
+    val (_, raLost, raLast, raRate) = rows("rack_aware")
+    assert(raLost == 0L)
+    assert(raRate == 1.0)
+    // and after losing r1 whole, every rack-aware key sits on exactly
+    // its surviving r2 copy
+    assert(raLast == nKeys)
+  }
 }
