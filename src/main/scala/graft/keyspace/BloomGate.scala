@@ -35,6 +35,9 @@ object BloomGate {
   /** Hash probes per key. */
   val KvBloomK = 2
 
+  /** Filter sizes on the sizing sweep (bits per shard). */
+  val SweepMs: Seq[Int] = Seq(16384, 65536, 262144)
+
   /** Per-block restart interval for the front-coding estimate: every
     * Nth key is stored in full so point lookups can binary-search
     * blocks (the RocksDB/LevelDB block layout). */
@@ -109,6 +112,47 @@ object BloomGate {
               (col("n_probes") - col("n_present")))
             .otherwise(lit(null).cast("double")))
         .orderBy("shard_id")
+    }),
+
+    // the sizing curve: the same gate at three filter sizes, rolled up
+    // across shards — fp_rate vs bits_per_key is how you BUY the
+    // false-positive rate you want (the classic (1−e^{−kn/m})^k
+    // trade). The state and probe tables derive once (checkpointed);
+    // each size is one more filter build over the same feed.
+    "kv_bloom_size_sweep" -> ((s, dir) => {
+      val st = KvLog.state(s, dir).localCheckpoint()
+      val probes = KvLog.log(s, dir).filter(col("op") === "get")
+        .select(col("key"),
+          graft.hash.Fnv1a32.shardId(col("key")).as("shard_id"))
+        .join(st.select(col("key"), lit(true).as("present")),
+          Seq("key"), "left")
+        .localCheckpoint()
+      val legs = SweepMs.map { m =>
+        val blooms = st.groupBy("shard_id")
+          .agg(BloomBits.bloomBits(col("key"), m, KvBloomK).as("bf"))
+        probes.join(broadcast(blooms), "shard_id")
+          .select(BloomBits.mightContain(col("bf"), col("key"),
+            m, KvBloomK).as("inb"),
+            coalesce(col("present"), lit(false)).as("present"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+            sum(when(col("inb") && !col("present"), 1L).otherwise(0L))
+              .as("n_false_pos"))
+          .select(lit(m.toLong).as("m_bits"), col("n_probes"),
+            col("n_present"), col("n_false_pos"))
+      }
+      val live = st.agg(count(lit(1)).as("n_live"))
+      legs.reduce(_.unionAll(_))
+        .crossJoin(broadcast(live))
+        .select(col("m_bits"), col("n_probes"), col("n_present"),
+          col("n_false_pos"),
+          when(col("n_probes") - col("n_present") > 0L,
+            col("n_false_pos").cast("double") /
+              (col("n_probes") - col("n_present")))
+            .otherwise(lit(null).cast("double")).as("fp_rate"),
+          ((col("m_bits") * lit(4L)).cast("double") / col("n_live"))
+            .as("bits_per_key"))
+        .orderBy("m_bits")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -146,6 +190,65 @@ object BloomGate {
          |SELECT *, CAST(raw_bytes - coded_bytes AS DOUBLE) / raw_bytes
          |         AS savings_rate
          |FROM agg ORDER BY shard_id""".stripMargin),
+
+    "kv_bloom_size_sweep" -> {
+      val legs = SweepMs.map { m =>
+        s"""bits_$m AS (
+           |  SELECT DISTINCT shard_id, hm % $m AS bit FROM sh
+           |),
+           |hit_$m AS (
+           |  SELECT p.seq, p.key, p.shard_id,
+           |         sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+           |           = $KvBloomK AS inb
+           |  FROM (SELECT seq, key, shard_id, hm % $m AS bit FROM ph) p
+           |  LEFT JOIN bits_$m b
+           |    ON b.shard_id = p.shard_id AND b.bit = p.bit
+           |  GROUP BY 1, 2, 3
+           |),
+           |leg_$m AS (
+           |  SELECT $m AS m_bits, count(*) AS n_probes,
+           |         CAST(sum(CASE WHEN pr.key IS NOT NULL THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_present,
+           |         CAST(sum(CASE WHEN h.inb AND pr.key IS NULL
+           |                       THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS n_false_pos
+           |  FROM hit_$m h
+           |  LEFT JOIN present pr ON pr.key = h.key
+           |)""".stripMargin
+      }.mkString(",\n")
+      val union = SweepMs
+        .map(m => s"SELECT * FROM leg_$m").mkString("\nUNION ALL ")
+      s"WITH ${Ora.kvState},\n" +
+      s"""sh AS (
+         |  SELECT shard_id, xor(h, h // 65536) AS hm FROM (
+         |    SELECT s.shard_id, ${Ora.fnv("s.key || ':' || ii.i")} AS h
+         |    FROM kv_state s
+         |    CROSS JOIN (SELECT unnest(range($KvBloomK)) AS i) ii)
+         |),
+         |gp AS (
+         |  SELECT seq, key, ${Ora.shard("key")} AS shard_id
+         |  FROM kv_log WHERE op = 'get'
+         |),
+         |ph AS (
+         |  SELECT seq, key, shard_id, xor(h, h // 65536) AS hm FROM (
+         |    SELECT p.seq, p.key, p.shard_id,
+         |           ${Ora.fnv("p.key || ':' || ii.i")} AS h
+         |    FROM gp p
+         |    CROSS JOIN (SELECT unnest(range($KvBloomK)) AS i) ii)
+         |),
+         |present AS (SELECT DISTINCT key FROM kv_state),
+         |live AS (SELECT count(*) AS n_live FROM kv_state),
+         |$legs,
+         |allm AS ($union)
+         |SELECT CAST(m_bits AS BIGINT) AS m_bits, n_probes, n_present,
+         |       n_false_pos,
+         |       CASE WHEN n_probes - n_present > 0
+         |            THEN CAST(n_false_pos AS DOUBLE)
+         |                 / CAST(n_probes - n_present AS BIGINT)
+         |            ELSE NULL END AS fp_rate,
+         |       CAST(m_bits * 4 AS DOUBLE) / live.n_live AS bits_per_key
+         |FROM allm, live ORDER BY m_bits""".stripMargin
+    },
 
     // same filter relationally: the DISTINCT set of set-bit positions
     // per shard stands in for the bit array; a probe passes iff all K

@@ -67,4 +67,22 @@ class BloomGateSpec extends SparkSpec {
       assert(rate > 0.3, s"shard $sh saves only $rate")
     }
   }
+
+  test("bloom size sweep: no false negatives at any size; fp monotone") {
+    val rows = BloomGate.queries("kv_bloom_size_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq ==
+      BloomGate.SweepMs.map(_.toLong).sorted)
+    // identical probe feed at every size
+    assert(rows.map(r => (r._2, r._3)).distinct.length == 1)
+    rows.foreach { case (m, probes, present, fp) =>
+      assert(fp >= 0 && fp <= probes - present, s"m=$m")
+    }
+    // more bits never increase false positives (a bigger filter sets a
+    // superset-free, sparser bit array over the same keys)
+    val fps = rows.sortBy(_._1).map(_._4)
+    assert(fps.zip(fps.drop(1)).forall { case (small, big) => big <= small },
+      s"fp not monotone: $fps")
+  }
 }
