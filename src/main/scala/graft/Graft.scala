@@ -58,6 +58,13 @@ object Graft {
             s"char_class_counts(str) takes 1 argument, got ${other.size}")
         }
       },
+      "common_prefix_len" -> { es =>
+        es match {
+          case Seq(a, b) => graft.functions.CommonPrefixLen(a, b)
+          case other => throw new IllegalArgumentException(
+            s"common_prefix_len(str, str) takes 2 arguments, got ${other.size}")
+        }
+      },
       "word_ngrams" -> { es =>
         es match {
           case Seq(toks, IntegerLiteral(n)) => WordNgrams(toks, n)

@@ -23,6 +23,22 @@ class GraftSqlSpec extends SparkSpec {
       .first().getSeq[Long](0) === Seq(2L, 1L, 1L))
   }
 
+  test("common_prefix_len registered for SQL; known answers") {
+    Graft.register(spark)
+    assert(spark.sql("SELECT common_prefix_len('order:12', 'order:15')")
+      .first().getLong(0) === 7L)
+    assert(spark.sql("SELECT common_prefix_len('abc', 'abc')")
+      .first().getLong(0) === 3L)
+    assert(spark.sql("SELECT common_prefix_len('abc', 'xyz')")
+      .first().getLong(0) === 0L)
+    assert(spark.sql("SELECT common_prefix_len('ab', 'abcd')")
+      .first().getLong(0) === 2L)
+    assert(spark.sql("SELECT common_prefix_len('', 'abc')")
+      .first().getLong(0) === 0L)
+    assert(spark.sql("SELECT common_prefix_len(CAST(NULL AS STRING), 'abc')")
+      .first().isNullAt(0))
+  }
+
   test("bit_length64 registered for SQL, matches the Column API") {
     Graft.register(spark)
     assert(spark.sql("SELECT bit_length64(0L)").first().getInt(0) === 0)
