@@ -925,6 +925,35 @@ class PlanAuditSpec extends SparkSpec {
         p.take(3000))
   }
 
+  test("kneser-ney: one bigram pass; all model tables broadcast") {
+    val df = graft.text.CollocationQueries
+      .queries("text_lm_kneser_ney")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"the probe must read the checkpointed bigram pass\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"type-sized model tables must broadcast\n${p.take(3000)}")
+  }
+
+  test("rack placement: one binary-search projection, no key-space join") {
+    val df = graft.cluster.RingRouter
+      .queries("route_rack_aware_load")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"placement must be a pure projection over the keyspace\n" +
+        p.take(3000))
+  }
+
+  test("median ci: rank bounds broadcast onto the per-type ranking") {
+    val df = graft.events.TrendQueries
+      .queries("events_median_ci")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row rank-bound table must broadcast\n${p.take(3000)}")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"counts + ranking may scan at most twice\n${p.take(2000)}")
+  }
+
   test("dsv2 scan: source pushdown visible as a single BatchScan") {
     val df = graft.sources.KvGenQueries
       .queries("kv_dsv2_shard_scan")(spark, sf)
