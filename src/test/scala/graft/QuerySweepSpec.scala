@@ -47,4 +47,18 @@ class QuerySweepSpec extends SparkSpec {
   test("flagship entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("oracle SQL is transcendental-free and deterministic") {
+    // ln/log/exp round differently across engines (ORACLE.md) and
+    // random()/now() break replay — none may appear in any oracle.
+    // This lint runs over the ACTUAL shipped SQL, not the source text,
+    // so comments and method names can't false-positive.
+    val banned = Seq("ln(", "log(", "log2(", "log10(", "exp(",
+      "pow(", "power(", "random(", "now(", "current_date", "getdate")
+    val hits = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      val l = sql.toLowerCase
+      banned.filter(l.contains).map(b => s"$name uses $b")
+    }
+    assert(hits.isEmpty, hits.mkString("\n"))
+  }
 }
