@@ -28,6 +28,9 @@ object ProfileQueries {
   /** documents columns profiled, in stack order. */
   val DocCols: Seq[String] = Seq("doc_id", "lang", "source", "text", "n_chars")
 
+  /** Contract dimensionality of the embeddings table. */
+  val EmbedDim = 64
+
   /** Generic profile over stringified columns of `df`. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     // stack(n, name1, val1, name2, val2, ...) → (col_name, val) rows
@@ -123,6 +126,41 @@ object ProfileQueries {
         .withColumn("ts", graft.events.EventsQueries.tsUs(col("ts"))),
         EventCols)),
 
+    // the vector-table ingest audit: the failure modes an embedding
+    // drop actually ships (wrong dimensionality after a model swap,
+    // NaNs from overflowed encoders, zero vectors from empty inputs,
+    // duplicated ids from retried writes) plus the norm profile.
+    // One scan, one aggregate, unpivoted to (metric, value); counts are
+    // exact longs surfaced as exact doubles, the norm quantiles ride
+    // the percentile/quantile_cont bit-equal pair over Dot64 folds.
+    "profile_embeddings" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          graft.sim.Dot64.dot64(col("embedding"), col("embedding"))
+            .as("sq"))
+      e.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("embedding").isNull, 1L).otherwise(0L))
+            .as("n_null_vec"),
+          sum(when(size(col("embedding")) =!= EmbedDim, 1L).otherwise(0L))
+            .as("n_wrong_dim"),
+          sum(when(expr("exists(embedding, x -> isnan(x))"), 1L)
+            .otherwise(0L)).as("n_with_nan"),
+          sum(when(col("sq") === 0.0, 1L).otherwise(0L)).as("n_zero_vec"),
+          (count(lit(1)) - countDistinct("vec_id")).as("n_dup_ids"),
+          expr("percentile(sqrt(sq), 0.5)").as("norm_p50"),
+          expr("percentile(sqrt(sq), 0.99)").as("norm_p99"))
+        .select(explode(map(
+          lit("n_rows"), col("n_rows").cast("double"),
+          lit("n_null_vec"), col("n_null_vec").cast("double"),
+          lit("n_wrong_dim"), col("n_wrong_dim").cast("double"),
+          lit("n_with_nan"), col("n_with_nan").cast("double"),
+          lit("n_zero_vec"), col("n_zero_vec").cast("double"),
+          lit("n_dup_ids"), col("n_dup_ids").cast("double"),
+          lit("norm_p50"), col("norm_p50"),
+          lit("norm_p99"), col("norm_p99"))).as(Seq("metric", "value")))
+        .orderBy("metric")
+    }),
+
     // drop-over-drop drift: the profile exists to be DIFFED — this runs
     // it twice (the first half of doc_ids stands in for yesterday's
     // drop) and joins per column: null-rate delta, the distinct-per-row
@@ -161,6 +199,43 @@ object ProfileQueries {
   val DriftLenTol = 5.0
 
   val oracle: Map[String, String] = Map(
+    "profile_embeddings" -> {
+      val sq = graft.oracle.Ora.dot64("embedding", "embedding")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $sq AS sq FROM embeddings
+         |),
+         |a AS (
+         |  SELECT count(*) AS n_rows,
+         |         CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_null_vec,
+         |         CAST(sum(CASE WHEN len(embedding) <> $EmbedDim
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_wrong_dim,
+         |         CAST(sum(CASE WHEN len(list_filter(embedding,
+         |                            x -> isnan(x))) > 0
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_with_nan,
+         |         CAST(sum(CASE WHEN sq = 0.0::DOUBLE THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_zero_vec,
+         |         count(*) - count(DISTINCT vec_id) AS n_dup_ids,
+         |         quantile_cont(sqrt(sq), 0.5) AS norm_p50,
+         |         quantile_cont(sqrt(sq), 0.99) AS norm_p99
+         |  FROM e
+         |)
+         |SELECT u.metric, u.value FROM a, LATERAL (
+         |  SELECT unnest(['n_rows', 'n_null_vec', 'n_wrong_dim',
+         |                 'n_with_nan', 'n_zero_vec', 'n_dup_ids',
+         |                 'norm_p50', 'norm_p99']) AS metric,
+         |         unnest([CAST(a.n_rows AS DOUBLE),
+         |                 CAST(a.n_null_vec AS DOUBLE),
+         |                 CAST(a.n_wrong_dim AS DOUBLE),
+         |                 CAST(a.n_with_nan AS DOUBLE),
+         |                 CAST(a.n_zero_vec AS DOUBLE),
+         |                 CAST(a.n_dup_ids AS DOUBLE),
+         |                 a.norm_p50, a.norm_p99]) AS value
+         |) u
+         |ORDER BY u.metric""".stripMargin
+    },
     "profile_documents" -> {
       val legs = DocCols.map(c =>
         s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM documents")

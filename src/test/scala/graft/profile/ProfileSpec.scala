@@ -107,4 +107,16 @@ class ProfileSpec extends SparkSpec {
     // doc_id's distinct ratio is 1 in both halves — it cannot drift
     assert(rows("doc_id")._2 === 0.0)
   }
+
+  test("embeddings profile: clean fixture scores clean; norms sane") {
+    val m = ProfileQueries.queries("profile_embeddings")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count().toDouble
+    assert(m("n_rows") == n)
+    // the fixture ships healthy vectors: every violation counter is 0
+    Seq("n_null_vec", "n_wrong_dim", "n_with_nan", "n_zero_vec",
+      "n_dup_ids").foreach(k => assert(m(k) == 0.0, k))
+    // norm quantiles are positive and ordered
+    assert(m("norm_p50") > 0.0 && m("norm_p50") <= m("norm_p99"))
+  }
 }
