@@ -37,6 +37,12 @@ class GraftSqlSpec extends SparkSpec {
       .first().getLong(0) === 0L)
     assert(spark.sql("SELECT common_prefix_len(CAST(NULL AS STRING), 'abc')")
       .first().isNullAt(0))
+    // BYTE-level semantics pinned: é (C3 A9) vs è (C3 A8) share their
+    // first UTF-8 byte — front-coding stores byte suffixes, so 1 is the
+    // correct answer (the char-level oracle applies to ASCII keys only,
+    // the documented scope shared with fnv1a32)
+    assert(spark.sql("SELECT common_prefix_len('é', 'è')")
+      .first().getLong(0) === 1L)
   }
 
   test("bit_length64 registered for SQL, matches the Column API") {
