@@ -353,6 +353,36 @@ object RingRouter {
           sum(col("n_keys")).over(Window.partitionBy()))
         .orderBy("hint_node", "failed_role")),
 
+    // cluster-growth sweep: movement when the 4-node ring grows to 5,
+    // 6, and 7 nodes, against the k/(4+k) capacity-proportional ideal —
+    // the empirical form of consistent hashing's headline guarantee
+    // (mod placement would reshuffle ~1−1/lcm fractions instead). A key
+    // moves iff its new owner is a JOINER (adding vnodes never moves a
+    // key between incumbents), so each leg is one more binary-search
+    // projection over the same keyspace pass.
+    "route_ring_growth_sweep" -> ((s, dir) => {
+      val legs = Seq(1, 2, 3)
+      val moveCols = legs.map { k =>
+        val nodes = RingNodes ++ (1 to k).map(i => s"n${4 + i}")
+        val joiners = (1 to k).map(i => s"n${4 + i}")
+        when(ringNodeCol(nodes)(col("key")).isin(joiners: _*), 1L)
+          .otherwise(0L).as(s"m$k")
+      }
+      val agged = KvLog.state(s, dir)
+        .select(moveCols: _*)
+        .agg(count(lit(1)).as("n_keys"),
+          legs.map(k => sum(col(s"m$k")).as(s"mv$k")): _*)
+      agged.select(explode(array(legs.map { k =>
+          struct(lit(4L + k).as("n_nodes_after"), col("n_keys"),
+            col(s"mv$k").as("n_moved"),
+            (lit(k).cast("double") / lit(4 + k)).as("ideal_frac"))
+        }: _*)).as("r"))
+        .select(col("r.n_nodes_after"), col("r.n_keys"), col("r.n_moved"),
+          (col("r.n_moved").cast("double") / col("r.n_keys"))
+            .as("moved_frac"), col("r.ideal_frac"))
+        .orderBy("n_nodes_after")
+    }),
+
     // rack-aware replica load: the anti-affinity placement's per-(node,
     // role) census plus how many keys each role REASSIGNED relative to
     // plain ring order — the cost of the rack constraint, measured. The
@@ -621,6 +651,42 @@ object RingRouter {
          |SELECT hint_node, failed_role, CAST(n_keys AS BIGINT) AS n_keys,
          |       n_keys::DOUBLE / sum(n_keys) OVER () AS share
          |FROM counts ORDER BY hint_node, failed_role""".stripMargin),
+
+    "route_ring_growth_sweep" -> {
+      val legs = Seq(1, 2, 3)
+      val ctes = legs.map { k =>
+        val vals = (RingNodes ++ (1 to k).map(i => s"n${4 + i}"))
+          .map(n => s"('$n')").mkString(",")
+        ringCte(s"g$k", vals)
+      }.mkString(",\n")
+      val moveExprs = legs.map { k =>
+        val joiners = (1 to k).map(i => s"'n${4 + i}'").mkString(", ")
+        s"CASE WHEN ${succExpr(s"g$k")} IN ($joiners) THEN 1 ELSE 0 END AS m$k"
+      }.mkString(",\n         ")
+      val sums = legs.map(k =>
+        s"CAST(sum(m$k) AS BIGINT) AS mv$k").mkString(",\n         ")
+      val rows = legs.map { k =>
+        s"SELECT CAST(${4 + k} AS BIGINT) AS n_nodes_after, n_keys, " +
+          s"mv$k AS n_moved, " +
+          s"CAST($k AS DOUBLE) / ${4 + k} AS ideal_frac FROM summary"
+      }.mkString("\n  UNION ALL ")
+      s"WITH ${Ora.kvState},\n$ctes,\n" +
+      s"""keyed AS (SELECT key, ${posSql("key")} AS kp FROM kv_state),
+         |assigned AS (
+         |  SELECT $moveExprs
+         |  FROM keyed
+         |),
+         |summary AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |         $sums
+         |  FROM assigned
+         |)
+         |SELECT n_nodes_after, n_keys, n_moved,
+         |       n_moved::DOUBLE / n_keys AS moved_frac, ideal_frac
+         |FROM (
+         |  $rows
+         |) ORDER BY n_nodes_after""".stripMargin
+    },
 
     // relational rack-aware placement: primary = min-dist rank 1, the
     // cross-rack slot = lowest rank on the other rack, the filler =

@@ -221,6 +221,28 @@ class RingRouterSpec extends SparkSpec {
     assert(rows.filter(_._2 > 1L).map(_._4).sum > 0L)
   }
 
+  test("growth sweep: movement tracks the capacity-proportional ideal") {
+    val rows = RingRouter.queries("route_ring_growth_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(5L, 6L, 7L))
+    val nKeys = KvLog.state(spark, sf).count()
+    rows.foreach { case (n, nk, moved, frac, ideal) =>
+      assert(nk == nKeys)
+      assert(frac == moved.toDouble / nk)
+      assert(ideal == (n - 4).toDouble / n)
+      // consistent hashing's guarantee, measured: movement sits near
+      // the k/(4+k) ideal (vnode sampling noise band), nowhere near the
+      // ~1-1/lcm reshuffle mod placement pays
+      assert(math.abs(frac - ideal) < 0.08,
+        s"growth to $n: moved $frac vs ideal $ideal")
+    }
+    // more joiners take strictly more keys
+    val fracs = rows.map(_._4)
+    assert(fracs.zip(fracs.drop(1)).forall { case (a, b) => a < b })
+  }
+
   test("rack outage: anti-affinity pairs drive all-lost to exactly zero") {
     val rows = RingRouter.queries("route_rack_outage_compare")(spark, sf)
       .collect()
