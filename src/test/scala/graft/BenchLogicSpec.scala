@@ -91,6 +91,98 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(loadRecord("not json at all") == (Map.empty, None))
   }
 
+  test("loadRecord tolerates Python-style whitespace after colons and commas") {
+    // round 5's regression: external tooling re-serialized the committed
+    // record with `"key": value` spacing and the colon-tight regexes parsed
+    // it to empty — the defense silently ran recordless in the driver.
+    val text = """{"metric": "total", "value": 10.0, "queries": {"a": 1.5, "b": -1.0, "c": 0.25}, "sentinel": [0.1, 0.3, 0.2], "sf": "/x"}"""
+    val (q, med) = loadRecord(text)
+    assert(q == Map("a" -> 1.5, "c" -> 0.25))
+    assert(med.contains(0.2))
+  }
+
+  test("recordMatchesSf tolerates whitespace and regex metacharacters in the path") {
+    assert(recordMatchesSf("""{"sf": "/root/testdata/sf0.1"}""", "/root/testdata/sf0.1"))
+    assert(recordMatchesSf("""{"sf":"/root/testdata/sf0.1"}""", "/root/testdata/sf0.1"))
+    // the `.` in sf0.1 must not match sfX1 (Pattern.quote)
+    assert(!recordMatchesSf("""{"sf": "/root/testdata/sfXY1"}""", "/root/testdata/sf0.1"))
+    assert(!recordMatchesSf("""{"sf": "/other"}""", "/root/testdata/sf0.1"))
+  }
+
+  test("the ACTUAL committed bench_record.json parses: >=280 records + sentinel median") {
+    // the integration gap that shipped round 5 broken: the spec only ever
+    // saw self-generated text. This reads the real committed file from the
+    // repo root (sbt test cwd) and asserts the defense would actually arm.
+    val p = java.nio.file.Paths.get("bench_record.json")
+    assume(java.nio.file.Files.exists(p), "bench_record.json not committed yet")
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val (q, med) = loadRecord(text)
+    assert(q.size >= 280, s"only ${q.size} records parsed from the committed file")
+    assert(med.isDefined, "sentinel median must parse from the committed file")
+    assert(recordMatchesSf(text, "/root/testdata/sf0.1"),
+      "committed record must be recognized as the sf0.1 record")
+    assert(q.values.forall(v => v > 0 && v < 600), "record times must be sane seconds")
+  }
+
+  // -- remeasurePass(): end-of-suite recovery ------------------------------
+
+  private def outcomeOf(name: String, best: Double,
+                        contended: Boolean = false): Outcome =
+    Outcome(name, Vector(best, best), best,
+      if (contended) -999 else best, contended)
+
+  test("remeasurePass rescues a transient inflation after the suite ends") {
+    // kv_shard_chi2's round-5 shape: record 0.48, every in-suite sample 5.0
+    // (pressure window wider than MaxAttempts), but the end-of-suite re-run
+    // lands minutes later on a quiet host.
+    val suite = SuiteResult(Vector(
+      Outcome("chi2", Vector(5.0, 5.0, 5.0, 5.0, 5.0, 5.0), 5.0, 0.48, contended = true),
+      outcomeOf("fine", 0.2)), Vector(0.02))
+    val replay = Iterator(0.51, 0.50)
+    val out = remeasurePass(suite,
+      Map("chi2" -> (() => replay.next()), "fine" -> (() => 99.0)),
+      Map("chi2" -> 0.48, "fine" -> 0.2))
+    val chi2 = out.outcomes.find(_.name == "chi2").get
+    assert(chi2.best == 0.50 && !chi2.contended && chi2.clean == 0.50)
+    assert(chi2.samples.size == 8)
+    // "fine" was under the gate: untouched, its runner never invoked
+    val fine = out.outcomes.find(_.name == "fine").get
+    assert(fine.best == 0.2 && fine.samples.size == 2)
+  }
+
+  test("remeasurePass keeps the flag for a genuine regression") {
+    val suite = SuiteResult(Vector(
+      Outcome("reg", Vector(4.0, 4.0, 4.0, 4.0, 4.0, 4.0), 4.0, 1.0, contended = true)),
+      Vector(0.02))
+    val out = remeasurePass(suite, Map("reg" -> (() => 4.0)), Map("reg" -> 1.0))
+    val reg = out.outcomes.find(_.name == "reg").get
+    assert(reg.best == 4.0 && reg.contended && reg.clean == 1.0)
+  }
+
+  test("remeasurePass caps at maxQueries, worst absolute excess first") {
+    val outcomes = (1 to 5).map { i =>
+      // record 1.0 each; excess grows with i
+      Outcome(s"q$i", Vector(1.0 + i), 1.0 + i, 1.0, contended = true)
+    }.toVector
+    var ran = Set.empty[String]
+    val runners = outcomes.map(o => o.name -> { () => ran += o.name; 1.0 }).toMap
+    val records = outcomes.map(_.name -> 1.0).toMap
+    remeasurePass(SuiteResult(outcomes, Vector(0.02)), runners, records,
+      maxQueries = 2)
+    assert(ran == Set("q4", "q5"))
+  }
+
+  test("remeasurePass ignores queries without a record or with failed best") {
+    val suite = SuiteResult(Vector(
+      outcomeOf("norec", 9.0),
+      Outcome("failed", Vector(-1.0, -1.0), -1.0, -1.0, contended = false)),
+      Vector(0.02))
+    val out = remeasurePass(suite,
+      Map("norec" -> (() => 0.1), "failed" -> (() => 0.1)),
+      Map("failed" -> 1.0))
+    assert(out == suite)
+  }
+
   // -- runSuite(): the acceptance test -------------------------------------
 
   test("loaded-window run: total_clean within 15% of the quiet total") {
