@@ -34,22 +34,27 @@ object BenfordQueries {
   /** χ² critical value at 8 degrees of freedom, α = 0.01. */
   val Chi2Crit99 = 20.09
 
+  /** Integer-division first-digit ladder covering the FULL
+    * DECIMAL(18,2)-cents range (top rung 10^18, which a Long holds
+    * exactly). The previous ladder topped out at 10^7 cents, so any
+    * value >= $100,000 produced digit >= 10, `element_at(pArr, 10+)`
+    * returned NULL, and the NULL term silently nulled the entire
+    * chi2/benford_ok audit. `divOp` is `div` (Spark) or `//` (DuckDB);
+    * both ladders are generated from the same rungs so they cannot
+    * drift apart. */
+  def digitLadder(divOp: String): String =
+    (18 to 1 by -1).map { k =>
+      val p = BigInt(10).pow(k)
+      s"WHEN c >= $p THEN c $divOp $p"
+    }.mkString("CASE ", "\n     ", "\n     ELSE c END")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_benford_audit" -> ((s, dir) => {
       val cents = EventsQueries.events(s, dir)
         .filter(col("value") >= 0.01)
         .select((col("value").cast("decimal(18,2)") * 100)
           .cast("long").as("c"))
-      // ladder bound: values to 10^5 dollars (10^7 cents) — far above
-      // the fixture's 560 max, and extending is one more rung
-      val digits = cents.withColumn("digit", expr(
-        """CASE WHEN c >= 1000000 THEN c div 1000000
-          |     WHEN c >= 100000 THEN c div 100000
-          |     WHEN c >= 10000 THEN c div 10000
-          |     WHEN c >= 1000 THEN c div 1000
-          |     WHEN c >= 100 THEN c div 100
-          |     WHEN c >= 10 THEN c div 10
-          |     ELSE c END""".stripMargin))
+      val digits = cents.withColumn("digit", expr(digitLadder("div")))
         .groupBy("digit").agg(count(lit(1)).as("n_obs"))
       val pArr = typedLit(BenfordP)
       val terms = digits
@@ -84,13 +89,7 @@ object BenfordQueries {
          |  FROM ev WHERE value >= 0.01::DOUBLE
          |),
          |digits AS (
-         |  SELECT CASE WHEN c >= 1000000 THEN c // 1000000
-         |              WHEN c >= 100000 THEN c // 100000
-         |              WHEN c >= 10000 THEN c // 10000
-         |              WHEN c >= 1000 THEN c // 1000
-         |              WHEN c >= 100 THEN c // 100
-         |              WHEN c >= 10 THEN c // 10
-         |              ELSE c END AS digit,
+         |  SELECT ${digitLadder("//")} AS digit,
          |         count(*) AS n_obs
          |  FROM cents GROUP BY 1
          |),

@@ -88,9 +88,14 @@ object SeasonalQueries {
         .map(i => s"element_at(xs, $i).n").mkString(" + ")
       val week2 = (Period + 1 to 2 * Period)
         .map(i => s"element_at(xs, $i).n").mkString(" + ")
+      // a weekday absent from the init week (day gaps) gets seasonal slot
+      // 0.0 — level-only prediction — instead of a NULL that would silently
+      // null every downstream fit; a weekday seen twice takes the FIRST
+      // occurrence (xs is day-sorted). Same defined behavior in the
+      // streaming twin (HoltWintersStream) and the oracle CTE below.
       val sInit = (0 until Period).map { j =>
-        s"'s$j', CAST(element_at(filter(slice(xs, 1, $Period), " +
-          s"p -> p.w = $j), 1).n AS DOUBLE) - m1"
+        s"'s$j', coalesce(CAST(element_at(filter(slice(xs, 1, $Period), " +
+          s"p -> p.w = $j), 1).n AS DOUBLE) - m1, 0.0D)"
       }.mkString(", ")
       val step = spark(
         s"""named_struct(
@@ -180,8 +185,14 @@ object SeasonalQueries {
       def acc(f: String) = s"h.$f"
       val x = "CAST(n.n AS DOUBLE)"
       val w = "n.w"
+      // ORDER BY i LIMIT 1: without it a duplicated weekday in the first
+      // seven PRESENT days (day gaps) raises DuckDB's multi-row scalar-
+      // subquery error while Spark's element_at takes the first match;
+      // COALESCE(..., 0.0): a MISSING weekday defaults the slot to 0.0,
+      // mirroring the Spark-side coalesce in hwFits.
       val sInitSql = (0 until Period).map { j =>
-        s"(SELECT x FROM idx WHERE i <= $Period AND w = $j) - init.m1"
+        s"COALESCE((SELECT x FROM idx WHERE i <= $Period AND w = $j " +
+          s"ORDER BY i LIMIT 1) - init.m1, 0.0::DOUBLE)"
       }.mkString(",\n         ")
       val sCols = (0 until Period).map(j => s"s$j").mkString(", ")
       val stepS = (0 until Period)

@@ -71,17 +71,29 @@ class KvGenScanBuilder(rows: Long) extends ScanBuilder
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo("shard_id", v: Long) => true
-      case EqualTo("shard_id", v: Int) => true
+    val (candidates, rejected) = filters.partition {
+      case EqualTo("shard_id", _: Long) => true
+      case EqualTo("shard_id", _: Int) => true
       case _ => false
     }
-    shardEq = accepted.collectFirst {
+    val values = candidates.collect {
       case EqualTo(_, v: Long) => v
       case EqualTo(_, v: Int) => v.toLong
+    }.distinct
+    // Consume a shard equality only when every pushed EqualTo agrees on one
+    // value. Accepting-and-ignoring a second, conflicting equality (e.g.
+    // `shard_id = 2 AND shard_id = 3`) would make Spark trust the source to
+    // have applied both and return shard-2 rows for a predicate that is
+    // unsatisfiable; handing the extras back keeps the post-scan Filter.
+    if (values.length == 1) {
+      shardEq = Some(values.head)
+      pushed = candidates.take(1)
+      candidates.drop(1) ++ rejected
+    } else {
+      shardEq = None
+      pushed = Array.empty
+      filters // Spark re-evaluates what the source does not consume
     }
-    pushed = accepted
-    rejected // Spark re-evaluates what the source does not consume
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =

@@ -69,9 +69,14 @@ object HoltWintersStream {
           // replay week two without emitting — the batch fold's warm-up
           val m1 = buf.take(Period).map(_._2).sum.toDouble / 7.0
           val m2 = buf.slice(Period, 2 * Period).map(_._2).sum.toDouble / 7.0
+          // a weekday absent from the init week (day gaps) defaults its
+          // seasonal slot to 0.0 — the batch fold's defined behavior
+          // (SeasonalQueries.hwFits coalesces the same way); a bare .get
+          // here used to crash the query on gapped fixtures. First match
+          // wins on duplicated weekdays, like element_at(filter(...), 1).
           val s0 = (0 until Period).map { j =>
-            val e = buf.take(Period).find(d => weekday(d._1) == j).get
-            e._2.toDouble - m1
+            buf.take(Period).find(d => weekday(d._1) == j)
+              .map(_._2.toDouble - m1).getOrElse(0.0)
           }
           st = HwState(initialized = true, m1, (m2 - m1) / 7.0, s0, Nil)
           buf.slice(Period, 2 * Period).foreach { case (d, n) =>

@@ -36,4 +36,19 @@ class BenfordSpec extends SparkSpec {
     // shares form a distribution over the audited rows
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
   }
+
+  test("digit ladder classifies the full DECIMAL(18,2) cents range") {
+    // the old ladder topped out at 10^7 cents: a $150,000 value yielded
+    // digit 15, element_at(pArr, 15) = NULL, and the whole audit nulled.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val probes: Seq[Long] = Seq(1L, 9L, 10L, 99L, 15000000L, // $150k
+      987654321098L, Long.MaxValue / 10, BigInt(10).pow(18).toLong)
+    val got = probes.toDF("c")
+      .select(expr(BenfordQueries.digitLadder("div")).as("d"))
+      .collect().map(_.getLong(0))
+    def firstDigit(c: Long): Long = { var x = c; while (x >= 10) x /= 10; x }
+    assert(got.toSeq == probes.map(firstDigit))
+    assert(got.forall(d => d >= 1 && d <= 9))
+  }
 }

@@ -79,10 +79,16 @@ class BloomGateSpec extends SparkSpec {
     rows.foreach { case (m, probes, present, fp) =>
       assert(fp >= 0 && fp <= probes - present, s"m=$m")
     }
-    // more bits never increase false positives (a bigger filter sets a
-    // superset-free, sparser bit array over the same keys)
+    // bigger filters should yield fewer false positives — but only in
+    // expectation: bit positions are hash % m with no subset structure
+    // across sizes, so strict pairwise monotonicity is probabilistic and
+    // a fixture change could flake it without any product bug. Assert the
+    // robust envelope instead: the largest filter beats the smallest, and
+    // no single size-up step makes things catastrophically worse.
     val fps = rows.sortBy(_._1).map(_._4)
-    assert(fps.zip(fps.drop(1)).forall { case (small, big) => big <= small },
-      s"fp not monotone: $fps")
+    assert(fps.last <= fps.head,
+      s"largest filter must not have more fps than smallest: $fps")
+    assert(fps.zip(fps.drop(1)).forall { case (small, big) =>
+      big <= small + math.max(2L, small / 4) }, s"fp jitter too large: $fps")
   }
 }

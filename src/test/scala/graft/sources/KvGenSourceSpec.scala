@@ -29,6 +29,32 @@ class KvGenSourceSpec extends SparkSpec {
     assert(all.planInputPartitions().length == 4)
   }
 
+  test("conflicting shard equalities are handed back, not half-applied") {
+    // shard_id = 2 AND shard_id = 3 is unsatisfiable; a source that accepts
+    // both but honors only the first would return shard-2 rows. The builder
+    // must consume neither so Spark's post-scan Filter yields empty.
+    val b = new KvGenScanBuilder(100)
+    val rejected = b.pushFilters(Array(
+      EqualTo("shard_id", 2L), EqualTo("shard_id", 3L)))
+    assert(rejected.toSet == Set(EqualTo("shard_id", 2L), EqualTo("shard_id", 3L)))
+    assert(b.pushedFilters().isEmpty)
+    assert(b.build().asInstanceOf[KvGenScan].planInputPartitions().length == 4)
+    // end-to-end: the conjunction returns zero rows
+    val df = spark.read.format("graft.sources.KvGenSource")
+      .option("rows", "200").load()
+      .filter(col("shard_id") === 2L && col("shard_id") === 3L)
+    assert(df.count() == 0)
+  }
+
+  test("duplicate agreeing shard equalities consume one, hand back the rest") {
+    val b = new KvGenScanBuilder(100)
+    val rejected = b.pushFilters(Array(
+      EqualTo("shard_id", 2L), EqualTo("shard_id", 2)))
+    assert(b.pushedFilters().toSeq == Seq(EqualTo("shard_id", 2L)))
+    assert(rejected.toSeq == Seq(EqualTo("shard_id", 2)))
+    assert(b.build().asInstanceOf[KvGenScan].planInputPartitions().length == 1)
+  }
+
   test("column pruning reaches the reader's schema") {
     val b = new KvGenScanBuilder(100)
     b.pruneColumns(new StructType().add("key", "string"))
