@@ -25,21 +25,34 @@ case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
 case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
     pixel_sum: Long)
 
+/** Per-image output of the REAL P6 decoder: parsed header fields plus
+  * per-channel pixel statistics — every value read out of actual
+  * container bytes by [[Ppm.parse]]. */
+case class PpmDecoded(doc_id: Long, ok: Boolean, width: Long, height: Long,
+    max_val: Long, n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Multimodal-column plumbing: schema, partitioning, and batched decode.
   *
-  * The decode step is a STUB — this container has no image/audio codecs, so
-  * `decodeStub` computes deterministic byte-level statistics in place of a
-  * real decoder. Everything AROUND the stub is real and tested: the binary
-  * column derivation, the typed-metadata schema, the per-partition batch
-  * shape (`mapPartitions` over a `Dataset[MediaRow]`, the Scala analog of a
-  * vectorized/pandas UDF), the media-type partitioning, and the downstream
-  * aggregation — which is exactly the plumbing a 100 TB pipeline needs to
-  * get right before swapping in a real codec.
+  * The IMAGE path is real end-to-end: assets carry actual binary PPM
+  * (`P6`) containers — synthesized deterministically from the document
+  * text, since the fixtures ship no media — and [[Ppm.parse]] is a real
+  * parser (magic, comments, ASCII header, raster extraction) whose
+  * outputs (header dims, per-channel pixel sums) feed the queries. The
+  * AUDIO/VIDEO decode step remains a labeled codec seam — those formats
+  * genuinely need native libraries this container lacks — computing
+  * deterministic byte-level statistics in place of a codec. Everything
+  * around that seam is real and tested: the binary column derivation,
+  * the typed-metadata schema, the per-partition batch shape
+  * (`mapPartitions` over a `Dataset[MediaRow]`, the Scala analog of a
+  * vectorized/pandas UDF), the media-type partitioning, and the
+  * downstream aggregation — exactly the plumbing a 100 TB pipeline needs
+  * to get right before swapping in the remaining codecs.
   */
 object Multimodal {
 
-  /** REAL DECODER GOES HERE. The stub derives features deterministically
-    * from the payload bytes so the pipeline stays oracle-checkable. */
+  /** CODEC SEAM (audio/video only — images go through [[Ppm.parse]]):
+    * derives features deterministically from the payload bytes so the
+    * pipeline stays oracle-checkable without native codecs. */
   def decodeStub(r: MediaRow): MediaFeatures = {
     var byteSum = 0L
     var i = 0
@@ -64,6 +77,80 @@ object Multimodal {
       (lit(64) + (col("doc_id") % 16) * 32).cast("int").as("width"),
       (lit(48) + (col("doc_id") % 9) * 24).cast("int").as("height"))
 
+  // -- the real image path: deterministic PPM assets + a real parser ------
+
+  /** Real-PPM asset geometry: thumbnail-sized so the byte-exact oracle
+    * (which rebuilds every container byte in SQL) stays cheap at sf0.1 —
+    * 8..15 x 6..11 pixels, ~200-500 container bytes per asset. */
+  def ppmW(docId: Long): Int = (8 + docId % 8).toInt
+  def ppmH(docId: Long): Int = (6 + docId % 6).toInt
+
+  /** Build the actual P6 container for an image asset. The raster is a
+    * deterministic function of the document text (the fixtures carry no
+    * real media): R cycles through the text bytes, G is the photographic
+    * negative 255-R, B is a per-asset constant — chosen so every channel
+    * statistic has a closed-form DuckDB derivation while the bytes on
+    * the wire remain a fully valid image any PPM viewer opens. */
+  def encodePpm(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val w = ppmW(docId)
+    val h = ppmH(docId)
+    val pixels = new Array[Byte](3 * w * h)
+    val len = text.length
+    val b = (docId % 256).toByte
+    var p = 0
+    while (p < w * h) {
+      val r = if (len == 0) 0 else text(p % len) & 0xff
+      pixels(3 * p) = r.toByte
+      pixels(3 * p + 1) = (255 - r).toByte
+      pixels(3 * p + 2) = b
+      p += 1
+    }
+    Ppm.encode(w, h, pixels)
+  }
+
+  /** The catalog with REAL payloads: image assets carry an actual PPM
+    * container (and its true dims as metadata); audio/video keep the
+    * opaque byte payload for the codec seam. */
+  def mediaAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    catalog(s, dir).as[MediaRow].mapPartitions(_.map { r =>
+      if (r.media_type == "image")
+        r.copy(payload = encodePpm(r.doc_id, r.payload),
+          width = ppmW(r.doc_id), height = ppmH(r.doc_id))
+      else r
+    }).toDF()
+  }
+
+  /** REAL image decode: parse the container, read the header, fold the
+    * raster's per-channel sums. A parse failure poisons the row with -1s
+    * (loud in every downstream compare) rather than crashing the stage. */
+  def decodePpm(r: MediaRow): PpmDecoded = Ppm.parse(r.payload) match {
+    case Some(img) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0
+      while (p < img.pixels.length) {
+        sr += img.pixels(p) & 0xff
+        sg += img.pixels(p + 1) & 0xff
+        sb += img.pixels(p + 2) & 0xff
+        p += 3
+      }
+      PpmDecoded(r.doc_id, ok = true, img.width.toLong, img.height.toLong,
+        img.maxVal.toLong, img.width.toLong * img.height, sr, sg, sb)
+    case None =>
+      PpmDecoded(r.doc_id, ok = false, -1, -1, -1, -1, -1, -1, -1)
+  }
+
+  /** Image features for the per-type decode stats, computed from the
+    * REAL parse: n_bytes is the container size, byte_sum the decoded
+    * raster's bytes (header excluded — it's pixel statistics, not file
+    * statistics), checksum the engine hash of the container. */
+  def decodeImage(r: MediaRow): MediaFeatures = {
+    val d = decodePpm(r)
+    MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+      if (d.ok) d.sum_r + d.sum_g + d.sum_b else -1L,
+      Fnv1a32.hashBytes(r.payload))
+  }
+
   /** Decode-stage parallelism. Repartitioning by `media_type` alone would
     * cap the stage at #media-types tasks (3) no matter the corpus size — a
     * serialization point at scale. At 100 TB set this to the cluster's
@@ -77,12 +164,13 @@ object Multimodal {
     * per partition, while the stage runs [[DecodeParallelism]]-wide. */
   def decoded(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
-    catalog(s, dir)
+    mediaAssets(s, dir)
       .repartition(DecodeParallelism, col("media_type"),
         pmod(hash(col("doc_id")), lit(DecodeParallelism)))
       .sortWithinPartitions("media_type")
       .as[MediaRow]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(r =>
+        if (r.media_type == "image") decodeImage(r) else decodeStub(r)))
   }
 
   /** Frame geometry for the sampling stub: fixed-size byte "frames",
@@ -186,7 +274,22 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // through the batched decode stub, then aggregate per media type
+    // the REAL image decode, per asset: every output value is read out
+    // of actual P6 container bytes by Ppm.parse — header dims/maxval
+    // from the ASCII header, channel sums folded over the raster
+    "media_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      mediaAssets(s, dir).filter(col("media_type") === "image")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map(decodePpm))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // batched decode (real parser for images, codec seam for audio and
+    // video), then aggregate per media type
     "media_decode_stats" -> ((s, dir) =>
       decoded(s, dir).groupBy("media_type").agg(
         count("*").as("n_assets"),
@@ -289,14 +392,84 @@ object Multimodal {
          |FROM documents WHERE $mediaTypeSql = 'video'
          |ORDER BY doc_id""".stripMargin,
 
+    // images: the oracle REBUILDS every container byte in SQL — header
+    // ASCII + the R/G/B raster rule — so n_bytes/byte_sum/checksum are
+    // byte-exact against the real encoder+parser round trip. audio and
+    // video keep the codec-seam byte statistics over the text payload.
     "media_decode_stats" ->
-      s"""SELECT $mediaTypeSql AS media_type,
-         |  count(*) AS n_assets,
-         |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
-         |  CAST(sum(list_sum(list_transform(string_split(text, ''),
-         |    c -> unicode(c)::BIGINT))) AS BIGINT) AS total_byte_sum,
-         |  min(${Ora.fnv("text")}) AS min_checksum,
-         |  max(${Ora.fnv("text")}) AS max_checksum
-         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         $mediaTypeSql AS media_type
+         |  FROM documents
+         |),
+         |imgb AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      string_split('P6' || chr(10) || w || ' ' || h || chr(10)
+         |                   || '255' || chr(10), ''),
+         |      c -> unicode(c)::BIGINT) AS hdr,
+         |    flatten(list_transform(range(w * h), p -> [
+         |      CASE WHEN len = 0 THEN 0::BIGINT
+         |           ELSE unicode(substr(text, CAST(p % len + 1 AS INT), 1))::BIGINT END,
+         |      255 - CASE WHEN len = 0 THEN 0::BIGINT
+         |           ELSE unicode(substr(text, CAST(p % len + 1 AS INT), 1))::BIGINT END,
+         |      (doc_id % 256)::BIGINT])) AS pix
+         |  FROM (SELECT doc_id, text, len,
+         |               8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+         |        FROM m WHERE media_type = 'image')
+         |),
+         |imgf AS (
+         |  SELECT doc_id, len(hdr) + len(pix) AS n_bytes,
+         |         list_sum(pix) AS byte_sum,
+         |         ${Ora.fnvBytes("hdr || pix")} AS checksum
+         |  FROM imgb
+         |),
+         |imgagg AS (
+         |  SELECT 'image' AS media_type, count(*) AS n_assets,
+         |         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |         CAST(sum(byte_sum) AS BIGINT) AS total_byte_sum,
+         |         min(checksum) AS min_checksum,
+         |         max(checksum) AS max_checksum
+         |  FROM imgf GROUP BY 1
+         |),
+         |av AS (
+         |  SELECT media_type, count(*) AS n_assets,
+         |         CAST(sum(len) AS BIGINT) AS total_bytes,
+         |         CAST(sum(list_sum(list_transform(string_split(text, ''),
+         |           c -> unicode(c)::BIGINT))) AS BIGINT) AS total_byte_sum,
+         |         min(${Ora.fnv("text")}) AS min_checksum,
+         |         max(${Ora.fnv("text")}) AS max_checksum
+         |  FROM m WHERE media_type <> 'image' GROUP BY 1
+         |)
+         |SELECT * FROM imgagg UNION ALL SELECT * FROM av
+         |ORDER BY media_type""".stripMargin,
+
+    // closed forms for the parsed-header and channel-sum outputs: R
+    // cycles the text bytes (full cycles x text byte-sum + a prefix),
+    // G = 255 - R pixelwise, B constant per asset
+    "media_ppm_decode" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(8 + doc_id % 8 AS BIGINT) AS w,
+         |         CAST(6 + doc_id % 6 AS BIGINT) AS h
+         |  FROM documents WHERE $mediaTypeSql = 'image'
+         |),
+         |sums AS (
+         |  SELECT doc_id, w, h, w * h AS n,
+         |    CASE WHEN len = 0 THEN 0::BIGINT ELSE
+         |      (w * h // len) * list_sum(list_transform(string_split(text, ''),
+         |         c -> unicode(c)::BIGINT))
+         |      + CASE WHEN w * h % len = 0 THEN 0::BIGINT ELSE
+         |          list_sum(list_transform(
+         |            string_split(substr(text, 1, CAST(w * h % len AS INT)), ''),
+         |            c -> unicode(c)::BIGINT)) END
+         |    END AS sum_r
+         |  FROM imgs
+         |)
+         |SELECT doc_id, true AS ok, w AS width, h AS height,
+         |       255::BIGINT AS max_val, n AS n_pixels, sum_r,
+         |       255 * n - sum_r AS sum_g,
+         |       n * (doc_id % 256) AS sum_b
+         |FROM sums ORDER BY doc_id""".stripMargin,
   )
 }

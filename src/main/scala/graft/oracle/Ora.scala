@@ -18,6 +18,15 @@ object Ora {
       s"list_transform(string_split($e, ''), c -> unicode(c)::BIGINT)), " +
       s"(h, b) -> ((xor(h, b)) * 16777619) % 4294967296)"
 
+  /** FNV-1a 32-bit over a LIST of byte values (BIGINTs in [0, 255]) —
+    * for payloads that are genuine binary (e.g. the PPM containers),
+    * where the string-based [[fnv]] cannot represent bytes >= 0x80. The
+    * caller supplies the byte list expression; the fold is the identical
+    * `(h ^ b) * prime mod 2^32` chain as [[graft.hash.Fnv1a32]]. */
+  def fnvBytes(e: String): String =
+    s"list_reduce(list_prepend(2166136261::BIGINT, $e), " +
+      s"(h, b) -> ((xor(h, b)) * 16777619) % 4294967296)"
+
   /** key → shard id (numShards = 4), BIGINT. */
   def shard(e: String): String = s"(${fnv(e)} % 4)"
 

@@ -18,16 +18,32 @@ class MultimodalSpec extends SparkSpec {
     assert(types === Set("image", "audio", "video"))
   }
 
-  test("decode stub runs batched per partition and preserves every row") {
+  test("decode runs batched per partition and preserves every row") {
     val feats = Multimodal.decoded(spark, sf)
     assert(feats.count() ===
       spark.read.parquet(s"$sf/documents.parquet").count())
-    // checksum really is the payload hash: cross-check one row end-to-end
-    val doc = spark.read.parquet(s"$sf/documents.parquet")
-      .orderBy("doc_id").select("doc_id", "text").first()
-    val f = feats.filter(col("doc_id") === doc.getLong(0)).collect().head
-    assert(f.checksum === Fnv1a32.hashString(doc.getString(1)))
-    assert(f.n_bytes === doc.getString(1).length.toLong)
+    // checksum really is the payload hash: cross-check one AUDIO/VIDEO row
+    // (codec seam over text bytes) and one IMAGE row (real PPM container)
+    val docs = Multimodal.catalog(spark, sf)
+      .select("doc_id", "media_type").orderBy("doc_id").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val avId = docs.find(_._2 != "image").get._1
+    val imgId = docs.find(_._2 == "image").get._1
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isin(avId, imgId))
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    val byId = feats.filter(col("doc_id").isin(avId, imgId))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(byId(avId).checksum === Fnv1a32.hashString(texts(avId)))
+    assert(byId(avId).n_bytes === texts(avId).length.toLong)
+    val ppm = Multimodal.encodePpm(imgId, texts(imgId).getBytes("UTF-8"))
+    assert(byId(imgId).checksum === Fnv1a32.hashBytes(ppm))
+    assert(byId(imgId).n_bytes === ppm.length.toLong)
+    // image byte_sum is the DECODED raster only (header excluded)
+    val hdrLen = s"P6\n${Multimodal.ppmW(imgId)} ${Multimodal.ppmH(imgId)}\n255\n".length
+    assert(byId(imgId).byte_sum ===
+      ppm.drop(hdrLen).map(b => (b & 0xff).toLong).sum)
   }
 
   test("pipeline partitions by media_type before decoding") {
