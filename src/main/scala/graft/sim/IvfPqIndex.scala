@@ -1,0 +1,117 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import SimilarityQueries._
+
+/** The build/serve split every 100 TB vector store has — and the one
+  * piece the per-query `sim_*` ANN paths deliberately skip: those
+  * retrain centroids and codebooks on every call (fine for an oracle-
+  * checked algorithm exhibit, wrong as a serving architecture). This
+  * object PERSISTS the IVF-PQ index once and serves queries from the
+  * persisted tables alone:
+  *
+  *   - `centroids/`  — the [[SimilarityQueries.NumCells]]-row coarse
+  *     quantizer (cell, c_emb);
+  *   - `codebooks/`  — the PqM·PqK product-quantizer codewords
+  *     (sub, cluster, c);
+  *   - `codes/`      — one row per (vector, subspace): (vec_id, sub,
+  *     cluster), parquet PARTITIONED BY the coarse `cell`, so a probe
+  *     of `nprobe` cells file-prunes to `nprobe/NumCells` of the
+  *     corpus before a byte is read — the posting-list layout of a
+  *     disk-resident IVF index (same partition-pruning contract as
+  *     [[graft.keyspace.PartitionedLayout]]).
+  *
+  * Serving reads NOTHING corpus-sized: the query embedding is a
+  * pushed-down point lookup, the probed cells are a ≤ NumCells-row
+  * control-plane fetch (collected so the codes scan gets LITERAL
+  * partition predicates), the LUT is a 32-row broadcast, and the ADC
+  * top-k runs over the pruned code partitions as one TakeOrdered. At
+  * 100 TB the only scaling knobs are NumCells (more, smaller
+  * partitions) and the code width — the dataflow is fixed.
+  *
+  * Because build is a deterministic function of the corpus, serving
+  * from the persisted index returns bit-identical results to the
+  * retrain-per-query `sim_ivfpq_ann` — the served query shares that
+  * query's DuckDB oracle.
+  */
+object IvfPqIndex {
+
+  /** Index root for a fixture directory (one index per corpus, cached
+    * across queries and processes under target/). */
+  def indexPath(dir: String): String =
+    "target/graft_index/ivfpq_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+
+  /** Train (coarse cells + PQ codebooks) and persist the three index
+    * tables. One corpus read per Lloyd iteration — the same training
+    * dataflow as the per-query path, run ONCE. */
+  def build(s: SparkSession, dir: String, path: String): Unit = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = coarseCentroids(e)
+    val assigned = assignedCells(e).select("vec_id", "cell")
+    val sv = pqSubVecs(e.select("vec_id", "embedding")).localCheckpoint()
+    val cb = pqCodebooks(sv)
+    val codes = pqAssign(sv, cb).select("vec_id", "sub", "cluster")
+      .join(assigned, "vec_id")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  private val lock = new Object
+
+  /** Build exactly once per corpus per process; later calls (and later
+    * processes — the layout lives under target/) reuse the files. */
+  def buildIfMissing(s: SparkSession, dir: String): String = lock.synchronized {
+    val path = indexPath(dir)
+    val done = new java.io.File(s"$path/codes/_SUCCESS")
+    if (!done.exists()) build(s, dir, path)
+    path
+  }
+
+  /** Serve top-k ADC neighbors for the stored query vector FROM THE
+    * PERSISTED INDEX — zero training stages, zero corpus-embedding
+    * scans; bit-identical to `sim_ivfpq_ann`. */
+  def serve(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val path = buildIfMissing(s, dir)
+    val centroids = s.read.parquet(s"$path/centroids")
+    val codebooks = s.read.parquet(s"$path/codebooks")
+    // the query embedding: one pushed-down point lookup, reused by the
+    // cell probe and the LUT (checkpointed so it is read once)
+    val qEmb = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("q_emb"))
+      .localCheckpoint()
+    // probed cells as LITERALS: a NumCells-row control-plane fetch —
+    // collecting here is what turns the codes read into static file
+    // pruning instead of a data-dependent join over every partition
+    val probed: Seq[Long] = centroids.crossJoin(qEmb)
+      .select(col("cell"), cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+      .orderBy(col("cos_c").desc, col("cell")).limit(NProbe)
+      .collect().map(_.getLong(0)).toSeq
+    // the query's per-subspace LUT: 32 rows, broadcast
+    val qsv = qEmb.select(explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> " +
+          s"struct(CAST(j AS INT) AS sub, " +
+          s"slice(q_emb, j * $PqSubDim + 1, $PqSubDim) AS qe))")).as("x"))
+      .select(col("x.sub").as("sub"), col("x.qe").as("qe"))
+    val lut = codebooks.join(broadcast(qsv), "sub")
+      .select(col("sub"), col("cluster"),
+        sqDist(col("qe"), col("c")).as("d"))
+    val pivots = (0 until PqM).map(j =>
+      max(when(col("sub") === j, col("d"))).as(s"d_$j"))
+    s.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed: _*))
+      .filter(col("vec_id") =!= QueryVec)
+      .join(broadcast(lut), Seq("sub", "cluster"))
+      .groupBy("vec_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("vec_id"),
+        (0 until PqM).map(j => col(s"d_$j")).reduce(_ + _).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+}

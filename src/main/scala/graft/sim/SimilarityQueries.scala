@@ -215,7 +215,7 @@ object SimilarityQueries {
   /** Squared L2 distance as three deterministic dot-product folds — THE
     * one distance expression every argmin and LUT in this file builds
     * from, so the float op sequence can never drift between them. */
-  private def sqDist(v: Column, c: Column): Column =
+  private[sim] def sqDist(v: Column, c: Column): Column =
     dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
 
   private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
@@ -341,7 +341,7 @@ object SimilarityQueries {
     * corpus pass per Lloyd iteration instead of [[PqM]] (at 100 TB the
     * difference between reading the corpus twice and eight times), and
     * locally one job chain instead of four. */
-  private def pqSubVecs(e: DataFrame): DataFrame =
+  private[sim] def pqSubVecs(e: DataFrame): DataFrame =
     e.select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${PqM - 1}), j -> " +
           s"struct(CAST(j AS INT) AS sub, " +
@@ -358,7 +358,7 @@ object SimilarityQueries {
     * ≤ PqM·PqK-row centroid table is checkpointed — it feeds the next
     * broadcast join, and an un-materialized broadcast build side re-runs
     * its whole upstream once per consumer. */
-  private def pqCodebooks(vecs: DataFrame, seedOffset: Long = 0L): DataFrame = {
+  private[sim] def pqCodebooks(vecs: DataFrame, seedOffset: Long = 0L): DataFrame = {
     var cents = vecs
       .filter(col("vec_id") >= seedOffset && col("vec_id") < seedOffset + PqK)
       .select(col("sub"), (col("vec_id") - lit(seedOffset)).cast("long")
@@ -375,7 +375,7 @@ object SimilarityQueries {
     * The lexicographic `min(struct(dist, cluster))` pick equals the
     * oracle's `row_number() ORDER BY dist, cluster` row — the (dist,
     * cluster) key is unique per vector. */
-  private def pqAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[sim] def pqAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     vecs.join(broadcast(cents), "sub")
       .select(col("vec_id"), col("sub"), col("cluster"),
         sqDist(col("embedding"), col("c")).as("dist"))
@@ -500,6 +500,14 @@ object SimilarityQueries {
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(5)
     }),
+
+    // IVF-PQ SERVED from the persisted index (IvfPqIndex): the
+    // build/serve split production runs — training happens once at
+    // build time, and the query touches only the index tables, with
+    // the probed cells arriving at the codes scan as literal partition
+    // predicates (file pruning, audited in IvfPqIndexSpec). Results are
+    // bit-identical to sim_ivfpq_ann, so it shares that oracle.
+    "sim_ivfpq_served" -> ((s, dir) => IvfPqIndex.serve(s, dir)),
 
     // IVF-PQ with RESIDUAL encoding — the refinement sim_ivfpq_ann names
     // as what production FAISS actually runs: PQ codebooks are trained on
@@ -1592,6 +1600,10 @@ object SimilarityQueries {
       "sim_pq_codes" -> pqCodesSql,
       "sim_pq_ann" -> pqAnnSql,
       "sim_ivfpq_ann" -> ivfpqSql,
+      // the served path is bit-identical to the retrain-per-query path
+      // (the persisted index is a deterministic function of the corpus),
+      // so it shares the oracle statement verbatim
+      "sim_ivfpq_served" -> ivfpqSql,
       "sim_ivfpq_residual_ann" -> residIvfpqSql,
       "sim_pq_recall" -> pqRecallSql,
 
