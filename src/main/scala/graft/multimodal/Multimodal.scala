@@ -31,6 +31,13 @@ case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
 case class PpmDecoded(doc_id: Long, ok: Boolean, width: Long, height: Long,
     max_val: Long, n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Per-asset output of the REAL WAV decoder: the parsed fmt fields plus
+  * amplitude statistics folded over the data chunk (amplitude = sample
+  * − 128, the 8-bit PCM midline). */
+case class WavDecoded(doc_id: Long, ok: Boolean, sample_rate: Long,
+    n_samples: Long, sum_abs_dev: Long, sum_sq_dev: Long,
+    zero_crossings: Long)
+
 /** Multimodal-column plumbing: schema, partitioning, and batched decode.
   *
   * The IMAGE path is real end-to-end: assets carry actual binary PPM
@@ -108,15 +115,39 @@ object Multimodal {
     Ppm.encode(w, h, pixels)
   }
 
+  // -- the real audio path: deterministic WAV assets + a real parser ------
+
+  /** WAV asset geometry: 200-596 samples per asset — the same
+    * keep-the-byte-exact-oracle-cheap sizing rule as the PPM path. */
+  val WavRate = 8000
+  def wavN(docId: Long): Int = (200 + (docId % 100) * 4).toInt
+
+  /** The 8-bit PCM samples for an audio asset: the text bytes cycled
+    * with a position ramp, so the waveform crosses the midline (the
+    * zero-crossing statistic has signal) while every sample stays a
+    * two-op derivation DuckDB can rebuild. */
+  def wavSamples(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val len = text.length
+    Array.tabulate(wavN(docId)) { i =>
+      (((if (len == 0) 0 else text(i % len) & 0xff) + i) % 256).toByte
+    }
+  }
+
+  def encodeWavAsset(docId: Long, text: Array[Byte]): Array[Byte] =
+    Wav.encode(WavRate, wavSamples(docId, text))
+
   /** The catalog with REAL payloads: image assets carry an actual PPM
-    * container (and its true dims as metadata); audio/video keep the
-    * opaque byte payload for the codec seam. */
+    * container (and its true dims as metadata), audio assets an actual
+    * RIFF/WAVE container; video keeps the opaque byte payload — the one
+    * remaining codec seam. */
   def mediaAssets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     catalog(s, dir).as[MediaRow].mapPartitions(_.map { r =>
       if (r.media_type == "image")
         r.copy(payload = encodePpm(r.doc_id, r.payload),
           width = ppmW(r.doc_id), height = ppmH(r.doc_id))
+      else if (r.media_type == "audio")
+        r.copy(payload = encodeWavAsset(r.doc_id, r.payload))
       else r
     }).toDF()
   }
@@ -151,6 +182,43 @@ object Multimodal {
       Fnv1a32.hashBytes(r.payload))
   }
 
+  /** REAL audio decode: walk the RIFF chunks, validate the PCM fmt, and
+    * fold the amplitude statistics over the data chunk. Same poison-on-
+    * parse-failure contract as [[decodePpm]]. */
+  def decodeWav(r: MediaRow): WavDecoded = Wav.parse(r.payload) match {
+    case Some(a) =>
+      var absDev = 0L; var sqDev = 0L; var zc = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < a.samples.length) {
+        val amp = (a.samples(i) & 0xff) - 128
+        absDev += math.abs(amp)
+        sqDev += amp.toLong * amp
+        val neg = amp < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      WavDecoded(r.doc_id, ok = true, a.sampleRate.toLong,
+        a.samples.length.toLong, absDev, sqDev, zc)
+    case None => WavDecoded(r.doc_id, ok = false, -1, -1, -1, -1, -1)
+  }
+
+  /** Audio features for the per-type decode stats, from the REAL parse:
+    * byte_sum is the data chunk's sample bytes (header excluded),
+    * mirroring the image rule. */
+  def decodeAudio(r: MediaRow): MediaFeatures = Wav.parse(r.payload) match {
+    case Some(a) =>
+      var s = 0L
+      var i = 0
+      while (i < a.samples.length) { s += a.samples(i) & 0xff; i += 1 }
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, s,
+        Fnv1a32.hashBytes(r.payload))
+    case None =>
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, -1L,
+        Fnv1a32.hashBytes(r.payload))
+  }
+
   /** Decode-stage parallelism. Repartitioning by `media_type` alone would
     * cap the stage at #media-types tasks (3) no matter the corpus size — a
     * serialization point at scale. At 100 TB set this to the cluster's
@@ -169,8 +237,11 @@ object Multimodal {
         pmod(hash(col("doc_id")), lit(DecodeParallelism)))
       .sortWithinPartitions("media_type")
       .as[MediaRow]
-      .mapPartitions(_.map(r =>
-        if (r.media_type == "image") decodeImage(r) else decodeStub(r)))
+      .mapPartitions(_.map(r => r.media_type match {
+        case "image" => decodeImage(r)
+        case "audio" => decodeAudio(r)
+        case _ => decodeStub(r)
+      }))
   }
 
   /** Frame geometry for the sampling stub: fixed-size byte "frames",
@@ -288,7 +359,20 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // batched decode (real parser for images, codec seam for audio and
+    // the REAL audio decode, per asset: RIFF chunk walk + fmt
+    // validation + amplitude statistics over the data chunk
+    "media_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      mediaAssets(s, dir).filter(col("media_type") === "audio")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map(decodeWav))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // batched decode (real parsers for images and audio, codec seam for
     // video), then aggregate per media type
     "media_decode_stats" -> ((s, dir) =>
       decoded(s, dir).groupBy("media_type").agg(
@@ -329,6 +413,14 @@ object Multimodal {
 
   private val mediaTypeSql =
     "(['image', 'audio', 'video'])[CAST(substr(source, 4) AS INT) % 3 + 1]"
+
+  /** Little-endian u32 as a 4-element byte list — for rebuilding the
+    * WAV header's binary size fields in SQL. */
+  private def le32Sql(x: String): String =
+    s"[($x) % 256, ($x) // 256 % 256, ($x) // 65536 % 256, " +
+      s"($x) // 16777216 % 256]"
+  private val le32SqlRiffSize = le32Sql("36 + n")
+  private val le32SqlDataSize = le32Sql("n")
 
   val oracle: Map[String, String] = Map(
     "media_augment_plan" -> {
@@ -432,6 +524,28 @@ object Multimodal {
          |         max(checksum) AS max_checksum
          |  FROM imgf GROUP BY 1
          |),
+         |audb AS (
+         |  SELECT doc_id,
+         |    [82,73,70,70] || $le32SqlRiffSize || [87,65,86,69]
+         |      || [102,109,116,32] || [16,0,0,0] || [1,0] || [1,0]
+         |      || [64,31,0,0] || [64,31,0,0] || [1,0] || [8,0]
+         |      || [100,97,116,97] || $le32SqlDataSize AS hdr,
+         |    list_transform(range(n), i ->
+         |      ((CASE WHEN len = 0 THEN 0
+         |             ELSE unicode(substr(text, CAST(i % len + 1 AS INT), 1))
+         |        END + i) % 256)::BIGINT) AS samp
+         |  FROM (SELECT doc_id, text, len,
+         |               CAST(200 + (doc_id % 100) * 4 AS BIGINT) AS n
+         |        FROM m WHERE media_type = 'audio')
+         |),
+         |audagg AS (
+         |  SELECT 'audio' AS media_type, count(*) AS n_assets,
+         |         CAST(sum(44 + len(samp)) AS BIGINT) AS total_bytes,
+         |         CAST(sum(list_sum(samp)) AS BIGINT) AS total_byte_sum,
+         |         min(${Ora.fnvBytes("hdr || samp")}) AS min_checksum,
+         |         max(${Ora.fnvBytes("hdr || samp")}) AS max_checksum
+         |  FROM audb GROUP BY 1
+         |),
          |av AS (
          |  SELECT media_type, count(*) AS n_assets,
          |         CAST(sum(len) AS BIGINT) AS total_bytes,
@@ -439,10 +553,40 @@ object Multimodal {
          |           c -> unicode(c)::BIGINT))) AS BIGINT) AS total_byte_sum,
          |         min(${Ora.fnv("text")}) AS min_checksum,
          |         max(${Ora.fnv("text")}) AS max_checksum
-         |  FROM m WHERE media_type <> 'image' GROUP BY 1
+         |  FROM m WHERE media_type = 'video' GROUP BY 1
          |)
-         |SELECT * FROM imgagg UNION ALL SELECT * FROM av
+         |SELECT * FROM imgagg UNION ALL SELECT * FROM audagg
+         |UNION ALL SELECT * FROM av
          |ORDER BY media_type""".stripMargin,
+
+    // per-asset amplitude statistics from the rebuilt sample list —
+    // closed over the same (text-cycled + position ramp) % 256 rule the
+    // encoder uses; amplitude = sample - 128
+    "media_wav_decode" ->
+      s"""WITH auds AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(200 + (doc_id % 100) * 4 AS BIGINT) AS n
+         |  FROM documents WHERE $mediaTypeSql = 'audio'
+         |),
+         |samps AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(n), i ->
+         |      ((CASE WHEN len = 0 THEN 0
+         |             ELSE unicode(substr(text, CAST(i % len + 1 AS INT), 1))
+         |        END + i) % 256)::BIGINT) AS samp
+         |  FROM auds
+         |)
+         |SELECT doc_id, true AS ok, 8000::BIGINT AS sample_rate,
+         |  n AS n_samples,
+         |  CAST(list_sum(list_transform(samp, s -> abs(s - 128)))
+         |    AS BIGINT) AS sum_abs_dev,
+         |  CAST(list_sum(list_transform(samp, s -> (s - 128) * (s - 128)))
+         |    AS BIGINT) AS sum_sq_dev,
+         |  CAST(list_sum(list_transform(range(1, n), i ->
+         |    CASE WHEN (samp[CAST(i AS INT)] < 128)
+         |              <> (samp[CAST(i + 1 AS INT)] < 128)
+         |         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+         |FROM samps ORDER BY doc_id""".stripMargin,
 
     // closed forms for the parsed-header and channel-sum outputs: R
     // cycles the text bytes (full cycles x text byte-sum + a prefix),

@@ -22,21 +22,23 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.decoded(spark, sf)
     assert(feats.count() ===
       spark.read.parquet(s"$sf/documents.parquet").count())
-    // checksum really is the payload hash: cross-check one AUDIO/VIDEO row
-    // (codec seam over text bytes) and one IMAGE row (real PPM container)
+    // checksum really is the payload hash: cross-check one VIDEO row
+    // (codec seam over text bytes), one IMAGE row (real PPM container),
+    // and one AUDIO row (real WAV container)
     val docs = Multimodal.catalog(spark, sf)
       .select("doc_id", "media_type").orderBy("doc_id").limit(50).collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    val avId = docs.find(_._2 != "image").get._1
+    val vidId = docs.find(_._2 == "video").get._1
+    val audId = docs.find(_._2 == "audio").get._1
     val imgId = docs.find(_._2 == "image").get._1
     val texts = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(col("doc_id").isin(avId, imgId))
+      .filter(col("doc_id").isin(vidId, audId, imgId))
       .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
         r.getString(r.fieldIndex("text"))).toMap
-    val byId = feats.filter(col("doc_id").isin(avId, imgId))
+    val byId = feats.filter(col("doc_id").isin(vidId, audId, imgId))
       .collect().map(f => f.doc_id -> f).toMap
-    assert(byId(avId).checksum === Fnv1a32.hashString(texts(avId)))
-    assert(byId(avId).n_bytes === texts(avId).length.toLong)
+    assert(byId(vidId).checksum === Fnv1a32.hashString(texts(vidId)))
+    assert(byId(vidId).n_bytes === texts(vidId).length.toLong)
     val ppm = Multimodal.encodePpm(imgId, texts(imgId).getBytes("UTF-8"))
     assert(byId(imgId).checksum === Fnv1a32.hashBytes(ppm))
     assert(byId(imgId).n_bytes === ppm.length.toLong)
@@ -44,6 +46,12 @@ class MultimodalSpec extends SparkSpec {
     val hdrLen = s"P6\n${Multimodal.ppmW(imgId)} ${Multimodal.ppmH(imgId)}\n255\n".length
     assert(byId(imgId).byte_sum ===
       ppm.drop(hdrLen).map(b => (b & 0xff).toLong).sum)
+    val wav = Multimodal.encodeWavAsset(audId, texts(audId).getBytes("UTF-8"))
+    assert(byId(audId).checksum === Fnv1a32.hashBytes(wav))
+    assert(byId(audId).n_bytes === wav.length.toLong)
+    // audio byte_sum is the data chunk's samples only (44-byte header off)
+    assert(byId(audId).byte_sum ===
+      wav.drop(44).map(b => (b & 0xff).toLong).sum)
   }
 
   test("pipeline partitions by media_type before decoding") {
