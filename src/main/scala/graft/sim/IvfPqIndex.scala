@@ -72,11 +72,98 @@ object IvfPqIndex {
     path
   }
 
+  // -- incremental maintenance: frozen-quantizer delta append -------------
+
+  /** Base/delta split point: the newest ~10% of vectors play the role
+    * of post-build arrivals. Integer math (`* 9 / 10`) so the oracle's
+    * `max(vec_id) * 9 // 10` lands on the same id. */
+  def baseCutoff(s: SparkSession, dir: String): Long =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .agg(max("vec_id")).head().getLong(0) * 9 / 10
+
+  /** Nearest-cell assignment against a GIVEN centroid table (the
+    * persisted one) — same scoring and tie-break as
+    * [[SimilarityQueries.assignedCells]], which derives its centroids
+    * inline. */
+  private def assignCellsWith(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos_c").desc, col("cell"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("c_emb")).as("cos_c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Build the BASE index: quantizers trained on vectors up to the
+    * cutoff only, codes stored for those vectors only — the state an
+    * index is in when new data starts arriving. */
+  def buildBase(s: SparkSession, dir: String, path: String): Unit = {
+    val cut = baseCutoff(s, dir)
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") <= cut)
+    val centroids = coarseCentroids(base)
+    val sv = pqSubVecs(base.select("vec_id", "embedding")).localCheckpoint()
+    val cb = pqCodebooks(sv)
+    val codes = pqAssign(sv, cb).select("vec_id", "sub", "cluster")
+      .join(assignCellsWith(base, centroids), "vec_id")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  def buildBaseIfMissing(s: SparkSession, dir: String): String =
+    lock.synchronized {
+      val path = indexPath(dir) + "_base"
+      val done = new java.io.File(s"$path/codes/_SUCCESS")
+      if (!done.exists()) buildBase(s, dir, path)
+      path
+    }
+
+  /** Encode post-cutoff arrivals with the index's FROZEN quantizers —
+    * no retraining, the operation an index runs on every ingest batch.
+    * Returns (vec_id, sub, cluster, cell) rows shaped like the
+    * persisted codes table. */
+  def deltaCodes(s: SparkSession, dir: String, path: String): DataFrame = {
+    val cut = baseCutoff(s, dir)
+    val delta = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") > cut)
+    val centroids = s.read.parquet(s"$path/centroids")
+    val codebooks = s.read.parquet(s"$path/codebooks")
+    pqAssign(pqSubVecs(delta.select("vec_id", "embedding")), codebooks)
+      .select("vec_id", "sub", "cluster")
+      .join(assignCellsWith(delta, centroids), "vec_id")
+  }
+
+  /** Serve over base + un-compacted delta: the persisted codes still
+    * file-prune on cell; the delta tail is encoded with the frozen
+    * quantizers and unioned in — the standard serving shape between
+    * index rebuilds. Top-k can and does surface delta vectors. */
+  def serveWithDelta(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val path = buildBaseIfMissing(s, dir)
+    val codes = s.read.parquet(s"$path/codes")
+      .select("vec_id", "sub", "cluster", "cell")
+      .unionByName(deltaCodes(s, dir, path))
+    serveFrom(s, dir, path, codes, k)
+  }
+
   /** Serve top-k ADC neighbors for the stored query vector FROM THE
     * PERSISTED INDEX — zero training stages, zero corpus-embedding
     * scans; bit-identical to `sim_ivfpq_ann`. */
   def serve(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val path = buildIfMissing(s, dir)
+    serveFrom(s, dir, path,
+      s.read.parquet(s"$path/codes").select("vec_id", "sub", "cluster", "cell"),
+      k)
+  }
+
+  /** The shared serving tail: probe cells against the persisted
+    * centroids, broadcast the query LUT from the persisted codebooks,
+    * ADC top-k over `codes` (the persisted table, or base ∪ delta). */
+  private def serveFrom(s: SparkSession, dir: String, path: String,
+      codes: DataFrame, k: Int): DataFrame = {
     val centroids = s.read.parquet(s"$path/centroids")
     val codebooks = s.read.parquet(s"$path/codebooks")
     // the query embedding: one pushed-down point lookup, reused by the
@@ -103,7 +190,7 @@ object IvfPqIndex {
         sqDist(col("qe"), col("c")).as("d"))
     val pivots = (0 until PqM).map(j =>
       max(when(col("sub") === j, col("d"))).as(s"d_$j"))
-    s.read.parquet(s"$path/codes")
+    codes
       .filter(col("cell").isin(probed: _*))
       .filter(col("vec_id") =!= QueryVec)
       .join(broadcast(lut), Seq("sub", "cluster"))

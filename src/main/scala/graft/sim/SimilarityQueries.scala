@@ -509,6 +509,13 @@ object SimilarityQueries {
     // bit-identical to sim_ivfpq_ann, so it shares that oracle.
     "sim_ivfpq_served" -> ((s, dir) => IvfPqIndex.serve(s, dir)),
 
+    // incremental index maintenance: quantizers trained on the BASE
+    // corpus only (oldest ~90%), the newest ~10% of vectors encoded
+    // post-build with the FROZEN centroids/codebooks and unioned into
+    // serving — the ingest path every production index runs between
+    // rebuilds. Delta vectors can and do reach the top-k.
+    "sim_ivfpq_delta_served" -> ((s, dir) => IvfPqIndex.serveWithDelta(s, dir)),
+
     // IVF-PQ with RESIDUAL encoding — the refinement sim_ivfpq_ann names
     // as what production FAISS actually runs: PQ codebooks are trained on
     // (vector − its cell centroid), which concentrates the coded
@@ -1469,6 +1476,60 @@ object SimilarityQueries {
          |JOIN cand ON c0.vec_id = cand.vec_id
          |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
 
+    // mirror of sim_ivfpq_delta_served: identical IVF/LUT/ADC chain, but
+    // the PQ training loop folds over svb{j} — the base subset (vec_id
+    // <= max*9//10) — while pcodeb{j} encodes ALL vectors with the
+    // frozen result, exactly the base-build + delta-append composition
+    val deltaIvfpqSql = {
+      val cutoffSql = "(SELECT max(vec_id) * 9 // 10 FROM embeddings)"
+      val basePqCtes = (0 until PqM).map { j =>
+        val lo = j * PqSubDim + 1
+        val hi = (j + 1) * PqSubDim
+        val iters = (1 to PqIters).map { i =>
+          s"pab$j$i AS (${pqAssignSql(j, s"pcb$j${i - 1}", "svb")}),\n" +
+            s"pcb$j$i AS (${pqUpdateSql(j, s"pab$j$i", "svb")})"
+        }.mkString(",\n")
+        s"""sv$j AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
+           |svb$j AS (SELECT * FROM sv$j WHERE vec_id <= $cutoffSql),
+           |pcb${j}0 AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS cluster, emb AS c
+           |  FROM svb$j WHERE vec_id < $PqK
+           |),
+           |$iters,
+           |pcodeb$j AS (${pqAssignSql(j, s"pcb$j$PqIters", "sv")})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $basePqCtes,
+         |$assignedCellsSql,
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = $QueryVec),
+         |qc AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |      ORDER BY ${Ora.cos64("q.embedding", "c.c_emb")} DESC, c.cell)
+         |      AS rk
+         |    FROM centroids c, qv q) WHERE rk <= $NProbe
+         |),
+         |cand AS (
+         |  SELECT a.vec_id FROM assigned a JOIN qc USING (cell)
+         |  WHERE a.vec_id <> $QueryVec
+         |),
+         |${(0 until PqM).map { j =>
+        s"""qsb$j AS (SELECT emb AS qe FROM sv$j WHERE vec_id = $QueryVec),
+           |lutb$j AS (
+           |  SELECT c.cluster, ${pqDist("q.qe", "c.c")} AS d
+           |  FROM pcb$j$PqIters c, qsb$j q
+           |)""".stripMargin
+      }.mkString(",\n")}
+         |SELECT c0.vec_id,
+         |       ${(0 until PqM).map(j => s"l$j.d").mkString(" + ")} AS adc_dist
+         |FROM ${(0 until PqM).map { j =>
+        (if (j == 0) s"pcodeb$j c$j"
+         else s"JOIN pcodeb$j c$j ON c0.vec_id = c$j.vec_id") +
+          s" JOIN lutb$j l$j ON c$j.cluster = l$j.cluster"
+      }.mkString(" ")}
+         |JOIN cand ON c0.vec_id = cand.vec_id
+         |ORDER BY adc_dist, c0.vec_id LIMIT 5""".stripMargin
+    }
+
     // mirror of sim_ivfpq_residual_ann: the PQ chain re-run over residual
     // vectors (rbase), seeds shifted past the cell-centroid ids, LUT per
     // probed cell
@@ -1604,6 +1665,7 @@ object SimilarityQueries {
       // (the persisted index is a deterministic function of the corpus),
       // so it shares the oracle statement verbatim
       "sim_ivfpq_served" -> ivfpqSql,
+      "sim_ivfpq_delta_served" -> deltaIvfpqSql,
       "sim_ivfpq_residual_ann" -> residIvfpqSql,
       "sim_pq_recall" -> pqRecallSql,
 
