@@ -100,6 +100,8 @@ object IvfPqIndex {
     * cutoff only, codes stored for those vectors only — the state an
     * index is in when new data starts arriving. */
   def buildBase(s: SparkSession, dir: String, path: String): Unit = {
+    // a fresh base is by definition un-compacted
+    new java.io.File(s"$path/COMPACTED").delete()
     val cut = baseCutoff(s, dir)
     val base = s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") <= cut)
@@ -147,6 +149,41 @@ object IvfPqIndex {
       .select("vec_id", "sub", "cluster", "cell")
       .unionByName(deltaCodes(s, dir, path))
     serveFrom(s, dir, path, codes, k)
+  }
+
+  /** Fold the delta tail into the partitioned codes table — the
+    * periodic compaction that returns serving to a single pruned scan.
+    * Quantizers stay frozen; only `codes/` is rewritten (next
+    * generation written beside it, then swapped — never overwrite a
+    * table a reader may be scanning). Idempotent via a marker file. */
+  def compactDelta(s: SparkSession, dir: String): String = lock.synchronized {
+    val path = buildBaseIfMissing(s, dir)
+    val marker = new java.io.File(s"$path/COMPACTED")
+    if (!marker.exists()) {
+      val merged = s.read.parquet(s"$path/codes")
+        .select("vec_id", "sub", "cluster", "cell")
+        .unionByName(deltaCodes(s, dir, path))
+      val next = s"$path/codes_next"
+      merged.write.mode("overwrite").partitionBy("cell").parquet(next)
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(s"$path/codes"))
+      require(new java.io.File(next).renameTo(new java.io.File(s"$path/codes")),
+        s"generation swap failed under $path")
+      marker.createNewFile()
+    }
+    path
+  }
+
+  /** Serve AFTER compaction: one pruned scan again, results identical
+    * to [[serveWithDelta]] (same quantizers, same code set). */
+  def serveCompacted(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val path = compactDelta(s, dir)
+    serveFrom(s, dir, path,
+      s.read.parquet(s"$path/codes").select("vec_id", "sub", "cluster", "cell"),
+      k)
   }
 
   /** Serve top-k ADC neighbors for the stored query vector FROM THE

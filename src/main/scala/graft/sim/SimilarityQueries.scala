@@ -516,6 +516,13 @@ object SimilarityQueries {
     // rebuilds. Delta vectors can and do reach the top-k.
     "sim_ivfpq_delta_served" -> ((s, dir) => IvfPqIndex.serveWithDelta(s, dir)),
 
+    // the lifecycle's third act: the delta tail folded into the
+    // partitioned codes table (next generation written beside the old,
+    // then swapped), returning serving to a single file-pruned scan —
+    // results identical to the pre-compaction union, and oracle-checked
+    // against the same base-trained mirror
+    "sim_ivfpq_compacted_served" -> ((s, dir) => IvfPqIndex.serveCompacted(s, dir)),
+
     // IVF-PQ with RESIDUAL encoding — the refinement sim_ivfpq_ann names
     // as what production FAISS actually runs: PQ codebooks are trained on
     // (vector − its cell centroid), which concentrates the coded
@@ -1666,6 +1673,8 @@ object SimilarityQueries {
       // so it shares the oracle statement verbatim
       "sim_ivfpq_served" -> ivfpqSql,
       "sim_ivfpq_delta_served" -> deltaIvfpqSql,
+      // compaction changes the physical layout, not the code set: same oracle
+      "sim_ivfpq_compacted_served" -> deltaIvfpqSql,
       "sim_ivfpq_residual_ann" -> residIvfpqSql,
       "sim_pq_recall" -> pqRecallSql,
 

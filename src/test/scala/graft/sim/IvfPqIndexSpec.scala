@@ -78,6 +78,36 @@ class IvfPqIndexSpec extends SparkSpec {
       s"read $filesRead files > $expectedMax (the ${SimilarityQueries.NProbe} largest cells)")
   }
 
+  test("compaction folds the delta in: same results, single pruned scan") {
+    // start from a fresh BASE index so the compaction actually has a
+    // delta to fold (a leftover COMPACTED marker would make this vacuous)
+    val basePath = IvfPqIndex.indexPath(sf) + "_base"
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete()
+    }
+    del(new File(basePath))
+    val before = IvfPqIndex.serveWithDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val after = IvfPqIndex.serveCompacted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "compaction must not change results")
+    // the compacted table carries the delta rows
+    val cut = IvfPqIndex.baseCutoff(spark, sf)
+    val compacted = spark.read.parquet(s"$basePath/codes")
+    assert(compacted.filter(col("vec_id") > cut).count() > 0)
+    // idempotent: a second compaction call does not duplicate the delta
+    val n = compacted.count()
+    IvfPqIndex.compactDelta(spark, sf)
+    assert(spark.read.parquet(s"$basePath/codes").count() == n)
+    // serving is back to ONE file source (no union with a compute leg):
+    // every leaf scan in the plan is an index table
+    val plan = IvfPqIndex.serveCompacted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan.take(2000))
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+  }
+
   test("the index builds once and is reused, not retrained per query") {
     val path = IvfPqIndex.buildIfMissing(spark, sf)
     val marker = new File(s"$path/codes/_SUCCESS")
