@@ -152,6 +152,26 @@ object Multimodal {
     }).toDF()
   }
 
+  /** Every [[CorruptEvery]]-th validatable asset arrives damaged in the
+    * quarantine exercise. */
+  val CorruptEvery = 13
+
+  /** The quarantine fixture: [[mediaAssets]] with a deterministic
+    * corruption — the last byte truncated on every CorruptEvery-th
+    * image/audio asset (the interrupted upload). One missing byte is
+    * guaranteed fatal to both parsers: PPM requires the raster to
+    * exactly fill the remaining bytes, WAV's RIFF size field no longer
+    * matches the payload. */
+  def corruptedAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaAssets(s, dir).as[MediaRow].mapPartitions(_.map { r =>
+      if (r.media_type != "video" && r.doc_id % CorruptEvery == 0)
+        r.copy(payload = java.util.Arrays.copyOf(r.payload,
+          math.max(0, r.payload.length - 1)))
+      else r
+    }).toDF()
+  }
+
   /** REAL image decode: parse the container, read the header, fold the
     * raster's per-channel sums. A parse failure poisons the row with -1s
     * (loud in every downstream compare) rather than crashing the stage. */
@@ -372,6 +392,32 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // ingest validation with error ROUTING: a deterministic fraction of
+    // assets arrives corrupted (one byte truncated — the classic
+    // interrupted-upload), the real parsers reject them, and the
+    // rejects route to a quarantine relation instead of poisoning the
+    // pipeline or killing the stage. Video has no validator (the codec
+    // seam) and passes through — exactly the honest behavior: you can
+    // only quarantine what you can parse.
+    "media_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      corruptedAssets(s, dir)
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.flatMap { r =>
+          val ok = r.media_type match {
+            case "image" => Ppm.parse(r.payload).isDefined
+            case "audio" => Wav.parse(r.payload).isDefined
+            case _ => true
+          }
+          if (ok) None
+          else Some((r.doc_id, r.media_type, r.payload.length.toLong))
+        })
+        .toDF("doc_id", "media_type", "n_bytes")
+        .orderBy("doc_id")
+    }),
+
     // batched decode (real parsers for images and audio, codec seam for
     // video), then aggregate per media type
     "media_decode_stats" -> ((s, dir) =>
@@ -558,6 +604,27 @@ object Multimodal {
          |SELECT * FROM imgagg UNION ALL SELECT * FROM audagg
          |UNION ALL SELECT * FROM av
          |ORDER BY media_type""".stripMargin,
+
+    // which assets the parsers reject is closed-form: exactly the
+    // truncated ones (image container = header + 3wh bytes, audio
+    // container = 44 + n bytes, each minus the dropped byte)
+    "media_quarantine" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $mediaTypeSql AS media_type
+         |  FROM documents
+         |)
+         |SELECT doc_id, media_type,
+         |  CASE media_type
+         |    WHEN 'image' THEN
+         |      CAST(length('P6' || chr(10) || (8 + doc_id % 8) || ' '
+         |                  || (6 + doc_id % 6) || chr(10) || '255'
+         |                  || chr(10)) AS BIGINT)
+         |        + 3 * (8 + doc_id % 8) * (6 + doc_id % 6) - 1
+         |    ELSE 44 + (200 + (doc_id % 100) * 4) - 1
+         |  END AS n_bytes
+         |FROM m
+         |WHERE media_type <> 'video' AND doc_id % $CorruptEvery = 0
+         |ORDER BY doc_id""".stripMargin,
 
     // per-asset amplitude statistics from the rebuilt sample list —
     // closed over the same (text-cycled + position ramp) % 256 rule the

@@ -72,6 +72,33 @@ class MultimodalSpec extends SparkSpec {
       "rows within each partition must be contiguous (sorted) by media_type")
   }
 
+  test("quarantine routes exactly the corrupted assets, rest still parse") {
+    val q = Multimodal.queries("media_quarantine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(q.nonEmpty)
+    // exactly the deterministic corruption set, nothing else
+    q.foreach { case (id, mt) =>
+      assert(id % Multimodal.CorruptEvery === 0)
+      assert(mt === "image" || mt === "audio")
+    }
+    val expected = Multimodal.catalog(spark, sf)
+      .select("doc_id", "media_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, mt) =>
+        mt != "video" && id % Multimodal.CorruptEvery == 0 }
+    assert(q.toSet === expected.toSet)
+    // and the un-corrupted assets all still parse under the same feed
+    import spark.implicits._
+    val unparsed = Multimodal.corruptedAssets(spark, sf).as[MediaRow]
+      .filter(r => r.doc_id % Multimodal.CorruptEvery != 0)
+      .filter(r => r.media_type match {
+        case "image" => Ppm.parse(r.payload).isEmpty
+        case "audio" => Wav.parse(r.payload).isEmpty
+        case _ => false
+      }).count()
+    assert(unparsed === 0L)
+  }
+
   test("augment plan: in-range params, image-subset coverage, rerun-stable") {
     val imgs = Multimodal.catalog(spark, sf)
       .filter(col("media_type") === "image").count()
