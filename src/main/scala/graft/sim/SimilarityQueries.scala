@@ -952,6 +952,45 @@ object SimilarityQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // semantic clustering with topic labels: docs grouped by their
+    // embedding's coarse cell (vec_id aligns with doc_id), each cluster
+    // labeled with its 3 most distinctive terms — distinctiveness =
+    // cell-df × corpus-size / corpus-df, the tf-idf shape over clusters
+    // instead of documents. The corpus is scanned once; everything
+    // after the (cell, doc, term) distinct is vocabulary-sized, and the
+    // final rank runs over 8 cells. At 100 TB the per-cell top-k would
+    // aggregate partially (map-side heaps) instead of a window, but the
+    // dataflow — assign, explode, two dfs, rank — is the same.
+    "corpus_semantic_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cells = assignedCells(emb(s, dir))
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val cd = docs.join(cells, "doc_id").localCheckpoint()
+      val nDocs = cd.count()
+      val terms = cd.select(col("cell"), col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("term"))
+        .filter(col("term") =!= "").distinct()
+        .localCheckpoint() // feeds both df aggregations
+      val dfc = terms.groupBy("cell", "term").agg(count("*").as("df_cell"))
+      // a doc lives in exactly one cell, so count(*) per term IS the
+      // corpus document frequency
+      val dfa = terms.groupBy("term").agg(count("*").as("df"))
+      val ncell = cd.groupBy("cell").agg(count("*").as("n_docs"))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("score").desc, col("term"))
+      dfc.join(dfa, "term")
+        .select(col("cell"), col("term"), col("df_cell"), col("df"),
+          (col("df_cell").cast("double") * lit(nDocs) /
+            col("df").cast("double")).as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .join(broadcast(ncell), "cell")
+        .select(col("cell"), col("n_docs"), col("rank"), col("term"),
+          col("df_cell"), col("df"), col("score"))
+        .orderBy("cell", "rank")
+    }),
+
     // embedding near-dup pairs: cosine >= threshold (quadratic baseline;
     // LSH-bucketed variant is the scale path). Norms are computed once per
     // vector and joined in — one dot product per pair instead of three;
@@ -1675,6 +1714,36 @@ object SimilarityQueries {
       "sim_ivfpq_delta_served" -> deltaIvfpqSql,
       // compaction changes the physical layout, not the code set: same oracle
       "sim_ivfpq_compacted_served" -> deltaIvfpqSql,
+
+      "corpus_semantic_clusters" ->
+        s"""WITH $assignedCellsSql,
+           |cd AS (
+           |  SELECT a.cell, d.doc_id, d.text
+           |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+           |),
+           |n AS (SELECT count(*) AS n FROM cd),
+           |terms AS (
+           |  SELECT DISTINCT cell, doc_id, t.term
+           |  FROM cd, unnest(string_split_regex(text, '\\s+')) AS t(term)
+           |  WHERE t.term <> ''
+           |),
+           |dfc AS (SELECT cell, term, count(*) AS df_cell
+           |        FROM terms GROUP BY 1, 2),
+           |dfa AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+           |ncell AS (SELECT cell, count(*) AS n_docs FROM cd GROUP BY 1),
+           |ranked AS (
+           |  SELECT c.cell, c.term, c.df_cell, f.df,
+           |         c.df_cell::DOUBLE * n.n / f.df::DOUBLE AS score,
+           |         row_number() OVER (PARTITION BY c.cell
+           |           ORDER BY c.df_cell::DOUBLE * n.n / f.df::DOUBLE DESC,
+           |                    c.term) AS rank
+           |  FROM dfc c JOIN dfa f USING (term), n
+           |)
+           |SELECT s.cell, nc.n_docs, s.rank, s.term, s.df_cell, s.df,
+           |       s.score
+           |FROM ranked s JOIN ncell nc USING (cell)
+           |WHERE s.rank <= 3
+           |ORDER BY s.cell, s.rank""".stripMargin,
       "sim_ivfpq_residual_ann" -> residIvfpqSql,
       "sim_pq_recall" -> pqRecallSql,
 
