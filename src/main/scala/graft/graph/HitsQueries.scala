@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   * unrolled identically in the DuckDB oracle.
   *
   * Scale shape: the distinct edge table is built once and checkpointed;
-  * each iteration is two edge-sized shuffle joins + two score-sized
-  * aggregates — O(iters × |E|), never |V|².
+  * each iteration joins it against the BROADCAST score tables (hubs =
+  * customers, authorities = suppliers — both dimension-sized), so the
+  * edges are never shuffled: per iteration the only exchanges are the
+  * two node-sized partial aggregates. O(iters × |E|) scan work, zero
+  * edge-sized shuffles. On a web-scale graph whose score tables outgrow
+  * a broadcast, the alternative is two edge copies pre-partitioned by
+  * src and dst (the PageRank treatment); for this bipartite purchase
+  * graph the broadcast is strictly better.
   */
 object HitsQueries {
 
@@ -39,7 +45,7 @@ object HitsQueries {
         .withColumn("score", lit(1.0))
       var auths: DataFrame = null
       for (_ <- 1 to Iterations) {
-        val aRaw = edges.join(hubs, edges("src") === hubs("node"))
+        val aRaw = edges.join(broadcast(hubs), edges("src") === hubs("node"))
           .groupBy(col("dst").as("anode"))
           .agg(round(sum("score"), 12).as("raw"))
           .localCheckpoint() // feeds max AND the normalized scores
@@ -47,7 +53,7 @@ object HitsQueries {
         auths = aRaw.crossJoin(broadcast(aMax))
           .select(col("anode").as("node"),
             round(col("raw") / col("mx"), 12).as("score"))
-        val hRaw = edges.join(auths, edges("dst") === auths("node"))
+        val hRaw = edges.join(broadcast(auths), edges("dst") === auths("node"))
           .groupBy(col("src").as("hnode"))
           .agg(round(sum("score"), 12).as("raw"))
           .localCheckpoint()
