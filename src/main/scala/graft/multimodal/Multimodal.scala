@@ -38,22 +38,28 @@ case class WavDecoded(doc_id: Long, ok: Boolean, sample_rate: Long,
     n_samples: Long, sum_abs_dev: Long, sum_sq_dev: Long,
     zero_crossings: Long)
 
+/** Per-asset output of the REAL Y4M decoder: parsed header dims, frame
+  * count, and the sampled-frame luma statistics. */
+case class Y4mDecoded(doc_id: Long, ok: Boolean, width: Long, height: Long,
+    n_frames: Long, n_sampled: Long, luma_sum: Long)
+
 /** Multimodal-column plumbing: schema, partitioning, and batched decode.
   *
-  * The IMAGE path is real end-to-end: assets carry actual binary PPM
-  * (`P6`) containers — synthesized deterministically from the document
-  * text, since the fixtures ship no media — and [[Ppm.parse]] is a real
-  * parser (magic, comments, ASCII header, raster extraction) whose
-  * outputs (header dims, per-channel pixel sums) feed the queries. The
-  * AUDIO/VIDEO decode step remains a labeled codec seam — those formats
-  * genuinely need native libraries this container lacks — computing
-  * deterministic byte-level statistics in place of a codec. Everything
-  * around that seam is real and tested: the binary column derivation,
-  * the typed-metadata schema, the per-partition batch shape
+  * Every modality is real end-to-end: assets carry actual binary
+  * containers — PPM (`P6`) images, RIFF/WAVE PCM audio, YUV4MPEG2
+  * video — synthesized deterministically from the document text (the
+  * fixtures ship no media), and each is decoded by a REAL pure-JVM
+  * parser ([[Ppm.parse]], [[Wav.parse]], [[Y4m.parse]]) whose outputs
+  * (header fields, pixel/sample/frame statistics) feed the queries.
+  * The codec seam now covers only COMPRESSED formats (JPEG/MP3/H.264…),
+  * which genuinely need native libraries this container lacks —
+  * [[decodeStub]] remains as the labeled byte-stat fallback for them.
+  * The plumbing around the parsers is the part a 100 TB pipeline must
+  * get right regardless of codec: the binary column derivation, the
+  * typed-metadata schema, the per-partition batch shape
   * (`mapPartitions` over a `Dataset[MediaRow]`, the Scala analog of a
-  * vectorized/pandas UDF), the media-type partitioning, and the
-  * downstream aggregation — exactly the plumbing a 100 TB pipeline needs
-  * to get right before swapping in the remaining codecs.
+  * vectorized/pandas UDF), the media-type partitioning, the quarantine
+  * routing, and the downstream aggregation.
   */
 object Multimodal {
 
@@ -136,19 +142,48 @@ object Multimodal {
   def encodeWavAsset(docId: Long, text: Array[Byte]): Array[Byte] =
     Wav.encode(WavRate, wavSamples(docId, text))
 
-  /** The catalog with REAL payloads: image assets carry an actual PPM
-    * container (and its true dims as metadata), audio assets an actual
-    * RIFF/WAVE container; video keeps the opaque byte payload — the one
-    * remaining codec seam. */
+  // -- the real video path: deterministic Y4M assets + a real parser ------
+
+  /** Y4M asset geometry: 4-7 × 3-5 px, 4-11 frames — tiny for the same
+    * byte-exact-oracle reason as the PPM/WAV paths. */
+  def y4mW(docId: Long): Int = (4 + docId % 4).toInt
+  def y4mH(docId: Long): Int = (3 + docId % 3).toInt
+  def y4mFrames(docId: Long): Int = (4 + docId % 8).toInt
+
+  /** Plane byte at position `p` of frame `f`: the text bytes cycled,
+    * shifted by the frame index — every frame differs, every byte has a
+    * two-op DuckDB derivation. */
+  def y4mPlaneByte(text: Array[Byte], f: Int, p: Int): Int = {
+    val len = text.length
+    ((if (len == 0) 0 else text(p % len) & 0xff) + f) % 256
+  }
+
+  def encodeY4mAsset(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val w = y4mW(docId)
+    val h = y4mH(docId)
+    val frames = (0 until y4mFrames(docId)).map { f =>
+      Array.tabulate(3 * w * h)(p => y4mPlaneByte(text, f, p).toByte)
+    }
+    Y4m.encode(w, h, frames)
+  }
+
+  /** The catalog with REAL payloads: every modality carries an actual
+    * container — PPM images, RIFF/WAVE audio, YUV4MPEG2 video — each
+    * parsed by a real pure-JVM decoder downstream. The codec seam now
+    * covers only COMPRESSED formats (JPEG/MP3/H.264...), which
+    * genuinely need native libraries this container lacks. */
   def mediaAssets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     catalog(s, dir).as[MediaRow].mapPartitions(_.map { r =>
-      if (r.media_type == "image")
-        r.copy(payload = encodePpm(r.doc_id, r.payload),
-          width = ppmW(r.doc_id), height = ppmH(r.doc_id))
-      else if (r.media_type == "audio")
-        r.copy(payload = encodeWavAsset(r.doc_id, r.payload))
-      else r
+      r.media_type match {
+        case "image" =>
+          r.copy(payload = encodePpm(r.doc_id, r.payload),
+            width = ppmW(r.doc_id), height = ppmH(r.doc_id))
+        case "audio" => r.copy(payload = encodeWavAsset(r.doc_id, r.payload))
+        case _ =>
+          r.copy(payload = encodeY4mAsset(r.doc_id, r.payload),
+            width = y4mW(r.doc_id), height = y4mH(r.doc_id))
+      }
     }).toDF()
   }
 
@@ -158,14 +193,14 @@ object Multimodal {
 
   /** The quarantine fixture: [[mediaAssets]] with a deterministic
     * corruption — the last byte truncated on every CorruptEvery-th
-    * image/audio asset (the interrupted upload). One missing byte is
-    * guaranteed fatal to both parsers: PPM requires the raster to
-    * exactly fill the remaining bytes, WAV's RIFF size field no longer
-    * matches the payload. */
+    * asset (the interrupted upload). One missing byte is guaranteed
+    * fatal to all three parsers: PPM requires the raster to exactly
+    * fill the remaining bytes, WAV's RIFF size field no longer matches
+    * the payload, and Y4M's final frame plane comes up short. */
   def corruptedAssets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaAssets(s, dir).as[MediaRow].mapPartitions(_.map { r =>
-      if (r.media_type != "video" && r.doc_id % CorruptEvery == 0)
+      if (r.doc_id % CorruptEvery == 0)
         r.copy(payload = java.util.Arrays.copyOf(r.payload,
           math.max(0, r.payload.length - 1)))
       else r
@@ -239,6 +274,46 @@ object Multimodal {
         Fnv1a32.hashBytes(r.payload))
   }
 
+  /** REAL video decode: parse the Y4M stream and fold the frame-sample
+    * statistics — header dims, frame count, and the luma (Y-plane) sum
+    * of every [[FrameStep]]-th frame, the thumbnail-strip extraction a
+    * video pipeline runs per asset. */
+  def decodeY4m(r: MediaRow): Y4mDecoded = Y4m.parse(r.payload) match {
+    case Some(v) =>
+      val planeLen = v.width * v.height // the Y plane leads each frame
+      var luma = 0L
+      var sampled = 0L
+      var f = 0
+      while (f < v.frames.length) {
+        if (f % FrameStep == 0) {
+          var p = 0
+          while (p < planeLen) { luma += v.frames(f)(p) & 0xff; p += 1 }
+          sampled += 1
+        }
+        f += 1
+      }
+      Y4mDecoded(r.doc_id, ok = true, v.width.toLong, v.height.toLong,
+        v.frames.length.toLong, sampled, luma)
+    case None => Y4mDecoded(r.doc_id, ok = false, -1, -1, -1, -1, -1)
+  }
+
+  /** Video features for the per-type decode stats, from the REAL parse:
+    * byte_sum is the decoded plane bytes across all frames (headers and
+    * FRAME markers excluded), mirroring the image/audio rule. */
+  def decodeVideo(r: MediaRow): MediaFeatures = Y4m.parse(r.payload) match {
+    case Some(v) =>
+      var s = 0L
+      v.frames.foreach { fr =>
+        var p = 0
+        while (p < fr.length) { s += fr(p) & 0xff; p += 1 }
+      }
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, s,
+        Fnv1a32.hashBytes(r.payload))
+    case None =>
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, -1L,
+        Fnv1a32.hashBytes(r.payload))
+  }
+
   /** Decode-stage parallelism. Repartitioning by `media_type` alone would
     * cap the stage at #media-types tasks (3) no matter the corpus size — a
     * serialization point at scale. At 100 TB set this to the cluster's
@@ -260,7 +335,8 @@ object Multimodal {
       .mapPartitions(_.map(r => r.media_type match {
         case "image" => decodeImage(r)
         case "audio" => decodeAudio(r)
-        case _ => decodeStub(r)
+        case "video" => decodeVideo(r)
+        case _ => decodeStub(r) // unknown type: byte-stat fallback
       }))
   }
 
@@ -379,6 +455,19 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // the REAL video decode, per asset: Y4M header + frame iteration +
+    // sampled-frame luma extraction (the thumbnail strip)
+    "media_y4m_frames" -> ((s, dir) => {
+      import s.implicits._
+      mediaAssets(s, dir).filter(col("media_type") === "video")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map(decodeY4m))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // the REAL audio decode, per asset: RIFF chunk walk + fmt
     // validation + amplitude statistics over the data chunk
     "media_wav_decode" -> ((s, dir) => {
@@ -394,11 +483,9 @@ object Multimodal {
 
     // ingest validation with error ROUTING: a deterministic fraction of
     // assets arrives corrupted (one byte truncated — the classic
-    // interrupted-upload), the real parsers reject them, and the
-    // rejects route to a quarantine relation instead of poisoning the
-    // pipeline or killing the stage. Video has no validator (the codec
-    // seam) and passes through — exactly the honest behavior: you can
-    // only quarantine what you can parse.
+    // interrupted-upload), the real parsers reject them — all three
+    // modalities now validate — and the rejects route to a quarantine
+    // relation instead of poisoning the pipeline or killing the stage.
     "media_quarantine" -> ((s, dir) => {
       import s.implicits._
       corruptedAssets(s, dir)
@@ -409,6 +496,7 @@ object Multimodal {
           val ok = r.media_type match {
             case "image" => Ppm.parse(r.payload).isDefined
             case "audio" => Wav.parse(r.payload).isDefined
+            case "video" => Y4m.parse(r.payload).isDefined
             case _ => true
           }
           if (ok) None
@@ -592,22 +680,61 @@ object Multimodal {
          |         max(${Ora.fnvBytes("hdr || samp")}) AS max_checksum
          |  FROM audb GROUP BY 1
          |),
-         |av AS (
-         |  SELECT media_type, count(*) AS n_assets,
-         |         CAST(sum(len) AS BIGINT) AS total_bytes,
-         |         CAST(sum(list_sum(list_transform(string_split(text, ''),
-         |           c -> unicode(c)::BIGINT))) AS BIGINT) AS total_byte_sum,
-         |         min(${Ora.fnv("text")}) AS min_checksum,
-         |         max(${Ora.fnv("text")}) AS max_checksum
-         |  FROM m WHERE media_type = 'video' GROUP BY 1
+         |vidb AS (
+         |  SELECT doc_id, nf,
+         |    list_transform(string_split('YUV4MPEG2 W' || w || ' H' || h
+         |      || ' F25:1 Ip A1:1 C444' || chr(10), ''),
+         |      c -> unicode(c)::BIGINT) AS hdr,
+         |    flatten(list_transform(range(nf), f ->
+         |      [70,82,65,77,69,10] ||
+         |      list_transform(range(3 * w * h), p ->
+         |        ((CASE WHEN len = 0 THEN 0
+         |               ELSE unicode(substr(text, CAST(p % len + 1 AS INT), 1))
+         |          END + f) % 256)::BIGINT))) AS body
+         |  FROM (SELECT doc_id, text, len, 4 + doc_id % 4 AS w,
+         |               3 + doc_id % 3 AS h, 4 + doc_id % 8 AS nf
+         |        FROM m WHERE media_type = 'video')
+         |),
+         |vidagg AS (
+         |  SELECT 'video' AS media_type, count(*) AS n_assets,
+         |         CAST(sum(len(hdr) + len(body)) AS BIGINT) AS total_bytes,
+         |         -- plane bytes only: body minus nf FRAME markers
+         |         -- (ascii sum 70+82+65+77+69+10 = 373 each)
+         |         CAST(sum(list_sum(body) - nf * 373) AS BIGINT)
+         |           AS total_byte_sum,
+         |         min(${Ora.fnvBytes("hdr || body")}) AS min_checksum,
+         |         max(${Ora.fnvBytes("hdr || body")}) AS max_checksum
+         |  FROM vidb GROUP BY 1
          |)
          |SELECT * FROM imgagg UNION ALL SELECT * FROM audagg
-         |UNION ALL SELECT * FROM av
+         |UNION ALL SELECT * FROM vidagg
          |ORDER BY media_type""".stripMargin,
+
+    // sampled-frame luma statistics from the rebuilt Y planes — the
+    // Y plane is the first w*h bytes of each frame's C444 payload
+    "media_y4m_frames" ->
+      s"""WITH vids AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(4 + doc_id % 4 AS BIGINT) AS w,
+         |         CAST(3 + doc_id % 3 AS BIGINT) AS h,
+         |         CAST(4 + doc_id % 8 AS BIGINT) AS nf
+         |  FROM documents WHERE $mediaTypeSql = 'video'
+         |)
+         |SELECT doc_id, true AS ok, w AS width, h AS height,
+         |  nf AS n_frames,
+         |  CAST((nf + 3) // 4 AS BIGINT) AS n_sampled,
+         |  CAST(list_sum(flatten(list_transform(
+         |    list_filter(range(nf), f -> f % 4 = 0), f ->
+         |    list_transform(range(w * h), p ->
+         |      ((CASE WHEN len = 0 THEN 0
+         |             ELSE unicode(substr(text, CAST(p % len + 1 AS INT), 1))
+         |        END + f) % 256)::BIGINT)))) AS BIGINT) AS luma_sum
+         |FROM vids ORDER BY doc_id""".stripMargin,
 
     // which assets the parsers reject is closed-form: exactly the
     // truncated ones (image container = header + 3wh bytes, audio
-    // container = 44 + n bytes, each minus the dropped byte)
+    // container = 44 + n bytes, video = header + nf·(6 + 3wh) bytes,
+    // each minus the dropped byte)
     "media_quarantine" ->
       s"""WITH m AS (
          |  SELECT doc_id, $mediaTypeSql AS media_type
@@ -620,10 +747,16 @@ object Multimodal {
          |                  || (6 + doc_id % 6) || chr(10) || '255'
          |                  || chr(10)) AS BIGINT)
          |        + 3 * (8 + doc_id % 8) * (6 + doc_id % 6) - 1
-         |    ELSE 44 + (200 + (doc_id % 100) * 4) - 1
+         |    WHEN 'audio' THEN 44 + (200 + (doc_id % 100) * 4) - 1
+         |    ELSE
+         |      CAST(length('YUV4MPEG2 W' || (4 + doc_id % 4) || ' H'
+         |                  || (3 + doc_id % 3) || ' F25:1 Ip A1:1 C444'
+         |                  || chr(10)) AS BIGINT)
+         |        + (4 + doc_id % 8)
+         |            * (6 + 3 * (4 + doc_id % 4) * (3 + doc_id % 3)) - 1
          |  END AS n_bytes
          |FROM m
-         |WHERE media_type <> 'video' AND doc_id % $CorruptEvery = 0
+         |WHERE doc_id % $CorruptEvery = 0
          |ORDER BY doc_id""".stripMargin,
 
     // per-asset amplitude statistics from the rebuilt sample list —

@@ -22,9 +22,8 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.decoded(spark, sf)
     assert(feats.count() ===
       spark.read.parquet(s"$sf/documents.parquet").count())
-    // checksum really is the payload hash: cross-check one VIDEO row
-    // (codec seam over text bytes), one IMAGE row (real PPM container),
-    // and one AUDIO row (real WAV container)
+    // checksum really is the container hash: cross-check one row per
+    // modality against a driver-side re-encode of its real container
     val docs = Multimodal.catalog(spark, sf)
       .select("doc_id", "media_type").orderBy("doc_id").limit(50).collect()
       .map(r => r.getLong(0) -> r.getString(1))
@@ -37,8 +36,13 @@ class MultimodalSpec extends SparkSpec {
         r.getString(r.fieldIndex("text"))).toMap
     val byId = feats.filter(col("doc_id").isin(vidId, audId, imgId))
       .collect().map(f => f.doc_id -> f).toMap
-    assert(byId(vidId).checksum === Fnv1a32.hashString(texts(vidId)))
-    assert(byId(vidId).n_bytes === texts(vidId).length.toLong)
+    val y4m = Multimodal.encodeY4mAsset(vidId, texts(vidId).getBytes("UTF-8"))
+    assert(byId(vidId).checksum === Fnv1a32.hashBytes(y4m))
+    assert(byId(vidId).n_bytes === y4m.length.toLong)
+    // video byte_sum is the decoded planes only (headers + markers off)
+    val vParsed = Y4m.parse(y4m).get
+    assert(byId(vidId).byte_sum ===
+      vParsed.frames.flatMap(_.map(b => (b & 0xff).toLong)).sum)
     val ppm = Multimodal.encodePpm(imgId, texts(imgId).getBytes("UTF-8"))
     assert(byId(imgId).checksum === Fnv1a32.hashBytes(ppm))
     assert(byId(imgId).n_bytes === ppm.length.toLong)
@@ -76,16 +80,15 @@ class MultimodalSpec extends SparkSpec {
     val q = Multimodal.queries("media_quarantine")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(q.nonEmpty)
-    // exactly the deterministic corruption set, nothing else
-    q.foreach { case (id, mt) =>
+    // exactly the deterministic corruption set, nothing else — all
+    // three modalities validate now
+    q.foreach { case (id, _) =>
       assert(id % Multimodal.CorruptEvery === 0)
-      assert(mt === "image" || mt === "audio")
     }
     val expected = Multimodal.catalog(spark, sf)
       .select("doc_id", "media_type").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-      .filter { case (id, mt) =>
-        mt != "video" && id % Multimodal.CorruptEvery == 0 }
+      .filter { case (id, _) => id % Multimodal.CorruptEvery == 0 }
     assert(q.toSet === expected.toSet)
     // and the un-corrupted assets all still parse under the same feed
     import spark.implicits._
@@ -94,6 +97,7 @@ class MultimodalSpec extends SparkSpec {
       .filter(r => r.media_type match {
         case "image" => Ppm.parse(r.payload).isEmpty
         case "audio" => Wav.parse(r.payload).isEmpty
+        case "video" => Y4m.parse(r.payload).isEmpty
         case _ => false
       }).count()
     assert(unparsed === 0L)
