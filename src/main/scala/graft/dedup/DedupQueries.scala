@@ -519,6 +519,11 @@ object DedupQueries {
     // cannot blow up the probe), then exact-Jaccard verification.
     // Intra-batch duplicates are the regular batch dedup's contract;
     // this query is strictly new-vs-index.
+    // the PERSISTED-index probe (LshIndex): posting lists and indexed
+    // shingles served from parquet, only the new batch re-derived —
+    // bit-identical to dedup_lsh_incremental, which retrains per call
+    "dedup_lsh_served" -> ((s, dir) => LshIndex.probe(s, dir)),
+
     "dedup_lsh_incremental" -> ((s, dir) => {
       val sh = shingled(s, dir).localCheckpoint()
       val cand = incrementalCandidates(bandSignatures(sh))
@@ -754,6 +759,40 @@ object DedupQueries {
       |  FROM contribs64 GROUP BY doc_id
       |)""".stripMargin
 
+  /** The incremental-probe statement, shared verbatim by
+    * `dedup_lsh_incremental` (retrain-per-query) and `dedup_lsh_served`
+    * (persisted-index probe, [[LshIndex]]) — the two paths are
+    * bit-identical by construction. lazy: interpolates vals declared
+    * below (the object-level interpolation trap in ORACLE.md). */
+  private lazy val lshIncrementalSql: String =
+    s"WITH $minhashSql,\n" +
+      (0 until NumBands).map { b =>
+        s"""band$b AS (SELECT doc_id,
+           |  $b AS band, CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS sig
+           |  FROM sigs)""".stripMargin
+      }.mkString(",\n") + ",\n" +
+      s"""bands AS (${(0 until NumBands).map(b => s"SELECT * FROM band$b").mkString(" UNION ALL ")}),
+         |idx_ok AS (
+         |  SELECT band, sig FROM bands WHERE doc_id % 10 <> 0
+         |  GROUP BY band, sig HAVING count(*) <= $MaxPosting
+         |),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS idx_doc
+         |  FROM bands n
+         |  JOIN bands i ON n.band = i.band AND n.sig = i.sig
+         |  JOIN idx_ok o ON i.band = o.band AND i.sig = o.sig
+         |  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+         |)
+         |SELECT new_doc, idx_doc,
+         |       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |FROM cand
+         |JOIN sigs sa ON new_doc = sa.doc_id
+         |JOIN sigs sb ON idx_doc = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
+         |ORDER BY new_doc, idx_doc""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "corpus_top_ngrams" -> (s"WITH $shingledSql\n" +
       s"""SELECT sh, count(*) AS doc_freq
@@ -913,33 +952,7 @@ object DedupQueries {
          |FROM curve ORDER BY bin""".stripMargin
     },
 
-    "dedup_lsh_incremental" -> (s"WITH $minhashSql,\n" +
-      (0 until NumBands).map { b =>
-        s"""band$b AS (SELECT doc_id,
-           |  $b AS band, CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS sig
-           |  FROM sigs)""".stripMargin
-      }.mkString(",\n") + ",\n" +
-      s"""bands AS (${(0 until NumBands).map(b => s"SELECT * FROM band$b").mkString(" UNION ALL ")}),
-         |idx_ok AS (
-         |  SELECT band, sig FROM bands WHERE doc_id % 10 <> 0
-         |  GROUP BY band, sig HAVING count(*) <= $MaxPosting
-         |),
-         |cand AS (
-         |  SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS idx_doc
-         |  FROM bands n
-         |  JOIN bands i ON n.band = i.band AND n.sig = i.sig
-         |  JOIN idx_ok o ON i.band = o.band AND i.sig = o.sig
-         |  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
-         |)
-         |SELECT new_doc, idx_doc,
-         |       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-         |FROM cand
-         |JOIN sigs sa ON new_doc = sa.doc_id
-         |JOIN sigs sb ON idx_doc = sb.doc_id
-         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
-         |ORDER BY new_doc, idx_doc""".stripMargin),
+    "dedup_lsh_incremental" -> lshIncrementalSql,
 
     "dedup_minhash_estimate" -> {
       val matchSum = (0 until NumMinhash).map { i =>
@@ -1008,5 +1021,11 @@ object DedupQueries {
         |FROM cand
         |WHERE bit_count(xor(sig_a, sig_b)) <= $HammingMax
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // the served probe is bit-identical to the retrain-per-query
+    // incremental path (the persisted index is a deterministic function
+    // of the corpus), so it shares the statement — the IvfPqIndex
+    // precedent applied to dedup
+    "dedup_lsh_served" -> lshIncrementalSql,
   )
 }
