@@ -185,6 +185,11 @@ object TextQueries {
     // pick is total: (weighted count desc, pair asc). Output: one row per
     // iteration with the merge, its count, and the corpus-wide symbol
     // total after — the trainer's learning curve.
+    // the PERSISTED tokenizer applied (BpeVocab): training ran once at
+    // build time; serving is the merge chain as literal replaces — one
+    // codegen projection, one corpus scan, per-doc token statistics
+    "text_bpe_tokenize_served" -> ((s, dir) => BpeVocab.tokenizeServed(s, dir)),
+
     "text_bpe_train" -> ((s, dir) => {
       var vocab = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -733,6 +738,62 @@ object TextQueries {
          |${(1 to BpeTrainIters).map(i => s"SELECT * FROM s$i")
         .mkString(" UNION ALL ")}
          |ORDER BY iter""".stripMargin
+    },
+
+    "text_bpe_tokenize_served" -> {
+      // the training chain recomputed in SQL (the persisted merge list
+      // is a deterministic function of the corpus), then applied per
+      // distinct WORD and aggregated per doc
+      def pairTop(v: String) =
+        s"""SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |  SELECT freq, unnest(list_transform(range(len(syms) - 1),
+           |    i -> '<' || syms[i+1] || '><' || syms[i+2] || '>')) AS pair
+           |  FROM (SELECT freq, string_split(r[2:-2], '><') AS syms FROM $v)
+           |) GROUP BY pair ORDER BY n DESC, pair LIMIT 1""".stripMargin
+      val trainIters = (1 to BpeTrainIters).map { i =>
+        s"""t$i AS (${pairTop(s"v${i - 1}")}),
+           |v$i AS (
+           |  SELECT replace(v.r, t.pair, replace(t.pair, '><', '')) AS r,
+           |         v.freq
+           |  FROM v${i - 1} v, t$i t
+           |)""".stripMargin
+      }.mkString(",\n")
+      val applyIters = (1 to BpeTrainIters).map { i =>
+        s"""w$i AS (
+           |  SELECT w, replace(x.r, t.pair, replace(t.pair, '><', '')) AS r
+           |  FROM w${i - 1} x, t$i t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |),
+         |wf AS (SELECT w, count(*) AS freq FROM d GROUP BY w),
+         |v0 AS (
+         |  SELECT array_to_string(list_transform(string_split(w, ''),
+         |           c -> '<' || c || '>'), '') AS r, freq
+         |  FROM wf
+         |),
+         |$trainIters,
+         |w0 AS (
+         |  SELECT w, array_to_string(list_transform(string_split(w, ''),
+         |           c -> '<' || c || '>'), '') AS r
+         |  FROM wf
+         |),
+         |$applyIters,
+         |tok AS (
+         |  SELECT w, length(w) AS syms_before,
+         |         length(r) - length(replace(r, '<', '')) AS toks
+         |  FROM w$BpeTrainIters
+         |),
+         |dw AS (SELECT doc_id, w, count(*) AS c FROM d GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |       CAST(sum(c * syms_before) AS BIGINT) AS n_syms_before,
+         |       CAST(sum(c * toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(c * toks) AS DOUBLE)
+         |         / CAST(sum(c * syms_before) AS DOUBLE) AS compression
+         |FROM dw JOIN tok USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "text_search_terms" -> {
