@@ -17,6 +17,32 @@ class PlanAuditSpec extends SparkSpec {
       .getOrElse(name, graft.relational.TpchMoreQueries.queries(name))(spark, sf)
       .queryExecution.executedPlan.toString
 
+  test("bpe served: one corpus scan, no joins — the tokenizer is literals") {
+    graft.text.BpeVocab.buildIfMissing(spark, sf)
+    val p = graft.text.TextQueries.queries("text_bpe_tokenize_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans == 1, s"$docScans corpus scans:\n${p.take(2000)}")
+    // the persisted merge chain is collected at construction and inlined
+    // as literals, so serving has NO join and NO second table
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("/merges"), "merge table must not appear at runtime")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-doc aggregate must combine map-side:\n" + p.take(2000))
+  }
+
+  test("media decode queries: map-only over one corpus scan each") {
+    for (q <- Seq("media_ppm_decode", "media_wav_decode", "media_y4m_frames")) {
+      val p = graft.multimodal.Multimodal.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val docScans = "documents\\.parquet".r.findAllIn(p).length
+      assert(docScans == 1, s"$q: $docScans corpus scans\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q must be join-free\n${p.take(1500)}")
+      // the decode batch shape: typed mapPartitions over the repartition
+      assert(p.contains("MapPartitions"), s"$q\n${p.take(1500)}")
+    }
+  }
+
   test("q1: ship-date filter is pushed into the parquet scan") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(3000))
