@@ -191,6 +191,16 @@ object Multimodal {
     * quarantine exercise. */
   val CorruptEvery = 13
 
+  /** Token-budget geometry: ViT-style PatchW x PatchH pixel patches and
+    * an [[AudioHop]]-sample audio frame hop. */
+  val PatchW = 2
+  val PatchH = 2
+  val AudioHop = 10
+
+  /** Tokens for a w x h raster: ceil-div patches per axis. */
+  def patches(w: Long, h: Long): Long =
+    ((w + PatchW - 1) / PatchW) * ((h + PatchH - 1) / PatchH)
+
   /** The quarantine fixture: [[mediaAssets]] with a deterministic
     * corruption — the last byte truncated on every CorruptEvery-th
     * asset (the interrupted upload). One missing byte is guaranteed
@@ -506,6 +516,42 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // training-token accounting over the PARSED geometry — the budget
+    // a multimodal training mix is planned against: images cost one
+    // token per PatchW x PatchH patch (ViT-style), audio one per
+    // AudioHop samples, video its sampled frames x patches. Every
+    // width/height/sample/frame count comes out of the real parsers,
+    // not the catalog metadata — a mis-encoded asset would mis-budget,
+    // which is exactly what this query exists to catch.
+    "media_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val perAsset = mediaAssets(s, dir)
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map { r =>
+          val tokens = r.media_type match {
+            case "image" =>
+              val d = decodePpm(r)
+              patches(d.width, d.height)
+            case "audio" =>
+              val d = decodeWav(r)
+              (d.n_samples + AudioHop - 1) / AudioHop
+            case _ =>
+              val d = decodeY4m(r)
+              d.n_sampled * patches(d.width, d.height)
+          }
+          (r.doc_id, r.media_type, tokens)
+        })
+        .toDF("doc_id", "media_type", "n_tokens")
+      perAsset.groupBy("media_type")
+        .agg(count(lit(1)).as("n_assets"),
+          sum("n_tokens").as("total_tokens"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("media_type")
+    }),
+
     // batched decode (real parsers for images and audio, codec seam for
     // video), then aggregate per media type
     "media_decode_stats" -> ((s, dir) =>
@@ -709,6 +755,35 @@ object Multimodal {
          |SELECT * FROM imgagg UNION ALL SELECT * FROM audagg
          |UNION ALL SELECT * FROM vidagg
          |ORDER BY media_type""".stripMargin,
+
+    // geometry is deterministic per asset, so the budget has a pure
+    // closed form — which is the point of checking it against the
+    // parsed-geometry Spark side: they only agree if every container
+    // round-trips its dims exactly
+    "media_token_budget" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $mediaTypeSql AS media_type FROM documents
+         |),
+         |tok AS (
+         |  SELECT doc_id, media_type,
+         |    CASE media_type
+         |      WHEN 'image' THEN
+         |        ((8 + doc_id % 8 + ${PatchW - 1}) // $PatchW)
+         |          * ((6 + doc_id % 6 + ${PatchH - 1}) // $PatchH)
+         |      WHEN 'audio' THEN
+         |        (200 + (doc_id % 100) * 4 + ${AudioHop - 1}) // $AudioHop
+         |      ELSE
+         |        ((4 + doc_id % 8 + 3) // 4)
+         |          * ((4 + doc_id % 4 + ${PatchW - 1}) // $PatchW)
+         |          * ((3 + doc_id % 3 + ${PatchH - 1}) // $PatchH)
+         |    END AS n_tokens
+         |  FROM m
+         |)
+         |SELECT media_type, count(*) AS n_assets,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         |FROM tok GROUP BY 1 ORDER BY media_type""".stripMargin,
 
     // sampled-frame luma statistics from the rebuilt Y planes — the
     // Y plane is the first w*h bytes of each frame's C444 payload
