@@ -197,6 +197,10 @@ object Multimodal {
   val PatchH = 2
   val AudioHop = 10
 
+  /** Real-pixel thumbnail geometry (media_thumbnail). */
+  val ThumbW = 4
+  val ThumbH = 3
+
   /** Tokens for a w x h raster: ceil-div patches per axis. */
   def patches(w: Long, h: Long): Long =
     ((w + PatchW - 1) / PatchW) * ((h + PatchH - 1) / PatchH)
@@ -478,6 +482,42 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // REAL-pixel thumbnailing: geometry from the PARSED header, pixels
+    // from the PARSED raster — nearest-neighbor to ThumbW x ThumbH with
+    // per-channel sums (media_resize remains the opaque-blob exhibit;
+    // this is the decoded-path version a real image pipeline runs)
+    "media_thumbnail" -> ((s, dir) => {
+      import s.implicits._
+      mediaAssets(s, dir).filter(col("media_type") === "image")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map { r =>
+          Ppm.parse(r.payload) match {
+            case Some(img) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var ty = 0
+              while (ty < ThumbH) {
+                val srcY = ty * img.height / ThumbH
+                var tx = 0
+                while (tx < ThumbW) {
+                  val srcX = tx * img.width / ThumbW
+                  val p = 3 * (srcY * img.width + srcX)
+                  sr += img.pixels(p) & 0xff
+                  sg += img.pixels(p + 1) & 0xff
+                  sb += img.pixels(p + 2) & 0xff
+                  tx += 1
+                }
+                ty += 1
+              }
+              (r.doc_id, ThumbW.toLong, ThumbH.toLong, sr, sg, sb)
+            case None => (r.doc_id, -1L, -1L, -1L, -1L, -1L)
+          }
+        })
+        .toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    }),
+
     // the REAL audio decode, per asset: RIFF chunk walk + fmt
     // validation + amplitude statistics over the data chunk
     "media_wav_decode" -> ((s, dir) => {
@@ -755,6 +795,32 @@ object Multimodal {
          |SELECT * FROM imgagg UNION ALL SELECT * FROM audagg
          |UNION ALL SELECT * FROM vidagg
          |ORDER BY media_type""".stripMargin,
+
+    // nearest-neighbor source positions over the R = cycled-text-byte
+    // rule; G = 255 - R and B = const per asset give the other channels
+    // in closed form from sum_r
+    "media_thumbnail" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(8 + doc_id % 8 AS BIGINT) AS w,
+         |         CAST(6 + doc_id % 6 AS BIGINT) AS h
+         |  FROM documents WHERE $mediaTypeSql = 'image'
+         |),
+         |sums AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(${ThumbW * ThumbH}), i ->
+         |      CASE WHEN len = 0 THEN 0::BIGINT ELSE
+         |        unicode(substr(text, CAST(
+         |          (((i // $ThumbW) * h // $ThumbH) * w
+         |            + ((i % $ThumbW) * w // $ThumbW)) % len + 1 AS INT),
+         |          1))::BIGINT END)) AS sum_r
+         |  FROM imgs
+         |)
+         |SELECT doc_id, $ThumbW::BIGINT AS out_w, $ThumbH::BIGINT AS out_h,
+         |       CAST(sum_r AS BIGINT) AS sum_r,
+         |       CAST(${ThumbW * ThumbH} * 255 - sum_r AS BIGINT) AS sum_g,
+         |       ${ThumbW * ThumbH} * (doc_id % 256) AS sum_b
+         |FROM sums ORDER BY doc_id""".stripMargin,
 
     // geometry is deterministic per asset, so the budget has a pure
     // closed form — which is the point of checking it against the
