@@ -201,6 +201,11 @@ object Multimodal {
   val ThumbW = 4
   val ThumbH = 3
 
+  /** Frame-energy gate for the VAD-style audio activity query: a frame
+    * of [[AudioHop]] samples is "active" when its squared-amplitude sum
+    * clears this (integer-exact) threshold. */
+  val VadThreshold = 40000L
+
   /** Tokens for a w x h raster: ceil-div patches per axis. */
   def patches(w: Long, h: Long): Long =
     ((w + PatchW - 1) / PatchW) * ((h + PatchH - 1) / PatchH)
@@ -515,6 +520,46 @@ object Multimodal {
           }
         })
         .toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    }),
+
+    // VAD-style activity detection over the REAL samples: frame the
+    // decoded PCM into AudioHop-sample windows, integer frame energy
+    // (sum of squared amplitudes), count frames clearing the gate —
+    // the silence-trim / speech-segmentation primitive every audio
+    // curation pipeline runs before anything expensive touches a clip
+    "media_audio_vad" -> ((s, dir) => {
+      import s.implicits._
+      mediaAssets(s, dir).filter(col("media_type") === "audio")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map { r =>
+          Wav.parse(r.payload) match {
+            case Some(a) =>
+              val n = a.samples.length
+              val nFrames = (n + AudioHop - 1) / AudioHop
+              var active = 0L
+              var total = 0L
+              var f = 0
+              while (f < nFrames) {
+                var e = 0L
+                var j = f * AudioHop
+                val end = math.min(j + AudioHop, n)
+                while (j < end) {
+                  val amp = (a.samples(j) & 0xff) - 128
+                  e += amp.toLong * amp
+                  j += 1
+                }
+                if (e > VadThreshold) active += 1
+                total += e
+                f += 1
+              }
+              (r.doc_id, nFrames.toLong, active, total)
+            case None => (r.doc_id, -1L, -1L, -1L)
+          }
+        })
+        .toDF("doc_id", "n_frames", "n_active", "total_energy")
         .orderBy("doc_id")
     }),
 
@@ -899,6 +944,38 @@ object Multimodal {
          |FROM m
          |WHERE doc_id % $CorruptEvery = 0
          |ORDER BY doc_id""".stripMargin,
+
+    // frame energies over the rebuilt sample list, the activity count a
+    // list_filter away
+    "media_audio_vad" ->
+      s"""WITH auds AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(200 + (doc_id % 100) * 4 AS BIGINT) AS n
+         |  FROM documents WHERE $mediaTypeSql = 'audio'
+         |),
+         |samps AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(n), i ->
+         |      ((CASE WHEN len = 0 THEN 0
+         |             ELSE unicode(substr(text, CAST(i % len + 1 AS INT), 1))
+         |        END + i) % 256)::BIGINT) AS samp
+         |  FROM auds
+         |),
+         |frames AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range((n + ${AudioHop - 1}) // $AudioHop), f ->
+         |      list_sum(list_transform(
+         |        range(f * $AudioHop, least((f + 1) * $AudioHop, n)), i ->
+         |        (samp[CAST(i + 1 AS INT)] - 128)
+         |          * (samp[CAST(i + 1 AS INT)] - 128)))) AS es
+         |  FROM samps
+         |)
+         |SELECT doc_id,
+         |  CAST((n + ${AudioHop - 1}) // $AudioHop AS BIGINT) AS n_frames,
+         |  CAST(len(list_filter(es, e -> e > $VadThreshold)) AS BIGINT)
+         |    AS n_active,
+         |  CAST(list_sum(es) AS BIGINT) AS total_energy
+         |FROM frames ORDER BY doc_id""".stripMargin,
 
     // per-asset amplitude statistics from the rebuilt sample list —
     // closed over the same (text-cycled + position ramp) % 256 rule the
