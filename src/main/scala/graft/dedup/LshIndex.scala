@@ -32,9 +32,10 @@ import DedupQueries.{bandSignatures, shingled, JaccardThreshold, MaxPosting}
   */
 object LshIndex {
 
-  def indexPath(dir: String): String =
-    "target/graft_index/lsh_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+  /** Fingerprinted cache key — see [[graft.sources.IndexCache]]: a
+    * regenerated fixture rebuilds instead of serving stale postings. */
+  def indexPath(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.path(s, dir, "lsh", "documents", "doc_id")
 
   /** The standing-index side of the split (the convention the
     * incremental query fixes: every 10th doc plays the new batch). */
@@ -56,7 +57,7 @@ object LshIndex {
 
   def buildIfMissing(s: SparkSession, dir: String): String =
     lock.synchronized {
-      val path = indexPath(dir)
+      val path = indexPath(s, dir)
       if (!new java.io.File(s"$path/postings/_SUCCESS").exists())
         build(s, dir, path)
       path

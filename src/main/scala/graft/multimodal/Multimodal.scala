@@ -591,8 +591,10 @@ object Multimodal {
           val ok = r.media_type match {
             case "image" => Ppm.parse(r.payload).isDefined
             case "audio" => Wav.parse(r.payload).isDefined
-            case "video" => Y4m.parse(r.payload).isDefined
-            case _ => true
+            // video AND any unknown type: mediaAssets falls back to the
+            // Y4M encoder for both, so validate with that parser —
+            // nothing bypasses quarantine unvalidated
+            case _ => Y4m.parse(r.payload).isDefined
           }
           if (ok) None
           else Some((r.doc_id, r.media_type, r.payload.length.toLong))
@@ -637,8 +639,8 @@ object Multimodal {
         .orderBy("media_type")
     }),
 
-    // batched decode (real parsers for images and audio, codec seam for
-    // video), then aggregate per media type
+    // batched decode — real parsers for all three modalities (PPM
+    // images, WAV audio, Y4M video) — then aggregate per media type
     "media_decode_stats" -> ((s, dir) =>
       decoded(s, dir).groupBy("media_type").agg(
         count("*").as("n_assets"),
@@ -749,10 +751,11 @@ object Multimodal {
          |FROM documents WHERE $mediaTypeSql = 'video'
          |ORDER BY doc_id""".stripMargin,
 
-    // images: the oracle REBUILDS every container byte in SQL — header
-    // ASCII + the R/G/B raster rule — so n_bytes/byte_sum/checksum are
-    // byte-exact against the real encoder+parser round trip. audio and
-    // video keep the codec-seam byte statistics over the text payload.
+    // the oracle REBUILDS every container byte in SQL for ALL THREE
+    // modalities — PPM header ASCII + R/G/B raster, WAV RIFF chunks +
+    // PCM samples (audagg), Y4M stream/frame headers + YUV planes
+    // (vidagg) — so n_bytes/byte_sum/checksum are byte-exact against
+    // the real encoder+parser round trips.
     "media_decode_stats" ->
       s"""WITH m AS (
          |  SELECT doc_id, text, length(text) AS len,

@@ -68,11 +68,10 @@ object Wav {
       else new String(bytes, off, 4, StandardCharsets.US_ASCII)
 
     if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    // the RIFF size field covers everything after itself
-    if (u32(4) != bytes.length - 8L) return None
 
     var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
     var data: Option[Array[Byte]] = None
+    var tailPadConsumed = false // stream's final byte was an odd-chunk pad
     var i = 12
     while (i + 8 <= bytes.length) {
       val id = tag(i)
@@ -93,10 +92,19 @@ object Wav {
       // that writers in the wild (ours included) omit the pad on the
       // FINAL chunk, so only require it when more bytes follow
       var next = body + size.toInt
-      if ((size & 1L) == 1L && next < bytes.length) next += 1
+      if ((size & 1L) == 1L && next < bytes.length) {
+        next += 1
+        if (next == bytes.length) tailPadConsumed = true
+      }
       i = next
     }
     if (i != bytes.length) return None // trailing bytes outside any chunk
+    // the RIFF size field covers everything after itself — except that
+    // writers split on whether a FINAL odd chunk's pad byte counts, so
+    // when the walk consumed such a pad, accept both conventions
+    val riffSize = u32(4)
+    if (riffSize != bytes.length - 8L &&
+        !(tailPadConsumed && riffSize == bytes.length - 9L)) return None
     for {
       (format, ch, rate, bits) <- fmt
       d <- data

@@ -39,10 +39,11 @@ import SimilarityQueries._
 object IvfPqIndex {
 
   /** Index root for a fixture directory (one index per corpus, cached
-    * across queries and processes under target/). */
-  def indexPath(dir: String): String =
-    "target/graft_index/ivfpq_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+    * across queries and processes under target/). The key embeds a
+    * corpus fingerprint — see [[graft.sources.IndexCache]] — so a
+    * regenerated fixture rebuilds instead of serving stale centroids. */
+  def indexPath(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.path(s, dir, "ivfpq", "embeddings", "vec_id")
 
   /** Train (coarse cells + PQ codebooks) and persist the three index
     * tables. One corpus read per Lloyd iteration — the same training
@@ -66,7 +67,7 @@ object IvfPqIndex {
   /** Build exactly once per corpus per process; later calls (and later
     * processes — the layout lives under target/) reuse the files. */
   def buildIfMissing(s: SparkSession, dir: String): String = lock.synchronized {
-    val path = indexPath(dir)
+    val path = indexPath(s, dir)
     val done = new java.io.File(s"$path/codes/_SUCCESS")
     if (!done.exists()) build(s, dir, path)
     path
@@ -118,7 +119,7 @@ object IvfPqIndex {
 
   def buildBaseIfMissing(s: SparkSession, dir: String): String =
     lock.synchronized {
-      val path = indexPath(dir) + "_base"
+      val path = indexPath(s, dir) + "_base"
       val done = new java.io.File(s"$path/codes/_SUCCESS")
       if (!done.exists()) buildBase(s, dir, path)
       path
@@ -169,9 +170,18 @@ object IvfPqIndex {
         if (f.isDirectory) f.listFiles().foreach(del)
         f.delete()
       }
-      del(new java.io.File(s"$path/codes"))
-      require(new java.io.File(next).renameTo(new java.io.File(s"$path/codes")),
+      // Swap by renaming the LIVE generation aside first, so there is
+      // never a window with no codes table: codes -> codes_old,
+      // codes_next -> codes, then drop codes_old. A crash between the
+      // two renames leaves codes_old + codes_next, both complete; the
+      // _SUCCESS check in buildBaseIfMissing triggers a clean rebuild.
+      val live = new java.io.File(s"$path/codes")
+      val old = new java.io.File(s"$path/codes_old")
+      del(old) // leftover from a previous crash, if any
+      require(live.renameTo(old), s"rename-aside failed under $path")
+      require(new java.io.File(next).renameTo(live),
         s"generation swap failed under $path")
+      del(old)
       marker.createNewFile()
     }
     path

@@ -22,16 +22,18 @@ case class MediaVerdict(doc_id: Long, media_type: String, ok: Boolean,
   * state, and free micro-batch boundaries; at scale the stage is
   * bounded purely by parse throughput × cores.
   *
-  * An unknown media type passes (`ok = true`): validation can only
-  * reject what it can parse — the same contract as the batch query. */
+  * An unknown media type validates against [[Y4m]] — the fallback
+  * encoder [[graft.multimodal.Multimodal.mediaAssets]] actually uses
+  * for anything that is not image/audio — so no type ever bypasses
+  * quarantine unvalidated (same contract as the batch query). */
 object MediaIngestStream {
 
   def verdict(r: MediaIngest): MediaVerdict = {
     val ok = r.media_type match {
       case "image" => Ppm.parse(r.payload).isDefined
       case "audio" => Wav.parse(r.payload).isDefined
-      case "video" => Y4m.parse(r.payload).isDefined
-      case _ => true
+      case _ => Y4m.parse(r.payload).isDefined // video + unknown:
+      // mediaAssets encodes both as Y4M, so validate with that parser
     }
     MediaVerdict(r.doc_id, r.media_type, ok, r.payload.length.toLong)
   }

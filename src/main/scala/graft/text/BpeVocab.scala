@@ -24,9 +24,10 @@ import TextQueries.BpeTrainIters
   * the same way. */
 object BpeVocab {
 
-  def indexPath(dir: String): String =
-    "target/graft_index/bpe_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+  /** Fingerprinted cache key — see [[graft.sources.IndexCache]]: a
+    * regenerated fixture retrains instead of serving stale merges. */
+  def indexPath(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.path(s, dir, "bpe", "documents", "doc_id")
 
   private def bracketed(c: org.apache.spark.sql.Column) =
     concat_ws("", transform(split(c, ""), ch => concat(lit("<"), ch, lit(">"))))
@@ -67,7 +68,7 @@ object BpeVocab {
 
   def buildIfMissing(s: SparkSession, dir: String): String =
     lock.synchronized {
-      val path = indexPath(dir)
+      val path = indexPath(s, dir)
       if (!new java.io.File(s"$path/merges/_SUCCESS").exists())
         build(s, dir, path)
       path

@@ -10,7 +10,7 @@ import graft.SparkSpec
 class LshIndexSpec extends SparkSpec {
 
   private def rebuiltFresh(): String = {
-    val path = LshIndex.indexPath(sf)
+    val path = LshIndex.indexPath(spark, sf)
     def del(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(del)
       f.delete()
@@ -31,15 +31,30 @@ class LshIndexSpec extends SparkSpec {
 
   test("probe plan scans the corpus once: index side comes from files") {
     LshIndex.buildIfMissing(spark, sf)
-    val plan = LshIndex.probe(spark, sf).queryExecution.executedPlan.toString
+    val df = LshIndex.probe(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
     // the new batch needs one documents read (it is materialized at
     // construction by the localCheckpoint, so the plan shows none);
     // the standing index must come from the persisted tables only
     val docScans = "documents\\.parquet".r.findAllIn(plan).length
     assert(docScans == 0,
       s"probe plan re-reads documents $docScans times:\n" + plan.take(2000))
-    assert(plan.contains("/postings") && plan.contains("/shingles"),
-      plan.take(2000))
+    // resolve the scan locations structurally — the display string
+    // truncates long index paths (spark.sql.maxMetadataStringLength),
+    // so a substring check on the plan text would miss them
+    def roots(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          roots(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          roots(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+        case other => other.children.flatMap(roots)
+      }
+    val rs = roots(df.queryExecution.executedPlan)
+    assert(rs.exists(_.contains("/postings")) &&
+      rs.exists(_.contains("/shingles")), rs.mkString("\n"))
   }
 
   test("the index builds once and is reused") {

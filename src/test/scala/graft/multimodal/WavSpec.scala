@@ -53,6 +53,33 @@ class WavSpec extends AnyFunSuite {
     assert(Wav.parse(riff(body)).isDefined)
   }
 
+  test("odd-size FINAL data chunk may carry the spec's pad byte, " +
+      "under either RIFF-size convention") {
+    val samples = Array.tabulate(7)(_.toByte)
+    val padded = fmtChunk() ++
+      ascii("data") ++ le32(samples.length.toLong) ++ samples ++
+      Array[Byte](0) // the word-alignment pad
+    // writer counts the pad in the RIFF size (riff() does: 4 + body.len)
+    val counted = riff(padded)
+    val a = Wav.parse(counted)
+    assert(a.isDefined, "pad counted in RIFF size must parse")
+    assert(a.get.samples.sameElements(samples),
+      "the pad byte must not leak into the samples")
+    // writer excludes the final pad from the RIFF size (also in the wild)
+    val excluded = counted.clone()
+    excluded(4) = (excluded(4) - 1).toByte
+    val b = Wav.parse(excluded)
+    assert(b.isDefined, "pad excluded from RIFF size must parse")
+    assert(b.get.samples.sameElements(samples))
+    // but a one-short RIFF size with NO pad present stays rejected
+    val noPad = riff(fmtChunk() ++
+      ascii("data") ++ le32(samples.length.toLong) ++ samples)
+    val short = noPad.clone()
+    short(4) = (short(4) - 1).toByte
+    assert(Wav.parse(short).isEmpty,
+      "len-9 without a consumed tail pad is a size mismatch")
+  }
+
   test("malformed and out-of-scope containers are rejected") {
     val samples = Array.fill(8)(1.toByte)
     def wav(body: Array[Byte]) = riff(body)

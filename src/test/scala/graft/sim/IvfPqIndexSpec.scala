@@ -13,7 +13,7 @@ import graft.SparkSpec
 class IvfPqIndexSpec extends SparkSpec {
 
   private def rebuiltFresh(): String = {
-    val path = IvfPqIndex.indexPath(sf)
+    val path = IvfPqIndex.indexPath(spark, sf)
     def del(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(del)
       f.delete()
@@ -81,7 +81,7 @@ class IvfPqIndexSpec extends SparkSpec {
   test("compaction folds the delta in: same results, single pruned scan") {
     // start from a fresh BASE index so the compaction actually has a
     // delta to fold (a leftover COMPACTED marker would make this vacuous)
-    val basePath = IvfPqIndex.indexPath(sf) + "_base"
+    val basePath = IvfPqIndex.indexPath(spark, sf) + "_base"
     def del(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(del)
       f.delete()

@@ -39,4 +39,19 @@ class MediaIngestStreamSpec extends SparkSpec {
     // the pass-through side is the complement, all parseable
     assert(verdicts.count(_.ok) === feed.length - batch.size)
   }
+
+  test("an unknown media type is validated, not waved through") {
+    // mediaAssets falls back to the Y4M encoder for any type that is
+    // not image/audio, so the validator must apply the Y4M parser to
+    // unknown types too: garbage payload of a hypothetical fourth type
+    // must land in quarantine, and a genuine Y4M container under an
+    // unknown label must pass.
+    val garbage = MediaIngestStream.verdict(
+      MediaIngest(1L, "pointcloud", Array[Byte](1, 2, 3, 4, 5)))
+    assert(!garbage.ok, "corrupt payload of an unknown type must fail")
+    val real = Multimodal.encodeY4mAsset(7L, "some payload".getBytes("UTF-8"))
+    assert(MediaIngestStream.verdict(
+      MediaIngest(7L, "pointcloud", real)).ok,
+      "a parseable fallback-encoded payload passes under an unknown label")
+  }
 }

@@ -10,7 +10,7 @@ import graft.SparkSpec
 class BpeVocabSpec extends SparkSpec {
 
   test("served tokenization equals a driver-side merge replay") {
-    val path = BpeVocab.indexPath(sf)
+    val path = BpeVocab.indexPath(spark, sf)
     def del(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(del)
       f.delete()
