@@ -10,6 +10,7 @@ import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
 import graft.profile.{PrivacyQueries, ProfileQueries}
 import graft.sources.KvGenQueries
+import graft.retrieval.RetrievalQueries
 import graft.relational.{AsOfQueries, BasketQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
 import graft.sim.{MatryoshkaQueries, SimilarityQueries}
 import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, MaskingQueries, PipelineQueries, SweepQueries, TextQueries}
@@ -49,6 +50,7 @@ object SparkEntry {
       RelationalQueries.queries, TpchMoreQueries.queries,
       PartSuppQueries.queries, BasketQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
+      RetrievalQueries.queries,
       ProfileQueries.queries, PrivacyQueries.queries, KvGenQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
@@ -70,6 +72,7 @@ object SparkEntry {
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle, BasketQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
+      RetrievalQueries.oracle,
       ProfileQueries.oracle, PrivacyQueries.oracle, KvGenQueries.oracle)
 
   private def merged[V](modules: Seq[Map[String, V]]): Map[String, V] = {

@@ -1,0 +1,354 @@
+package graft.retrieval
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Ora
+import graft.sim.SimilarityQueries.cosine
+
+/** Ranked retrieval over the corpus — the serving-side counterpart of
+  * the dedup/similarity families: given a query, return the best-k
+  * documents, sparse (BM25), dense (embedding cosine), hybrid
+  * (reciprocal-rank fusion), and score the three against ground truth
+  * (nDCG@k on the embedding cluster labels). This is the retrieval
+  * stack a RAG pipeline or a decontamination sweep runs over a 100 TB
+  * corpus, exercised query-by-example: each query is a corpus document
+  * ([[QueryDocs]]), its sparse query terms are its own top-TF-IDF
+  * keywords and its dense query vector is its embedding — fully
+  * deterministic, no out-of-band query strings.
+  *
+  * Numeric portability (the family rule, see `text_tfidf_keywords` and
+  * `text_lm_likelihood`): scoring avoids transcendentals entirely.
+  * BM25's idf is the RATIONAL (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)
+  * rather than its log, and each per-term contribution is computed as
+  * one exact integer product chain followed by a single `div` onto the
+  * 2^-14 fixed-point grid — bit-identical in Spark and DuckDB, and
+  * safely inside BIGINT at the 10× rehearsal scale (worst factor chain
+  * ≈ 2N · 44 · tf · TL · 2^14 ≈ 3e18 at N = 5e4, TL = 2.7e6; a 100×
+  * corpus would switch to a smaller scale or per-term pre-division).
+  * RRF and nDCG produce doubles only through single-operation
+  * divisions of exact integers (and one fixed-order addition), and the
+  * DCG discount weights 1/log2(r+1) are pre-baked 2^32 fixed-point
+  * LITERALS shared by both engines, so no log is ever evaluated at
+  * query time.
+  *
+  * Scale shape: one corpus scan builds the (doc, term, tf) table; df
+  * is a vocabulary-row aggregate broadcast back; the candidate set is
+  * a broadcast semi-join of the ≤ |queries|·[[NumKeywords]] query-term
+  * rows against the posting rows — never corpus × queries. The dense
+  * side broadcasts the |queries| embeddings through one scan of the
+  * vector table. Final per-query top-k is a rank window keyed by
+  * query — parallelism = #queries there, but the rows entering it are
+  * already candidate-sized, not corpus-sized.
+  */
+object RetrievalQueries {
+
+  /** Query-by-example document ids — present at every SF (min corpus:
+    * 500 docs) and inside the embedded prefix at sf0.1 (2000 vectors
+    * over 5000 docs: documents past the prefix rank sparse-only, like
+    * any not-yet-embedded tail in a real corpus). */
+  val QueryDocs: Seq[Long] = Seq(7L, 42L, 123L)
+
+  val TopK = 10
+  val NumKeywords = 3
+
+  /** Okapi k1 = 6/5 and b = 3/4, folded into the integer contribution
+    * below; RRF's standard dampener. */
+  val RrfK = 60
+
+  /** BM25 fixed-point scale (2^14). */
+  val Scale = 16384L
+
+  /** DCG discount weights: round(2^32 / log2(r+1)) for rank r = 1..10,
+    * and their prefix sums (IDCG of r relevant docs). Literals, not
+    * computed — the whole point is that neither engine evaluates a log. */
+  val DcgW: Seq[Long] = Seq(4294967296L, 2709822658L, 2147483648L,
+    1849741732L, 1661520155L, 1529898219L, 1431655765L, 1354911329L,
+    1292913986L, 1241523975L)
+  val DcgPrefix: Seq[Long] = Seq(4294967296L, 7004789954L, 9152273602L,
+    11002015334L, 12663535489L, 14193433708L, 15625089473L,
+    16980000802L, 18272914788L, 19514438763L)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** (doc_id, term, tf) in one scan — whitespace tokens, empties out
+    * (same tokenization as the text family). Checkpointed: df, dl,
+    * keywords, and scoring all reuse it. */
+  private def tf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
+  /** The sparse (BM25) top-k lists: (query_doc, rank, doc_id, n_terms,
+    * score_fp, score). */
+  def sparseTopk(s: SparkSession, dir: String): DataFrame = {
+    val t = tf(s, dir)
+    val df = t.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val tl = t.agg(sum("tf").as("tl"))
+    // each query doc's NumKeywords strongest TF-IDF terms — the
+    // rational tf·N/df scoring of text_tfidf_keywords, (score, term)
+    // tie-broken; ≤ |QueryDocs|·NumKeywords rows, broadcast onward
+    val kw = Window.partitionBy("query_doc")
+      .orderBy(col("kw_score").desc, col("term"))
+    val keywords = t.filter(col("doc_id").isin(QueryDocs: _*))
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id").as("query_doc"), col("term"),
+        (col("tf").cast("double") * col("n").cast("double") /
+          col("df").cast("double")).as("kw_score"))
+      .withColumn("krank", row_number().over(kw))
+      .filter(col("krank") <= NumKeywords)
+      .select("query_doc", "term")
+    // candidate generation IS the broadcast semi-join: posting rows
+    // that carry a query term; then one exact integer chain per
+    // (query, candidate, term) onto the 2^-14 grid
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    t.join(broadcast(keywords), "term")
+      .filter(col("doc_id") =!= col("query_doc"))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
+      .select(col("query_doc"), col("doc_id"),
+        expr(s"((2*n - 2*df + 1) * (44 * tf * tl) * $Scale) div " +
+          "((20*tl*tf + 6*tl + 18*dl*n) * (2*df + 1))").as("c"))
+      .groupBy("query_doc", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c").as("score_fp"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_doc"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score_fp"),
+        (col("score_fp").cast("double") / lit(Scale.toDouble)).as("score"))
+      .orderBy("query_doc", "rank")
+  }
+
+  /** The dense (cosine) top-k lists: (query_doc, rank, doc_id,
+    * cos_sim). Query embeddings are a |QueryDocs|-row broadcast; one
+    * scan of the vector table scores every candidate. */
+  def denseTopk(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir).filter(col("vec_id").isin(QueryDocs: _*))
+      .select(col("vec_id").as("query_doc"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    emb(s, dir).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_doc"))
+      .select(col("query_doc"), col("vec_id").as("doc_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_doc", "rank", "doc_id", "cos_sim")
+      .orderBy("query_doc", "rank")
+  }
+
+  /** Reciprocal-rank fusion of the two top-k lists: score =
+    * Σ 1/(RrfK + rank) over the lists containing the doc — computed as
+    * ONE fixed-order addition of two single-division doubles, so the
+    * doubles stay bit-exact. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val sp = sparseTopk(s, dir)
+      .select(col("query_doc"), col("doc_id"), col("rank").as("rs"))
+      .localCheckpoint()
+    val de = denseTopk(s, dir)
+      .select(col("query_doc"), col("doc_id"), col("rank").as("rd"))
+      .localCheckpoint()
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    sp.join(de, Seq("query_doc", "doc_id"), "full_outer")
+      .select(col("query_doc"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rs")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rd")), lit(0.0)))
+          .as("rrf_score"),
+        col("rs").isNotNull.as("in_sparse"),
+        col("rd").isNotNull.as("in_dense"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_doc", "rank", "doc_id", "rrf_score",
+        "in_sparse", "in_dense")
+      .orderBy("query_doc", "rank")
+  }
+
+  /** nDCG@[[TopK]] per (query, method): relevance = the candidate
+    * shares the query's embedding cluster label (docs without a vector
+    * — the un-embedded tail at sf0.1 — count irrelevant, as unjudged
+    * docs do); DCG sums the literal 2^32-grid discount weights as
+    * BIGINTs, IDCG is the matching prefix sum, and the only double is
+    * the final single division. */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val lists =
+      sparseTopk(s, dir).select(lit("sparse").as("method"),
+          col("query_doc"), col("rank"), col("doc_id"))
+        .unionByName(denseTopk(s, dir).select(lit("dense").as("method"),
+          col("query_doc"), col("rank"), col("doc_id")))
+        .unionByName(rrfFusion(s, dir).select(lit("rrf").as("method"),
+          col("query_doc"), col("rank"), col("doc_id")))
+        .localCheckpoint()
+    val lab = emb(s, dir).select(col("vec_id"), col("label"))
+    val ql = lab.filter(col("vec_id").isin(QueryDocs: _*))
+      .select(col("vec_id").as("query_doc"), col("label").as("q_label"))
+    val nRel = lab.crossJoin(broadcast(ql))
+      .filter(col("label") === col("q_label") &&
+        col("vec_id") =!= col("query_doc"))
+      .groupBy("query_doc").agg(count(lit(1)).as("n_rel"))
+    val dcg = lists
+      .join(broadcast(ql), "query_doc")
+      .join(lab, lists("doc_id") === lab("vec_id"), "left")
+      .select(col("method"), col("query_doc"),
+        (when(col("label") === col("q_label"), 1L).otherwise(0L) *
+          element_at(typedLit(DcgW), col("rank").cast("int"))).as("g"))
+      .groupBy("method", "query_doc").agg(sum("g").as("dcg_fp"))
+    dcg.join(broadcast(nRel), "query_doc")
+      .select(col("query_doc"), col("method"), col("n_rel"),
+        col("dcg_fp"),
+        element_at(typedLit(DcgPrefix),
+          least(lit(TopK), col("n_rel")).cast("int")).as("idcg_fp"))
+      .withColumn("ndcg",
+        col("dcg_fp").cast("double") / col("idcg_fp").cast("double"))
+      .orderBy("query_doc", "method")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
+    "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
+    "ret_rrf_fusion" -> ((s, dir) => rrfFusion(s, dir)),
+    "ret_ndcg_eval" -> ((s, dir) => ndcgEval(s, dir)))
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val qdocs = QueryDocs.mkString("(", ", ", ")")
+
+  /** Shared CTE chain: tf/df/dl/corpus stats → keywords → BM25 top-k
+    * (`stopk`) and cosine top-k (`dtopk`). */
+  private val listsCte =
+    s"""t AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+       |    FROM documents
+       |  ) WHERE term <> '' GROUP BY doc_id, term
+       |),
+       |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+       |dlq AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |        FROM t GROUP BY doc_id),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT CAST(sum(tf) AS BIGINT) FROM t) AS tl),
+       |kw AS (
+       |  SELECT query_doc, term FROM (
+       |    SELECT t.doc_id AS query_doc, t.term,
+       |           row_number() OVER (PARTITION BY t.doc_id ORDER BY
+       |             CAST(t.tf AS DOUBLE) * CAST(st.n AS DOUBLE)
+       |               / CAST(dfq.df AS DOUBLE) DESC, t.term) AS krank
+       |    FROM t JOIN dfq USING (term), st
+       |    WHERE t.doc_id IN $qdocs
+       |  ) WHERE krank <= $NumKeywords
+       |),
+       |contrib AS (
+       |  SELECT kw.query_doc, t.doc_id,
+       |         ((2*st.n - 2*dfq.df + 1) * (44 * t.tf * st.tl) * $Scale)
+       |           // ((20*st.tl*t.tf + 6*st.tl + 18*dlq.dl*st.n)
+       |              * (2*dfq.df + 1)) AS c
+       |  FROM t JOIN kw USING (term) JOIN dfq USING (term)
+       |         JOIN dlq ON t.doc_id = dlq.doc_id, st
+       |  WHERE t.doc_id <> kw.query_doc
+       |),
+       |stopk AS (
+       |  SELECT query_doc, rank, doc_id, n_terms, score_fp FROM (
+       |    SELECT query_doc, doc_id, count(*) AS n_terms,
+       |           CAST(sum(c) AS BIGINT) AS score_fp,
+       |           row_number() OVER (PARTITION BY query_doc
+       |             ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id) AS rank
+       |    FROM contrib GROUP BY query_doc, doc_id
+       |  ) WHERE rank <= $TopK
+       |),
+       |dtopk AS (
+       |  SELECT query_doc, rank, doc_id, cos_sim FROM (
+       |    SELECT q.vec_id AS query_doc, e.vec_id AS doc_id,
+       |           ${Ora.cos64("e.embedding", "q.embedding")} AS cos_sim,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${Ora.cos64("e.embedding", "q.embedding")} DESC,
+       |             e.vec_id) AS rank
+       |    FROM embeddings e,
+       |         (SELECT vec_id, embedding FROM embeddings
+       |          WHERE vec_id IN $qdocs) q
+       |    WHERE e.vec_id <> q.vec_id
+       |  ) WHERE rank <= $TopK
+       |),
+       |rtopk AS (
+       |  SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
+       |  FROM (
+       |    SELECT query_doc, doc_id, rrf_score, in_sparse, in_dense,
+       |           row_number() OVER (PARTITION BY query_doc
+       |             ORDER BY rrf_score DESC, doc_id) AS rank
+       |    FROM (
+       |      SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
+       |             coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |             coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
+       |               + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
+       |                          0.0::DOUBLE) AS rrf_score,
+       |             s.rank IS NOT NULL AS in_sparse,
+       |             d.rank IS NOT NULL AS in_dense
+       |      FROM stopk s FULL JOIN dtopk d
+       |        ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+       |    )
+       |  ) WHERE rank <= $TopK
+       |)""".stripMargin
+
+  private val dcgWSql = DcgW.mkString("[", ", ", "]")
+  private val dcgPSql = DcgPrefix.mkString("[", ", ", "]")
+
+  def oracle: Map[String, String] = Map(
+    "ret_bm25_topk" ->
+      s"""WITH $listsCte
+         |SELECT query_doc, rank, doc_id, n_terms, score_fp,
+         |       CAST(score_fp AS DOUBLE) / ${Scale}.0 AS score
+         |FROM stopk ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_dense_topk" ->
+      s"""WITH $listsCte
+         |SELECT query_doc, rank, doc_id, cos_sim
+         |FROM dtopk ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_rrf_fusion" ->
+      s"""WITH $listsCte
+         |SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
+         |FROM rtopk ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_ndcg_eval" ->
+      s"""WITH $listsCte,
+         |lists AS (
+         |  SELECT 'sparse' AS method, query_doc, rank, doc_id FROM stopk
+         |  UNION ALL
+         |  SELECT 'dense', query_doc, rank, doc_id FROM dtopk
+         |  UNION ALL
+         |  SELECT 'rrf', query_doc, rank, doc_id FROM rtopk
+         |),
+         |ql AS (SELECT vec_id AS query_doc, label AS q_label
+         |       FROM embeddings WHERE vec_id IN $qdocs),
+         |nrel AS (
+         |  SELECT ql.query_doc, count(*) AS n_rel
+         |  FROM embeddings e JOIN ql
+         |    ON e.label = ql.q_label AND e.vec_id <> ql.query_doc
+         |  GROUP BY ql.query_doc
+         |),
+         |dcg AS (
+         |  SELECT l.method, l.query_doc,
+         |         CAST(sum(CASE WHEN e.label = ql.q_label THEN 1 ELSE 0 END
+         |           * ($dcgWSql)[l.rank]) AS BIGINT) AS dcg_fp
+         |  FROM lists l
+         |  JOIN ql USING (query_doc)
+         |  LEFT JOIN embeddings e ON l.doc_id = e.vec_id
+         |  GROUP BY l.method, l.query_doc
+         |)
+         |SELECT query_doc, method, n_rel, dcg_fp,
+         |       ($dcgPSql)[least($TopK, n_rel)] AS idcg_fp,
+         |       CAST(dcg_fp AS DOUBLE)
+         |         / CAST(($dcgPSql)[least($TopK, n_rel)] AS DOUBLE) AS ndcg
+         |FROM dcg JOIN nrel USING (query_doc)
+         |ORDER BY query_doc, method""".stripMargin)
+}
