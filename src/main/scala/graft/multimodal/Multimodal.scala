@@ -1032,8 +1032,9 @@ object Multimodal {
          |  FROM imgs
          |)
          |SELECT doc_id, true AS ok, w AS width, h AS height,
-         |       255::BIGINT AS max_val, n AS n_pixels, sum_r,
-         |       255 * n - sum_r AS sum_g,
+         |       255::BIGINT AS max_val, n AS n_pixels,
+         |       CAST(sum_r AS BIGINT) AS sum_r,
+         |       CAST(255 * n - sum_r AS BIGINT) AS sum_g,
          |       n * (doc_id % 256) AS sum_b
          |FROM sums ORDER BY doc_id""".stripMargin,
   )

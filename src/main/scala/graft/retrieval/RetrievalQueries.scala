@@ -24,9 +24,14 @@ import graft.sim.SimilarityQueries.cosine
   * rather than its log, and each per-term contribution is computed as
   * one exact integer product chain followed by a single `div` onto the
   * 2^-14 fixed-point grid — bit-identical in Spark and DuckDB, and
-  * safely inside BIGINT at the 10× rehearsal scale (worst factor chain
-  * ≈ 2N · 44 · tf · TL · 2^14 ≈ 3e18 at N = 5e4, TL = 2.7e6; a 100×
-  * corpus would switch to a smaller scale or per-term pre-division).
+  * safely inside BIGINT at the 10× rehearsal scale (the reduced chain's
+  * worst factor ≈ 2N · 22 · tf · TL · 2^14 ≈ 1.5e18 at N = 5e4,
+  * TL = 2.7e6, ~6× under Long.Max; the build-time
+  * [[RetrievalQueries.assertBm25Headroom]] guard fails loudly — in BOTH
+  * engines' favor — if a corpus ever approaches the bound, where
+  * non-ANSI Spark would otherwise wrap silently while DuckDB errors; a
+  * 100× corpus would switch to a smaller scale or per-term
+  * pre-division).
   * RRF and nDCG produce doubles only through single-operation
   * divisions of exact integers (and one fixed-order addition), and the
   * DCG discount weights 1/log2(r+1) are pre-baked 2^32 fixed-point
@@ -75,6 +80,25 @@ object RetrievalQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Loud overflow guard for the BM25 integer chain (ADVICE r7): bound
+    * the worst numerator/denominator from the ACTUAL corpus stats
+    * (max per-doc tf is the factor a pathological repeated-token doc
+    * inflates) and refuse to build rather than let non-ANSI Spark wrap
+    * silently where DuckDB would error. Scalar control-plane fetch over
+    * the already-checkpointed tf table + a parquet metadata count. */
+  private def assertBm25Headroom(s: SparkSession, dir: String,
+      t: DataFrame): Unit = {
+    val r = t.agg(max("tf"), sum("tf")).head
+    val (mtf, tl) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)))
+    val n = BigInt(docs(s, dir).count())
+    val numBound = 2 * n * 22 * mtf * tl * BigInt(Scale)
+    val denBound = (10 * tl * mtf + 3 * tl + 9 * tl * n) * (2 * n + 1)
+    require(numBound < Long.MaxValue && denBound < Long.MaxValue,
+      s"BM25 fixed-point chain would overflow int64 on this corpus " +
+        s"(n=$n, tl=$tl, max tf=$mtf → num bound $numBound, den bound " +
+        s"$denBound): shrink Scale or pre-divide per term")
+  }
+
   /** (doc_id, term, tf) in one scan — whitespace tokens, empties out
     * (same tokenization as the text family). Checkpointed: df, dl,
     * keywords, and scoring all reuse it. */
@@ -87,8 +111,25 @@ object RetrievalQueries {
 
   /** The sparse (BM25) top-k lists: (query_doc, rank, doc_id, n_terms,
     * score_fp, score). */
-  def sparseTopk(s: SparkSession, dir: String): DataFrame = {
-    val t = tf(s, dir)
+  def sparseTopk(s: SparkSession, dir: String): DataFrame =
+    sparseFrom(s, dir, tf(s, dir))
+
+  /** BM25 over an already-checkpointed (doc_id, term, tf) table — split
+    * out so [[ndcgEval]] can share ONE tokenize/groupBy across the
+    * sparse, dense, and fused lists instead of rebuilding it per list.
+    *
+    * The per-term contribution is the reduced form of
+    * ((2N−2df+1)·44·tf·TL·Scale) div ((20·TL·tf+6·TL+18·dl·N)·(2df+1)):
+    * numerator and denominator share the factor 2, and cancelling it
+    * (22 / (10·TL·tf+3·TL+9·dl·N)) leaves the quotient bit-identical
+    * while doubling the int64 headroom — worst factor ≈ 1.5e18 at the
+    * 10× rehearsal scale (N = 5e4, TL = 2.7e6), ~6× under Long.Max.
+    * [[assertBm25Headroom]] checks the actual corpus's bound loudly at
+    * build time (Spark would otherwise wrap silently where DuckDB
+    * errors). */
+  private def sparseFrom(s: SparkSession, dir: String, t: DataFrame)
+      : DataFrame = {
+    assertBm25Headroom(s, dir, t)
     val df = t.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
     val n = docs(s, dir).agg(count(lit(1)).as("n"))
@@ -118,8 +159,8 @@ object RetrievalQueries {
       .join(dl, "doc_id")
       .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
       .select(col("query_doc"), col("doc_id"),
-        expr(s"((2*n - 2*df + 1) * (44 * tf * tl) * $Scale) div " +
-          "((20*tl*tf + 6*tl + 18*dl*n) * (2*df + 1))").as("c"))
+        expr(s"((2*n - 2*df + 1) * (22 * tf * tl) * $Scale) div " +
+          "((10*tl*tf + 3*tl + 9*dl*n) * (2*df + 1))").as("c"))
       .groupBy("query_doc", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c").as("score_fp"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -152,13 +193,18 @@ object RetrievalQueries {
     * Σ 1/(RrfK + rank) over the lists containing the doc — computed as
     * ONE fixed-order addition of two single-division doubles, so the
     * doubles stay bit-exact. */
-  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
-    val sp = sparseTopk(s, dir)
+  def rrfFusion(s: SparkSession, dir: String): DataFrame =
+    rrfFrom(sparseTopk(s, dir).localCheckpoint(),
+      denseTopk(s, dir).localCheckpoint())
+
+  /** Fusion over ALREADY-MATERIALIZED top-k lists (≤ |queries|·k rows
+    * each) — shared by [[rrfFusion]] and [[ndcgEval]] so the sparse and
+    * dense pipelines are built exactly once per run. */
+  private def rrfFrom(spList: DataFrame, deList: DataFrame): DataFrame = {
+    val sp = spList
       .select(col("query_doc"), col("doc_id"), col("rank").as("rs"))
-      .localCheckpoint()
-    val de = denseTopk(s, dir)
+    val de = deList
       .select(col("query_doc"), col("doc_id"), col("rank").as("rd"))
-      .localCheckpoint()
     val w = Window.partitionBy("query_doc")
       .orderBy(col("rrf_score").desc, col("doc_id"))
     sp.join(de, Seq("query_doc", "doc_id"), "full_outer")
@@ -182,12 +228,17 @@ object RetrievalQueries {
     * BIGINTs, IDCG is the matching prefix sum, and the only double is
     * the final single division. */
   def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    // one sparse build + one dense build, checkpointed (≤ |queries|·k
+    // rows each); the fused list derives from the SAME materialized
+    // pair — the corpus is tokenized once and vector-scanned once
+    val sp = sparseTopk(s, dir).localCheckpoint()
+    val de = denseTopk(s, dir).localCheckpoint()
     val lists =
-      sparseTopk(s, dir).select(lit("sparse").as("method"),
+      sp.select(lit("sparse").as("method"),
           col("query_doc"), col("rank"), col("doc_id"))
-        .unionByName(denseTopk(s, dir).select(lit("dense").as("method"),
+        .unionByName(de.select(lit("dense").as("method"),
           col("query_doc"), col("rank"), col("doc_id")))
-        .unionByName(rrfFusion(s, dir).select(lit("rrf").as("method"),
+        .unionByName(rrfFrom(sp, de).select(lit("rrf").as("method"),
           col("query_doc"), col("rank"), col("doc_id")))
         .localCheckpoint()
     val lab = emb(s, dir).select(col("vec_id"), col("label"))
@@ -250,8 +301,8 @@ object RetrievalQueries {
        |),
        |contrib AS (
        |  SELECT kw.query_doc, t.doc_id,
-       |         ((2*st.n - 2*dfq.df + 1) * (44 * t.tf * st.tl) * $Scale)
-       |           // ((20*st.tl*t.tf + 6*st.tl + 18*dlq.dl*st.n)
+       |         ((2*st.n - 2*dfq.df + 1) * (22 * t.tf * st.tl) * $Scale)
+       |           // ((10*st.tl*t.tf + 3*st.tl + 9*dlq.dl*st.n)
        |              * (2*dfq.df + 1)) AS c
        |  FROM t JOIN kw USING (term) JOIN dfq USING (term)
        |         JOIN dlq ON t.doc_id = dlq.doc_id, st

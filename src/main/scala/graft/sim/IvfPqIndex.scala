@@ -101,7 +101,9 @@ object IvfPqIndex {
     * cutoff only, codes stored for those vectors only — the state an
     * index is in when new data starts arriving. */
   def buildBase(s: SparkSession, dir: String, path: String): Unit = {
-    // a fresh base is by definition un-compacted
+    // a fresh base is by definition un-compacted: the generation marker
+    // lives INSIDE codes/, which the overwrite below wipes (the legacy
+    // top-level marker is deleted defensively for old on-disk layouts)
     new java.io.File(s"$path/COMPACTED").delete()
     val cut = baseCutoff(s, dir)
     val base = s.read.parquet(s"$dir/embeddings.parquet")
@@ -152,20 +154,37 @@ object IvfPqIndex {
     serveFrom(s, dir, path, codes, k)
   }
 
+  /** Marker file recording that a codes generation already contains the
+    * folded delta. It lives INSIDE the generation directory ("_" prefix
+    * so Spark's parquet reader ignores it, like _SUCCESS) and is created
+    * BEFORE the swap, so the rename moves data and marker atomically
+    * together — there is no crash window in which a compacted table can
+    * be mistaken for an un-compacted one (ADVICE r7). */
+  val GenMarker = "_COMPACTED_GEN"
+
   /** Fold the delta tail into the partitioned codes table — the
     * periodic compaction that returns serving to a single pruned scan.
     * Quantizers stay frozen; only `codes/` is rewritten (next
     * generation written beside it, then swapped — never overwrite a
-    * table a reader may be scanning). Idempotent via a marker file. */
+    * table a reader may be scanning).
+    *
+    * Crash-safe twice over: the [[GenMarker]] travels inside the
+    * generation (see above), AND the merge itself is idempotent — base
+    * rows are selected by `vec_id <= cutoff` rather than trusting the
+    * live table to be delta-free, so even a codes table that somehow
+    * already holds delta rows merges to the exact same result. */
   def compactDelta(s: SparkSession, dir: String): String = lock.synchronized {
     val path = buildBaseIfMissing(s, dir)
-    val marker = new java.io.File(s"$path/COMPACTED")
-    if (!marker.exists()) {
+    if (!new java.io.File(s"$path/codes/$GenMarker").exists()) {
+      val cut = baseCutoff(s, dir)
       val merged = s.read.parquet(s"$path/codes")
         .select("vec_id", "sub", "cluster", "cell")
+        .filter(col("vec_id") <= cut) // idempotent: base rows by range
         .unionByName(deltaCodes(s, dir, path))
       val next = s"$path/codes_next"
       merged.write.mode("overwrite").partitionBy("cell").parquet(next)
+      require(new java.io.File(s"$next/$GenMarker").createNewFile(),
+        s"cannot stamp generation marker under $next")
       def del(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(del)
         f.delete()
@@ -182,7 +201,6 @@ object IvfPqIndex {
       require(new java.io.File(next).renameTo(live),
         s"generation swap failed under $path")
       del(old)
-      marker.createNewFile()
     }
     path
   }

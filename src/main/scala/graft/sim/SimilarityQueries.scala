@@ -1296,8 +1296,11 @@ object SimilarityQueries {
       s"CASE WHEN ${Ora.dotLit64("embedding", hyperplanes(j))} >= 0 " +
         s"THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
+    // CAST: the CASE literals sum as INTEGER in DuckDB while Spark's
+    // bit-or chain is BIGINT — align the declared type, not just values
     val bucketedSql =
-      s"bucketed AS (SELECT vec_id, embedding, $bitsSql AS bucket FROM embeddings)"
+      s"bucketed AS (SELECT vec_id, embedding, " +
+        s"CAST($bitsSql AS BIGINT) AS bucket FROM embeddings)"
 
     // SQL mirror of covarianceCells — shared by embed_covariance and the
     // power-iteration eigenvector exactly as the Spark helper is

@@ -228,7 +228,7 @@ object BudgetQueries {
 
     "corpus_epoch_order" -> Epochs.map { e =>
       s"""SELECT epoch, position, doc_id FROM (
-         |  SELECT $e AS epoch,
+         |  SELECT CAST($e AS BIGINT) AS epoch,
          |         row_number() OVER (ORDER BY
          |           CAST(concat('0x', substring(md5('epoch$e#' || doc_id),
          |             1, 8)) AS BIGINT), doc_id) AS position,

@@ -504,7 +504,8 @@ object PipelineQueries {
           TextQueries.qualityCol.as("quality"))
       val w = Window.partitionBy("lang")
         .orderBy(col("quality"), col("doc_id"))
-      scored.withColumn("quartile", ntile(4).over(w))
+      // cast: Spark's ntile is INT, DuckDB's BIGINT — align declared types
+      scored.withColumn("quartile", ntile(4).over(w).cast("long"))
         .groupBy("lang", "quartile")
         .agg(count("*").as("n"), min("quality").as("q_min"),
           max("quality").as("q_max"))

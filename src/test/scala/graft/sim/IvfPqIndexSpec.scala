@@ -108,6 +108,25 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan.take(2000))
   }
 
+  test("compaction recovers from the marker-lost crash state without " +
+      "duplicating the delta") {
+    // regression for ADVICE r7: the pre-fix code kept the COMPACTED
+    // marker OUTSIDE the generation and stamped it after the swap, so a
+    // crash in between left compacted codes that a re-run re-merged
+    // with the delta. Simulate exactly that state — compacted data, no
+    // marker — and require the re-run to converge, not duplicate.
+    val basePath = IvfPqIndex.indexPath(spark, sf) + "_base"
+    IvfPqIndex.compactDelta(spark, sf)
+    val n = spark.read.parquet(s"$basePath/codes").count()
+    val marker = new File(s"$basePath/codes/${IvfPqIndex.GenMarker}")
+    assert(marker.exists(), "compacted generation must carry its marker")
+    assert(marker.delete())
+    IvfPqIndex.compactDelta(spark, sf)
+    assert(spark.read.parquet(s"$basePath/codes").count() == n,
+      "re-compacting a marker-lost generation must not duplicate rows")
+    assert(new File(s"$basePath/codes/${IvfPqIndex.GenMarker}").exists())
+  }
+
   test("the index builds once and is reused, not retrained per query") {
     val path = IvfPqIndex.buildIfMissing(spark, sf)
     val marker = new File(s"$path/codes/_SUCCESS")

@@ -31,8 +31,8 @@ class IndexCacheSpec extends SparkSpec {
     val p12 = IndexCache.path(spark, s"$base/c12", "ivfpq", "embeddings", "vec_id")
     // a regenerated corpus with different rows/ids lands on a fresh
     // directory, so a stale index can never be served for it
-    assert(p10.endsWith("_10_9"), s"rows+max missing from $p10")
-    assert(p12.endsWith("_12_11"), s"rows+max missing from $p12")
+    assert(p10.contains("_10_9_"), s"rows+max missing from $p10")
+    assert(p12.contains("_12_11_"), s"rows+max missing from $p12")
   }
 
   test("the fingerprint is memoized: one corpus read per process") {
@@ -40,5 +40,47 @@ class IndexCacheSpec extends SparkSpec {
     val f1 = IndexCache.fingerprint(spark, s"$base/m", "embeddings", "vec_id")
     val f2 = IndexCache.fingerprint(spark, s"$base/m", "embeddings", "vec_id")
     assert(f1 eq f2, "second call must come from the in-process cache")
+  }
+
+  test("an in-process fixture rewrite invalidates the memo, even when " +
+      "rows and ids are unchanged") {
+    // regression for ADVICE r7: the memo was keyed (table, dir) for the
+    // process lifetime, so a regenerated fixture kept serving the old
+    // fingerprint; and rows+maxId alone missed content-only edits. The
+    // filesystem signature (part-file names/lengths/mtimes) changes on
+    // ANY rewrite — Spark part filenames embed a fresh UUID — so both
+    // holes close together.
+    import spark.implicits._
+    val dir = s"$base/rw"
+    write(dir, 7)
+    val f1 = IndexCache.fingerprint(spark, dir, "embeddings", "vec_id")
+    // same rows, same ids, different content
+    (0 until 7).map(i => (i.toLong, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val f2 = IndexCache.fingerprint(spark, dir, "embeddings", "vec_id")
+    assert(f1 != f2, "rewritten fixture must land on a fresh fingerprint")
+  }
+
+  test("superseded index generations are pruned; other corpora are not") {
+    import java.io.File
+    val dir = s"$base/pr"
+    val other = s"$base/pr_other"
+    write(dir, 4)
+    write(other, 4)
+    val pOther = IndexCache.path(spark, other, "prfam", "embeddings", "vec_id")
+    val p1 = IndexCache.path(spark, dir, "prfam", "embeddings", "vec_id")
+    new File(p1).mkdirs()
+    new File(p1 + "_base").mkdirs()
+    new File(pOther).mkdirs()
+    // regenerate the corpus -> new fingerprint -> old generation (and
+    // its _base sibling) must be swept on the next path() call
+    write(dir, 6)
+    val p2 = IndexCache.path(spark, dir, "prfam", "embeddings", "vec_id")
+    assert(p2 != p1)
+    assert(!new File(p1).exists(), "superseded generation must be pruned")
+    assert(!new File(p1 + "_base").exists(), "_base variant must be pruned")
+    assert(new File(pOther).exists(),
+      "a different corpus sharing the name prefix must survive the prune")
   }
 }

@@ -38,10 +38,12 @@ def canon(v):
 
 def frame(rel):
     cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
-    return sorted(cols), sorted(rows, key=lambda r: tuple(
-        (x is None, str(type(x)), x) for x in r))
+    return (sorted(cols), [types[i] for i in order],
+            sorted(rows, key=lambda r: tuple(
+                (x is None, str(type(x)), x) for x in r)))
 
 
 def main():
@@ -63,19 +65,27 @@ def main():
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            s_cols, s_rows = frame(spark_rel)
+            s_cols, s_types, s_rows = frame(spark_rel)
         except Exception as e:
             print(f"FAIL {name}: cannot read Spark result: {e}")
             n_fail += 1
             continue
         try:
-            o_cols, o_rows = frame(con.sql(oracle[name]))
+            o_cols, o_types, o_rows = frame(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         if s_cols != o_cols:
             print(f"FAIL {name}: columns spark={s_cols} oracle={o_cols}")
+            n_fail += 1
+        elif s_types != o_types:
+            # The driver hashes TYPED values (numpy/Arrow width included), so
+            # HUGEINT-vs-BIGINT etc. fails there even when values match.
+            # Surface the same class of bug locally via declared DuckDB types.
+            diffs = [(c, a, b) for c, a, b in zip(s_cols, s_types, o_types)
+                     if a != b]
+            print(f"FAIL {name}: column TYPE mismatch (spark, oracle): {diffs}")
             n_fail += 1
         elif len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
