@@ -86,7 +86,7 @@ object RetrievalQueries {
     * inflates) and refuse to build rather than let non-ANSI Spark wrap
     * silently where DuckDB would error. Scalar control-plane fetch over
     * the already-checkpointed tf table + a parquet metadata count. */
-  private def assertBm25Headroom(s: SparkSession, dir: String,
+  private[retrieval] def assertBm25Headroom(s: SparkSession, dir: String,
       t: DataFrame): Unit = {
     val r = t.agg(max("tf"), sum("tf")).head
     val (mtf, tl) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)))
@@ -99,15 +99,25 @@ object RetrievalQueries {
         s"$denBound): shrink Scale or pre-divide per term")
   }
 
+  /** Build-count metrics: how many times the corpus tokenize (sparse)
+    * and the dense scoring scan were MATERIALIZED this process — the
+    * observable RetrievalQueriesSpec pins to prove `ret_ndcg_eval`
+    * builds each pipeline exactly once (ADVICE r7: it used to build
+    * both twice through rrfFusion's internal calls). */
+  private[retrieval] val tfBuilds = new java.util.concurrent.atomic.AtomicInteger
+  private[retrieval] val denseBuilds = new java.util.concurrent.atomic.AtomicInteger
+
   /** (doc_id, term, tf) in one scan — whitespace tokens, empties out
     * (same tokenization as the text family). Checkpointed: df, dl,
     * keywords, and scoring all reuse it. */
-  private def tf(s: SparkSession, dir: String): DataFrame =
+  private def tf(s: SparkSession, dir: String): DataFrame = {
+    tfBuilds.incrementAndGet()
     docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+  }
 
   /** The sparse (BM25) top-k lists: (query_doc, rank, doc_id, n_terms,
     * score_fp, score). */
@@ -175,6 +185,7 @@ object RetrievalQueries {
     * cos_sim). Query embeddings are a |QueryDocs|-row broadcast; one
     * scan of the vector table scores every candidate. */
   def denseTopk(s: SparkSession, dir: String): DataFrame = {
+    denseBuilds.incrementAndGet()
     val q = emb(s, dir).filter(col("vec_id").isin(QueryDocs: _*))
       .select(col("vec_id").as("query_doc"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_doc")
@@ -265,11 +276,24 @@ object RetrievalQueries {
       .orderBy("query_doc", "method")
   }
 
+  /** Hybrid retrieval SERVED FROM THE PERSISTED ANN INDEX — the
+    * composition a 100 TB RAG stack actually runs: dense candidates come
+    * from [[graft.sim.IvfPqIndex.serveMulti]] (cell-pruned scan of the
+    * persisted codes table, zero training stages at query time) instead
+    * of the exact full-scan, fused with the BM25 list by the same RRF
+    * formula as [[rrfFusion]]. The exact dense leg remains available as
+    * eval ground truth (`ret_dense_topk`); this is the serving path. */
+  def hybridServed(s: SparkSession, dir: String): DataFrame =
+    rrfFrom(sparseTopk(s, dir).localCheckpoint(),
+      graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
+        .localCheckpoint())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
     "ret_rrf_fusion" -> ((s, dir) => rrfFusion(s, dir)),
-    "ret_ndcg_eval" -> ((s, dir) => ndcgEval(s, dir)))
+    "ret_ndcg_eval" -> ((s, dir) => ndcgEval(s, dir)),
+    "ret_hybrid_served" -> ((s, dir) => hybridServed(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -369,6 +393,28 @@ object RetrievalQueries {
       s"""WITH $listsCte
          |SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
          |FROM rtopk ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_hybrid_served" ->
+      s"""WITH $listsCte,
+         |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)}
+         |SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
+         |FROM (
+         |  SELECT query_doc, doc_id, rrf_score, in_sparse, in_dense,
+         |         row_number() OVER (PARTITION BY query_doc
+         |           ORDER BY rrf_score DESC, doc_id) AS rank
+         |  FROM (
+         |    SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
+         |           coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |           coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
+         |             + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
+         |                        0.0::DOUBLE) AS rrf_score,
+         |           s.rank IS NOT NULL AS in_sparse,
+         |           d.rank IS NOT NULL AS in_dense
+         |    FROM stopk s FULL JOIN hadck d
+         |      ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+         |  )
+         |) WHERE rank <= $TopK
+         |ORDER BY query_doc, rank""".stripMargin,
 
     "ret_ndcg_eval" ->
       s"""WITH $listsCte,

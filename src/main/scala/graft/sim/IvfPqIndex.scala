@@ -224,6 +224,69 @@ object IvfPqIndex {
       k)
   }
 
+  /** Serve per-query ADC top-k for a SET of stored queries from the
+    * persisted index — the fan-in shape a retrieval stack runs (one
+    * codes scan shared by all queries, not one scan per query). The
+    * probed cells of ALL queries collect into one literal IN filter
+    * (static file pruning to the union of probed partitions), a
+    * broadcast (query_doc, cell) table restricts each candidate row to
+    * the queries that actually probed its cell, and the LUT join keys
+    * on (query_doc, sub, cluster). Per-query top-k is a rank window
+    * over candidate-sized input. Bit-mirrors
+    * [[SimilarityQueries.ivfpqMultiCtes]]. */
+  def serveMulti(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    import s.implicits._
+    val path = buildIfMissing(s, dir)
+    val centroids = s.read.parquet(s"$path/centroids")
+    val codebooks = s.read.parquet(s"$path/codebooks")
+    val q = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_doc"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    // per-query probed cells: |queries| × NumCells control-plane rows,
+    // collected so the codes scan gets LITERAL partition predicates
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_doc").orderBy(col("cos_c").desc, col("cell"))
+    val probedPairs = q.crossJoin(broadcast(centroids))
+      .select(col("query_doc"), col("cell"),
+        cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= NProbe)
+      .select("query_doc", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cellsUnion = probedPairs.map(_._2).distinct
+    val pairs = probedPairs.toDF("query_doc", "cell")
+    // per-query LUTs: |queries| · PqM · PqK rows, broadcast
+    val qsv = q.select(col("query_doc"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> " +
+          s"struct(CAST(j AS INT) AS sub, " +
+          s"slice(q_emb, j * $PqSubDim + 1, $PqSubDim) AS qe))")).as("x"))
+      .select(col("query_doc"), col("x.sub").as("sub"), col("x.qe").as("qe"))
+    val lut = codebooks.join(broadcast(qsv), "sub")
+      .select(col("query_doc"), col("sub"), col("cluster"),
+        sqDist(col("qe"), col("c")).as("d"))
+    val pivots = (0 until PqM).map(j =>
+      max(when(col("sub") === j, col("d"))).as(s"d_$j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_doc").orderBy(col("adc_dist"), col("vec_id"))
+    s.read.parquet(s"$path/codes")
+      .select("vec_id", "sub", "cluster", "cell")
+      .filter(col("cell").isin(cellsUnion: _*))
+      .join(broadcast(pairs), "cell")
+      .filter(col("vec_id") =!= col("query_doc"))
+      .join(broadcast(lut), Seq("query_doc", "sub", "cluster"))
+      .groupBy("query_doc", "vec_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("query_doc"), col("vec_id"),
+        (0 until PqM).map(j => col(s"d_$j")).reduce(_ + _).as("adc_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("rank"), col("vec_id").as("doc_id"),
+        col("adc_dist"))
+      .orderBy("query_doc", "rank")
+  }
+
   /** The shared serving tail: probe cells against the persisted
     * centroids, broadcast the query LUT from the persisted codebooks,
     * ADC top-k over `codes` (the persisted table, or base ∪ delta). */

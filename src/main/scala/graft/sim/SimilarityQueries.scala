@@ -1291,6 +1291,117 @@ object SimilarityQueries {
     }),
   )
 
+  // ---- shared oracle CTE builders (object-level: the retrieval family
+  // composes them into its hybrid oracle) ---------------------------------
+
+  /** Mirror of assignedCells — one definition, all consumers. */
+  private[graft] lazy val assignedCellsSql =
+    s"""centroids AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < $NumCells
+       |),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
+       |                    c.cell) AS rk
+       |  FROM embeddings e, centroids c
+       |),
+       |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1)""".stripMargin
+
+  // product quantization: the per-subspace mirror of the same
+  // assign/update chain, run on 16-dim slices (sv{j}); pcode{j} is the
+  // final assignment WITH its winning distance (the qerr leg)
+  private[graft] def pqDist(v: String, c: String) =
+    s"${Ora.dotN(v, v, PqSubDim)} - 2 * ${Ora.dotN(v, c, PqSubDim)}" +
+      s" + ${Ora.dotN(c, c, PqSubDim)}"
+  private[graft] def pqAssignSql(j: Int, cents: String, src: String = "sv") =
+    s"""SELECT vec_id, cluster, dist FROM (
+       |  SELECT v.vec_id, c.cluster, ${pqDist("v.emb", "c.c")} AS dist,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${pqDist("v.emb", "c.c")}, c.cluster) AS rn
+       |  FROM $src$j v CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+  private[graft] def pqUpdateSql(j: Int, assign: String, src: String = "sv") =
+    s"""SELECT cluster, list(val ORDER BY i) AS c FROM (
+       |  SELECT a.cluster, ii.i,
+       |         sum(floor(v.emb[ii.i + 1]::DOUBLE * $KmeansFp + 0.5))
+       |           / (count(*) * $KmeansFp) AS val
+       |  FROM $assign a JOIN $src$j v USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range($PqSubDim)) AS i) ii
+       |  GROUP BY a.cluster, ii.i
+       |) GROUP BY cluster""".stripMargin
+  private[graft] lazy val pqCtes = (0 until PqM).map { j =>
+    val lo = j * PqSubDim + 1
+    val hi = (j + 1) * PqSubDim
+    val iters = (1 to PqIters).map { i =>
+      s"pa$j$i AS (${pqAssignSql(j, s"pc$j${i - 1}")}),\n" +
+        s"pc$j$i AS (${pqUpdateSql(j, s"pa$j$i")})"
+    }.mkString(",\n")
+    s"""sv$j AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
+       |pc${j}0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cluster, emb AS c
+       |  FROM sv$j WHERE vec_id < $PqK
+       |),
+       |$iters,
+       |pcode$j AS (${pqAssignSql(j, s"pc$j$PqIters")})""".stripMargin
+  }.mkString(",\n")
+
+  /** Multi-query IVF-PQ ADC candidate lists as a CTE chain — the
+    * query-parameterized generalization of `ivfpqSql` (one query_doc
+    * column threaded through the probe, LUT, and ADC legs). Emits
+    * `hadck` (query_doc, rank, doc_id, adc_dist): per-query rank-ordered
+    * ADC top-k over the cells each query probes. Bit-mirrors
+    * [[IvfPqIndex.serveMulti]], which serves the same lists from the
+    * persisted index. */
+  private[graft] def ivfpqMultiCtes(queryIds: Seq[Long], k: Int): String = {
+    val qin = queryIds.mkString("(", ", ", ")")
+    val luts = (0 until PqM).map { j =>
+      s"""hqs$j AS (SELECT q.query_doc, s.emb AS qe FROM sv$j s
+         |  JOIN hqv q ON s.vec_id = q.query_doc),
+         |hlut$j AS (
+         |  SELECT q.query_doc, c.cluster, ${pqDist("q.qe", "c.c")} AS d
+         |  FROM pc$j$PqIters c, hqs$j q
+         |)""".stripMargin
+    }.mkString(",\n")
+    val adcJoin = (0 until PqM).map { j =>
+      (if (j == 0) s"pcode$j c$j"
+       else s"JOIN pcode$j c$j ON c0.vec_id = c$j.vec_id") +
+        s" JOIN hlut$j l$j ON c$j.cluster = l$j.cluster" +
+        (if (j == 0) "" else s" AND l$j.query_doc = l0.query_doc")
+    }.mkString(" ")
+    s"""$pqCtes,
+       |$assignedCellsSql,
+       |hqv AS (SELECT vec_id AS query_doc, embedding FROM embeddings
+       |        WHERE vec_id IN $qin),
+       |hqc AS (
+       |  SELECT query_doc, cell FROM (
+       |    SELECT q.query_doc, c.cell, row_number() OVER (
+       |      PARTITION BY q.query_doc
+       |      ORDER BY ${Ora.cos64("q.embedding", "c.c_emb")} DESC, c.cell)
+       |      AS rk
+       |    FROM centroids c, hqv q) WHERE rk <= $NProbe
+       |),
+       |hcand AS (
+       |  SELECT h.query_doc, a.vec_id
+       |  FROM assigned a JOIN hqc h USING (cell)
+       |  WHERE a.vec_id <> h.query_doc
+       |),
+       |$luts,
+       |hadc AS (
+       |  SELECT l0.query_doc, c0.vec_id,
+       |         ${(0 until PqM).map(j => s"l$j.d").mkString(" + ")} AS adc_dist
+       |  FROM $adcJoin
+       |  JOIN hcand ON c0.vec_id = hcand.vec_id
+       |    AND hcand.query_doc = l0.query_doc
+       |),
+       |hadck AS (
+       |  SELECT query_doc, rank, vec_id AS doc_id, adc_dist FROM (
+       |    SELECT query_doc, vec_id, adc_dist, row_number() OVER (
+       |      PARTITION BY query_doc ORDER BY adc_dist, vec_id) AS rank
+       |    FROM hadc) WHERE rank <= $k
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     val bitsSql = (0 until NumPlanes).map { j =>
       s"CASE WHEN ${Ora.dotLit64("embedding", hyperplanes(j))} >= 0 " +
@@ -1379,21 +1490,6 @@ object SimilarityQueries {
          |  JOIN ok o ON a.bucket = o.bucket
          |)""".stripMargin
 
-    // mirror of assignedCells — one definition, three consumers
-    val assignedCellsSql =
-      s"""centroids AS (
-         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id < $NumCells
-         |),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
-         |                    c.cell) AS rk
-         |  FROM embeddings e, centroids c
-         |),
-         |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1)""".stripMargin
-
     def distSql(v: String, c: String) =
       s"${Ora.dot64(v, v)} - 2 * ${Ora.dot64(v, c)} + ${Ora.dot64(c, c)}"
     def assignSql(cents: String) =
@@ -1426,42 +1522,6 @@ object SimilarityQueries {
          |FROM sizes s JOIN c$KmeansIters c USING (cluster)
          |ORDER BY s.cluster""".stripMargin
 
-    // ---- product quantization: the per-subspace mirror of the same
-    // assign/update chain, run on 16-dim slices (sv{j}); pcode{j} is the
-    // final assignment WITH its winning distance (the qerr leg)
-    def pqDist(v: String, c: String) =
-      s"${Ora.dotN(v, v, PqSubDim)} - 2 * ${Ora.dotN(v, c, PqSubDim)}" +
-        s" + ${Ora.dotN(c, c, PqSubDim)}"
-    def pqAssignSql(j: Int, cents: String, src: String = "sv") =
-      s"""SELECT vec_id, cluster, dist FROM (
-         |  SELECT v.vec_id, c.cluster, ${pqDist("v.emb", "c.c")} AS dist,
-         |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY ${pqDist("v.emb", "c.c")}, c.cluster) AS rn
-         |  FROM $src$j v CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
-    def pqUpdateSql(j: Int, assign: String, src: String = "sv") =
-      s"""SELECT cluster, list(val ORDER BY i) AS c FROM (
-         |  SELECT a.cluster, ii.i,
-         |         sum(floor(v.emb[ii.i + 1]::DOUBLE * $KmeansFp + 0.5))
-         |           / (count(*) * $KmeansFp) AS val
-         |  FROM $assign a JOIN $src$j v USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range($PqSubDim)) AS i) ii
-         |  GROUP BY a.cluster, ii.i
-         |) GROUP BY cluster""".stripMargin
-    val pqCtes = (0 until PqM).map { j =>
-      val lo = j * PqSubDim + 1
-      val hi = (j + 1) * PqSubDim
-      val iters = (1 to PqIters).map { i =>
-        s"pa$j$i AS (${pqAssignSql(j, s"pc$j${i - 1}")}),\n" +
-          s"pc$j$i AS (${pqUpdateSql(j, s"pa$j$i")})"
-      }.mkString(",\n")
-      s"""sv$j AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
-         |pc${j}0 AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS cluster, emb AS c
-         |  FROM sv$j WHERE vec_id < $PqK
-         |),
-         |$iters,
-         |pcode$j AS (${pqAssignSql(j, s"pc$j$PqIters")})""".stripMargin
-    }.mkString(",\n")
     val pqCodesSql =
       s"""WITH $pqCtes
          |SELECT c0.vec_id,

@@ -1,0 +1,126 @@
+package graft.retrieval
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sim.IvfPqIndex
+
+/** The ranked-retrieval family's own hardening (round-8: the family
+  * shipped bare in round 7): list invariants, the single-build contract
+  * for the eval query, the served-hybrid plan shape, and the BM25
+  * overflow guard.
+  */
+class RetrievalQueriesSpec extends SparkSpec {
+
+  import RetrievalQueries._
+
+  test("top-k lists: ranks are 1..k contiguous per query, scores ordered") {
+    for ((name, scoreCol) <- Seq(
+        ("ret_bm25_topk", "score"),
+        ("ret_dense_topk", "cos_sim"),
+        ("ret_rrf_fusion", "rrf_score"),
+        ("ret_hybrid_served", "rrf_score"))) {
+      val rows = queries(name)(spark, sf)
+        .select("query_doc", "rank", scoreCol).collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.keySet == QueryDocs.toSet, s"$name query set")
+      for ((q, rs) <- byQ) {
+        val ranks = rs.map(_.getLong(1)).sorted.toSeq
+        assert(ranks == (1L to ranks.size).toSeq, s"$name q=$q ranks=$ranks")
+        val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+        assert(scores == scores.sorted.reverse, s"$name q=$q not score-ordered")
+      }
+    }
+  }
+
+  test("ret_bm25_topk: scores carry the fixed-point relation and exclude " +
+      "the query doc") {
+    val rows = queries("ret_bm25_topk")(spark, sf).collect()
+    rows.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(2))
+      assert(q != d, "query doc must not retrieve itself")
+      assert(r.getDouble(5) == r.getLong(4).toDouble / Scale.toDouble,
+        "score must be score_fp / Scale exactly")
+    }
+  }
+
+  test("ndcg eval builds the sparse and dense pipelines exactly once " +
+      "(ADVICE r7: they were built twice through rrfFusion)") {
+    val t0 = tfBuilds.get()
+    val d0 = denseBuilds.get()
+    queries("ret_ndcg_eval")(spark, sf).collect()
+    assert(tfBuilds.get() - t0 == 1,
+      s"corpus was tokenized ${tfBuilds.get() - t0} times, want 1")
+    assert(denseBuilds.get() - d0 == 1,
+      s"dense pipeline built ${denseBuilds.get() - d0} times, want 1")
+  }
+
+  test("ndcg values: 0 <= ndcg <= 1, three methods per query") {
+    val rows = queries("ret_ndcg_eval")(spark, sf).collect()
+    assert(rows.length == QueryDocs.size * 3)
+    rows.foreach { r =>
+      val ndcg = r.getDouble(5)
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"ndcg out of range: $ndcg")
+      assert(r.getLong(3) <= DcgPrefix.last * TopK, "dcg_fp bound")
+    }
+  }
+
+  test("hybrid served: dense leg comes from the persisted index — no " +
+      "training stages, pruned codes scan, no corpus-embedding read") {
+    val ann = IvfPqIndex.serveMulti(spark, sf, QueryDocs, TopK)
+    val p = ann.queryExecution.executedPlan.toString
+    // the query embeddings are checkpointed and the probed cells are
+    // literals: the served plan reads ONLY index tables
+    assert(!p.contains("embeddings.parquet"),
+      "serving must not scan the corpus embeddings:\n" + p.take(2000))
+    assert(p.contains("PartitionFilters"),
+      "codes scan must carry literal cell predicates:\n" + p.take(2000))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2,
+      s"cell-pair and LUT joins should broadcast, got $nBroadcast")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("hybrid served fuses the SAME lists the index serves") {
+    val ann = IvfPqIndex.serveMulti(spark, sf, QueryDocs, TopK)
+      .select(col("query_doc"), col("doc_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fused = queries("ret_hybrid_served")(spark, sf).collect()
+    val sparse = queries("ret_bm25_topk")(spark, sf)
+      .select(col("query_doc"), col("doc_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val (inSparse, inDense) = (r.getBoolean(4), r.getBoolean(5))
+      assert(inSparse == sparse.contains(key), s"in_sparse flag at $key")
+      assert(inDense == ann.contains(key), s"in_dense flag at $key")
+      val expect =
+        sparse.get(key).map(rk => 1.0 / (RrfK + rk)).getOrElse(0.0) +
+          ann.get(key).map(rk => 1.0 / (RrfK + rk)).getOrElse(0.0)
+      assert(r.getDouble(3) == expect, s"rrf_score at $key")
+    }
+  }
+
+  test("bm25 candidate generation: no cartesian, keyword and df joins " +
+      "broadcast") {
+    val p = queries("ret_bm25_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "corpus x queries product is forbidden:\n" + p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("the BM25 overflow guard fails loudly on a pathological corpus") {
+    import spark.implicits._
+    // a tf table whose worst factor chain exceeds int64: the guard must
+    // refuse at build time instead of letting Spark wrap silently
+    val t = Seq((0L, "x", 3000000000L), (1L, "y", 1L))
+      .toDF("doc_id", "term", "tf")
+    val e = intercept[IllegalArgumentException] {
+      RetrievalQueries.assertBm25Headroom(spark, sf, t)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // and the real fixtures sit comfortably under the bound
+    queries("ret_bm25_topk")(spark, sf).collect()
+  }
+}
