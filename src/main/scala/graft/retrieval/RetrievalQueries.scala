@@ -288,12 +288,60 @@ object RetrievalQueries {
       graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
         .localCheckpoint())
 
+  /** MRR and recall@k per (query, method), across all four list
+    * sources — the exact sparse/dense/fused lists AND the
+    * served-from-index hybrid, so the eval quantifies what the
+    * approximate serving path gives up against the exact one. Shares
+    * one sparse build, one dense build, and one index serve; relevance
+    * is the same embedding-cluster label as [[ndcgEval]]. The only
+    * doubles are single divisions of exact integers. */
+  def mrrEval(s: SparkSession, dir: String): DataFrame = {
+    val sp = sparseTopk(s, dir).localCheckpoint()
+    val de = denseTopk(s, dir).localCheckpoint()
+    val ann = graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
+      .localCheckpoint()
+    def leg(df: DataFrame, m: String) =
+      df.select(lit(m).as("method"), col("query_doc"), col("rank"),
+        col("doc_id"))
+    val lists = leg(sp, "sparse")
+      .unionByName(leg(de, "dense"))
+      .unionByName(leg(rrfFrom(sp, de), "rrf"))
+      .unionByName(leg(rrfFrom(sp, ann), "hybrid"))
+      .localCheckpoint()
+    val lab = emb(s, dir).select(col("vec_id"), col("label"))
+    val ql = lab.filter(col("vec_id").isin(QueryDocs: _*))
+      .select(col("vec_id").as("query_doc"), col("label").as("q_label"))
+    val nRel = lab.crossJoin(broadcast(ql))
+      .filter(col("label") === col("q_label") &&
+        col("vec_id") =!= col("query_doc"))
+      .groupBy("query_doc").agg(count(lit(1)).as("n_rel"))
+    lists
+      .join(broadcast(ql), "query_doc")
+      .join(lab, lists("doc_id") === lab("vec_id"), "left")
+      .select(col("method"), col("query_doc"), col("rank"),
+        when(col("label") === col("q_label"), 1L).otherwise(0L).as("is_rel"))
+      .groupBy("method", "query_doc")
+      .agg(sum("is_rel").as("hits"),
+        min(when(col("is_rel") === 1L, col("rank"))).as("first_rel_rank"))
+      .join(broadcast(nRel), "query_doc")
+      .select(col("query_doc"), col("method"), col("n_rel"), col("hits"),
+        col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("mrr"),
+        when(col("n_rel") > 0,
+          col("hits").cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy("query_doc", "method")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
     "ret_rrf_fusion" -> ((s, dir) => rrfFusion(s, dir)),
     "ret_ndcg_eval" -> ((s, dir) => ndcgEval(s, dir)),
-    "ret_hybrid_served" -> ((s, dir) => hybridServed(s, dir)))
+    "ret_hybrid_served" -> ((s, dir) => hybridServed(s, dir)),
+    "ret_bm25_served" -> ((s, dir) => SparseIndex.serve(s, dir)),
+    "ret_bm25_incremental" -> ((s, dir) => SparseIndex.serveWithDelta(s, dir)),
+    "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -377,12 +425,77 @@ object RetrievalQueries {
   private val dcgWSql = DcgW.mkString("[", ", ", "]")
   private val dcgPSql = DcgPrefix.mkString("[", ", ", "]")
 
+  /** `ret_bm25_topk`'s oracle — also the oracle of BOTH served sparse
+    * paths: the persisted index is a deterministic reshaping of the same
+    * tokenize, and the incremental path's stat merges are exact, so all
+    * three queries are bit-identical by construction. */
+  private val bm25Sql =
+    s"""WITH $listsCte
+       |SELECT query_doc, rank, doc_id, n_terms, score_fp,
+       |       CAST(score_fp AS DOUBLE) / ${Scale}.0 AS score
+       |FROM stopk ORDER BY query_doc, rank""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    "ret_bm25_topk" ->
-      s"""WITH $listsCte
-         |SELECT query_doc, rank, doc_id, n_terms, score_fp,
-         |       CAST(score_fp AS DOUBLE) / ${Scale}.0 AS score
-         |FROM stopk ORDER BY query_doc, rank""".stripMargin,
+    "ret_bm25_topk" -> bm25Sql,
+    "ret_bm25_served" -> bm25Sql,
+    "ret_bm25_incremental" -> bm25Sql,
+
+    "ret_mrr_eval" ->
+      s"""WITH $listsCte,
+         |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)},
+         |hfused AS (
+         |  SELECT query_doc, rank, doc_id FROM (
+         |    SELECT query_doc, doc_id, rrf_score,
+         |           row_number() OVER (PARTITION BY query_doc
+         |             ORDER BY rrf_score DESC, doc_id) AS rank
+         |    FROM (
+         |      SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
+         |             coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |             coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
+         |               + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
+         |                          0.0::DOUBLE) AS rrf_score
+         |      FROM stopk s FULL JOIN hadck d
+         |        ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+         |    )
+         |  ) WHERE rank <= $TopK
+         |),
+         |mlists AS (
+         |  SELECT 'sparse' AS method, query_doc, rank, doc_id FROM stopk
+         |  UNION ALL
+         |  SELECT 'dense', query_doc, rank, doc_id FROM dtopk
+         |  UNION ALL
+         |  SELECT 'rrf', query_doc, rank, doc_id FROM rtopk
+         |  UNION ALL
+         |  SELECT 'hybrid', query_doc, rank, doc_id FROM hfused
+         |),
+         |mql AS (SELECT vec_id AS query_doc, label AS q_label
+         |        FROM embeddings WHERE vec_id IN $qdocs),
+         |mnrel AS (
+         |  SELECT mql.query_doc, count(*) AS n_rel
+         |  FROM embeddings e JOIN mql
+         |    ON e.label = mql.q_label AND e.vec_id <> mql.query_doc
+         |  GROUP BY mql.query_doc
+         |),
+         |mrel AS (
+         |  SELECT l.method, l.query_doc, l.rank,
+         |         CASE WHEN e.label = mql.q_label THEN 1 ELSE 0 END AS is_rel
+         |  FROM mlists l
+         |  JOIN mql USING (query_doc)
+         |  LEFT JOIN embeddings e ON l.doc_id = e.vec_id
+         |),
+         |magg AS (
+         |  SELECT method, query_doc,
+         |         CAST(sum(is_rel) AS BIGINT) AS hits,
+         |         min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel_rank
+         |  FROM mrel GROUP BY method, query_doc
+         |)
+         |SELECT query_doc, method, n_rel, hits, first_rel_rank,
+         |       coalesce(1.0::DOUBLE / first_rel_rank, 0.0::DOUBLE) AS mrr,
+         |       CASE WHEN n_rel > 0
+         |            THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+         |            ELSE 0.0::DOUBLE END AS recall
+         |FROM magg JOIN mnrel USING (query_doc)
+         |ORDER BY query_doc, method""".stripMargin,
 
     "ret_dense_topk" ->
       s"""WITH $listsCte
