@@ -387,7 +387,9 @@ object Bench {
     // base_repeats/max_attempts, not "repeats": sampling is adaptive
     // (2-6 per query), so a fixed repeats header would misdescribe the
     // samples arrays
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"n_contended":${contended.size},"n_queries":${results.size},"base_repeats":$Repeats,"max_attempts":${BenchLogic.MaxAttempts},"errors":${errors.size},"sentinel_med":${r3(sentMed)},"sentinel_max":${r3(sentMax)},"queries":$qs,"others":{"n":${rest.size},"sum":${r3(restSum)}},"detail":"bench_detail.json","sf":"$sfDir"}""")
+    val detailName =
+      if (only.isEmpty) "bench_detail.json" else "bench_detail_subset.json"
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_clean":${r3(totalClean)},"n_contended":${contended.size},"n_queries":${results.size},"base_repeats":$Repeats,"max_attempts":${BenchLogic.MaxAttempts},"errors":${errors.size},"sentinel_med":${r3(sentMed)},"sentinel_max":${r3(sentMax)},"queries":$qs,"others":{"n":${rest.size},"sum":${r3(restSum)}},"detail":"$detailName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

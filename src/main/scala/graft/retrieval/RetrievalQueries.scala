@@ -341,6 +341,7 @@ object RetrievalQueries {
     "ret_hybrid_served" -> ((s, dir) => hybridServed(s, dir)),
     "ret_bm25_served" -> ((s, dir) => SparseIndex.serve(s, dir)),
     "ret_bm25_incremental" -> ((s, dir) => SparseIndex.serveWithDelta(s, dir)),
+    "ret_bm25_compacted" -> ((s, dir) => SparseIndex.serveCompacted(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -439,6 +440,7 @@ object RetrievalQueries {
     "ret_bm25_topk" -> bm25Sql,
     "ret_bm25_served" -> bm25Sql,
     "ret_bm25_incremental" -> bm25Sql,
+    "ret_bm25_compacted" -> bm25Sql,
 
     "ret_mrr_eval" ->
       s"""WITH $listsCte,

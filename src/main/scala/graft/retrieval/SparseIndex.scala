@@ -157,6 +157,61 @@ object SparseIndex {
     serveFrom(s, path, postings, forward, dstats, vstats, cstats, k)
   }
 
+  /** Fold the delta tail into a new index GENERATION — the periodic
+    * compaction that returns serving to pruned persisted scans only.
+    * The base tables are NOT re-tokenized (that is the point of
+    * compaction): base postings merge with the freshly-encoded delta by
+    * union, stats by exact aggregation. The generation is written to a
+    * sibling directory and gated by a final marker created only after
+    * ALL five tables landed, so a crash mid-compaction leaves the next
+    * call re-running from scratch instead of serving a partial index;
+    * the merge is idempotent because base rows are selected by the id
+    * range (same discipline as [[graft.sim.IvfPqIndex.compactDelta]]).
+    * Because the merge is exact, the compacted generation is
+    * bit-identical to a full rebuild — `ret_bm25_compacted` shares
+    * `ret_bm25_topk`'s oracle like the other two served paths. */
+  def compactDelta(s: SparkSession, dir: String): String = lock.synchronized {
+    val base = buildBaseIfMissing(s, dir)
+    val path = base + "_compacted"
+    val marker = new java.io.File(s"$path/_ALL_TABLES")
+    if (!marker.exists()) {
+      val cut = baseCutoff(s, dir)
+      val dt = tokenize(s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") > cut)).localCheckpoint()
+      val merged = s.read.parquet(s"$base/postings")
+        .filter(col("doc_id") <= cut) // idempotent: base rows by range
+        .unionByName(dt)
+        .localCheckpoint()
+      merged.repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      merged.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id", "term")
+        .write.mode("overwrite").parquet(s"$path/forward")
+      merged.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/dstats")
+      merged.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/vstats")
+      s.read.parquet(s"$dir/documents.parquet").agg(count(lit(1)).as("n"))
+        .crossJoin(merged.agg(sum("tf").as("tl")))
+        .write.mode("overwrite").parquet(s"$path/cstats")
+      require(marker.createNewFile(), s"cannot stamp $marker")
+    }
+    path
+  }
+
+  /** Serve AFTER compaction: persisted pruned scans only, no serve-time
+    * tokenize of the delta; bit-identical to [[serve]]/[[serveWithDelta]]. */
+  def serveCompacted(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val path = compactDelta(s, dir)
+    serveFrom(s, path,
+      s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/forward"),
+      s.read.parquet(s"$path/dstats"),
+      s.read.parquet(s"$path/vstats"),
+      s.read.parquet(s"$path/cstats"), k)
+  }
+
   /** The shared serving tail. `forward` supplies the query docs' term
     * rows (point lookup), `vstats` the df for keyword scoring, then the
     * keyword terms COLLECT into literal predicates for the postings

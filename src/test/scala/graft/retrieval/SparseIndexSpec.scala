@@ -36,6 +36,26 @@ class SparseIndexSpec extends SparkSpec {
     assert(nDelta > 0, "fixture must have a delta tail")
   }
 
+  test("compaction folds the delta in: bit-identical results, no " +
+      "serve-time tokenize, idempotent re-run") {
+    val exact = RetrievalQueries.sparseTopk(spark, sf)
+      .collect().map(key).toSeq
+    val compacted = SparseIndex.serveCompacted(spark, sf)
+    assert(compacted.collect().map(key).toSeq == exact)
+    // compacted serving reads persisted tables only
+    val p = compacted.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      "compacted serve must not tokenize:\n" + p.take(2000))
+    // idempotent: a re-run serves the same generation without growth
+    val path = SparseIndex.compactDelta(spark, sf)
+    val n = spark.read.parquet(s"$path/postings").count()
+    // simulate the marker-lost crash state: compacted data, no marker
+    assert(new File(s"$path/_ALL_TABLES").delete())
+    SparseIndex.compactDelta(spark, sf)
+    assert(spark.read.parquet(s"$path/postings").count() == n,
+      "re-compaction must not duplicate postings")
+  }
+
   test("serving reads no corpus text and prunes the postings scan by " +
       "the literal query terms") {
     val df = SparseIndex.serve(spark, sf)
