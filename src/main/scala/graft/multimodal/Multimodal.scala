@@ -563,6 +563,56 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // gaps-and-islands over the VAD frames: contiguous active runs
+    // (speech segments), the longest run, and the first/last active
+    // frame (the trim points) — the segmentation step between raw VAD
+    // and clip extraction in an audio curation pipeline. One pass over
+    // the decoded samples per asset; run-length state is per-asset
+    // local, so the stage stays map-only.
+    "media_vad_segments" -> ((s, dir) => {
+      import s.implicits._
+      mediaAssets(s, dir).filter(col("media_type") === "audio")
+        .repartition(DecodeParallelism, col("media_type"),
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map { r =>
+          Wav.parse(r.payload) match {
+            case Some(a) =>
+              val n = a.samples.length
+              val nFrames = (n + AudioHop - 1) / AudioHop
+              var active = 0L; var segments = 0L
+              var cur = 0L; var longest = 0L
+              var first = -1L; var last = -1L
+              var f = 0
+              while (f < nFrames) {
+                var e = 0L
+                var j = f * AudioHop
+                val end = math.min(j + AudioHop, n)
+                while (j < end) {
+                  val amp = (a.samples(j) & 0xff) - 128
+                  e += amp.toLong * amp
+                  j += 1
+                }
+                if (e > VadThreshold) {
+                  active += 1
+                  if (cur == 0) segments += 1
+                  cur += 1
+                  if (cur > longest) longest = cur
+                  if (first < 0) first = f.toLong
+                  last = f.toLong
+                } else cur = 0
+                f += 1
+              }
+              (r.doc_id, nFrames.toLong, active, segments, longest,
+                first, last)
+            case None => (r.doc_id, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        })
+        .toDF("doc_id", "n_frames", "n_active", "n_segments",
+          "longest_run", "first_active", "last_active")
+        .orderBy("doc_id")
+    }),
+
     // the REAL audio decode, per asset: RIFF chunk walk + fmt
     // validation + amplitude statistics over the data chunk
     "media_wav_decode" -> ((s, dir) => {
@@ -979,6 +1029,59 @@ object Multimodal {
          |    AS n_active,
          |  CAST(list_sum(es) AS BIGINT) AS total_energy
          |FROM frames ORDER BY doc_id""".stripMargin,
+
+    // run-length analytics over the same rebuilt frame energies: segment
+    // starts are active frames whose predecessor is inactive; the
+    // longest run folds through list_reduce with (cur, best) packed into
+    // one BIGINT (cur*2^20 + best — frame counts are <= 60, far under
+    // the 2^20 field width); trim points are min/max active index
+    "media_vad_segments" ->
+      s"""WITH auds AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(200 + (doc_id % 100) * 4 AS BIGINT) AS n
+         |  FROM documents WHERE $mediaTypeSql = 'audio'
+         |),
+         |samps AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(n), i ->
+         |      ((CASE WHEN len = 0 THEN 0
+         |             ELSE unicode(substr(text, CAST(i % len + 1 AS INT), 1))
+         |        END + i) % 256)::BIGINT) AS samp
+         |  FROM auds
+         |),
+         |frames AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range((n + ${AudioHop - 1}) // $AudioHop), f ->
+         |      list_sum(list_transform(
+         |        range(f * $AudioHop, least((f + 1) * $AudioHop, n)), i ->
+         |        (samp[CAST(i + 1 AS INT)] - 128)
+         |          * (samp[CAST(i + 1 AS INT)] - 128)))) AS es
+         |  FROM samps
+         |),
+         |acts AS (
+         |  SELECT doc_id, n,
+         |    list_transform(es, e ->
+         |      CASE WHEN e > $VadThreshold THEN 1 ELSE 0 END) AS act
+         |  FROM frames
+         |)
+         |SELECT doc_id,
+         |  CAST((n + ${AudioHop - 1}) // $AudioHop AS BIGINT) AS n_frames,
+         |  CAST(list_sum(act) AS BIGINT) AS n_active,
+         |  CAST(len(list_filter(range(len(act)), f ->
+         |    act[CAST(f + 1 AS INT)] = 1
+         |    AND (f = 0 OR act[CAST(f AS INT)] = 0))) AS BIGINT)
+         |    AS n_segments,
+         |  CAST(list_reduce(list_prepend(0, act), (acc, x) ->
+         |    CASE WHEN x = 1
+         |         THEN (acc // 1048576 + 1) * 1048576
+         |              + greatest(acc % 1048576, acc // 1048576 + 1)
+         |         ELSE acc % 1048576 END) % 1048576 AS BIGINT)
+         |    AS longest_run,
+         |  CAST(coalesce(list_min(list_filter(range(len(act)), f ->
+         |    act[CAST(f + 1 AS INT)] = 1)), -1) AS BIGINT) AS first_active,
+         |  CAST(coalesce(list_max(list_filter(range(len(act)), f ->
+         |    act[CAST(f + 1 AS INT)] = 1)), -1) AS BIGINT) AS last_active
+         |FROM acts ORDER BY doc_id""".stripMargin,
 
     // per-asset amplitude statistics from the rebuilt sample list —
     // closed over the same (text-cycled + position ramp) % 256 rule the

@@ -120,4 +120,29 @@ class MultimodalSpec extends SparkSpec {
     // the whole point: a rerun deals identical augmentations
     assert(rows === run())
   }
+
+  test("vad segments are consistent with the vad frame counts and " +
+      "bound by the trim points") {
+    val vad = Multimodal.queries("media_audio_vad")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val segs = Multimodal.queries("media_vad_segments")(spark, sf).collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val (doc, nFrames, nActive) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (nSeg, longest) = (r.getLong(3), r.getLong(4))
+      val (first, last) = (r.getLong(5), r.getLong(6))
+      assert((nFrames, nActive) == vad(doc), s"doc $doc frame counts")
+      if (nActive == 0) {
+        assert(nSeg == 0 && longest == 0 && first == -1 && last == -1)
+      } else {
+        assert(nSeg >= 1 && nSeg <= nActive, s"doc $doc segments")
+        assert(longest >= 1 && longest <= nActive, s"doc $doc longest")
+        // nActive active frames in nSeg runs: the longest run is at
+        // least the ceiling average and fits inside the trim span
+        assert(longest >= (nActive + nSeg - 1) / nSeg, s"doc $doc pigeonhole")
+        assert(first >= 0 && last >= first && last < nFrames)
+        assert(last - first + 1 >= nActive, s"doc $doc span")
+      }
+    }
+  }
 }
