@@ -333,6 +333,19 @@ object RetrievalQueries {
       .orderBy("query_doc", "method")
   }
 
+  /** The FULLY-indexed hybrid: BOTH legs come from persisted indexes —
+    * BM25 from [[SparseIndex.serve]] (pruned postings scan) and dense
+    * candidates from [[graft.sim.IvfPqIndex.serveMulti]] (pruned codes
+    * scan) — so the whole query touches no corpus-sized table and runs
+    * zero tokenize/training stages: the steady-state serving shape of a
+    * 100 TB RAG deployment. Because the served BM25 lists are
+    * bit-identical to the exact ones, this shares `ret_hybrid_served`'s
+    * oracle. */
+  def hybridIndexed(s: SparkSession, dir: String): DataFrame =
+    rrfFrom(SparseIndex.serve(s, dir).localCheckpoint(),
+      graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
+        .localCheckpoint())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -342,6 +355,7 @@ object RetrievalQueries {
     "ret_bm25_served" -> ((s, dir) => SparseIndex.serve(s, dir)),
     "ret_bm25_incremental" -> ((s, dir) => SparseIndex.serveWithDelta(s, dir)),
     "ret_bm25_compacted" -> ((s, dir) => SparseIndex.serveCompacted(s, dir)),
+    "ret_hybrid_indexed" -> ((s, dir) => hybridIndexed(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -426,6 +440,32 @@ object RetrievalQueries {
   private val dcgWSql = DcgW.mkString("[", ", ", "]")
   private val dcgPSql = DcgPrefix.mkString("[", ", ", "]")
 
+  /** The hybrid fusion oracle — shared by `ret_hybrid_served` (exact
+    * BM25 leg) and `ret_hybrid_indexed` (served BM25 leg): the served
+    * sparse lists are bit-identical to the exact ones, so one SQL covers
+    * both compositions. */
+  private lazy val hybridSql =
+    s"""WITH $listsCte,
+       |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)}
+       |SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
+       |FROM (
+       |  SELECT query_doc, doc_id, rrf_score, in_sparse, in_dense,
+       |         row_number() OVER (PARTITION BY query_doc
+       |           ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM (
+       |    SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
+       |           coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |           coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
+       |             + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
+       |                        0.0::DOUBLE) AS rrf_score,
+       |           s.rank IS NOT NULL AS in_sparse,
+       |           d.rank IS NOT NULL AS in_dense
+       |    FROM stopk s FULL JOIN hadck d
+       |      ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+       |  )
+       |) WHERE rank <= $TopK
+       |ORDER BY query_doc, rank""".stripMargin
+
   /** `ret_bm25_topk`'s oracle — also the oracle of BOTH served sparse
     * paths: the persisted index is a deterministic reshaping of the same
     * tokenize, and the incremental path's stat merges are exact, so all
@@ -509,27 +549,8 @@ object RetrievalQueries {
          |SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
          |FROM rtopk ORDER BY query_doc, rank""".stripMargin,
 
-    "ret_hybrid_served" ->
-      s"""WITH $listsCte,
-         |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)}
-         |SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
-         |FROM (
-         |  SELECT query_doc, doc_id, rrf_score, in_sparse, in_dense,
-         |         row_number() OVER (PARTITION BY query_doc
-         |           ORDER BY rrf_score DESC, doc_id) AS rank
-         |  FROM (
-         |    SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
-         |           coalesce(s.doc_id, d.doc_id) AS doc_id,
-         |           coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
-         |             + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
-         |                        0.0::DOUBLE) AS rrf_score,
-         |           s.rank IS NOT NULL AS in_sparse,
-         |           d.rank IS NOT NULL AS in_dense
-         |    FROM stopk s FULL JOIN hadck d
-         |      ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
-         |  )
-         |) WHERE rank <= $TopK
-         |ORDER BY query_doc, rank""".stripMargin,
+    "ret_hybrid_served" -> hybridSql,
+    "ret_hybrid_indexed" -> hybridSql,
 
     "ret_ndcg_eval" ->
       s"""WITH $listsCte,

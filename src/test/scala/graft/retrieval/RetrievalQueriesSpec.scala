@@ -101,6 +101,20 @@ class RetrievalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("fully-indexed hybrid: the whole plan touches NO corpus table — " +
+      "both legs serve from persisted indexes") {
+    val df = queries("ret_hybrid_indexed")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      "sparse leg must come from the inverted index:\n" + p.take(2000))
+    assert(!p.contains("embeddings.parquet"),
+      "dense leg must come from the IVF-PQ index:\n" + p.take(2000))
+    // and it returns exactly what the exact-sparse hybrid returns
+    val a = queries("ret_hybrid_served")(spark, sf).collect().toSeq
+    val b = df.collect().toSeq
+    assert(a == b, "served-BM25 fusion must equal exact-BM25 fusion")
+  }
+
   test("bm25 candidate generation: no cartesian, keyword and df joins " +
       "broadcast") {
     val p = queries("ret_bm25_topk")(spark, sf)

@@ -113,12 +113,12 @@ class PipelineSpec extends SparkSpec {
   test("quality quartiles: balanced tiles with monotone bounds per language") {
     val rows = PipelineQueries.queries("corpus_quality_quartiles")(spark, sf)
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4)))
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.map(_._3).sum === total)
     rows.groupBy(_._1).foreach { case (lang, tiles) =>
-      assert(tiles.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4))
+      assert(tiles.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
       val sizes = tiles.map(_._3)
       assert(sizes.max - sizes.min <= 1, s"$lang tiles unbalanced: $sizes")
       val ordered = tiles.sortBy(_._2)
