@@ -346,6 +346,68 @@ object RetrievalQueries {
       graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
         .localCheckpoint())
 
+  /** Snippet-window geometry: the best [[SnippetWindow]]-token span per
+    * (query, result) over the top [[SnippetDocs]] served results. */
+  val SnippetWindow = 8
+  val SnippetDocs = 3
+
+  /** Snippet extraction over the SERVED lists: for each query's top
+    * results, the [[SnippetWindow]]-token window with the most query-
+    * keyword occurrences — the highlighting step between retrieval and
+    * display/LLM-context assembly. The span is ANCHORED: windows start
+    * at a keyword hit (any optimal window shifts right to its leftmost
+    * hit without losing occurrences), making max-hits-then-min-start a
+    * total, engine-portable criterion. Only the ≤ |queries|·SnippetDocs
+    * candidate documents are re-read (literal IN pushdown); positions
+    * are raw whitespace-split indices in both engines. */
+  def snippetSpans(s: SparkSession, dir: String): DataFrame = {
+    val sp = SparseIndex.serve(s, dir).filter(col("rank") <= SnippetDocs)
+      .select("query_doc", "rank", "doc_id").localCheckpoint()
+    val kw = SparseIndex.queryKeywords(s, dir).localCheckpoint() // ≤ 9 rows
+    val candIds = sp.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pos = docs(s, dir).filter(col("doc_id").isin(candIds: _*))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("p", "term")))
+      .join(broadcast(kw), "term")
+      .select(col("query_doc"), col("doc_id"), col("p").cast("long").as("p"))
+    val hits = sp.join(pos, Seq("query_doc", "doc_id"))
+      .select("query_doc", "doc_id", "p").localCheckpoint()
+    val a = hits.select(col("query_doc"), col("doc_id"), col("p").as("start"))
+    val b = hits.select(col("query_doc").as("qb"), col("doc_id").as("db"),
+      col("p").as("pb"))
+    val w = Window.partitionBy("query_doc", "doc_id")
+      .orderBy(col("window_hits").desc, col("start"))
+    a.join(b, col("query_doc") === col("qb") && col("doc_id") === col("db") &&
+        col("pb") >= col("start") &&
+        col("pb") < col("start") + SnippetWindow)
+      .groupBy("query_doc", "doc_id", "start")
+      .agg(count(lit(1)).as("window_hits"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sp, Seq("query_doc", "doc_id"))
+      .select(col("query_doc"), col("rank"), col("doc_id"),
+        col("start").as("window_start"), col("window_hits"))
+      .orderBy("query_doc", "rank")
+  }
+
+  /** Inverted-index profile from the persisted tables: vocabulary size,
+    * posting volume, heavy-term and singleton counts, df quantiles —
+    * the capacity-planning numbers an index operator reads before
+    * sizing shards (posting-list skew is what melts a term-partitioned
+    * layout). */
+  def indexStats(s: SparkSession, dir: String): DataFrame = {
+    val path = SparseIndex.buildIfMissing(s, dir)
+    val v = s.read.parquet(s"$path/vstats")
+    v.agg(
+      count(lit(1)).as("n_terms"),
+      sum("df").as("n_postings"),
+      max("df").as("max_df"),
+      sum(when(col("df") === 1, 1L).otherwise(0L)).as("singleton_terms"),
+      expr("percentile(df, 0.5D)").as("df_p50"),
+      expr("percentile(df, 0.9D)").as("df_p90"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -356,6 +418,8 @@ object RetrievalQueries {
     "ret_bm25_incremental" -> ((s, dir) => SparseIndex.serveWithDelta(s, dir)),
     "ret_bm25_compacted" -> ((s, dir) => SparseIndex.serveCompacted(s, dir)),
     "ret_hybrid_indexed" -> ((s, dir) => hybridIndexed(s, dir)),
+    "ret_snippet_spans" -> ((s, dir) => snippetSpans(s, dir)),
+    "ret_index_stats" -> ((s, dir) => indexStats(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -551,6 +615,63 @@ object RetrievalQueries {
 
     "ret_hybrid_served" -> hybridSql,
     "ret_hybrid_indexed" -> hybridSql,
+
+    "ret_snippet_spans" ->
+      s"""WITH $listsCte,
+         |cand AS (
+         |  SELECT query_doc, rank, doc_id FROM stopk
+         |  WHERE rank <= $SnippetDocs
+         |),
+         |ctoks AS (
+         |  SELECT d.doc_id, string_split_regex(d.text, '\\s+') AS tk
+         |  FROM documents d
+         |  WHERE d.doc_id IN (SELECT doc_id FROM cand)
+         |),
+         |cpos AS (
+         |  SELECT doc_id, tk, unnest(range(len(tk))) AS p FROM ctoks
+         |),
+         |hits AS (
+         |  SELECT c.query_doc, c.doc_id, cp.p
+         |  FROM cand c
+         |  JOIN cpos cp ON cp.doc_id = c.doc_id
+         |  JOIN kw k ON k.query_doc = c.query_doc
+         |    AND cp.tk[CAST(cp.p + 1 AS INT)] = k.term
+         |),
+         |wins AS (
+         |  SELECT a.query_doc, a.doc_id, a.p AS start, count(*) AS window_hits
+         |  FROM hits a JOIN hits b
+         |    ON a.query_doc = b.query_doc AND a.doc_id = b.doc_id
+         |    AND b.p >= a.p AND b.p < a.p + $SnippetWindow
+         |  GROUP BY a.query_doc, a.doc_id, a.p
+         |),
+         |best AS (
+         |  SELECT query_doc, doc_id, start, window_hits,
+         |         row_number() OVER (PARTITION BY query_doc, doc_id
+         |           ORDER BY window_hits DESC, start) AS rn
+         |  FROM wins
+         |)
+         |SELECT c.query_doc, c.rank, c.doc_id,
+         |       b.start AS window_start, b.window_hits
+         |FROM cand c JOIN best b
+         |  ON b.query_doc = c.query_doc AND b.doc_id = c.doc_id AND b.rn = 1
+         |ORDER BY c.query_doc, c.rank""".stripMargin,
+
+    "ret_index_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+         |    FROM documents
+         |  ) WHERE term <> '' GROUP BY doc_id, term
+         |),
+         |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |       CAST(sum(df) AS BIGINT) AS n_postings,
+         |       CAST(max(df) AS BIGINT) AS max_df,
+         |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS singleton_terms,
+         |       quantile_cont(df, 0.5) AS df_p50,
+         |       quantile_cont(df, 0.9) AS df_p90
+         |FROM dfq""".stripMargin,
 
     "ret_ndcg_eval" ->
       s"""WITH $listsCte,

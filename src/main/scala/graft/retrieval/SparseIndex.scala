@@ -218,16 +218,15 @@ object SparseIndex {
     * scan (row-group/file pruning — the control-plane fetch is ≤
     * |queries| · [[RetrievalQueries.NumKeywords]] rows). Scoring is the
     * identical reduced integer chain of `sparseTopk`. */
-  private def serveFrom(s: SparkSession, path: String, postings: DataFrame,
-      forward: DataFrame, dstats: DataFrame, vstats: DataFrame,
-      cstats: DataFrame, k: Int): DataFrame = {
-    val c = cstats.localCheckpoint() // 1 row: n, tl
+  /** The keyword stage alone: each query doc's [[RetrievalQueries.NumKeywords]]
+    * strongest TF-IDF terms, derived from the given forward/vocab/corpus
+    * tables (same scoring and tie-break as the exact path). */
+  private def keywordsFrom(forward: DataFrame, vstats: DataFrame,
+      c: DataFrame): DataFrame = {
     val qf = forward.filter(col("doc_id").isin(QueryDocs: _*))
-      .localCheckpoint() // pushed-down point lookup, reused twice
     val kw = Window.partitionBy("query_doc")
       .orderBy(col("kw_score").desc, col("term"))
-    val keywords = qf
-      .join(vstats, "term") // vocabulary-sized scan, broadcast side is qf
+    qf.join(vstats, "term") // vocabulary-sized scan, broadcast side is qf
       .crossJoin(broadcast(c))
       .select(col("doc_id").as("query_doc"), col("term"),
         (col("tf").cast("double") * col("n").cast("double") /
@@ -235,6 +234,23 @@ object SparseIndex {
       .withColumn("krank", row_number().over(kw))
       .filter(col("krank") <= NumKeywords)
       .select("query_doc", "term")
+  }
+
+  /** The query docs' keywords from the PERSISTED index tables — exposed
+    * for downstream consumers (snippet extraction) that need the terms
+    * the served lists were retrieved with. */
+  def queryKeywords(s: SparkSession, dir: String): DataFrame = {
+    val path = buildIfMissing(s, dir)
+    keywordsFrom(s.read.parquet(s"$path/forward"),
+      s.read.parquet(s"$path/vstats"),
+      s.read.parquet(s"$path/cstats").localCheckpoint())
+  }
+
+  private def serveFrom(s: SparkSession, path: String, postings: DataFrame,
+      forward: DataFrame, dstats: DataFrame, vstats: DataFrame,
+      cstats: DataFrame, k: Int): DataFrame = {
+    val c = cstats.localCheckpoint() // 1 row: n, tl
+    val keywords = keywordsFrom(forward, vstats, c)
     // literal term predicates -> parquet row-group pruning on postings
     val kwRows = keywords.collect().map(r => (r.getLong(0), r.getString(1)))
     val terms = kwRows.map(_._2).distinct.toSeq

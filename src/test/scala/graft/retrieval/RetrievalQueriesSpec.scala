@@ -124,6 +124,39 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
+  test("snippet spans: anchored-window optimality against brute force") {
+    val kw = SparseIndex.queryKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = queries("ret_snippet_spans")(spark, sf).collect()
+    assert(rows.length == QueryDocs.size * SnippetDocs)
+    rows.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(2))
+      val (start, hits) = (r.getLong(3), r.getLong(4))
+      val toks = texts(d).split("\\s+", -1)
+      val qTerms = kw.filter(_._1 == q).map(_._2).toSet
+      val ps = toks.indices.filter(i => qTerms.contains(toks(i)))
+      assert(ps.nonEmpty, s"candidate ($q,$d) must contain a keyword")
+      // brute force over anchored windows
+      def hitsAt(st: Int) = ps.count(p => p >= st && p < st + SnippetWindow)
+      val bestBrute = ps.map(st => (-hitsAt(st), st)).min
+      assert(hits == -bestBrute._1 && start == bestBrute._2,
+        s"($q,$d): got ($start,$hits), brute ${(bestBrute._2, -bestBrute._1)}")
+    }
+  }
+
+  test("index stats are internally consistent") {
+    val r = queries("ret_index_stats")(spark, sf).head()
+    val (nTerms, nPost, maxDf, singles) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nTerms > 0 && nPost >= nTerms && maxDf >= 1)
+    assert(singles <= nTerms)
+    assert(r.getDouble(4) <= r.getDouble(5), "p50 <= p90")
+    assert(r.getDouble(5) <= maxDf.toDouble)
+  }
+
   test("the BM25 overflow guard fails loudly on a pathological corpus") {
     import spark.implicits._
     // a tf table whose worst factor chain exceeds int64: the guard must
