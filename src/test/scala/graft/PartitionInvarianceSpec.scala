@@ -25,7 +25,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "sim_label_centroids",       // fixed-point centroid means
     "embed_covariance",          // fixed-point second moments
     "kv_shard_stats",            // keyspace compaction + rollup
-    "corpus_dsir_weights")       // smoothed ratio means on the 2^-20 grid
+    "corpus_dsir_weights",       // smoothed ratio means on the 2^-20 grid
+    "ret_bm25_topk",             // integer BM25 chain + rank windows
+    "ret_ndcg_eval",             // RRF doubles + fixed-point DCG
+    "ret_hybrid_indexed")        // both persisted-index serving legs
 
   private def collectAll(partitions: String): Map[String, Seq[String]] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
