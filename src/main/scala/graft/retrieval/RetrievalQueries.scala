@@ -408,6 +408,53 @@ object RetrievalQueries {
       expr("percentile(df, 0.9D)").as("df_p90"))
   }
 
+  /** Phrase (positional) search — the retrieval capability bag-of-words
+    * BM25 cannot express: each query doc's most frequent interior
+    * bigram (tie-broken lexically) is matched ADJACENTLY across the
+    * corpus, ranked by occurrence count. The per-doc bigram table is
+    * the positional index a phrase engine stores (2-gram posting
+    * lists): one tokenize pass, one corpus-shuffle on (doc, w1, w2),
+    * then the ≤ |queries|-row phrase dimension broadcasts against it —
+    * never corpus × queries. Empty tokens (leading/double whitespace)
+    * are excluded from phrases on both engines. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    def bigramStream(src: DataFrame): DataFrame = src
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+          "(x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    // phrase selection reads ONLY the query docs (pushed-down IN)
+    val pw = Window.partitionBy("query_doc")
+      .orderBy(col("n_occ").desc, col("w1"), col("w2"))
+    val phrases = bigramStream(
+        docs(s, dir).filter(col("doc_id").isin(QueryDocs: _*)))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id").as("query_doc"), col("w1"), col("w2"),
+        col("n_occ"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") === 1)
+      .select("query_doc", "w1", "w2")
+    // the corpus pass filters by the broadcast phrase dim BEFORE any
+    // aggregation, so the shuffle carries only matching bigram rows —
+    // cost tracks phrase selectivity, not corpus token count
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+    bigramStream(docs(s, dir))
+      .join(broadcast(phrases), Seq("w1", "w2"))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .groupBy("query_doc", "w1", "w2", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("query_doc"),
+        concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("doc_id"), col("n_occurrences"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_doc", "phrase", "rank", "doc_id", "n_occurrences")
+      .orderBy("query_doc", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -420,6 +467,7 @@ object RetrievalQueries {
     "ret_hybrid_indexed" -> ((s, dir) => hybridIndexed(s, dir)),
     "ret_snippet_spans" -> ((s, dir) => snippetSpans(s, dir)),
     "ret_index_stats" -> ((s, dir) => indexStats(s, dir)),
+    "ret_phrase_search" -> ((s, dir) => phraseSearch(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -655,6 +703,42 @@ object RetrievalQueries {
          |FROM cand c JOIN best b
          |  ON b.query_doc = c.query_doc AND b.doc_id = c.doc_id AND b.rn = 1
          |ORDER BY c.query_doc, c.rank""".stripMargin,
+
+    "ret_phrase_search" ->
+      s"""WITH toksq AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+         |  FROM documents
+         |),
+         |bigpos AS (
+         |  SELECT doc_id, tk, unnest(range(greatest(len(tk) - 1, 0))) AS p
+         |  FROM toksq
+         |),
+         |big AS (
+         |  SELECT doc_id, w1, w2, count(*) AS n_occ FROM (
+         |    SELECT doc_id,
+         |           tk[CAST(p + 1 AS INT)] AS w1,
+         |           tk[CAST(p + 2 AS INT)] AS w2
+         |    FROM bigpos
+         |  ) WHERE w1 <> '' AND w2 <> ''
+         |  GROUP BY doc_id, w1, w2
+         |),
+         |ph AS (
+         |  SELECT query_doc, w1, w2 FROM (
+         |    SELECT doc_id AS query_doc, w1, w2,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY n_occ DESC, w1, w2) AS rn
+         |    FROM big WHERE doc_id IN $qdocs
+         |  ) WHERE rn = 1
+         |)
+         |SELECT query_doc, phrase, rank, doc_id, n_occurrences FROM (
+         |  SELECT ph.query_doc, ph.w1 || ' ' || ph.w2 AS phrase,
+         |         b.doc_id, b.n_occ AS n_occurrences,
+         |         row_number() OVER (PARTITION BY ph.query_doc
+         |           ORDER BY b.n_occ DESC, b.doc_id) AS rank
+         |  FROM big b JOIN ph ON b.w1 = ph.w1 AND b.w2 = ph.w2
+         |  WHERE b.doc_id <> ph.query_doc
+         |) WHERE rank <= $TopK
+         |ORDER BY query_doc, rank""".stripMargin,
 
     "ret_index_stats" ->
       s"""WITH t AS (

@@ -147,6 +147,37 @@ class RetrievalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("phrase search: adjacency counts match a brute-force scan and the " +
+      "phrase is the query doc's modal bigram") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(t: String): Seq[(String, String)] = {
+      val tk = t.split("\\s+", -1)
+      tk.indices.dropRight(1).map(i => (tk(i), tk(i + 1)))
+        .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    }
+    val rows = queries("ret_phrase_search")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    for ((q, rs) <- byQ) {
+      // the chosen phrase is the query doc's most frequent bigram
+      // under the (count desc, lexical) tie-break
+      val counts = bigrams(texts(q)).groupBy(identity)
+        .map { case (b, os) => (b, os.size) }
+      val modal = counts.toSeq.map { case ((a, b), n) => (-n, a, b) }.min
+      val phrase = rs.head.getString(1)
+      assert(phrase == s"${modal._2} ${modal._3}", s"q=$q phrase=$phrase")
+      // every reported occurrence count matches a brute-force recount
+      rs.foreach { r =>
+        val d = r.getLong(3)
+        val brute = bigrams(texts(d)).count(_ == ((modal._2, modal._3)))
+        assert(r.getLong(4) == brute, s"($q,$d) count")
+        assert(d != q)
+      }
+    }
+  }
+
   test("index stats are internally consistent") {
     val r = queries("ret_index_stats")(spark, sf).head()
     val (nTerms, nPost, maxDf, singles) =
