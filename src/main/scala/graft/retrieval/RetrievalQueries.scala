@@ -140,16 +140,19 @@ object RetrievalQueries {
   private def sparseFrom(s: SparkSession, dir: String, t: DataFrame)
       : DataFrame = {
     assertBm25Headroom(s, dir, t)
+    bm25Rank(s, dir, t, keywordsOf(s, dir, t))
+  }
+
+  /** Each query doc's [[NumKeywords]] strongest TF-IDF terms — the
+    * rational tf·N/df scoring of text_tfidf_keywords, (score, term)
+    * tie-broken; ≤ |QueryDocs|·NumKeywords rows, broadcast onward. */
+  private def keywordsOf(s: SparkSession, dir: String, t: DataFrame)
+      : DataFrame = {
     val df = t.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
     val n = docs(s, dir).agg(count(lit(1)).as("n"))
-    val tl = t.agg(sum("tf").as("tl"))
-    // each query doc's NumKeywords strongest TF-IDF terms — the
-    // rational tf·N/df scoring of text_tfidf_keywords, (score, term)
-    // tie-broken; ≤ |QueryDocs|·NumKeywords rows, broadcast onward
     val kw = Window.partitionBy("query_doc")
       .orderBy(col("kw_score").desc, col("term"))
-    val keywords = t.filter(col("doc_id").isin(QueryDocs: _*))
+    t.filter(col("doc_id").isin(QueryDocs: _*))
       .join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id").as("query_doc"), col("term"),
@@ -158,9 +161,19 @@ object RetrievalQueries {
       .withColumn("krank", row_number().over(kw))
       .filter(col("krank") <= NumKeywords)
       .select("query_doc", "term")
-    // candidate generation IS the broadcast semi-join: posting rows
-    // that carry a query term; then one exact integer chain per
-    // (query, candidate, term) onto the 2^-14 grid
+  }
+
+  /** The BM25 scoring tail over an ARBITRARY (query_doc, term) keyword
+    * table — split out so [[prfExpand]] can rescore with an expanded
+    * term set. Candidate generation IS the broadcast semi-join: posting
+    * rows that carry a query term; then one exact integer chain per
+    * (query, candidate, term) onto the 2^-14 grid. */
+  private def bm25Rank(s: SparkSession, dir: String, t: DataFrame,
+      keywords: DataFrame): DataFrame = {
+    val df = t.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val tl = t.agg(sum("tf").as("tl"))
     val w = Window.partitionBy("query_doc")
       .orderBy(col("score_fp").desc, col("doc_id"))
     t.join(broadcast(keywords), "term")
@@ -455,6 +468,41 @@ object RetrievalQueries {
       .orderBy("query_doc", "rank")
   }
 
+  /** Feedback depth for [[prfExpand]]. */
+  val FbDocs = 3
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style, the
+    * integer-exact core): run BM25, treat the top [[FbDocs]] results as
+    * relevant, pick the single highest-mass term across them that is
+    * NOT already a query keyword (Σtf desc, term asc tie-break), add it
+    * to the keyword set, and rescore with the SAME integer chain. Two
+    * rounds of the broadcast-semi-join candidate shape over one shared
+    * checkpointed tokenize — the feedback and expansion stages are
+    * |queries|-sized. Emits the expansion term per row so the re-ranked
+    * list is auditable. */
+  def prfExpand(s: SparkSession, dir: String): DataFrame = {
+    val t = tf(s, dir)
+    assertBm25Headroom(s, dir, t)
+    val kw1 = keywordsOf(s, dir, t).localCheckpoint()
+    val fb = bm25Rank(s, dir, t, kw1).filter(col("rank") <= FbDocs)
+      .select("query_doc", "doc_id").localCheckpoint()
+    val ew = Window.partitionBy("query_doc")
+      .orderBy(col("w").desc, col("term"))
+    val expt = t.join(broadcast(fb), "doc_id")
+      .select(col("query_doc"), col("term"), col("tf"))
+      .join(kw1, Seq("query_doc", "term"), "left_anti")
+      .groupBy("query_doc", "term").agg(sum("tf").as("w"))
+      .withColumn("rn", row_number().over(ew))
+      .filter(col("rn") === 1)
+      .select("query_doc", "term").localCheckpoint()
+    bm25Rank(s, dir, t, kw1.unionByName(expt))
+      .join(broadcast(expt.withColumnRenamed("term", "exp_term")),
+        "query_doc")
+      .select(col("query_doc"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score_fp"), col("score"), col("exp_term"))
+      .orderBy("query_doc", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -468,6 +516,7 @@ object RetrievalQueries {
     "ret_snippet_spans" -> ((s, dir) => snippetSpans(s, dir)),
     "ret_index_stats" -> ((s, dir) => indexStats(s, dir)),
     "ret_phrase_search" -> ((s, dir) => phraseSearch(s, dir)),
+    "ret_prf_expand" -> ((s, dir) => prfExpand(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -703,6 +752,52 @@ object RetrievalQueries {
          |FROM cand c JOIN best b
          |  ON b.query_doc = c.query_doc AND b.doc_id = c.doc_id AND b.rn = 1
          |ORDER BY c.query_doc, c.rank""".stripMargin,
+
+    "ret_prf_expand" ->
+      s"""WITH $listsCte,
+         |fb AS (
+         |  SELECT query_doc, doc_id FROM stopk WHERE rank <= $FbDocs
+         |),
+         |expt AS (
+         |  SELECT query_doc, term FROM (
+         |    SELECT f.query_doc, t.term,
+         |           CAST(sum(t.tf) AS BIGINT) AS w,
+         |           row_number() OVER (PARTITION BY f.query_doc
+         |             ORDER BY CAST(sum(t.tf) AS BIGINT) DESC, t.term) AS rn
+         |    FROM fb f JOIN t ON t.doc_id = f.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM kw k
+         |                      WHERE k.query_doc = f.query_doc
+         |                        AND k.term = t.term)
+         |    GROUP BY f.query_doc, t.term
+         |  ) WHERE rn = 1
+         |),
+         |kw2 AS (
+         |  SELECT query_doc, term FROM kw
+         |  UNION ALL SELECT query_doc, term FROM expt
+         |),
+         |contrib2 AS (
+         |  SELECT kw2.query_doc, t.doc_id,
+         |         ((2*st.n - 2*dfq.df + 1) * (22 * t.tf * st.tl) * $Scale)
+         |           // ((10*st.tl*t.tf + 3*st.tl + 9*dlq.dl*st.n)
+         |              * (2*dfq.df + 1)) AS c
+         |  FROM t JOIN kw2 USING (term) JOIN dfq USING (term)
+         |         JOIN dlq ON t.doc_id = dlq.doc_id, st
+         |  WHERE t.doc_id <> kw2.query_doc
+         |),
+         |stopk2 AS (
+         |  SELECT query_doc, rank, doc_id, n_terms, score_fp FROM (
+         |    SELECT query_doc, doc_id, count(*) AS n_terms,
+         |           CAST(sum(c) AS BIGINT) AS score_fp,
+         |           row_number() OVER (PARTITION BY query_doc
+         |             ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id) AS rank
+         |    FROM contrib2 GROUP BY query_doc, doc_id
+         |  ) WHERE rank <= $TopK
+         |)
+         |SELECT s2.query_doc, s2.rank, s2.doc_id, s2.n_terms, s2.score_fp,
+         |       CAST(s2.score_fp AS DOUBLE) / ${Scale}.0 AS score,
+         |       e.term AS exp_term
+         |FROM stopk2 s2 JOIN expt e USING (query_doc)
+         |ORDER BY s2.query_doc, s2.rank""".stripMargin,
 
     "ret_phrase_search" ->
       s"""WITH toksq AS (

@@ -188,6 +188,32 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(r.getDouble(5) <= maxDf.toDouble)
   }
 
+  test("prf expansion: the term is new, and scores only grow — every " +
+      "BM25 contribution is positive") {
+    val base = queries("ret_bm25_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(4)).toMap
+    val rows = queries("ret_prf_expand")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the expansion term is not one of the query's own keywords
+    val kw = SparseIndex.queryKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      assert(!kw.contains((q, r.getString(6))),
+        s"q=$q expansion ${r.getString(6)} is already a keyword")
+      // adding a term can only add positive integer contributions, so a
+      // doc present in both lists scores at least its original fp
+      base.get((q, r.getLong(2))).foreach { orig =>
+        assert(r.getLong(4) >= orig, s"($q,${r.getLong(2)}) score shrank")
+      }
+    }
+    // the expansion changed at least one query's ranking or membership
+    val prfPairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(prfPairs != base.keySet || rows.exists(r =>
+      base((r.getLong(0), r.getLong(2))) != r.getLong(4)),
+      "expansion had no observable effect — vacuous on this fixture")
+  }
+
   test("the BM25 overflow guard fails loudly on a pathological corpus") {
     import spark.implicits._
     // a tf table whose worst factor chain exceeds int64: the guard must
