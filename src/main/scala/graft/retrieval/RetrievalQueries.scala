@@ -80,23 +80,49 @@ object RetrievalQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Loud overflow guard for the BM25 integer chain (ADVICE r7): bound
-    * the worst numerator/denominator from the ACTUAL corpus stats
-    * (max per-doc tf is the factor a pathological repeated-token doc
-    * inflates) and refuse to build rather than let non-ANSI Spark wrap
-    * silently where DuckDB would error. Scalar control-plane fetch over
-    * the already-checkpointed tf table + a parquet metadata count. */
-  private[retrieval] def assertBm25Headroom(s: SparkSession, dir: String,
-      t: DataFrame): Unit = {
-    val r = t.agg(max("tf"), sum("tf")).head
-    val (mtf, tl) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)))
-    val n = BigInt(docs(s, dir).count())
+  /** The pure bound check behind [[assertBm25Headroom]] — split out so
+    * the overflow spec can exercise pathological stats directly without
+    * fabricating a 3-billion-token fixture. */
+  private[retrieval] def checkBm25Bound(n: BigInt, tl: BigInt,
+      mtf: BigInt): Unit = {
     val numBound = 2 * n * 22 * mtf * tl * BigInt(Scale)
     val denBound = (10 * tl * mtf + 3 * tl + 9 * tl * n) * (2 * n + 1)
     require(numBound < Long.MaxValue && denBound < Long.MaxValue,
       s"BM25 fixed-point chain would overflow int64 on this corpus " +
         s"(n=$n, tl=$tl, max tf=$mtf → num bound $numBound, den bound " +
         s"$denBound): shrink Scale or pre-divide per term")
+  }
+
+  /** How many times the guard actually aggregated corpus stats this
+    * process — the observable the memo spec pins. */
+  private[retrieval] val headroomAggs =
+    new java.util.concurrent.atomic.AtomicInteger
+  private val headroomChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Loud overflow guard for the BM25 integer chain (ADVICE r7): bound
+    * the worst numerator/denominator from the ACTUAL corpus stats
+    * (max per-doc tf is the factor a pathological repeated-token doc
+    * inflates) and refuse to build rather than let non-ANSI Spark wrap
+    * silently where DuckDB would error. Scalar control-plane fetch over
+    * the already-checkpointed tf table + a parquet metadata count —
+    * memoized per corpus through [[graft.sources.IndexCache]]'s
+    * staleness-safe fingerprint (rows + maxId + filesystem signature),
+    * so the 7 sparse-family queries pay the two guard actions once per
+    * process per corpus, not once per query; an in-place fixture
+    * rewrite changes the fingerprint and re-checks. A FAILED check is
+    * never memoized: it re-runs (and re-throws) on every build. */
+  private[retrieval] def assertBm25Headroom(s: SparkSession, dir: String,
+      t: DataFrame): Unit = {
+    val key = graft.sources.IndexCache.fingerprint(s, dir, "documents",
+      "doc_id")
+    if (!headroomChecked.containsKey(key)) {
+      headroomAggs.incrementAndGet()
+      val r = t.agg(max("tf"), sum("tf")).head
+      checkBm25Bound(n = BigInt(docs(s, dir).count()),
+        tl = BigInt(r.getLong(1)), mtf = BigInt(r.getLong(0)))
+      headroomChecked.put(key, true)
+    }
   }
 
   /** Build-count metrics: how many times the corpus tokenize (sparse)
@@ -264,7 +290,6 @@ object RetrievalQueries {
           col("query_doc"), col("rank"), col("doc_id")))
         .unionByName(rrfFrom(sp, de).select(lit("rrf").as("method"),
           col("query_doc"), col("rank"), col("doc_id")))
-        .localCheckpoint()
     val lab = emb(s, dir).select(col("vec_id"), col("label"))
     val ql = lab.filter(col("vec_id").isin(QueryDocs: _*))
       .select(col("vec_id").as("query_doc"), col("label").as("q_label"))
@@ -316,11 +341,13 @@ object RetrievalQueries {
     def leg(df: DataFrame, m: String) =
       df.select(lit(m).as("method"), col("query_doc"), col("rank"),
         col("doc_id"))
+    // no checkpoint: the union is consumed exactly once below and its
+    // inputs are already materialized — a checkpoint here is one extra
+    // scheduler round-trip for nothing
     val lists = leg(sp, "sparse")
       .unionByName(leg(de, "dense"))
       .unionByName(leg(rrfFrom(sp, de), "rrf"))
       .unionByName(leg(rrfFrom(sp, ann), "hybrid"))
-      .localCheckpoint()
     val lab = emb(s, dir).select(col("vec_id"), col("label"))
     val ql = lab.filter(col("vec_id").isin(QueryDocs: _*))
       .select(col("vec_id").as("query_doc"), col("label").as("q_label"))

@@ -215,16 +215,29 @@ class RetrievalQueriesSpec extends SparkSpec {
   }
 
   test("the BM25 overflow guard fails loudly on a pathological corpus") {
-    import spark.implicits._
-    // a tf table whose worst factor chain exceeds int64: the guard must
+    // stats whose worst factor chain exceeds int64: the guard must
     // refuse at build time instead of letting Spark wrap silently
-    val t = Seq((0L, "x", 3000000000L), (1L, "y", 1L))
-      .toDF("doc_id", "term", "tf")
     val e = intercept[IllegalArgumentException] {
-      RetrievalQueries.assertBm25Headroom(spark, sf, t)
+      RetrievalQueries.checkBm25Bound(n = BigInt(2),
+        tl = BigInt("3000000001"), mtf = BigInt("3000000000"))
     }
     assert(e.getMessage.contains("overflow"), e.getMessage)
     // and the real fixtures sit comfortably under the bound
     queries("ret_bm25_topk")(spark, sf).collect()
+  }
+
+  test("the headroom guard aggregates corpus stats once per corpus, " +
+      "not once per query") {
+    import org.apache.spark.sql.functions._
+    val t = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    RetrievalQueries.assertBm25Headroom(spark, sf, t)
+    val after = RetrievalQueries.headroomAggs.get()
+    RetrievalQueries.assertBm25Headroom(spark, sf, t)
+    RetrievalQueries.assertBm25Headroom(spark, sf, t)
+    assert(RetrievalQueries.headroomAggs.get() === after,
+      "repeat guard calls on an unchanged corpus re-aggregated")
   }
 }
