@@ -113,13 +113,16 @@ object RetrievalQueries {
     * rewrite changes the fingerprint and re-checks. A FAILED check is
     * never memoized: it re-runs (and re-throws) on every build. */
   private[retrieval] def assertBm25Headroom(s: SparkSession, dir: String,
-      t: DataFrame): Unit = {
+      t: DataFrame, tag: String = "doc",
+      nCollection: Option[() => Long] = None): Unit = {
     val key = graft.sources.IndexCache.fingerprint(s, dir, "documents",
-      "doc_id")
+      "doc_id") + "|" + tag
     if (!headroomChecked.containsKey(key)) {
       headroomAggs.incrementAndGet()
       val r = t.agg(max("tf"), sum("tf")).head
-      checkBm25Bound(n = BigInt(docs(s, dir).count()),
+      checkBm25Bound(
+        n = BigInt(nCollection.map(_.apply())
+          .getOrElse(docs(s, dir).count())),
         tl = BigInt(r.getLong(1)), mtf = BigInt(r.getLong(0)))
       headroomChecked.put(key, true)
     }
@@ -530,6 +533,143 @@ object RetrievalQueries {
       .orderBy("query_doc", "rank")
   }
 
+  /** Passage geometry: non-overlapping [[ChunkTokens]]-token windows
+    * over the raw whitespace token positions (empties excluded from the
+    * counts but not the positions, matching the phrase family's
+    * positional idiom). */
+  val ChunkTokens = 32
+
+  /** Passage (chunk) retrieval with MaxP document aggregation — the
+    * standard long-document RAG shape: score fixed-size chunks as if
+    * they were documents (chunk-level df/dl/N on the same exact integer
+    * BM25 chain), keep each document's best chunk, and rank documents
+    * by that best-chunk score. One POSITIONAL tokenize of the corpus
+    * feeds everything: the chunk posting table directly, and the
+    * doc-level (doc, term, tf) table by summing a doc's chunks (exact
+    * because the windows are non-overlapping), which is what the shared
+    * query-keyword derivation runs on — so the plan has a single corpus
+    * scan, chunk stats are vocabulary/chunk-row aggregates broadcast
+    * back, and candidate generation stays the broadcast semi-join of
+    * query-term rows against chunk postings. Emits the winning chunk
+    * index per hit so the caller can fetch the passage. */
+  def passageTopk(s: SparkSession, dir: String): DataFrame = {
+    val ct = chunkTf(s, dir)
+    val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+    assertBm25Headroom(s, dir, ct, tag = "chunk",
+      nCollection = Some(() =>
+        ct.select("doc_id", "chunk").distinct().count()))
+    val df = ct.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = ct.groupBy("doc_id", "chunk").agg(sum("tf").as("dl"))
+    val n = ct.agg(countDistinct(col("doc_id"), col("chunk")).as("n"))
+    val tl = ct.agg(sum("tf").as("tl"))
+    val wBest = Window.partitionBy("query_doc", "doc_id")
+      .orderBy(col("chunk_fp").desc, col("chunk"))
+    val wTop = Window.partitionBy("query_doc")
+      .orderBy(col("chunk_fp").desc, col("doc_id"))
+    ct.join(broadcast(keywordsOf(s, dir, tDoc)), "term")
+      .filter(col("doc_id") =!= col("query_doc"))
+      .join(broadcast(df), "term")
+      .join(dl, Seq("doc_id", "chunk"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
+      .select(col("query_doc"), col("doc_id"), col("chunk"),
+        expr(s"((2*n - 2*df + 1) * (22 * tf * tl) * $Scale) div " +
+          "((10*tl*tf + 3*tl + 9*dl*n) * (2*df + 1))").as("c"))
+      .groupBy("query_doc", "doc_id", "chunk")
+      .agg(count(lit(1)).as("n_terms"), sum("c").as("chunk_fp"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_doc"), col("rank"), col("doc_id"), col("chunk"),
+        col("n_terms"), col("chunk_fp"),
+        (col("chunk_fp").cast("double") / lit(Scale.toDouble)).as("score"))
+      .orderBy("query_doc", "rank")
+  }
+
+  /** (doc_id, chunk, term, tf) chunk posting table in one positional
+    * corpus scan, checkpointed. Chunk index = raw token position div
+    * [[ChunkTokens]]; empty tokens hold their position but contribute
+    * no postings. */
+  private def chunkTf(s: SparkSession, dir: String): DataFrame = {
+    tfBuilds.incrementAndGet()
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("p", "term")))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"),
+        expr(s"CAST(p AS BIGINT) div $ChunkTokens").as("chunk"),
+        col("term"))
+      .groupBy("doc_id", "chunk", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+  }
+
+  /** MMR trade-off λ — and its complement as a LITERAL, because
+    * `1.0 - 0.7` is 0.30000000000000004 in IEEE doubles and both engines
+    * must multiply by the same constant. */
+  val MmrLambda = 0.7
+  val MmrMu = 0.3
+
+  /** Maximal-marginal-relevance re-ranking of the dense top-k: greedily
+    * pick argmax of λ·rel(c) − (1−λ)·max sim(c, selected), doc_id
+    * tie-broken, until the whole candidate list is ordered. Relevance
+    * and candidate-pair similarities are the SAME fixed-order cosine
+    * both engines already agree on bit-for-bit (dense family), and the
+    * MMR score is two multiplies and a subtract of those doubles, so
+    * the greedy argmax decisions are deterministic across engines.
+    *
+    * Scale shape: the candidate set is |queries|·k rows and the pair
+    * matrix |queries|·k² — CONSTANT in corpus size — so after the dense
+    * top-k (one distributed vector scan) the greedy runs as a
+    * control-plane step on collected candidates, exactly like the
+    * IVF probe-cell selection in [[graft.sim.IvfPqIndex.serveMulti]];
+    * at 1000 executors the k² matrix is still ~300 rows. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val de = denseTopk(s, dir).localCheckpoint()
+    val cand = de.select(col("query_doc"), col("rank").as("dense_rank"),
+      col("doc_id"), col("cos_sim").as("relevance"))
+    // candidate vectors by literal IN — ≤ |queries|·k ids, pruned scan
+    val ids = cand.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val vecs = emb(s, dir).filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+    val a = cand.select(col("query_doc"), col("doc_id").as("da"))
+      .join(broadcast(vecs), col("da") === col("vec_id"))
+      .select(col("query_doc"), col("da"), col("embedding").as("ea"))
+    val sims = a.join(
+        cand.select(col("query_doc").as("qb"), col("doc_id").as("db"))
+          .join(broadcast(vecs), col("db") === col("vec_id"))
+          .select(col("qb"), col("db"), col("embedding").as("eb")),
+        col("query_doc") === col("qb") && col("da") =!= col("db"))
+      .select(col("query_doc"), col("da"), col("db"),
+        cosine(col("ea"), col("eb")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val rows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      val remaining = scala.collection.mutable.Set(cs.map(_._3): _*)
+      val byId = cs.map(c => c._3 -> c).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to cs.length).map { step =>
+        val (bestId, bestScore) = remaining.toSeq.map { c =>
+          val rel = byId(c)._4
+          val pen =
+            if (picked.isEmpty) 0.0
+            else picked.map(p => sims((q, c, p))).max
+          c -> (MmrLambda * rel - MmrMu * pen)
+        }.minBy { case (id, sc) => (-sc, id) }
+        remaining -= bestId; picked += bestId
+        val (_, dRank, _, rel) = byId(bestId)
+        (q, step.toLong, bestId, dRank, rel, bestScore)
+      }
+    }
+    out.toDF("query_doc", "mmr_rank", "doc_id", "dense_rank",
+        "relevance", "mmr_score")
+      .orderBy("query_doc", "mmr_rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -544,6 +684,8 @@ object RetrievalQueries {
     "ret_index_stats" -> ((s, dir) => indexStats(s, dir)),
     "ret_phrase_search" -> ((s, dir) => phraseSearch(s, dir)),
     "ret_prf_expand" -> ((s, dir) => prfExpand(s, dir)),
+    "ret_passage_topk" -> ((s, dir) => passageTopk(s, dir)),
+    "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -663,6 +805,74 @@ object RetrievalQueries {
        |SELECT query_doc, rank, doc_id, n_terms, score_fp,
        |       CAST(score_fp AS DOUBLE) / ${Scale}.0 AS score
        |FROM stopk ORDER BY query_doc, rank""".stripMargin
+
+  /** The MMR oracle: the greedy argmax is UNROLLED into [[TopK]] chained
+    * CTE steps (s1..s10 / p1..p10 = selection and picked-set after each
+    * step) — recursive CTEs with aggregates in the recursive term are
+    * off-limits in portable SQL, and k is a fixed literal here, so the
+    * unrolled form keeps the oracle in plain window/aggregate SQL. The
+    * λ/(1−λ) multipliers are the same LITERALS Spark uses ([[MmrMu]] is
+    * not computed as 1−λ), and the ordering key is the mmr score itself
+    * in both engines, so every argmax decision compares identical IEEE
+    * doubles. */
+  private lazy val mmrSql = {
+    val steps = (2 to TopK).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT query_doc, doc_id, dense_rank, rel, mmr FROM (
+         |    SELECT c.query_doc, c.doc_id, c.dense_rank, c.rel,
+         |           $MmrLambda::DOUBLE * c.rel
+         |             - $MmrMu::DOUBLE * max(ps.sim) AS mmr,
+         |           row_number() OVER (PARTITION BY c.query_doc
+         |             ORDER BY $MmrLambda::DOUBLE * c.rel
+         |               - $MmrMu::DOUBLE * max(ps.sim) DESC,
+         |             c.doc_id) AS rn
+         |    FROM mcand c
+         |    JOIN msim ps
+         |      ON ps.query_doc = c.query_doc AND ps.da = c.doc_id
+         |    JOIN p${i - 1} p
+         |      ON p.query_doc = c.query_doc AND p.doc_id = ps.db
+         |    WHERE NOT EXISTS (SELECT 1 FROM p${i - 1} x
+         |                      WHERE x.query_doc = c.query_doc
+         |                        AND x.doc_id = c.doc_id)
+         |    GROUP BY c.query_doc, c.doc_id, c.dense_rank, c.rel
+         |  ) WHERE rn = 1
+         |),
+         |p$i AS MATERIALIZED (SELECT query_doc, doc_id FROM p${i - 1}
+         |        UNION ALL SELECT query_doc, doc_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to TopK).map { i =>
+      s"""SELECT query_doc, CAST($i AS BIGINT) AS mmr_rank, doc_id,
+         |       dense_rank, rel AS relevance, mmr AS mmr_score FROM s$i"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $listsCte,
+       |mcand AS MATERIALIZED (
+       |  SELECT query_doc, doc_id, rank AS dense_rank, cos_sim AS rel
+       |  FROM dtopk
+       |),
+       |msim AS MATERIALIZED (
+       |  SELECT a.query_doc, a.doc_id AS da, b.doc_id AS db,
+       |         ${Ora.cos64("va.embedding", "vb.embedding")} AS sim
+       |  FROM mcand a
+       |  JOIN mcand b
+       |    ON a.query_doc = b.query_doc AND a.doc_id <> b.doc_id
+       |  JOIN embeddings va ON va.vec_id = a.doc_id
+       |  JOIN embeddings vb ON vb.vec_id = b.doc_id
+       |),
+       |s1 AS MATERIALIZED (
+       |  SELECT query_doc, doc_id, dense_rank, rel,
+       |         $MmrLambda::DOUBLE * rel AS mmr FROM (
+       |    SELECT query_doc, doc_id, dense_rank, rel,
+       |           row_number() OVER (PARTITION BY query_doc
+       |             ORDER BY $MmrLambda::DOUBLE * rel DESC, doc_id) AS rn
+       |    FROM mcand
+       |  ) WHERE rn = 1
+       |),
+       |p1 AS MATERIALIZED (SELECT query_doc, doc_id FROM s1),
+       |$steps
+       |$union
+       |ORDER BY query_doc, mmr_rank""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "ret_bm25_topk" -> bm25Sql,
@@ -825,6 +1035,64 @@ object RetrievalQueries {
          |       e.term AS exp_term
          |FROM stopk2 s2 JOIN expt e USING (query_doc)
          |ORDER BY s2.query_doc, s2.rank""".stripMargin,
+
+    "ret_passage_topk" ->
+      s"""WITH $listsCte,
+         |ptoks AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+         |  FROM documents
+         |),
+         |ppos AS (
+         |  SELECT doc_id, tk, unnest(range(len(tk))) AS p FROM ptoks
+         |),
+         |pctf AS (
+         |  SELECT doc_id, chunk, term, count(*) AS tf FROM (
+         |    SELECT doc_id, p // $ChunkTokens AS chunk,
+         |           tk[CAST(p + 1 AS INT)] AS term
+         |    FROM ppos
+         |  ) WHERE term <> ''
+         |  GROUP BY doc_id, chunk, term
+         |),
+         |pdf AS (SELECT term, count(*) AS df FROM pctf GROUP BY term),
+         |pdl AS (SELECT doc_id, chunk, CAST(sum(tf) AS BIGINT) AS dl
+         |        FROM pctf GROUP BY doc_id, chunk),
+         |pst AS (SELECT (SELECT count(*) FROM
+         |                 (SELECT DISTINCT doc_id, chunk FROM pctf)) AS n,
+         |               (SELECT CAST(sum(tf) AS BIGINT) FROM pctf) AS tl),
+         |pcontrib AS (
+         |  SELECT kw.query_doc, c.doc_id, c.chunk,
+         |         ((2*pst.n - 2*pdf.df + 1) * (22 * c.tf * pst.tl) * $Scale)
+         |           // ((10*pst.tl*c.tf + 3*pst.tl + 9*pdl.dl*pst.n)
+         |              * (2*pdf.df + 1)) AS c
+         |  FROM pctf c JOIN kw USING (term) JOIN pdf USING (term)
+         |       JOIN pdl ON c.doc_id = pdl.doc_id AND c.chunk = pdl.chunk,
+         |       pst
+         |  WHERE c.doc_id <> kw.query_doc
+         |),
+         |pchunk AS (
+         |  SELECT query_doc, doc_id, chunk, count(*) AS n_terms,
+         |         CAST(sum(c) AS BIGINT) AS chunk_fp
+         |  FROM pcontrib GROUP BY query_doc, doc_id, chunk
+         |),
+         |pbest AS (
+         |  SELECT query_doc, doc_id, chunk, n_terms, chunk_fp FROM (
+         |    SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
+         |           row_number() OVER (PARTITION BY query_doc, doc_id
+         |             ORDER BY chunk_fp DESC, chunk) AS rn
+         |    FROM pchunk
+         |  ) WHERE rn = 1
+         |)
+         |SELECT query_doc, rank, doc_id, chunk, n_terms, chunk_fp,
+         |       CAST(chunk_fp AS DOUBLE) / ${Scale}.0 AS score
+         |FROM (
+         |  SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
+         |         row_number() OVER (PARTITION BY query_doc
+         |           ORDER BY chunk_fp DESC, doc_id) AS rank
+         |  FROM pbest
+         |) WHERE rank <= $TopK
+         |ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_mmr_rerank" -> mmrSql,
 
     "ret_phrase_search" ->
       s"""WITH toksq AS (

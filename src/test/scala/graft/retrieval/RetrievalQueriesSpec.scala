@@ -214,6 +214,86 @@ class RetrievalQueriesSpec extends SparkSpec {
       "expansion had no observable effect — vacuous on this fixture")
   }
 
+  test("prf rescore reuses the checkpointed tokenize: ONE tf build, and " +
+      "the final plan never re-tokenizes the corpus") {
+    val t0 = tfBuilds.get()
+    val df = queries("ret_prf_expand")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    df.collect()
+    assert(tfBuilds.get() - t0 == 1,
+      s"prf tokenized the corpus ${tfBuilds.get() - t0} times, want 1")
+    // both scoring rounds read the checkpointed (doc,term,tf) RDD; the
+    // only documents.parquet touches left are metadata-count scans for N
+    assert(!p.contains("explode"),
+      "rescore plan re-tokenizes the corpus:\n" + p.take(2000))
+  }
+
+  test("passage top-k: contiguous ranks, MaxP ordering, chunks carry " +
+      "query terms, and the query doc never retrieves itself") {
+    val rows = queries("ret_passage_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == QueryDocs.toSet)
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      // MaxP: docs ordered by best-chunk fixed-point score
+      val fps = sorted.map(_.getLong(5)).toSeq
+      assert(fps == fps.sorted.reverse, s"q=$q not MaxP-ordered: $fps")
+      sorted.foreach { r =>
+        assert(r.getLong(2) != q, "query doc retrieved itself")
+        assert(r.getLong(3) >= 0L, "negative chunk index")
+        assert(r.getLong(4) >= 1L, "winning chunk carries no query term")
+        assert(r.getDouble(6) ==
+          r.getLong(5).toDouble / Scale.toDouble, "score grid relation")
+      }
+    }
+  }
+
+  test("passage plan: ONE corpus tokenize feeds chunk and doc stats; " +
+      "keyword candidates join by broadcast") {
+    val df = queries("ret_passage_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    // the posting pipeline reads the checkpointed chunk table; the only
+    // extra documents touches are the keyword N metadata-count scans
+    assert("posexplode|Generate".r.findAllIn(p).isEmpty,
+      "chunk postings must come from the checkpointed positional " +
+        "tokenize, not a re-tokenize:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(scans <= 2, s"documents scanned $scans times:\n" + p.take(2000))
+  }
+
+  test("mmr rerank: a permutation of the dense top-k, first pick is the " +
+      "most relevant, scores non-increasing from step 2") {
+    val dense = queries("ret_dense_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    val rows = queries("ret_mmr_rerank")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == QueryDocs.toSet)
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      // same doc set as the dense list, with matching rank/relevance
+      sorted.foreach { r =>
+        val (dRank, rel) = dense((q, r.getLong(2)))
+        assert(r.getLong(3) == dRank && r.getDouble(4) == rel,
+          s"q=$q doc=${r.getLong(2)} dense metadata mismatch")
+      }
+      assert(sorted.map(_.getLong(2)).toSet ==
+        dense.keys.filter(_._1 == q).map(_._2).toSet, s"q=$q not a permutation")
+      // greedy argmax: the first pick is dense rank 1, and from step 2 on
+      // the selected score can only shrink (the penalty set only grows)
+      assert(sorted.head.getLong(3) == 1L, "first pick must be most relevant")
+      val tail = sorted.drop(1).map(_.getDouble(5)).toSeq
+      assert(tail == tail.sorted.reverse, s"q=$q scores not non-increasing")
+    }
+    // diversification is non-vacuous on this fixture: some query's mmr
+    // order differs from its dense order
+    assert(rows.exists(r => r.getLong(1) != r.getLong(3)),
+      "MMR never reordered — vacuous fixture")
+  }
+
   test("the BM25 overflow guard fails loudly on a pathological corpus") {
     // stats whose worst factor chain exceeds int64: the guard must
     // refuse at build time instead of letting Spark wrap silently
