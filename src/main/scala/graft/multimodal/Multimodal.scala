@@ -256,6 +256,64 @@ object Multimodal {
       Fnv1a32.hashBytes(r.payload))
   }
 
+  /** dHash geometry: [[DhRows]]×[[DhCols]] horizontal gray comparisons
+    * over a ([[DhCols]]+1)-column nearest-neighbor sample grid — 64 bits,
+    * carried as two non-negative 32-bit halves so neither engine's
+    * BIGINT arithmetic ever touches the sign bit. */
+  val DhRows = 8
+  val DhCols = 8
+
+  /** Near-dup gate on the 64-bit dHash: ≤ 3 differing bits. With the
+    * hash split into 4 16-bit blocks, d ≤ 3 pigeonholes at least one
+    * block equal — the exact-cover candidate rule the banded join uses. */
+  val PhashHammingMax = 3
+
+  /** Perceptual hashes (difference hash) over the REAL decoded rasters:
+    * sample a ([[DhCols]]+1)×[[DhRows]] nearest-neighbor grid of
+    * BT.601 integer luma (299R+587G+114B — no division, so the
+    * comparisons are exact), set bit (r,c) when gray strictly decreases
+    * left-to-right, and pack the 64 bits as (hash_hi, hash_lo). Parse
+    * failures poison with -1s like every other decode. Map-only: one
+    * pass over the image assets, no shuffle until the caller's sort. */
+  private[multimodal] def imagePhash(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    mediaAssets(s, dir).filter(col("media_type") === "image")
+      .repartition(DecodeParallelism, col("media_type"),
+        pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        Ppm.parse(r.payload) match {
+          case Some(img) =>
+            def gray(sx: Int, sy: Int): Long = {
+              val p = 3 * (sy * img.width + sx)
+              299L * (img.pixels(p) & 0xff) +
+                587L * (img.pixels(p + 1) & 0xff) +
+                114L * (img.pixels(p + 2) & 0xff)
+            }
+            var hi = 0L; var lo = 0L
+            var row = 0
+            while (row < DhRows) {
+              val sy = row * img.height / DhRows
+              var c = 0
+              while (c < DhCols) {
+                if (gray(c * img.width / (DhCols + 1), sy) >
+                    gray((c + 1) * img.width / (DhCols + 1), sy)) {
+                  val idx = row * DhCols + c
+                  if (idx < 32) lo |= 1L << idx
+                  else hi |= 1L << (idx - 32)
+                }
+                c += 1
+              }
+              row += 1
+            }
+            (r.doc_id, img.width.toLong, img.height.toLong, hi, lo)
+          case None => (r.doc_id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "width", "height", "hash_hi", "hash_lo")
+  }
+
   /** REAL audio decode: walk the RIFF chunks, validate the PCM fmt, and
     * fold the amplitude statistics over the data chunk. Same poison-on-
     * parse-failure contract as [[decodePpm]]. */
@@ -523,6 +581,44 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // dHash perceptual signatures from the real rasters — the image-side
+    // fingerprint every visual-dedup pipeline starts from
+    "media_image_phash" -> ((s, dir) =>
+      imagePhash(s, dir).orderBy("doc_id")),
+
+    // Perceptual near-dup pairs: 4×16-bit banded candidate join over the
+    // dHashes (d ≤ HammingMax pigeonholes ≥1 equal block, so the band
+    // join is exact-cover, never corpus²), then the exact 64-bit
+    // hamming verify on the candidate pairs only — the image twin of
+    // the SimHash text dedup, sharing its scale shape
+    "media_phash_neardup" -> ((s, dir) => {
+      val ph = imagePhash(s, dir)
+        .filter(col("hash_hi") >= 0) // drop poisoned parse failures
+        .localCheckpoint()
+      val bands = ph.select(col("doc_id"),
+        posexplode(array(
+          expr("hash_lo & 65535"), expr("(hash_lo >> 16) & 65535"),
+          expr("hash_hi & 65535"), expr("(hash_hi >> 16) & 65535")))
+          .as(Seq("band", "bv")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(ph.select(col("doc_id").as("doc_a"),
+          col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a")), "doc_a")
+        .join(ph.select(col("doc_id").as("doc_b"),
+          col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b")), "doc_b")
+        .withColumn("hamming",
+          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+            .cast("long"))
+        .filter(col("hamming") <= PhashHammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // VAD-style activity detection over the REAL samples: frame the
     // decoded PCM into AudioHop-sample windows, integer frame energy
     // (sum of squared amplitudes), count frames clearing the gate —
@@ -739,7 +835,76 @@ object Multimodal {
   private val le32SqlRiffSize = le32Sql("36 + n")
   private val le32SqlDataSize = le32Sql("n")
 
+  /** dHash oracle plumbing: the fixture raster is R = cycled text byte,
+    * G = 255−R, B = doc_id%256, so BT.601 integer luma has the closed
+    * form 299R + 587(255−R) + 114B = 149685 − 288R + 114·(doc_id%256).
+    * Each of the 64 comparison bits is unrolled as one CASE over two
+    * nearest-neighbor samples, summed into the same two 32-bit halves
+    * Spark packs. */
+  private def phashHalfSql(bits: Range): String = {
+    def gray(sx: String, sy: String) =
+      s"(149685 - 288 * (CASE WHEN len = 0 THEN 0 ELSE " +
+        s"unicode(substr(text, CAST((($sy) * w + ($sx)) % len + 1 AS INT)" +
+        s", 1)) END) + 114 * (doc_id % 256))"
+    bits.map { i =>
+      val (row, c) = (i / DhCols, i % DhCols)
+      val sy = s"($row * h // $DhRows)"
+      val sx1 = s"($c * w // ${DhCols + 1})"
+      val sx2 = s"(${c + 1} * w // ${DhCols + 1})"
+      s"CASE WHEN ${gray(sx1, sy)} > ${gray(sx2, sy)} " +
+        s"THEN ${1L << (i % 32)}::BIGINT ELSE 0::BIGINT END"
+    }.mkString("(", "\n      + ", ")")
+  }
+
+  /** Shared `imgs` + `ph` CTEs for both phash oracles (MATERIALIZED:
+    * ph is referenced several times and each reference carries the 64
+    * unrolled CASE bits). */
+  private lazy val phashCtes =
+    s"""imgs AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |         CAST(8 + doc_id % 8 AS BIGINT) AS w,
+       |         CAST(6 + doc_id % 6 AS BIGINT) AS h
+       |  FROM documents WHERE $mediaTypeSql = 'image'
+       |),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id, w AS width, h AS height,
+       |         ${phashHalfSql(32 until 64)} AS hash_hi,
+       |         ${phashHalfSql(0 until 32)} AS hash_lo
+       |  FROM imgs
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "media_image_phash" ->
+      s"""WITH $phashCtes
+         |SELECT doc_id, width, height, hash_hi, hash_lo
+         |FROM ph ORDER BY doc_id""".stripMargin,
+
+    "media_phash_neardup" ->
+      s"""WITH $phashCtes,
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, b.band,
+         |         CASE b.band
+         |           WHEN 0 THEN hash_lo & 65535
+         |           WHEN 1 THEN (hash_lo >> 16) & 65535
+         |           WHEN 2 THEN hash_hi & 65535
+         |           ELSE (hash_hi >> 16) & 65535 END AS bv
+         |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b,
+         |         CAST(bit_count(xor(pa.hash_hi, pb.hash_hi))
+         |            + bit_count(xor(pa.hash_lo, pb.hash_lo)) AS BIGINT)
+         |           AS hamming
+         |  FROM cand JOIN ph pa ON pa.doc_id = cand.doc_a
+         |            JOIN ph pb ON pb.doc_id = cand.doc_b
+         |) WHERE hamming <= $PhashHammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "media_augment_plan" -> {
       def fnvOf(salt: String) = Ora.fnv(s"'aug:e0:$salt:' || doc_id")
       s"""WITH imgs AS (

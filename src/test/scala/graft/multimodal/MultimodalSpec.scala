@@ -145,4 +145,34 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("image phash: every image hashed, halves stay in 32 unsigned bits") {
+    val rows = Multimodal.queries("media_image_phash")(spark, sf).collect()
+    val nImages = Multimodal.mediaAssets(spark, sf)
+      .filter(col("media_type") === "image").count()
+    assert(rows.length.toLong == nImages)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 8 && r.getLong(1) <= 15, "width rule")
+      assert(r.getLong(2) >= 6 && r.getLong(2) <= 11, "height rule")
+      assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 32), "hi half")
+      assert(r.getLong(4) >= 0L && r.getLong(4) < (1L << 32), "lo half")
+    }
+  }
+
+  test("phash near-dup: banded candidates + verify EXACTLY reproduce the " +
+      "brute-force hamming gate, and the fixture has a real pair") {
+    val ph = Multimodal.queries("media_image_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val brute = (for {
+      (a, ahi, alo) <- ph; (b, bhi, blo) <- ph if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) +
+        java.lang.Long.bitCount(alo ^ blo)
+      if d <= Multimodal.PhashHammingMax
+    } yield (a, b, d.toLong)).toSet
+    val banded = Multimodal.queries("media_phash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banding is not exact-cover: banded=$banded brute=$brute")
+    assert(brute.nonEmpty, "no near-dup image pair at this SF — vacuous")
+  }
 }
