@@ -52,8 +52,11 @@ def main():
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
+            # driver fixtures are flat files; Spark-written fixtures
+            # (e.g. the ScaleUp 10x rehearsal dirs) are directories
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):
