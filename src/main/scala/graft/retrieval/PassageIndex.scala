@@ -1,0 +1,126 @@
+package graft.retrieval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import RetrievalQueries._
+
+/** The build/serve split for PASSAGE retrieval — [[SparseIndex]]'s
+  * discipline applied to the chunk-granularity index a long-document
+  * RAG stack actually serves from. `ret_passage_topk` re-tokenizes the
+  * corpus positionally on every call (the algorithm exhibit); this
+  * object tokenizes ONCE at build time and persists:
+  *
+  *   - `postings/` — (term, doc_id, chunk, tf), term-range-sorted so a
+  *     query's `term IN (...)` literals prune files and row groups;
+  *   - `forward/`  — the DOC-level (doc_id, term, tf) table (a doc's
+  *     chunk tfs summed — exact, windows don't overlap), doc-sorted:
+  *     the point-lookup source for query-by-example keywords;
+  *   - `cdstats/`  — (doc_id, chunk, dl) per-chunk lengths;
+  *   - `vstats/`   — (term, df_doc, df_chunk): BOTH granularities of
+  *     df, doc-level for keyword scoring, chunk-level for BM25;
+  *   - `cstats/`   — the 1-row (n_docs, n_chunks, tl) totals.
+  *
+  * Serving reads nothing corpus-sized beyond the pruned postings scan
+  * and reruns the identical integer chain + MaxP of
+  * [[RetrievalQueries.passageTopk]], so the served lists are
+  * bit-identical and share `ret_passage_topk`'s oracle.
+  */
+object PassageIndex {
+
+  def indexPath(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.path(s, dir, "passage", "documents", "doc_id")
+
+  /** One positional tokenize, five persisted tables. */
+  def build(s: SparkSession, dir: String, path: String): Unit = {
+    val ct = chunkTf(s, dir) // checkpointed (doc_id, chunk, term, tf)
+    assertBm25Headroom(s, dir, ct, tag = "chunk",
+      nCollection = Some(() =>
+        ct.select("doc_id", "chunk").distinct().count()))
+    val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+      .localCheckpoint()
+    ct.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id", "chunk")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    tDoc.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id", "term")
+      .write.mode("overwrite").parquet(s"$path/forward")
+    ct.groupBy("doc_id", "chunk").agg(sum("tf").as("dl"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id", "chunk")
+      .write.mode("overwrite").parquet(s"$path/cdstats")
+    tDoc.groupBy("term").agg(count(lit(1)).as("df_doc"))
+      .join(ct.groupBy("term").agg(count(lit(1)).as("df_chunk")), "term")
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/vstats")
+    s.read.parquet(s"$dir/documents.parquet")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(ct.agg(
+        countDistinct(col("doc_id"), col("chunk")).as("n_chunks")))
+      .crossJoin(ct.agg(sum("tf").as("tl")))
+      .write.mode("overwrite").parquet(s"$path/cstats")
+  }
+
+  private val lock = new Object
+
+  def buildIfMissing(s: SparkSession, dir: String): String =
+    lock.synchronized {
+      val path = indexPath(s, dir)
+      if (!new java.io.File(s"$path/cstats/_SUCCESS").exists())
+        build(s, dir, path)
+      path
+    }
+
+  /** Passage top-k with MaxP from the persisted index — zero tokenize
+    * stages at query time; bit-identical to
+    * [[RetrievalQueries.passageTopk]]. */
+  def serve(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val path = buildIfMissing(s, dir)
+    val c = s.read.parquet(s"$path/cstats").localCheckpoint() // 1 row
+    val vstats = s.read.parquet(s"$path/vstats")
+    // keywords: forward point-lookup × doc-level df — same rational
+    // tf·N/df scoring and (score, term) tie-break as the exact path
+    val kw = Window.partitionBy("query_doc")
+      .orderBy(col("kw_score").desc, col("term"))
+    val keywords = s.read.parquet(s"$path/forward")
+      .filter(col("doc_id").isin(QueryDocs: _*))
+      .join(vstats, "term")
+      .crossJoin(broadcast(c))
+      .select(col("doc_id").as("query_doc"), col("term"),
+        (col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df_doc").cast("double")).as("kw_score"))
+      .withColumn("krank", row_number().over(kw))
+      .filter(col("krank") <= NumKeywords)
+      .select("query_doc", "term")
+    // literal term predicates → row-group/file pruning on postings
+    val kwRows = keywords.collect().map(r => (r.getLong(0), r.getString(1)))
+    val terms = kwRows.map(_._2).distinct.toSeq
+    import s.implicits._
+    val kwDf = kwRows.toSeq.toDF("query_doc", "term")
+    val wBest = Window.partitionBy("query_doc", "doc_id")
+      .orderBy(col("chunk_fp").desc, col("chunk"))
+    val wTop = Window.partitionBy("query_doc")
+      .orderBy(col("chunk_fp").desc, col("doc_id"))
+    s.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(kwDf), "term")
+      .filter(col("doc_id") =!= col("query_doc"))
+      .join(broadcast(vstats.filter(col("term").isin(terms: _*))), "term")
+      .join(s.read.parquet(s"$path/cdstats"), Seq("doc_id", "chunk"))
+      .crossJoin(broadcast(c))
+      .select(col("query_doc"), col("doc_id"), col("chunk"),
+        expr(s"((2*n_chunks - 2*df_chunk + 1) * (22 * tf * tl) * $Scale)" +
+          " div ((10*tl*tf + 3*tl + 9*dl*n_chunks) * (2*df_chunk + 1))")
+          .as("c"))
+      .groupBy("query_doc", "doc_id", "chunk")
+      .agg(count(lit(1)).as("n_terms"), sum("c").as("chunk_fp"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("rank"), col("doc_id"), col("chunk"),
+        col("n_terms"), col("chunk_fp"),
+        (col("chunk_fp").cast("double") / lit(Scale.toDouble)).as("score"))
+      .orderBy("query_doc", "rank")
+  }
+}

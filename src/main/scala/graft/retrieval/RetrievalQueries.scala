@@ -590,7 +590,7 @@ object RetrievalQueries {
     * corpus scan, checkpointed. Chunk index = raw token position div
     * [[ChunkTokens]]; empty tokens hold their position but contribute
     * no postings. */
-  private def chunkTf(s: SparkSession, dir: String): DataFrame = {
+  private[retrieval] def chunkTf(s: SparkSession, dir: String): DataFrame = {
     tfBuilds.incrementAndGet()
     docs(s, dir)
       .select(col("doc_id"),
@@ -685,6 +685,7 @@ object RetrievalQueries {
     "ret_phrase_search" -> ((s, dir) => phraseSearch(s, dir)),
     "ret_prf_expand" -> ((s, dir) => prfExpand(s, dir)),
     "ret_passage_topk" -> ((s, dir) => passageTopk(s, dir)),
+    "ret_passage_served" -> ((s, dir) => PassageIndex.serve(s, dir)),
     "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
@@ -874,6 +875,66 @@ object RetrievalQueries {
        |ORDER BY query_doc, mmr_rank""".stripMargin
   }
 
+  /** `ret_passage_topk`'s oracle — also `ret_passage_served`'s:
+    * the persisted chunk index is a deterministic reshaping of the same
+    * positional tokenize, so the served lists are bit-identical by
+    * construction. */
+  private lazy val passageSql =
+    s"""WITH $listsCte,
+         |ptoks AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+         |  FROM documents
+         |),
+         |ppos AS (
+         |  SELECT doc_id, tk, unnest(range(len(tk))) AS p FROM ptoks
+         |),
+         |pctf AS (
+         |  SELECT doc_id, chunk, term, count(*) AS tf FROM (
+         |    SELECT doc_id, p // $ChunkTokens AS chunk,
+         |           tk[CAST(p + 1 AS INT)] AS term
+         |    FROM ppos
+         |  ) WHERE term <> ''
+         |  GROUP BY doc_id, chunk, term
+         |),
+         |pdf AS (SELECT term, count(*) AS df FROM pctf GROUP BY term),
+         |pdl AS (SELECT doc_id, chunk, CAST(sum(tf) AS BIGINT) AS dl
+         |        FROM pctf GROUP BY doc_id, chunk),
+         |pst AS (SELECT (SELECT count(*) FROM
+         |                 (SELECT DISTINCT doc_id, chunk FROM pctf)) AS n,
+         |               (SELECT CAST(sum(tf) AS BIGINT) FROM pctf) AS tl),
+         |pcontrib AS (
+         |  SELECT kw.query_doc, c.doc_id, c.chunk,
+         |         ((2*pst.n - 2*pdf.df + 1) * (22 * c.tf * pst.tl) * $Scale)
+         |           // ((10*pst.tl*c.tf + 3*pst.tl + 9*pdl.dl*pst.n)
+         |              * (2*pdf.df + 1)) AS c
+         |  FROM pctf c JOIN kw USING (term) JOIN pdf USING (term)
+         |       JOIN pdl ON c.doc_id = pdl.doc_id AND c.chunk = pdl.chunk,
+         |       pst
+         |  WHERE c.doc_id <> kw.query_doc
+         |),
+         |pchunk AS (
+         |  SELECT query_doc, doc_id, chunk, count(*) AS n_terms,
+         |         CAST(sum(c) AS BIGINT) AS chunk_fp
+         |  FROM pcontrib GROUP BY query_doc, doc_id, chunk
+         |),
+         |pbest AS (
+         |  SELECT query_doc, doc_id, chunk, n_terms, chunk_fp FROM (
+         |    SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
+         |           row_number() OVER (PARTITION BY query_doc, doc_id
+         |             ORDER BY chunk_fp DESC, chunk) AS rn
+         |    FROM pchunk
+         |  ) WHERE rn = 1
+         |)
+         |SELECT query_doc, rank, doc_id, chunk, n_terms, chunk_fp,
+         |       CAST(chunk_fp AS DOUBLE) / ${Scale}.0 AS score
+         |FROM (
+         |  SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
+         |         row_number() OVER (PARTITION BY query_doc
+         |           ORDER BY chunk_fp DESC, doc_id) AS rank
+         |  FROM pbest
+         |) WHERE rank <= $TopK
+         |ORDER BY query_doc, rank""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ret_bm25_topk" -> bm25Sql,
     "ret_bm25_served" -> bm25Sql,
@@ -1036,65 +1097,14 @@ object RetrievalQueries {
          |FROM stopk2 s2 JOIN expt e USING (query_doc)
          |ORDER BY s2.query_doc, s2.rank""".stripMargin,
 
-    "ret_passage_topk" ->
-      s"""WITH $listsCte,
-         |ptoks AS (
-         |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
-         |  FROM documents
-         |),
-         |ppos AS (
-         |  SELECT doc_id, tk, unnest(range(len(tk))) AS p FROM ptoks
-         |),
-         |pctf AS (
-         |  SELECT doc_id, chunk, term, count(*) AS tf FROM (
-         |    SELECT doc_id, p // $ChunkTokens AS chunk,
-         |           tk[CAST(p + 1 AS INT)] AS term
-         |    FROM ppos
-         |  ) WHERE term <> ''
-         |  GROUP BY doc_id, chunk, term
-         |),
-         |pdf AS (SELECT term, count(*) AS df FROM pctf GROUP BY term),
-         |pdl AS (SELECT doc_id, chunk, CAST(sum(tf) AS BIGINT) AS dl
-         |        FROM pctf GROUP BY doc_id, chunk),
-         |pst AS (SELECT (SELECT count(*) FROM
-         |                 (SELECT DISTINCT doc_id, chunk FROM pctf)) AS n,
-         |               (SELECT CAST(sum(tf) AS BIGINT) FROM pctf) AS tl),
-         |pcontrib AS (
-         |  SELECT kw.query_doc, c.doc_id, c.chunk,
-         |         ((2*pst.n - 2*pdf.df + 1) * (22 * c.tf * pst.tl) * $Scale)
-         |           // ((10*pst.tl*c.tf + 3*pst.tl + 9*pdl.dl*pst.n)
-         |              * (2*pdf.df + 1)) AS c
-         |  FROM pctf c JOIN kw USING (term) JOIN pdf USING (term)
-         |       JOIN pdl ON c.doc_id = pdl.doc_id AND c.chunk = pdl.chunk,
-         |       pst
-         |  WHERE c.doc_id <> kw.query_doc
-         |),
-         |pchunk AS (
-         |  SELECT query_doc, doc_id, chunk, count(*) AS n_terms,
-         |         CAST(sum(c) AS BIGINT) AS chunk_fp
-         |  FROM pcontrib GROUP BY query_doc, doc_id, chunk
-         |),
-         |pbest AS (
-         |  SELECT query_doc, doc_id, chunk, n_terms, chunk_fp FROM (
-         |    SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
-         |           row_number() OVER (PARTITION BY query_doc, doc_id
-         |             ORDER BY chunk_fp DESC, chunk) AS rn
-         |    FROM pchunk
-         |  ) WHERE rn = 1
-         |)
-         |SELECT query_doc, rank, doc_id, chunk, n_terms, chunk_fp,
-         |       CAST(chunk_fp AS DOUBLE) / ${Scale}.0 AS score
-         |FROM (
-         |  SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
-         |         row_number() OVER (PARTITION BY query_doc
-         |           ORDER BY chunk_fp DESC, doc_id) AS rank
-         |  FROM pbest
-         |) WHERE rank <= $TopK
-         |ORDER BY query_doc, rank""".stripMargin,
+    "ret_passage_topk" -> passageSql,
+    "ret_passage_served" -> passageSql,
 
     "ret_mmr_rerank" -> mmrSql,
 
     "ret_phrase_search" ->
+
+
       s"""WITH toksq AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
          |  FROM documents

@@ -263,6 +263,23 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(scans <= 2, s"documents scanned $scans times:\n" + p.take(2000))
   }
 
+  test("served passage index: bit-identical lists, and the serving plan " +
+      "touches NO corpus table and never tokenizes") {
+    val exact = queries("ret_passage_topk")(spark, sf).collect().toSeq
+    val df = queries("ret_passage_served")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val served = df.collect().toSeq
+    assert(served.map(_.toSeq) == exact.map(_.toSeq),
+      "served passage lists diverge from the exact path")
+    assert(!p.contains("documents.parquet"),
+      "serving must not read the corpus:\n" + p.take(2000))
+    assert("posexplode|Generate".r.findAllIn(p).isEmpty,
+      "serving must not tokenize:\n" + p.take(2000))
+    // every scan in the plan is an index-table scan
+    assert("FileScan parquet".r.findAllIn(p).nonEmpty ||
+      "Scan parquet".r.findAllIn(p).nonEmpty, p.take(2000))
+  }
+
   test("mmr rerank: a permutation of the dense top-k, first pick is the " +
       "most relevant, scores non-increasing from step 2") {
     val dense = queries("ret_dense_topk")(spark, sf).collect()
