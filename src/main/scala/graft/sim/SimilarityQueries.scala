@@ -230,6 +230,25 @@ object SimilarityQueries {
     * of 2^-20 (~1e-6 — far below any clustering-relevant signal). */
   val KmeansFp = 1048576.0 // 2^20
 
+  /** Bottom-k per label for the centroid-outlier audit. */
+  val OutlierK = 5
+
+  /** Shared label-centroid table (label, cvec), fixed-point-quantized
+    * per dimension for cross-engine exactness. Checkpointed: it's a
+    * 10-row table with multiple consumers — without the checkpoint each
+    * consumer re-runs the (label, dim) corpus aggregation, one extra
+    * full scan per consumer at 100 TB. */
+  private def labelCentroidsOf(e: DataFrame): DataFrame =
+    e.select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
+        (count("*") * lit(KmeansFp))).as("val"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
+        x => x.getField("val")).as("cvec"))
+      .localCheckpoint()
+
   /** Power-iteration rounds for the top-eigenvector query. Thirty-two L∞-
     * normalized multiplies from the all-ones start separate the dominant
     * eigenpair on this spectrum (spec-checked via the Cv ∥ λv residual);
@@ -1129,19 +1148,7 @@ object SimilarityQueries {
     // order-independent too. Nothing here is ever corpus² or sorted.
     "sim_label_centroids" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = e
-        .select(col("label").cast("long").as("label"),
-          posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy("label", "i")
-        .agg((sum(floor(col("v").cast("double") * lit(KmeansFp) + lit(0.5))) /
-          (count("*") * lit(KmeansFp))).as("val"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("val")))),
-          x => x.getField("val")).as("cvec"))
-        // 10-row table, two consumers (cohesion probe + norm column):
-        // without the checkpoint each consumer re-runs the (label, dim)
-        // corpus aggregation — one extra full scan per consumer at 100 TB
-        .localCheckpoint()
+      val cents = labelCentroidsOf(e)
       val coh = e.select(col("label").cast("long").as("label"),
           col("embedding"))
         .join(broadcast(cents), "label")
@@ -1156,6 +1163,31 @@ object SimilarityQueries {
         .select(col("label"), col("n_members"), col("avg_cos"),
           col("c_norm_sq"))
         .orderBy("label")
+    }),
+
+    // Embedding-space outlier audit for curation: each vector's
+    // quantized cosine to its OWN label centroid, per-label bottom-k —
+    // the least-cohesive members are the mislabeled/noisy candidates a
+    // cleaning pass reviews first. One (label, dim) aggregate builds
+    // the 10-row centroid table (broadcast back), one vector scan
+    // scores; the rank window runs over corpus rows keyed by label —
+    // the same top-k shape as every ranked query here
+    "sim_centroid_outliers" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = labelCentroidsOf(e)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+        .orderBy(col("qc").asc, col("vec_id"))
+      e.select(col("label").cast("long").as("label"), col("vec_id"),
+          col("embedding"))
+        .join(broadcast(cents), "label")
+        .select(col("label"), col("vec_id"),
+          floor(cosine(col("embedding"), col("cvec")) * lit(KmeansFp) +
+            lit(0.5)).cast("long").as("qc"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= OutlierK)
+        .select(col("label"), col("rank"), col("vec_id"),
+          (col("qc").cast("double") / lit(KmeansFp)).as("cos_centroid"))
+        .orderBy("label", "rank")
     }),
 
     // per-dimension embedding health: the audit run before normalization
@@ -2220,6 +2252,33 @@ object SimilarityQueries {
            |       ${Ora.dot64("ce.cvec", "ce.cvec")} AS c_norm_sq
            |FROM coh co JOIN cents ce USING (label)
            |ORDER BY label""".stripMargin,
+
+      "sim_centroid_outliers" ->
+        s"""WITH cents AS (
+           |  SELECT label, list(val ORDER BY i) AS cvec FROM (
+           |    SELECT v.label, ii.i,
+           |           sum(floor(v.embedding[ii.i + 1]::DOUBLE * $KmeansFp + 0.5))
+           |             / (count(*) * $KmeansFp) AS val
+           |    FROM embeddings v
+           |    CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+           |    GROUP BY v.label, ii.i
+           |  ) GROUP BY label
+           |),
+           |sc AS (
+           |  SELECT CAST(v.label AS BIGINT) AS label, v.vec_id,
+           |         CAST(floor(${Ora.cos64("v.embedding", "c.cvec")}
+           |             * $KmeansFp + 0.5) AS BIGINT) AS qc
+           |  FROM embeddings v JOIN cents c USING (label)
+           |)
+           |SELECT label, rank, vec_id,
+           |       CAST(qc AS DOUBLE) / $KmeansFp AS cos_centroid
+           |FROM (
+           |  SELECT label, vec_id, qc,
+           |         row_number() OVER (PARTITION BY label
+           |           ORDER BY qc ASC, vec_id) AS rank
+           |  FROM sc
+           |) WHERE rank <= $OutlierK
+           |ORDER BY label, rank""".stripMargin,
 
       "dedup_semantic" ->
         s"""WITH $assignedCellsSql,

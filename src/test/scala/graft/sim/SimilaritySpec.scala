@@ -436,4 +436,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)).toSeq === expect.toSeq,
       "top-10 inner products differ from the exact driver fold")
   }
+
+  test("centroid outliers: bottom-k per label, genuinely the least " +
+      "cohesive members") {
+    val out = SimilarityQueries.queries("sim_centroid_outliers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(out.groupBy(_._1).keySet.size.toLong == labels)
+    val avg = SimilarityQueries.queries("sim_label_centroids")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((label, rs) <- out.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq ==
+        (1L to rs.length).toSeq, s"label $label ranks")
+      assert(rs.length <= SimilarityQueries.OutlierK)
+      // ranked ascending by centroid cosine: rank 1 is the worst fit
+      val cs = sorted.map(_._4).toSeq
+      assert(cs == cs.sorted, s"label $label not ascending: $cs")
+      // outliers sit below the label's average cohesion (the
+      // sim_label_centroids avg_cos for the same label)
+      assert(cs.head <= avg(label),
+        s"label $label worst member ${cs.head} above its mean ${avg(label)}")
+    }
+  }
 }
