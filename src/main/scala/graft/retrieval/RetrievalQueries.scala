@@ -670,6 +670,38 @@ object RetrievalQueries {
       .orderBy("query_doc", "mmr_rank")
   }
 
+  /** Context-window budget (whitespace tokens) for [[contextPack]]. */
+  val ContextBudget = 256L
+
+  /** The retrieve → pack composition that feeds a RAG prompt: take the
+    * fully-indexed hybrid lists (both legs served from persisted
+    * indexes — the steady-state shape), fetch the candidates' token
+    * counts by literal-IN pruned scan (≤ |queries|·k ids), and greedily
+    * pack docs in rank order until the [[ContextBudget]]-token context
+    * window is full. The pack rule is the rank-order prefix: cumulative
+    * token sum per query (a rank window over ≤ k rows), kept while the
+    * running total fits — cum is monotone, so "kept" is exactly the
+    * maximal prefix. Emits every candidate with its running total and
+    * kept flag so the budget decision is auditable. */
+  def contextPack(s: SparkSession, dir: String): DataFrame = {
+    val lists = hybridIndexed(s, dir)
+      .select("query_doc", "rank", "doc_id").localCheckpoint()
+    val candIds = lists.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val toks = docs(s, dir).filter(col("doc_id").isin(candIds: _*))
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= lit("")))
+          .cast("long").as("n_tokens"))
+    val w = Window.partitionBy("query_doc").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lists.join(broadcast(toks), "doc_id")
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("kept", col("cum_tokens") <= ContextBudget)
+      .select("query_doc", "rank", "doc_id", "n_tokens", "cum_tokens",
+        "kept")
+      .orderBy("query_doc", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -686,6 +718,7 @@ object RetrievalQueries {
     "ret_prf_expand" -> ((s, dir) => prfExpand(s, dir)),
     "ret_passage_topk" -> ((s, dir) => passageTopk(s, dir)),
     "ret_passage_served" -> ((s, dir) => PassageIndex.serve(s, dir)),
+    "ret_context_pack" -> ((s, dir) => contextPack(s, dir)),
     "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
@@ -1099,6 +1132,41 @@ object RetrievalQueries {
 
     "ret_passage_topk" -> passageSql,
     "ret_passage_served" -> passageSql,
+
+    "ret_context_pack" ->
+      s"""WITH $listsCte,
+         |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)},
+         |cfused AS (
+         |  SELECT query_doc, rank, doc_id FROM (
+         |    SELECT query_doc, doc_id, rrf_score,
+         |           row_number() OVER (PARTITION BY query_doc
+         |             ORDER BY rrf_score DESC, doc_id) AS rank
+         |    FROM (
+         |      SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
+         |             coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |             coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
+         |               + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
+         |                          0.0::DOUBLE) AS rrf_score
+         |      FROM stopk s FULL JOIN hadck d
+         |        ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+         |    )
+         |  ) WHERE rank <= $TopK
+         |),
+         |ctoks AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |           x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM cfused)
+         |)
+         |SELECT query_doc, rank, doc_id, n_tokens, cum_tokens,
+         |       cum_tokens <= $ContextBudget AS kept
+         |FROM (
+         |  SELECT f.query_doc, f.rank, f.doc_id, t.n_tokens,
+         |         CAST(sum(t.n_tokens) OVER (PARTITION BY f.query_doc
+         |           ORDER BY f.rank) AS BIGINT) AS cum_tokens
+         |  FROM cfused f JOIN ctoks t USING (doc_id)
+         |)
+         |ORDER BY query_doc, rank""".stripMargin,
 
     "ret_mmr_rerank" -> mmrSql,
 

@@ -311,6 +311,28 @@ class RetrievalQueriesSpec extends SparkSpec {
       "MMR never reordered — vacuous fixture")
   }
 
+  test("context pack: running totals are exact, kept is the maximal " +
+      "prefix, and the budget actually bites on this fixture") {
+    val rows = queries("ret_context_pack")(spark, sf).collect()
+    assert(rows.groupBy(_.getLong(0)).keySet == QueryDocs.toSet)
+    for ((q, rs) <- rows.groupBy(_.getLong(0))) {
+      val sorted = rs.sortBy(_.getLong(1))
+      var cum = 0L
+      var stillKept = true
+      sorted.foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getLong(4) == cum, s"q=$q cum drift at rank ${r.getLong(1)}")
+        val kept = r.getBoolean(5)
+        assert(kept == (cum <= ContextBudget), s"q=$q kept rule")
+        // kept is a prefix: once false, never true again
+        assert(stillKept || !kept, s"q=$q kept re-opened")
+        stillKept = kept
+      }
+    }
+    assert(rows.exists(_.getBoolean(5)), "budget kept nothing — vacuous")
+    assert(rows.exists(!_.getBoolean(5)), "budget excluded nothing — vacuous")
+  }
+
   test("the BM25 overflow guard fails loudly on a pathological corpus") {
     // stats whose worst factor chain exceeds int64: the guard must
     // refuse at build time instead of letting Spark wrap silently
