@@ -28,7 +28,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "corpus_dsir_weights",       // smoothed ratio means on the 2^-20 grid
     "ret_bm25_topk",             // integer BM25 chain + rank windows
     "ret_ndcg_eval",             // RRF doubles + fixed-point DCG
-    "ret_hybrid_indexed")        // both persisted-index serving legs
+    "ret_hybrid_indexed",        // both persisted-index serving legs
+    "ret_passage_topk",          // chunk-granularity chain + MaxP windows
+    "ret_mmr_rerank",            // greedy argmax over collected doubles
+    "ret_context_pack",          // prefix-sum budget over served lists
+    "media_phash_neardup",       // banded join + hamming verify
+    "sim_centroid_outliers")     // quantized-cosine bottom-k
 
   private def collectAll(partitions: String): Map[String, Seq[String]] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
