@@ -233,6 +233,14 @@ object SimilarityQueries {
   /** Bottom-k per label for the centroid-outlier audit. */
   val OutlierK = 5
 
+  /** Personalized-PageRank geometry for `ret_graph_ppr`. Damping and
+    * teleport are BOTH literals — computing 1.0 − 0.85 yields
+    * 0.15000000000000002 in IEEE doubles and the engines must agree. */
+  val PprDamping = 0.85
+  val PprTeleport = 0.15
+  val PprIterations = 4
+  val PprTopK = 10
+
   /** Shared label-centroid table (label, cvec), fixed-point-quantized
     * per dimension for cross-engine exactness. Checkpointed: it's a
     * 10-row table with multiple consumers — without the checkpoint each
@@ -1077,6 +1085,51 @@ object SimilarityQueries {
         .filter(col("rk") <= KnnK)
         .select("vec_id", "nbr", "cos_sim", "rk")
         .orderBy("vec_id", "rk")),
+
+    // Graph-based retrieval expansion ("graph RAG"): personalized
+    // PageRank seeded at each query doc over the SAME bucket-capped kNN
+    // graph as sim_knn_join — reaches docs that are not directly similar
+    // to the query but sit in its neighborhood's dense core. Rank
+    // vectors stay SPARSE (only reached nodes carry rows, ≤ K^i after i
+    // hops); each iteration is one edges⋈ranks join + one (seed, dst)
+    // aggregate, and values round to the 1e-12 grid per iteration — the
+    // pagerank family's cross-engine portability discipline. Lives here
+    // (not retrieval/) because the graph derivation and its oracle CTE
+    // are this family's.
+    "ret_graph_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = graft.retrieval.RetrievalQueries.QueryDocs
+      val knn = bucketCosinePairs(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("cos_sim").desc, col("nbr"))))
+        .filter(col("rk") <= KnnK)
+        .select("vec_id", "nbr").localCheckpoint()
+      val eDeg = knn
+        .join(knn.groupBy("vec_id").agg(count(lit(1)).as("deg")), "vec_id")
+        .localCheckpoint()
+      val seedBase = seeds.map(q => (q, q, PprTeleport))
+        .toDF("seed", "node", "base").localCheckpoint()
+      var r = seeds.map(q => (q, q, 1.0)).toDF("seed", "node", "pr")
+      for (_ <- 1 to PprIterations) {
+        val contrib = eDeg.join(r, eDeg("vec_id") === r("node"))
+          .groupBy("seed", "nbr").agg(sum(col("pr") / col("deg")).as("inflow"))
+          .select(col("seed"), col("nbr").as("node"), col("inflow"))
+        r = seedBase.join(contrib, Seq("seed", "node"), "outer")
+          .select(col("seed"), col("node"),
+            round(coalesce(col("base"), lit(0.0)) +
+              lit(PprDamping) * coalesce(col("inflow"), lit(0.0)), 12)
+              .as("pr"))
+          .localCheckpoint()
+      }
+      val w = Window.partitionBy("seed").orderBy(col("pr").desc, col("node"))
+      r.filter(col("node") =!= col("seed"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= PprTopK)
+        .select(col("seed").as("query_doc"), col("rank"),
+          col("node").as("doc_id"), col("pr").as("ppr"))
+        .orderBy("query_doc", "rank")
+    }),
 
     // k-core of the kNN graph: the dense similarity clusters — every
     // surviving vector has ≥ KCoreK neighbors that THEMSELVES survive,
@@ -2009,6 +2062,51 @@ object SimilarityQueries {
            |)
            |SELECT vec_id, nbr, cos_sim, rk FROM ranked WHERE rk <= $KnnK
            |ORDER BY vec_id, rk""".stripMargin),
+
+      "ret_graph_ppr" -> {
+        val seedList = graft.retrieval.RetrievalQueries.QueryDocs
+          .map(q => s"$q").mkString("[", ", ", "]")
+        val iters = (1 to PprIterations).map { i =>
+          s"""pp$i AS MATERIALIZED (
+             |  SELECT coalesce(b.seed, c.seed) AS seed,
+             |         coalesce(b.node, c.node) AS node,
+             |         round(coalesce(b.base, 0.0::DOUBLE)
+             |               + $PprDamping::DOUBLE
+             |                 * coalesce(c.inflow, 0.0::DOUBLE), 12) AS pr
+             |  FROM (SELECT seed, seed AS node, $PprTeleport::DOUBLE AS base
+             |        FROM pseeds) b
+             |  FULL JOIN (
+             |    SELECT r.seed, e.nbr AS node, sum(r.pr / dg.deg) AS inflow
+             |    FROM pknn e
+             |    JOIN pp${i - 1} r ON e.vec_id = r.node
+             |    JOIN pkdeg dg ON e.vec_id = dg.vec_id
+             |    GROUP BY r.seed, e.nbr
+             |  ) c ON b.seed = c.seed AND b.node = c.node
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"WITH $bucketPairsSql,\n" +
+          s"""pknn AS MATERIALIZED (
+             |  SELECT vec_id, nbr FROM (
+             |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cos_sim DESC, nbr) AS rk FROM bpairs
+             |  ) WHERE rk <= $KnnK
+             |),
+             |pkdeg AS MATERIALIZED (
+             |  SELECT vec_id, count(*) AS deg FROM pknn GROUP BY vec_id
+             |),
+             |pseeds AS (SELECT CAST(unnest($seedList) AS BIGINT) AS seed),
+             |pp0 AS MATERIALIZED (
+             |  SELECT seed, seed AS node, 1.0::DOUBLE AS pr FROM pseeds
+             |),
+             |$iters
+             |SELECT seed AS query_doc, rank, node AS doc_id, pr AS ppr
+             |FROM (
+             |  SELECT seed, node, pr, row_number() OVER (PARTITION BY seed
+             |    ORDER BY pr DESC, node) AS rank
+             |  FROM pp$PprIterations WHERE node <> seed
+             |) WHERE rank <= $PprTopK
+             |ORDER BY query_doc, rank""".stripMargin
+      },
 
       "sim_hard_negatives" -> (s"WITH $bucketPairsSql,\n" +
         """ranked AS (

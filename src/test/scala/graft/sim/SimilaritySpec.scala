@@ -437,6 +437,35 @@ class SimilaritySpec extends SparkSpec {
       "top-10 inner products differ from the exact driver fold")
   }
 
+  test("graph ppr: descending mass per seed, and the walk reaches " +
+      "beyond the seed's direct kNN neighbors") {
+    val qd = graft.retrieval.RetrievalQueries.QueryDocs.toSet
+    val rows = SimilarityQueries.queries("ret_graph_ppr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // a seed with no out-edges in the bucket-capped kNN graph (an
+    // isolated doc) legitimately gets no expansion — seed 7 at sf0.001
+    val seedsWithResults = rows.groupBy(_._1).keySet
+    assert(seedsWithResults.subsetOf(qd) && seedsWithResults.size >= 2,
+      s"unexpected seed set $seedsWithResults")
+    val knn1 = SimilarityQueries.queries("sim_knn_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var reachedBeyond = false
+    for ((seed, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length).toSeq)
+      val ps = sorted.map(_._4).toSeq
+      assert(ps == ps.sorted.reverse, s"seed $seed not descending")
+      assert(ps.forall(p => p > 0.0 && p < 1.0), s"seed $seed mass range")
+      assert(!sorted.exists(_._3 == seed), "seed retrieved itself")
+      val oneHop = knn1.getOrElse(seed, Set.empty)
+      if (sorted.exists(r => !oneHop.contains(r._3))) reachedBeyond = true
+    }
+    assert(reachedBeyond,
+      "every PPR result is a direct neighbor — the multi-hop walk is vacuous")
+  }
+
   test("centroid outliers: bottom-k per label, genuinely the least " +
       "cohesive members") {
     val out = SimilarityQueries.queries("sim_centroid_outliers")(spark, sf)
