@@ -275,7 +275,7 @@ object Multimodal {
     * left-to-right, and pack the 64 bits as (hash_hi, hash_lo). Parse
     * failures poison with -1s like every other decode. Map-only: one
     * pass over the image assets, no shuffle until the caller's sort. */
-  private[multimodal] def imagePhash(s: SparkSession, dir: String)
+  private[graft] def imagePhash(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
     mediaAssets(s, dir).filter(col("media_type") === "image")
@@ -619,6 +619,34 @@ object Multimodal {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Tri-modal agreement measurement: for TEXT near-dup pairs whose
+    // documents are both image-typed, what does the VISUAL hash say?
+    // The honest answer on this fixture — and in any pipeline that
+    // renders the same text at different geometries — is that dHash
+    // agreement requires matching render dims (the raster cycles the
+    // text through a doc-specific w×h), which is exactly what the
+    // same_dims flag exposes. The companion measurement to
+    // crossmodal_dup_agreement (text vs embedding); pair set is the
+    // near-dup ledger's, so the join is pair-sized, never corpus²
+    "crossmodal_visual_agreement" -> ((s, dir) => {
+      val pairs = graft.dedup.DedupQueries
+        .queries("dedup_ngram_jaccard")(s, dir)
+      val ph = imagePhash(s, dir).localCheckpoint()
+      pairs
+        .join(ph.select(col("doc_id").as("doc_a"),
+          col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"),
+          col("width").as("w_a"), col("height").as("h_a")), "doc_a")
+        .join(ph.select(col("doc_id").as("doc_b"),
+          col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"),
+          col("width").as("w_b"), col("height").as("h_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+            .cast("long").as("hamming"),
+          (col("w_a") === col("w_b") && col("h_a") === col("h_b"))
+            .as("same_dims"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // VAD-style activity detection over the REAL samples: frame the
     // decoded PCM into AudioHop-sample windows, integer frame energy
     // (sum of squared amplitudes), count frames clearing the gate —
@@ -859,7 +887,7 @@ object Multimodal {
   /** Shared `imgs` + `ph` CTEs for both phash oracles (MATERIALIZED:
     * ph is referenced several times and each reference carries the 64
     * unrolled CASE bits). */
-  private lazy val phashCtes =
+  private[graft] lazy val phashCtes =
     s"""imgs AS (
        |  SELECT doc_id, text, length(text) AS len,
        |         CAST(8 + doc_id % 8 AS BIGINT) AS w,
@@ -904,6 +932,21 @@ object Multimodal {
          |            JOIN ph pb ON pb.doc_id = cand.doc_b
          |) WHERE hamming <= $PhashHammingMax
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "crossmodal_visual_agreement" -> (
+      s"WITH ${graft.dedup.DedupQueries.jaccardPairsSql},\n" +
+      s"""$phashCtes
+         |SELECT j.doc_a, j.doc_b, j.jaccard,
+         |       CAST(bit_count(xor(pa.hash_hi, pb.hash_hi))
+         |          + bit_count(xor(pa.hash_lo, pb.hash_lo)) AS BIGINT)
+         |         AS hamming,
+         |       (pa.width = pb.width AND pa.height = pb.height)
+         |         AS same_dims
+         |FROM jac j
+         |JOIN ph pa ON j.doc_a = pa.doc_id
+         |JOIN ph pb ON j.doc_b = pb.doc_id
+         |WHERE j.jaccard >= ${graft.dedup.DedupQueries.JaccardThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "media_augment_plan" -> {
       def fnvOf(salt: String) = Ora.fnv(s"'aug:e0:$salt:' || doc_id")

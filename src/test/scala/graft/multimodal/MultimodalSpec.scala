@@ -175,4 +175,22 @@ class MultimodalSpec extends SparkSpec {
       s"banding is not exact-cover: banded=$banded brute=$brute")
     assert(brute.nonEmpty, "no near-dup image pair at this SF — vacuous")
   }
+
+  test("crossmodal visual agreement: image-typed text near-dups carry " +
+      "their visual verdict; visual agreement requires matching dims") {
+    val rows = Multimodal.queries("crossmodal_visual_agreement")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty, "no image-typed near-dup text pair — vacuous")
+    rows.foreach { case (a, b, jac, ham, _) =>
+      assert(a < b && jac >= graft.dedup.DedupQueries.JaccardThreshold)
+      assert(ham >= 0 && ham <= 64, s"($a,$b) hamming $ham")
+    }
+    // the measurement's point: on this fixture (and for any pipeline
+    // rendering the same text at doc-specific geometry) visual
+    // near-agreement only happens when the render dims match
+    rows.filter(_._4 <= Multimodal.PhashHammingMax).foreach { r =>
+      assert(r._5, s"visually-near pair ${(r._1, r._2)} with differing dims")
+    }
+  }
 }
