@@ -552,8 +552,14 @@ object RetrievalQueries {
     * back, and candidate generation stays the broadcast semi-join of
     * query-term rows against chunk postings. Emits the winning chunk
     * index per hit so the caller can fetch the passage. */
-  def passageTopk(s: SparkSession, dir: String): DataFrame = {
-    val ct = chunkTf(s, dir)
+  def passageTopk(s: SparkSession, dir: String): DataFrame =
+    passageFrom(s, dir, chunkTf(s, dir))
+
+  /** The passage chain over an already-checkpointed chunk posting table
+    * — split out so [[granularityAgreement]] can feed BOTH granularities
+    * from one positional tokenize. */
+  private def passageFrom(s: SparkSession, dir: String, ct: DataFrame)
+      : DataFrame = {
     val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
     assertBm25Headroom(s, dir, ct, tag = "chunk",
       nCollection = Some(() =>
@@ -702,6 +708,50 @@ object RetrievalQueries {
       .orderBy("query_doc", "rank")
   }
 
+  /** Granularity-agreement eval — "measure, don't guess" for the
+    * passage family: per query, how much does the passage-MaxP document
+    * ranking agree with the doc-level BM25 ranking? Reports the common
+    * doc count, concordant/discordant rank pairs among the common docs
+    * (exact integer counts — ranks are distinct so there are no ties),
+    * and overlap@k. A long-document corpus where the two diverge is one
+    * where chunking changes retrieval, which is exactly what this
+    * number quantifies before a pipeline switches granularity. Both
+    * lists are ≤ |queries|·k rows; the pair stage is ≤ k² per query. */
+  def granularityAgreement(s: SparkSession, dir: String): DataFrame = {
+    // ONE positional tokenize feeds both granularities: the doc-level
+    // (doc, term, tf) table is a doc's chunk tfs summed (exact — the
+    // windows don't overlap), so the doc-level BM25 list here is
+    // bit-identical to ret_bm25_topk's
+    val ct = chunkTf(s, dir)
+    val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+      .localCheckpoint()
+    val sp = sparseFrom(s, dir, tDoc)
+      .select(col("query_doc"), col("doc_id"), col("rank").as("rs"))
+      .localCheckpoint()
+    val pp = passageFrom(s, dir, ct)
+      .select(col("query_doc"), col("doc_id"), col("rank").as("rp"))
+      .localCheckpoint()
+    val common = sp.join(pp, Seq("query_doc", "doc_id")).localCheckpoint()
+    val a = common.select(col("query_doc"), col("doc_id").as("da"),
+      col("rs").as("rsa"), col("rp").as("rpa"))
+    val b = common.select(col("query_doc").as("qb"), col("doc_id").as("db"),
+      col("rs").as("rsb"), col("rp").as("rpb"))
+    val pc = a.join(b, col("query_doc") === col("qb") && col("da") < col("db"))
+      .select(col("query_doc"),
+        when((col("rsa") < col("rsb")) === (col("rpa") < col("rpb")), 1L)
+          .otherwise(0L).as("conc"))
+      .groupBy("query_doc")
+      .agg(sum("conc").as("n_concordant"),
+        (count(lit(1)) - sum("conc")).as("n_discordant"))
+    common.groupBy("query_doc").agg(count(lit(1)).as("n_common"))
+      .join(pc, Seq("query_doc"), "left")
+      .select(col("query_doc"), col("n_common"),
+        coalesce(col("n_concordant"), lit(0L)).as("n_concordant"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        (col("n_common").cast("double") / lit(TopK.toDouble)).as("overlap"))
+      .orderBy("query_doc")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -719,6 +769,7 @@ object RetrievalQueries {
     "ret_passage_topk" -> ((s, dir) => passageTopk(s, dir)),
     "ret_passage_served" -> ((s, dir) => PassageIndex.serve(s, dir)),
     "ret_context_pack" -> ((s, dir) => contextPack(s, dir)),
+    "ret_granularity_agreement" -> ((s, dir) => granularityAgreement(s, dir)),
     "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
@@ -912,9 +963,11 @@ object RetrievalQueries {
     * the persisted chunk index is a deterministic reshaping of the same
     * positional tokenize, so the served lists are bit-identical by
     * construction. */
-  private lazy val passageSql =
-    s"""WITH $listsCte,
-         |ptoks AS (
+  /** The passage CTE chain (positional tokenize → chunk postings →
+    * chunk BM25 → MaxP `ptopk`), shared by the passage oracles and the
+    * granularity-agreement eval. Depends on `kw` from [[listsCte]]. */
+  private lazy val passageCtes =
+    s"""ptoks AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
          |  FROM documents
          |),
@@ -957,16 +1010,22 @@ object RetrievalQueries {
          |             ORDER BY chunk_fp DESC, chunk) AS rn
          |    FROM pchunk
          |  ) WHERE rn = 1
-         |)
-         |SELECT query_doc, rank, doc_id, chunk, n_terms, chunk_fp,
-         |       CAST(chunk_fp AS DOUBLE) / ${Scale}.0 AS score
-         |FROM (
-         |  SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
-         |         row_number() OVER (PARTITION BY query_doc
-         |           ORDER BY chunk_fp DESC, doc_id) AS rank
-         |  FROM pbest
-         |) WHERE rank <= $TopK
-         |ORDER BY query_doc, rank""".stripMargin
+         |),
+         |ptopk AS (
+         |  SELECT query_doc, rank, doc_id, chunk, n_terms, chunk_fp FROM (
+         |    SELECT query_doc, doc_id, chunk, n_terms, chunk_fp,
+         |           row_number() OVER (PARTITION BY query_doc
+         |             ORDER BY chunk_fp DESC, doc_id) AS rank
+         |    FROM pbest
+         |  ) WHERE rank <= $TopK
+         |)""".stripMargin
+
+  private lazy val passageSql =
+    s"""WITH $listsCte,
+       |$passageCtes
+       |SELECT query_doc, rank, doc_id, chunk, n_terms, chunk_fp,
+       |       CAST(chunk_fp AS DOUBLE) / ${Scale}.0 AS score
+       |FROM ptopk ORDER BY query_doc, rank""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "ret_bm25_topk" -> bm25Sql,
@@ -1132,6 +1191,35 @@ object RetrievalQueries {
 
     "ret_passage_topk" -> passageSql,
     "ret_passage_served" -> passageSql,
+
+    "ret_granularity_agreement" ->
+      s"""WITH $listsCte,
+         |$passageCtes,
+         |agc AS (
+         |  SELECT s.query_doc, s.doc_id, s.rank AS rs, p.rank AS rp
+         |  FROM stopk s JOIN ptopk p USING (query_doc, doc_id)
+         |),
+         |agp AS (
+         |  SELECT a.query_doc,
+         |         CASE WHEN (a.rs < b.rs) = (a.rp < b.rp)
+         |              THEN 1 ELSE 0 END AS conc
+         |  FROM agc a JOIN agc b
+         |    ON a.query_doc = b.query_doc AND a.doc_id < b.doc_id
+         |),
+         |agg1 AS (
+         |  SELECT query_doc, CAST(sum(conc) AS BIGINT) AS n_concordant,
+         |         CAST(count(*) - sum(conc) AS BIGINT) AS n_discordant
+         |  FROM agp GROUP BY query_doc
+         |),
+         |agn AS (
+         |  SELECT query_doc, count(*) AS n_common FROM agc GROUP BY query_doc
+         |)
+         |SELECT n.query_doc, n.n_common,
+         |       CAST(coalesce(g.n_concordant, 0) AS BIGINT) AS n_concordant,
+         |       CAST(coalesce(g.n_discordant, 0) AS BIGINT) AS n_discordant,
+         |       CAST(n.n_common AS DOUBLE) / ${TopK}.0 AS overlap
+         |FROM agn n LEFT JOIN agg1 g USING (query_doc)
+         |ORDER BY query_doc""".stripMargin,
 
     "ret_context_pack" ->
       s"""WITH $listsCte,

@@ -333,6 +333,27 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(rows.exists(!_.getBoolean(5)), "budget excluded nothing — vacuous")
   }
 
+  test("granularity agreement: counts reconcile with a driver-side " +
+      "recomputation from the two lists") {
+    val sp = queries("ret_bm25_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val pp = queries("ret_passage_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val rows = queries("ret_granularity_agreement")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val common = sp.keySet.intersect(pp.keySet).filter(_._1 == q).map(_._2)
+      assert(r.getLong(1) == common.size.toLong, s"q=$q n_common")
+      val pairs = for {
+        d1 <- common.toSeq; d2 <- common.toSeq if d1 < d2
+      } yield (sp((q, d1)) < sp((q, d2))) == (pp((q, d1)) < pp((q, d2)))
+      assert(r.getLong(2) == pairs.count(identity).toLong, s"q=$q concordant")
+      assert(r.getLong(3) == pairs.count(!_).toLong, s"q=$q discordant")
+      assert(r.getDouble(4) == common.size.toDouble / TopK, s"q=$q overlap")
+    }
+  }
+
   test("the BM25 overflow guard fails loudly on a pathological corpus") {
     // stats whose worst factor chain exceeds int64: the guard must
     // refuse at build time instead of letting Spark wrap silently
