@@ -76,13 +76,157 @@ object PassageIndex {
     * [[RetrievalQueries.passageTopk]]. */
   def serve(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val path = buildIfMissing(s, dir)
-    val c = s.read.parquet(s"$path/cstats").localCheckpoint() // 1 row
+    serveFrom(s,
+      s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/forward"),
+      s.read.parquet(s"$path/cdstats"),
+      s.read.parquet(s"$path/vstats"),
+      s.read.parquet(s"$path/cstats"), k)
+  }
+
+  // -- incremental maintenance: exact delta append (SparseIndex's
+  // -- lifecycle at chunk granularity; BM25 has no trained state, so
+  // -- every merge below is exact and all served paths share the
+  // -- passage oracle) ------------------------------------------------
+
+  /** Build the BASE index over documents up to [[SparseIndex.baseCutoff]]
+    * only — the same newest-10%-arrive-later convention as every other
+    * incremental story here. */
+  def buildBase(s: SparkSession, dir: String, path: String): Unit = {
+    val cut = SparseIndex.baseCutoff(s, dir)
+    val baseDocs = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") <= cut)
+    val ct = chunkTfOf(baseDocs)
+    val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+      .localCheckpoint()
+    ct.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id", "chunk")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    tDoc.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id", "term")
+      .write.mode("overwrite").parquet(s"$path/forward")
+    ct.groupBy("doc_id", "chunk").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/cdstats")
+    tDoc.groupBy("term").agg(count(lit(1)).as("df_doc"))
+      .join(ct.groupBy("term").agg(count(lit(1)).as("df_chunk")), "term")
+      .write.mode("overwrite").parquet(s"$path/vstats")
+    baseDocs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(ct.agg(
+        countDistinct(col("doc_id"), col("chunk")).as("n_chunks")))
+      .crossJoin(ct.agg(sum("tf").as("tl")))
+      .write.mode("overwrite").parquet(s"$path/cstats")
+  }
+
+  def buildBaseIfMissing(s: SparkSession, dir: String): String =
+    lock.synchronized {
+      val path = indexPath(s, dir) + "_base"
+      if (!new java.io.File(s"$path/cstats/_SUCCESS").exists())
+        buildBase(s, dir, path)
+      path
+    }
+
+  /** The delta tail's tables, tokenized at serve time (the ingest-batch
+    * cost). Chunks are per-document, so base and delta posting/length
+    * rows are disjoint and union IS the merge; df and the corpus totals
+    * merge by exact addition. */
+  def serveWithDelta(s: SparkSession, dir: String, k: Int = TopK)
+      : DataFrame = {
+    val path = buildBaseIfMissing(s, dir)
+    val cut = SparseIndex.baseCutoff(s, dir)
+    val deltaDocs = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") > cut)
+    val dt = chunkTfOf(deltaDocs)
+    val dtDoc = dt.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+      .localCheckpoint()
+    val postings = s.read.parquet(s"$path/postings").unionByName(dt)
+    val forward = s.read.parquet(s"$path/forward").unionByName(dtDoc)
+    val cdstats = s.read.parquet(s"$path/cdstats")
+      .unionByName(dt.groupBy("doc_id", "chunk").agg(sum("tf").as("dl")))
     val vstats = s.read.parquet(s"$path/vstats")
+      .unionByName(
+        dtDoc.groupBy("term").agg(count(lit(1)).as("df_doc"))
+          .join(dt.groupBy("term").agg(count(lit(1)).as("df_chunk")),
+            "term"))
+      .groupBy("term").agg(sum("df_doc").as("df_doc"),
+        sum("df_chunk").as("df_chunk"))
+    val cDelta = deltaDocs.agg(count(lit(1)).as("n_docs_d"))
+      .crossJoin(dt.agg(coalesce(
+        countDistinct(col("doc_id"), col("chunk")), lit(0L))
+        .as("n_chunks_d")))
+      .crossJoin(dt.agg(coalesce(sum("tf"), lit(0L)).as("tl_d")))
+    val cstats = s.read.parquet(s"$path/cstats").crossJoin(cDelta)
+      .select((col("n_docs") + col("n_docs_d")).as("n_docs"),
+        (col("n_chunks") + col("n_chunks_d")).as("n_chunks"),
+        (col("tl") + col("tl_d")).as("tl"))
+    serveFrom(s, postings, forward, cdstats, vstats, cstats, k)
+  }
+
+  /** Fold the delta into a compacted GENERATION — gated by a marker
+    * created only after all five tables landed, and idempotent because
+    * base rows are re-selected by the id range (the IvfPq/SparseIndex
+    * compaction discipline). The merge is exact, so the compacted
+    * generation serves bit-identically to a full rebuild. */
+  def compactDelta(s: SparkSession, dir: String): String = lock.synchronized {
+    val base = buildBaseIfMissing(s, dir)
+    val path = base + "_compacted"
+    val marker = new java.io.File(s"$path/_ALL_TABLES")
+    if (!marker.exists()) {
+      val cut = SparseIndex.baseCutoff(s, dir)
+      val dt = chunkTfOf(s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") > cut))
+      val merged = s.read.parquet(s"$base/postings")
+        .filter(col("doc_id") <= cut) // idempotent: base rows by range
+        .unionByName(dt)
+        .localCheckpoint()
+      val mDoc = merged.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+        .localCheckpoint()
+      merged.repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id", "chunk")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      mDoc.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id", "term")
+        .write.mode("overwrite").parquet(s"$path/forward")
+      merged.groupBy("doc_id", "chunk").agg(sum("tf").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/cdstats")
+      mDoc.groupBy("term").agg(count(lit(1)).as("df_doc"))
+        .join(merged.groupBy("term").agg(count(lit(1)).as("df_chunk")),
+          "term")
+        .write.mode("overwrite").parquet(s"$path/vstats")
+      s.read.parquet(s"$dir/documents.parquet")
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(merged.agg(
+          countDistinct(col("doc_id"), col("chunk")).as("n_chunks")))
+        .crossJoin(merged.agg(sum("tf").as("tl")))
+        .write.mode("overwrite").parquet(s"$path/cstats")
+      require(marker.createNewFile(), s"cannot stamp $marker")
+    }
+    path
+  }
+
+  /** Serve AFTER compaction: persisted pruned scans only, no serve-time
+    * tokenize; bit-identical to [[serve]]/[[serveWithDelta]]. */
+  def serveCompacted(s: SparkSession, dir: String, k: Int = TopK)
+      : DataFrame = {
+    val path = compactDelta(s, dir)
+    serveFrom(s,
+      s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/forward"),
+      s.read.parquet(s"$path/cdstats"),
+      s.read.parquet(s"$path/vstats"),
+      s.read.parquet(s"$path/cstats"), k)
+  }
+
+  /** The shared serving tail over whatever table set the caller
+    * assembled (persisted, base+delta union, or compacted). */
+  private def serveFrom(s: SparkSession, postings: DataFrame,
+      forward: DataFrame, cdstats: DataFrame, vstats: DataFrame,
+      cstats: DataFrame, k: Int): DataFrame = {
+    val c = cstats.localCheckpoint() // 1 row
     // keywords: forward point-lookup × doc-level df — same rational
     // tf·N/df scoring and (score, term) tie-break as the exact path
     val kw = Window.partitionBy("query_doc")
       .orderBy(col("kw_score").desc, col("term"))
-    val keywords = s.read.parquet(s"$path/forward")
+    val keywords = forward
       .filter(col("doc_id").isin(QueryDocs: _*))
       .join(vstats, "term")
       .crossJoin(broadcast(c))
@@ -101,12 +245,12 @@ object PassageIndex {
       .orderBy(col("chunk_fp").desc, col("chunk"))
     val wTop = Window.partitionBy("query_doc")
       .orderBy(col("chunk_fp").desc, col("doc_id"))
-    s.read.parquet(s"$path/postings")
+    postings
       .filter(col("term").isin(terms: _*))
       .join(broadcast(kwDf), "term")
       .filter(col("doc_id") =!= col("query_doc"))
       .join(broadcast(vstats.filter(col("term").isin(terms: _*))), "term")
-      .join(s.read.parquet(s"$path/cdstats"), Seq("doc_id", "chunk"))
+      .join(cdstats, Seq("doc_id", "chunk"))
       .crossJoin(broadcast(c))
       .select(col("query_doc"), col("doc_id"), col("chunk"),
         expr(s"((2*n_chunks - 2*df_chunk + 1) * (22 * tf * tl) * $Scale)" +

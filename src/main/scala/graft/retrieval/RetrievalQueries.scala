@@ -596,10 +596,14 @@ object RetrievalQueries {
     * corpus scan, checkpointed. Chunk index = raw token position div
     * [[ChunkTokens]]; empty tokens hold their position but contribute
     * no postings. */
-  private[retrieval] def chunkTf(s: SparkSession, dir: String): DataFrame = {
+  private[retrieval] def chunkTf(s: SparkSession, dir: String): DataFrame =
+    chunkTfOf(docs(s, dir))
+
+  /** The positional chunk tokenize over an arbitrary document subset —
+    * the delta-ingest entry point for [[PassageIndex]]. */
+  private[retrieval] def chunkTfOf(d: DataFrame): DataFrame = {
     tfBuilds.incrementAndGet()
-    docs(s, dir)
-      .select(col("doc_id"),
+    d.select(col("doc_id"),
         posexplode(split(col("text"), "\\s+")).as(Seq("p", "term")))
       .filter(col("term") =!= "")
       .select(col("doc_id"),
@@ -768,6 +772,8 @@ object RetrievalQueries {
     "ret_prf_expand" -> ((s, dir) => prfExpand(s, dir)),
     "ret_passage_topk" -> ((s, dir) => passageTopk(s, dir)),
     "ret_passage_served" -> ((s, dir) => PassageIndex.serve(s, dir)),
+    "ret_passage_incremental" -> ((s, dir) => PassageIndex.serveWithDelta(s, dir)),
+    "ret_passage_compacted" -> ((s, dir) => PassageIndex.serveCompacted(s, dir)),
     "ret_context_pack" -> ((s, dir) => contextPack(s, dir)),
     "ret_granularity_agreement" -> ((s, dir) => granularityAgreement(s, dir)),
     "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
@@ -1191,6 +1197,8 @@ object RetrievalQueries {
 
     "ret_passage_topk" -> passageSql,
     "ret_passage_served" -> passageSql,
+    "ret_passage_incremental" -> passageSql,
+    "ret_passage_compacted" -> passageSql,
 
     "ret_granularity_agreement" ->
       s"""WITH $listsCte,

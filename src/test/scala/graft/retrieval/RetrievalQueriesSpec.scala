@@ -333,6 +333,27 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(rows.exists(!_.getBoolean(5)), "budget excluded nothing — vacuous")
   }
 
+  test("passage lifecycle: base+delta and compacted serves are " +
+      "bit-identical to the full-build serve, and compaction recovers " +
+      "from a lost marker") {
+    val full = queries("ret_passage_served")(spark, sf).collect().map(_.toSeq)
+    val inc = queries("ret_passage_incremental")(spark, sf)
+      .collect().map(_.toSeq)
+    val comp = queries("ret_passage_compacted")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(inc.toSeq == full.toSeq, "incremental serve diverges")
+    assert(comp.toSeq == full.toSeq, "compacted serve diverges")
+    // crash window: the marker is lost after the tables landed — the
+    // next serve must re-run the (idempotent, base-range-selected)
+    // merge and produce the same lists
+    val marker = new java.io.File(
+      PassageIndex.buildBaseIfMissing(spark, sf) + "_compacted/_ALL_TABLES")
+    assert(marker.delete(), "marker should exist after compaction")
+    val again = queries("ret_passage_compacted")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(again.toSeq == full.toSeq, "post-crash recompaction diverges")
+  }
+
   test("granularity agreement: counts reconcile with a driver-side " +
       "recomputation from the two lists") {
     val sp = queries("ret_bm25_topk")(spark, sf).collect()
