@@ -756,6 +756,44 @@ object RetrievalQueries {
       .orderBy("query_doc")
   }
 
+  /** List-level redundancy gate for [[resultDedup]] — deliberately
+    * LOWER than the corpus SemDeDup threshold (0.35): within a 10-result
+    * list, even moderate semantic overlap is redundancy the prompt
+    * budget shouldn't pay for twice. */
+  val ResultDedupCos = 0.25
+
+  /** SemDeDup over the SERVED result lists: a result is suppressed when
+    * any higher-ranked result in the same list sits above
+    * [[ResultDedupCos]] cosine — the diversity pass between retrieval
+    * and packing (the dedup-flavored complement of [[mmrRerank]]: hard
+    * suppression instead of soft re-scoring). Emits every result with
+    * its kept flag and, for suppressed rows, the highest-ranked
+    * suppressor — auditable like the context pack. Pair stage is
+    * |queries|·k² rows; candidate vectors fetched by literal IN. */
+  def resultDedup(s: SparkSession, dir: String): DataFrame = {
+    val lists = hybridIndexed(s, dir)
+      .select("query_doc", "rank", "doc_id").localCheckpoint()
+    val ids = lists.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val vecs = emb(s, dir).filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+    val a = lists.join(broadcast(vecs), col("doc_id") === col("vec_id"))
+      .select(col("query_doc"), col("rank"), col("doc_id"), col("embedding"))
+      .localCheckpoint()
+    val b = a.select(col("query_doc").as("qb"), col("rank").as("rb"),
+      col("doc_id").as("db"), col("embedding").as("eb"))
+    val sup = a.join(b, col("query_doc") === col("qb") &&
+        col("rb") < col("rank"))
+      .filter(cosine(col("embedding"), col("eb")) >= ResultDedupCos)
+      .groupBy("query_doc", "doc_id")
+      .agg(min(struct(col("rb"), col("db"))).as("s"))
+      .select(col("query_doc"), col("doc_id"), col("s.db").as("dup_of"))
+    lists.join(sup, Seq("query_doc", "doc_id"), "left")
+      .select(col("query_doc"), col("rank"), col("doc_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+      .orderBy("query_doc", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -776,6 +814,7 @@ object RetrievalQueries {
     "ret_passage_compacted" -> ((s, dir) => PassageIndex.serveCompacted(s, dir)),
     "ret_context_pack" -> ((s, dir) => contextPack(s, dir)),
     "ret_granularity_agreement" -> ((s, dir) => granularityAgreement(s, dir)),
+    "ret_result_dedup" -> ((s, dir) => resultDedup(s, dir)),
     "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
@@ -1033,6 +1072,27 @@ object RetrievalQueries {
        |       CAST(chunk_fp AS DOUBLE) / ${Scale}.0 AS score
        |FROM ptopk ORDER BY query_doc, rank""".stripMargin
 
+  /** The served-hybrid fused list as a reusable CTE (`cfused`) —
+    * shared by the context-pack and result-dedup oracles. Depends on
+    * `stopk` (listsCte) and `hadck` (ivfpqMultiCtes). */
+  private lazy val fusedCte =
+    s"""cfused AS (
+       |  SELECT query_doc, rank, doc_id FROM (
+       |    SELECT query_doc, doc_id, rrf_score,
+       |           row_number() OVER (PARTITION BY query_doc
+       |             ORDER BY rrf_score DESC, doc_id) AS rank
+       |    FROM (
+       |      SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
+       |             coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |             coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
+       |               + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
+       |                          0.0::DOUBLE) AS rrf_score
+       |      FROM stopk s FULL JOIN hadck d
+       |        ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+       |    )
+       |  ) WHERE rank <= $TopK
+       |)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ret_bm25_topk" -> bm25Sql,
     "ret_bm25_served" -> bm25Sql,
@@ -1232,22 +1292,7 @@ object RetrievalQueries {
     "ret_context_pack" ->
       s"""WITH $listsCte,
          |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)},
-         |cfused AS (
-         |  SELECT query_doc, rank, doc_id FROM (
-         |    SELECT query_doc, doc_id, rrf_score,
-         |           row_number() OVER (PARTITION BY query_doc
-         |             ORDER BY rrf_score DESC, doc_id) AS rank
-         |    FROM (
-         |      SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
-         |             coalesce(s.doc_id, d.doc_id) AS doc_id,
-         |             coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
-         |               + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
-         |                          0.0::DOUBLE) AS rrf_score
-         |      FROM stopk s FULL JOIN hadck d
-         |        ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
-         |    )
-         |  ) WHERE rank <= $TopK
-         |),
+         |$fusedCte,
          |ctoks AS (
          |  SELECT doc_id,
          |         CAST(len(list_filter(string_split_regex(text, '\\s+'),
@@ -1262,6 +1307,27 @@ object RetrievalQueries {
          |           ORDER BY f.rank) AS BIGINT) AS cum_tokens
          |  FROM cfused f JOIN ctoks t USING (doc_id)
          |)
+         |ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_result_dedup" ->
+      s"""WITH $listsCte,
+         |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)},
+         |$fusedCte,
+         |rvec AS (
+         |  SELECT f.query_doc, f.rank, f.doc_id, e.embedding
+         |  FROM cfused f JOIN embeddings e ON e.vec_id = f.doc_id
+         |),
+         |rsup AS (
+         |  SELECT a.query_doc, a.doc_id, arg_min(b.doc_id, b.rank) AS dup_of
+         |  FROM rvec a JOIN rvec b
+         |    ON a.query_doc = b.query_doc AND b.rank < a.rank
+         |  WHERE ${Ora.cos64("a.embedding", "b.embedding")}
+         |          >= $ResultDedupCos
+         |  GROUP BY a.query_doc, a.doc_id
+         |)
+         |SELECT f.query_doc, f.rank, f.doc_id,
+         |       (s.dup_of IS NULL) AS kept, s.dup_of
+         |FROM cfused f LEFT JOIN rsup s USING (query_doc, doc_id)
          |ORDER BY query_doc, rank""".stripMargin,
 
     "ret_mmr_rerank" -> mmrSql,

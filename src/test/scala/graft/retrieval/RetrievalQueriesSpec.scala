@@ -354,6 +354,25 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(again.toSeq == full.toSeq, "post-crash recompaction diverges")
   }
 
+  test("result dedup: rank-1 always survives, suppressors outrank their " +
+      "suppressed rows, and the gate actually bites") {
+    val rows = queries("ret_result_dedup")(spark, sf).collect()
+    val rankOf = rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1))
+      .toMap
+    assert(rows.groupBy(_.getLong(0)).keySet == QueryDocs.toSet)
+    rows.foreach { r =>
+      val kept = r.getBoolean(3)
+      assert(kept == r.isNullAt(4), "kept XOR dup_of")
+      if (r.getLong(1) == 1L) assert(kept, "rank 1 suppressed")
+      if (!kept) {
+        val supRank = rankOf((r.getLong(0), r.getLong(4)))
+        assert(supRank < r.getLong(1),
+          s"suppressor rank $supRank !< ${r.getLong(1)}")
+      }
+    }
+    assert(rows.exists(!_.getBoolean(3)), "gate suppressed nothing — vacuous")
+  }
+
   test("granularity agreement: counts reconcile with a driver-side " +
       "recomputation from the two lists") {
     val sp = queries("ret_bm25_topk")(spark, sf).collect()
