@@ -794,6 +794,42 @@ object RetrievalQueries {
       .orderBy("query_doc", "rank")
   }
 
+  /** Filtered (faceted) vector search with PRE-filter semantics: the
+    * dense top-k restricted to candidates sharing the query doc's
+    * source facet — the metadata-filtered retrieval every production
+    * vector store must answer, and the classic hard case for ANN
+    * serving (post-filtering an ANN list under-fills k when the filter
+    * is selective; pre-filtering is the exact reference semantics).
+    * This is that exact reference: facet applied BEFORE ranking, so
+    * every query gets a full k from its eligible pool. Emits
+    * n_eligible per row — the selectivity number that decides, at
+    * 100 TB, whether a facet should become a partition key (scan only
+    * its shard) or stay a post-scan predicate. One co-partitioned
+    * id join attaches facets to vectors; queries broadcast. */
+  def filteredDense(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).join(
+      docs(s, dir).select(col("doc_id").as("vec_id"), col("source")),
+      "vec_id")
+    val q = e.filter(col("vec_id").isin(QueryDocs: _*))
+      .select(col("vec_id").as("query_doc"), col("embedding").as("q_emb"),
+        col("source").as("q_source"))
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_doc") &&
+        col("source") === col("q_source"))
+      .select(col("query_doc"), col("vec_id").as("doc_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .localCheckpoint()
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .join(broadcast(cand.groupBy("query_doc")
+        .agg(count(lit(1)).as("n_eligible"))), "query_doc")
+      .select("query_doc", "rank", "doc_id", "cos_sim", "n_eligible")
+      .orderBy("query_doc", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -815,6 +851,7 @@ object RetrievalQueries {
     "ret_context_pack" -> ((s, dir) => contextPack(s, dir)),
     "ret_granularity_agreement" -> ((s, dir) => granularityAgreement(s, dir)),
     "ret_result_dedup" -> ((s, dir) => resultDedup(s, dir)),
+    "ret_filtered_dense" -> ((s, dir) => filteredDense(s, dir)),
     "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
@@ -1328,6 +1365,34 @@ object RetrievalQueries {
          |SELECT f.query_doc, f.rank, f.doc_id,
          |       (s.dup_of IS NULL) AS kept, s.dup_of
          |FROM cfused f LEFT JOIN rsup s USING (query_doc, doc_id)
+         |ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_filtered_dense" ->
+      s"""WITH fq AS (
+         |  SELECT e.vec_id AS query_doc, e.embedding AS q_emb,
+         |         d.source AS q_source
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE e.vec_id IN $qdocs
+         |),
+         |fcand AS MATERIALIZED (
+         |  SELECT q.query_doc, e.vec_id AS doc_id,
+         |         ${Ora.cos64("e.embedding", "q.q_emb")} AS cos_sim
+         |  FROM embeddings e
+         |  JOIN documents d ON e.vec_id = d.doc_id
+         |  JOIN fq q ON d.source = q.q_source AND e.vec_id <> q.query_doc
+         |),
+         |fnel AS (
+         |  SELECT query_doc, count(*) AS n_eligible
+         |  FROM fcand GROUP BY query_doc
+         |)
+         |SELECT c.query_doc, c.rank, c.doc_id, c.cos_sim, n.n_eligible
+         |FROM (
+         |  SELECT query_doc, doc_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_doc
+         |           ORDER BY cos_sim DESC, doc_id) AS rank
+         |  FROM fcand
+         |) c JOIN fnel n USING (query_doc)
+         |WHERE c.rank <= $TopK
          |ORDER BY query_doc, rank""".stripMargin,
 
     "ret_mmr_rerank" -> mmrSql,

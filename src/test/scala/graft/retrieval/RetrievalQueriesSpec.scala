@@ -354,6 +354,26 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(again.toSeq == full.toSeq, "post-crash recompaction diverges")
   }
 
+  test("filtered dense: every hit shares the query's source facet and " +
+      "the filter genuinely changes the list") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = queries("ret_filtered_dense")(spark, sf).collect()
+    assert(rows.groupBy(_.getLong(0)).keySet == QueryDocs.toSet)
+    rows.foreach { r =>
+      assert(srcOf(r.getLong(2)) == srcOf(r.getLong(0)),
+        s"hit ${r.getLong(2)} outside the facet")
+      assert(r.getLong(4) >= r.getLong(1), "n_eligible below rank")
+    }
+    // pre-filter semantics matter: the filtered list differs from a
+    // post-filtered unfiltered list for at least one query
+    val unf = queries("ret_dense_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.exists(r => !unf.contains((r.getLong(0), r.getLong(2)))),
+      "filtered top-k is a subset of the unfiltered list — vacuous facet")
+  }
+
   test("result dedup: rank-1 always survives, suppressors outrank their " +
       "suppressed rows, and the gate actually bites") {
     val rows = queries("ret_result_dedup")(spark, sf).collect()
