@@ -33,7 +33,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ret_mmr_rerank",            // greedy argmax over collected doubles
     "ret_context_pack",          // prefix-sum budget over served lists
     "media_phash_neardup",       // banded join + hamming verify
-    "sim_centroid_outliers")     // quantized-cosine bottom-k
+    "sim_centroid_outliers",     // quantized-cosine bottom-k
+    "ret_graph_ppr",             // rounded float PPR iterations
+    "ret_filtered_dense",        // facet join + cosine ranking
+    "ret_passage_served")        // persisted chunk-index serving
 
   private def collectAll(partitions: String): Map[String, Seq[String]] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
