@@ -197,14 +197,16 @@ object RetrievalQueries {
     * term set. Candidate generation IS the broadcast semi-join: posting
     * rows that carry a query term; then one exact integer chain per
     * (query, candidate, term) onto the 2^-14 grid. */
-  private def bm25Rank(s: SparkSession, dir: String, t: DataFrame,
+  /** The pre-window scoring stage: every candidate's (n_terms,
+    * score_fp) — split from the rank so [[filteredSparse]] can apply
+    * its facet restriction BEFORE the top-k window (pre-filter
+    * semantics). */
+  private def bm25Scores(s: SparkSession, dir: String, t: DataFrame,
       keywords: DataFrame): DataFrame = {
     val df = t.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
     val n = docs(s, dir).agg(count(lit(1)).as("n"))
     val tl = t.agg(sum("tf").as("tl"))
-    val w = Window.partitionBy("query_doc")
-      .orderBy(col("score_fp").desc, col("doc_id"))
     t.join(broadcast(keywords), "term")
       .filter(col("doc_id") =!= col("query_doc"))
       .join(broadcast(df), "term")
@@ -215,6 +217,13 @@ object RetrievalQueries {
           "((10*tl*tf + 3*tl + 9*dl*n) * (2*df + 1))").as("c"))
       .groupBy("query_doc", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c").as("score_fp"))
+  }
+
+  private def bm25Rank(s: SparkSession, dir: String, t: DataFrame,
+      keywords: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    bm25Scores(s, dir, t, keywords)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_doc"), col("rank"), col("doc_id"), col("n_terms"),
@@ -830,6 +839,40 @@ object RetrievalQueries {
       .orderBy("query_doc", "rank")
   }
 
+  /** The sparse twin of [[filteredDense]]: BM25 top-k restricted to
+    * candidates sharing the query doc's source facet, with the SAME
+    * pre-filter semantics (facet applied before the rank window, so
+    * every query fills k from its eligible pool) and GLOBAL collection
+    * statistics — "search within a collection" with corpus-calibrated
+    * idf, the choice that keeps the served facet shards' scores
+    * comparable across facets. Emits the facet-eligible candidate
+    * count per row. */
+  def filteredSparse(s: SparkSession, dir: String): DataFrame = {
+    val t = tf(s, dir)
+    assertBm25Headroom(s, dir, t)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val qsrc = src.filter(col("doc_id").isin(QueryDocs: _*))
+      .select(col("doc_id").as("query_doc"), col("source").as("q_source"))
+    val scored = bm25Scores(s, dir, t, keywordsOf(s, dir, t))
+      .join(src, "doc_id")
+      .join(broadcast(qsrc), "query_doc")
+      .filter(col("source") === col("q_source"))
+      .select("query_doc", "doc_id", "n_terms", "score_fp")
+      .localCheckpoint()
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .join(broadcast(scored.groupBy("query_doc")
+        .agg(count(lit(1)).as("n_eligible"))), "query_doc")
+      .select(col("query_doc"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score_fp"),
+        (col("score_fp").cast("double") / lit(Scale.toDouble)).as("score"),
+        col("n_eligible"))
+      .orderBy("query_doc", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ret_bm25_topk" -> ((s, dir) => sparseTopk(s, dir)),
     "ret_dense_topk" -> ((s, dir) => denseTopk(s, dir)),
@@ -852,6 +895,7 @@ object RetrievalQueries {
     "ret_granularity_agreement" -> ((s, dir) => granularityAgreement(s, dir)),
     "ret_result_dedup" -> ((s, dir) => resultDedup(s, dir)),
     "ret_filtered_dense" -> ((s, dir) => filteredDense(s, dir)),
+    "ret_filtered_bm25" -> ((s, dir) => filteredSparse(s, dir)),
     "ret_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "ret_mrr_eval" -> ((s, dir) => mrrEval(s, dir)))
 
@@ -1392,6 +1436,40 @@ object RetrievalQueries {
          |           ORDER BY cos_sim DESC, doc_id) AS rank
          |  FROM fcand
          |) c JOIN fnel n USING (query_doc)
+         |WHERE c.rank <= $TopK
+         |ORDER BY query_doc, rank""".stripMargin,
+
+    "ret_filtered_bm25" ->
+      s"""WITH $listsCte,
+         |fbs AS (
+         |  SELECT query_doc, doc_id, count(*) AS n_terms,
+         |         CAST(sum(c) AS BIGINT) AS score_fp
+         |  FROM contrib GROUP BY query_doc, doc_id
+         |),
+         |fbq AS (
+         |  SELECT doc_id AS query_doc, source AS q_source
+         |  FROM documents WHERE doc_id IN $qdocs
+         |),
+         |fbf AS MATERIALIZED (
+         |  SELECT f.query_doc, f.doc_id, f.n_terms, f.score_fp
+         |  FROM fbs f
+         |  JOIN documents d ON f.doc_id = d.doc_id
+         |  JOIN fbq q ON f.query_doc = q.query_doc
+         |            AND d.source = q.q_source
+         |),
+         |fbn AS (
+         |  SELECT query_doc, count(*) AS n_eligible
+         |  FROM fbf GROUP BY query_doc
+         |)
+         |SELECT c.query_doc, c.rank, c.doc_id, c.n_terms, c.score_fp,
+         |       CAST(c.score_fp AS DOUBLE) / ${Scale}.0 AS score,
+         |       n.n_eligible
+         |FROM (
+         |  SELECT query_doc, doc_id, n_terms, score_fp,
+         |         row_number() OVER (PARTITION BY query_doc
+         |           ORDER BY score_fp DESC, doc_id) AS rank
+         |  FROM fbf
+         |) c JOIN fbn n USING (query_doc)
          |WHERE c.rank <= $TopK
          |ORDER BY query_doc, rank""".stripMargin,
 

@@ -374,6 +374,28 @@ class RetrievalQueriesSpec extends SparkSpec {
       "filtered top-k is a subset of the unfiltered list — vacuous facet")
   }
 
+  test("filtered bm25: facet containment, global-stat scores match the " +
+      "unfiltered chain, pre-filter semantics bite") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val unf = queries("ret_bm25_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(4)).toMap
+    val rows = queries("ret_filtered_bm25")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(srcOf(r.getLong(2)) == srcOf(r.getLong(0)), "facet containment")
+      // global stats: a doc in both lists carries the identical score_fp
+      unf.get((r.getLong(0), r.getLong(2))).foreach { fp =>
+        assert(fp == r.getLong(4), "facet must not change the score")
+      }
+      assert(r.getLong(6) >= r.getLong(1), "n_eligible below rank")
+    }
+    // the facet admits candidates the unfiltered top-k cut off
+    assert(rows.exists(r => !unf.contains((r.getLong(0), r.getLong(2)))),
+      "filtered list is a subset of the unfiltered top-k — vacuous facet")
+  }
+
   test("result dedup: rank-1 always survives, suppressors outrank their " +
       "suppressed rows, and the gate actually bites") {
     val rows = queries("ret_result_dedup")(spark, sf).collect()
