@@ -10,9 +10,9 @@ import graft.keyspace.{BloomGate, KeyspaceQueries}
 import graft.multimodal.Multimodal
 import graft.profile.{PrivacyQueries, ProfileQueries}
 import graft.sources.KvGenQueries
-import graft.retrieval.RetrievalQueries
+import graft.retrieval.{RagPipeline, RetrievalQueries}
 import graft.relational.{AsOfQueries, BasketQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
-import graft.sim.{MatryoshkaQueries, SimilarityQueries}
+import graft.sim.{KnnGraphIndex, MatryoshkaQueries, SimilarityQueries}
 import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, MaskingQueries, PipelineQueries, SweepQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -38,6 +38,7 @@ object SparkEntry {
       DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, HitsQueries.queries,
       AsOfQueries.queries, SimilarityQueries.queries,
+      KnnGraphIndex.queries,
       MatryoshkaQueries.queries, CollocationQueries.queries,
       MaskingQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
@@ -50,7 +51,7 @@ object SparkEntry {
       RelationalQueries.queries, TpchMoreQueries.queries,
       PartSuppQueries.queries, BasketQueries.queries,
       RangeJoinQueries.queries, PageRank.queries,
-      RetrievalQueries.queries,
+      RetrievalQueries.queries, RagPipeline.queries,
       ProfileQueries.queries, PrivacyQueries.queries, KvGenQueries.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
@@ -61,6 +62,7 @@ object SparkEntry {
       DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, HitsQueries.oracle,
       AsOfQueries.oracle, SimilarityQueries.oracle,
+      KnnGraphIndex.oracle,
       MatryoshkaQueries.oracle, CollocationQueries.oracle,
       MaskingQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,
@@ -72,7 +74,7 @@ object SparkEntry {
       RelationalQueries.oracle, TpchMoreQueries.oracle,
       PartSuppQueries.oracle, BasketQueries.oracle,
       RangeJoinQueries.oracle, PageRank.oracle,
-      RetrievalQueries.oracle,
+      RetrievalQueries.oracle, RagPipeline.oracle,
       ProfileQueries.oracle, PrivacyQueries.oracle, KvGenQueries.oracle)
 
   private def merged[V](modules: Seq[Map[String, V]]): Map[String, V] = {

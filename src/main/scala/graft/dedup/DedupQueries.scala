@@ -652,10 +652,12 @@ object DedupQueries {
        |  SELECT sh FROM ex GROUP BY sh
        |  HAVING count(*) BETWEEN 2 AND $MaxPosting
        |),
+       |exok AS MATERIALIZED (
+       |  SELECT e.doc_id, e.sh FROM ex e JOIN ok_sh USING (sh)
+       |),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  JOIN ok_sh ON a.sh = ok_sh.sh
+       |  FROM exok a JOIN exok b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |),
        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),

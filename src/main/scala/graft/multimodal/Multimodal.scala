@@ -631,7 +631,12 @@ object Multimodal {
     "crossmodal_visual_agreement" -> ((s, dir) => {
       val pairs = graft.dedup.DedupQueries
         .queries("dedup_ngram_jaccard")(s, dir)
-      val ph = imagePhash(s, dir).localCheckpoint()
+      val ph = imagePhash(s, dir)
+        .filter(col("hash_hi") >= 0) // drop poisoned parse failures —
+        // the closed-form oracle assumes every image decodes, so a
+        // -1-sentinel row entering the pair join would silently diverge
+        // (ADVICE r8); matching media_phash_neardup's gate
+        .localCheckpoint()
       pairs
         .join(ph.select(col("doc_id").as("doc_a"),
           col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"),

@@ -97,6 +97,10 @@ object PassageIndex {
     val baseDocs = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") <= cut)
     val ct = chunkTfOf(baseDocs)
+    // guard the standalone base generation like build() (ADVICE r8)
+    assertBm25Headroom(s, dir, ct, tag = "chunk_base",
+      nCollection = Some(() =>
+        ct.select("doc_id", "chunk").distinct().count()))
     val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
       .localCheckpoint()
     ct.repartitionByRange(col("term"))
@@ -139,6 +143,12 @@ object PassageIndex {
     val dtDoc = dt.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
       .localCheckpoint()
     val postings = s.read.parquet(s"$path/postings").unionByName(dt)
+    // merged postings = the full corpus's chunk tf rows — same bound and
+    // memo key as build(), so the incremental path is guarded too
+    // (ADVICE r8)
+    assertBm25Headroom(s, dir, postings, tag = "chunk",
+      nCollection = Some(() =>
+        postings.select("doc_id", "chunk").distinct().count()))
     val forward = s.read.parquet(s"$path/forward").unionByName(dtDoc)
     val cdstats = s.read.parquet(s"$path/cdstats")
       .unionByName(dt.groupBy("doc_id", "chunk").agg(sum("tf").as("dl")))
@@ -178,6 +188,10 @@ object PassageIndex {
         .filter(col("doc_id") <= cut) // idempotent: base rows by range
         .unionByName(dt)
         .localCheckpoint()
+      // full-corpus chunk stats after the merge (ADVICE r8)
+      assertBm25Headroom(s, dir, merged, tag = "chunk",
+        nCollection = Some(() =>
+          merged.select("doc_id", "chunk").distinct().count()))
       val mDoc = merged.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
         .localCheckpoint()
       merged.repartitionByRange(col("term"))

@@ -981,30 +981,40 @@ object RetrievalQueries {
   private val dcgWSql = DcgW.mkString("[", ", ", "]")
   private val dcgPSql = DcgPrefix.mkString("[", ", ", "]")
 
+  /** The hybrid-list CTE chain ending in `hlists` (query_doc, rank,
+    * doc_id, rrf_score, in_sparse, in_dense) — the fused BM25 ∪ IVF-PQ
+    * lists both hybrid oracles and the RAG-pipeline composition read. */
+  private[retrieval] lazy val hybridListsCtes =
+    s"""$listsCte,
+       |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)},
+       |hlists AS (
+       |  SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
+       |  FROM (
+       |    SELECT query_doc, doc_id, rrf_score, in_sparse, in_dense,
+       |           row_number() OVER (PARTITION BY query_doc
+       |             ORDER BY rrf_score DESC, doc_id) AS rank
+       |    FROM (
+       |      SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
+       |             coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |             coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
+       |               + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
+       |                          0.0::DOUBLE) AS rrf_score,
+       |             s.rank IS NOT NULL AS in_sparse,
+       |             d.rank IS NOT NULL AS in_dense
+       |      FROM stopk s FULL JOIN hadck d
+       |        ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+       |    )
+       |  ) WHERE rank <= $TopK
+       |)""".stripMargin
+
   /** The hybrid fusion oracle — shared by `ret_hybrid_served` (exact
     * BM25 leg) and `ret_hybrid_indexed` (served BM25 leg): the served
     * sparse lists are bit-identical to the exact ones, so one SQL covers
     * both compositions. */
   private lazy val hybridSql =
-    s"""WITH $listsCte,
-       |${graft.sim.SimilarityQueries.ivfpqMultiCtes(QueryDocs, TopK)}
+    s"""WITH $hybridListsCtes
        |SELECT query_doc, rank, doc_id, rrf_score, in_sparse, in_dense
-       |FROM (
-       |  SELECT query_doc, doc_id, rrf_score, in_sparse, in_dense,
-       |         row_number() OVER (PARTITION BY query_doc
-       |           ORDER BY rrf_score DESC, doc_id) AS rank
-       |  FROM (
-       |    SELECT coalesce(s.query_doc, d.query_doc) AS query_doc,
-       |           coalesce(s.doc_id, d.doc_id) AS doc_id,
-       |           coalesce(1.0::DOUBLE / ($RrfK + s.rank), 0.0::DOUBLE)
-       |             + coalesce(1.0::DOUBLE / ($RrfK + d.rank),
-       |                        0.0::DOUBLE) AS rrf_score,
-       |           s.rank IS NOT NULL AS in_sparse,
-       |           d.rank IS NOT NULL AS in_dense
-       |    FROM stopk s FULL JOIN hadck d
-       |      ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
-       |  )
-       |) WHERE rank <= $TopK
+       |FROM hlists
        |ORDER BY query_doc, rank""".stripMargin
 
   /** `ret_bm25_topk`'s oracle — also the oracle of BOTH served sparse

@@ -109,6 +109,10 @@ object SparseIndex {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") <= cut)
     val t = tokenize(docs).localCheckpoint()
+    // the base generation serves standalone until the delta arrives —
+    // guard it like build() does (ADVICE r8), with the BASE doc count
+    RetrievalQueries.assertBm25Headroom(s, dir, t, tag = "doc_base",
+      nCollection = Some(() => docs.count()))
     t.repartitionByRange(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
     t.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id", "term")
@@ -142,6 +146,10 @@ object SparseIndex {
       .filter(col("doc_id") > cut)
     val dt = tokenize(deltaDocs).localCheckpoint()
     val postings = s.read.parquet(s"$path/postings").unionByName(dt)
+    // merged postings = the full corpus's tf rows: check the same bound
+    // build() checks, under the same memo key, so the incremental path
+    // cannot silently wrap where the full build would refuse (ADVICE r8)
+    RetrievalQueries.assertBm25Headroom(s, dir, postings)
     val forward = s.read.parquet(s"$path/forward").unionByName(dt)
     val dstats = s.read.parquet(s"$path/dstats")
       .unionByName(dt.groupBy("doc_id").agg(sum("tf").as("dl")))
@@ -182,6 +190,9 @@ object SparseIndex {
         .filter(col("doc_id") <= cut) // idempotent: base rows by range
         .unionByName(dt)
         .localCheckpoint()
+      // full-corpus stats again after the merge (ADVICE r8) — shares
+      // build()'s memo key, so at most one aggregate per corpus
+      RetrievalQueries.assertBm25Headroom(s, dir, merged)
       merged.repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$path/postings")

@@ -293,11 +293,7 @@ object SimilarityQueries {
     * stabilized (for the convergence-pinning spec). */
   private[graft] def knnKCoreWithRounds(s: SparkSession,
       dir: String): (DataFrame, Int) = {
-    val knn = bucketCosinePairs(s, dir)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("cos_sim").desc, col("nbr"))))
-      .filter(col("rk") <= KnnK)
+    val knn = knnTopK(bucketCosinePairs(s, dir))
     val canon = knn
       .select(least(col("vec_id"), col("nbr")).as("a"),
         greatest(col("vec_id"), col("nbr")).as("b"))
@@ -329,16 +325,28 @@ object SimilarityQueries {
       .orderBy("vec_id"), iters)
   }
 
-  private def bucketCosinePairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(s, dir)
+  /** (vec_id, label, embedding, bucket, nrm) — the bucketed corpus view
+    * pair generation runs over; also the `members/` table the persisted
+    * kNN-graph index ([[KnnGraphIndex]]) stores bucket-partitioned so a
+    * delta arrival's touched-bucket recompute is a pruned scan. */
+  private[graft] def pairMembers(s: SparkSession, dir: String): DataFrame =
+    bucketed(s, dir)
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-      .localCheckpoint()
+
+  /** Bucket-local scored pairs from a members view — both directions,
+    * per-bucket posting lists under the [[graft.dedup.DedupQueries.MaxPosting]]
+    * cap. Keeps `bucket` in the output: pair generation is bucket-local
+    * (each vector belongs to exactly one bucket), so the whole pair set —
+    * and therefore the kNN graph — decomposes by bucket; that is what
+    * makes the persisted index's delta path EXACT (recompute only the
+    * buckets a delta vector lands in, union the rest unchanged). */
+  private[graft] def pairsFrom(b: DataFrame): DataFrame = {
     val cand = b.select(col("vec_id"), col("bucket"))
       .groupBy("bucket").agg(collect_list(col("vec_id")).as("ids"))
       .filter(size(col("ids"))
         .between(2, graft.dedup.DedupQueries.MaxPosting))
-      .select(explode(col("ids")).as("vec_id"), col("ids"))
-      .select(col("vec_id"), explode(col("ids")).as("nbr"))
+      .select(col("bucket"), explode(col("ids")).as("vec_id"), col("ids"))
+      .select(col("bucket"), col("vec_id"), explode(col("ids")).as("nbr"))
       .filter(col("vec_id") =!= col("nbr"))
     cand
       .join(b.select(col("vec_id"), col("label").cast("long").as("label"),
@@ -346,9 +354,73 @@ object SimilarityQueries {
       .join(b.select(col("vec_id").as("nbr"),
         col("label").cast("long").as("nbr_label"),
         col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("nbr"))
-      .select(col("vec_id"), col("label"), col("nbr"), col("nbr_label"),
+      .select(col("bucket"), col("vec_id"), col("label"), col("nbr"),
+        col("nbr_label"),
         (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
           .as("cos_sim"))
+  }
+
+  private[graft] def bucketCosinePairs(s: SparkSession, dir: String): DataFrame =
+    pairsFrom(pairMembers(s, dir).localCheckpoint()).drop("bucket")
+
+  /** Per-vector top-[[KnnK]] cut over a scored pair set — the kNN-graph
+    * edge list (vec_id, nbr, cos_sim, rk). Shared by `sim_knn_join` and
+    * the persisted index build, so the served edge table is bit-identical
+    * to the exact query's output and shares its oracle. */
+  private[graft] def knnTopK(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("nbr"))).cast("long"))
+      .filter(col("rk") <= KnnK)
+      .select("vec_id", "nbr", "cos_sim", "rk")
+
+  /** Hard-negative tail over a scored pair set: per vector, the single
+    * most-similar neighbor with a DIFFERENT label. Shared by
+    * `sim_hard_negatives` (pairs derived per call) and its `_served` twin
+    * (pairs read from the persisted kNN-graph index). */
+  private[graft] def hardNegativesFrom(pairs: DataFrame): DataFrame =
+    pairs
+      .filter(col("label") =!= col("nbr_label"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("nbr"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "label", "nbr", "nbr_label", "cos_sim")
+      .orderBy("vec_id")
+
+  /** The personalized-PageRank core over a prepared degree-attached edge
+    * list (vec_id, nbr, deg) — shared by `ret_graph_ppr` (graph derived
+    * per call) and `ret_graph_ppr_served` (edges + degrees read from the
+    * persisted kNN-graph index), so both share one oracle bit-for-bit.
+    * Rank vectors stay SPARSE (only reached nodes carry rows, ≤ K^i after
+    * i hops); each iteration is one edges⋈ranks join + one (seed, dst)
+    * aggregate, values rounded to the 1e-12 grid per iteration — the
+    * pagerank family's cross-engine portability discipline. */
+  private[graft] def pprRun(s: SparkSession, eDeg: DataFrame): DataFrame = {
+    import s.implicits._
+    val seeds = graft.retrieval.RetrievalQueries.QueryDocs
+    val seedBase = seeds.map(q => (q, q, PprTeleport))
+      .toDF("seed", "node", "base").localCheckpoint()
+    var r = seeds.map(q => (q, q, 1.0)).toDF("seed", "node", "pr")
+    for (_ <- 1 to PprIterations) {
+      val contrib = eDeg.join(r, eDeg("vec_id") === r("node"))
+        .groupBy("seed", "nbr").agg(sum(col("pr") / col("deg")).as("inflow"))
+        .select(col("seed"), col("nbr").as("node"), col("inflow"))
+      r = seedBase.join(contrib, Seq("seed", "node"), "outer")
+        .select(col("seed"), col("node"),
+          round(coalesce(col("base"), lit(0.0)) +
+            lit(PprDamping) * coalesce(col("inflow"), lit(0.0)), 12)
+            .as("pr"))
+        .localCheckpoint()
+    }
+    val w = Window.partitionBy("seed").orderBy(col("pr").desc, col("node"))
+    r.filter(col("node") =!= col("seed"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= PprTopK)
+      .select(col("seed").as("query_doc"), col("rank"),
+        col("node").as("doc_id"), col("pr").as("ppr"))
+      .orderBy("query_doc", "rank")
   }
 
   /** Product-quantization geometry: 64 dims → [[PqM]] independent 16-dim
@@ -1078,13 +1150,7 @@ object SimilarityQueries {
     // mate simply have no neighbors — a kNN graph with degree ≤ k, not a
     // dense matrix.
     "sim_knn_join" -> ((s, dir) =>
-      bucketCosinePairs(s, dir)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id")
-            .orderBy(col("cos_sim").desc, col("nbr"))).cast("long"))
-        .filter(col("rk") <= KnnK)
-        .select("vec_id", "nbr", "cos_sim", "rk")
-        .orderBy("vec_id", "rk")),
+      knnTopK(bucketCosinePairs(s, dir)).orderBy("vec_id", "rk")),
 
     // Graph-based retrieval expansion ("graph RAG"): personalized
     // PageRank seeded at each query doc over the SAME bucket-capped kNN
@@ -1097,38 +1163,12 @@ object SimilarityQueries {
     // (not retrieval/) because the graph derivation and its oracle CTE
     // are this family's.
     "ret_graph_ppr" -> ((s, dir) => {
-      import s.implicits._
-      val seeds = graft.retrieval.RetrievalQueries.QueryDocs
-      val knn = bucketCosinePairs(s, dir)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id")
-            .orderBy(col("cos_sim").desc, col("nbr"))))
-        .filter(col("rk") <= KnnK)
+      val knn = knnTopK(bucketCosinePairs(s, dir))
         .select("vec_id", "nbr").localCheckpoint()
       val eDeg = knn
         .join(knn.groupBy("vec_id").agg(count(lit(1)).as("deg")), "vec_id")
         .localCheckpoint()
-      val seedBase = seeds.map(q => (q, q, PprTeleport))
-        .toDF("seed", "node", "base").localCheckpoint()
-      var r = seeds.map(q => (q, q, 1.0)).toDF("seed", "node", "pr")
-      for (_ <- 1 to PprIterations) {
-        val contrib = eDeg.join(r, eDeg("vec_id") === r("node"))
-          .groupBy("seed", "nbr").agg(sum(col("pr") / col("deg")).as("inflow"))
-          .select(col("seed"), col("nbr").as("node"), col("inflow"))
-        r = seedBase.join(contrib, Seq("seed", "node"), "outer")
-          .select(col("seed"), col("node"),
-            round(coalesce(col("base"), lit(0.0)) +
-              lit(PprDamping) * coalesce(col("inflow"), lit(0.0)), 12)
-              .as("pr"))
-          .localCheckpoint()
-      }
-      val w = Window.partitionBy("seed").orderBy(col("pr").desc, col("node"))
-      r.filter(col("node") =!= col("seed"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= PprTopK)
-        .select(col("seed").as("query_doc"), col("rank"),
-          col("node").as("doc_id"), col("pr").as("ppr"))
-        .orderBy("query_doc", "rank")
+      pprRun(s, eDeg)
     }),
 
     // k-core of the kNN graph: the dense similarity clusters — every
@@ -1154,14 +1194,7 @@ object SimilarityQueries {
     // runs before the per-vector top-1 window, so the pick is the
     // hardest negative, not a negative that happened to rank first.
     "sim_hard_negatives" -> ((s, dir) =>
-      bucketCosinePairs(s, dir)
-        .filter(col("label") =!= col("nbr_label"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id")
-            .orderBy(col("cos_sim").desc, col("nbr"))))
-        .filter(col("rk") === 1)
-        .select("vec_id", "label", "nbr", "nbr_label", "cos_sim")
-        .orderBy("vec_id")),
+      hardNegativesFrom(bucketCosinePairs(s, dir))),
 
     // threshold calibration: the corpus-background cosine distribution
     // the dedup/ANN cutoffs (0.35, 0.45) are judged against. Pairs come

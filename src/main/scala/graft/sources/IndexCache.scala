@@ -71,19 +71,40 @@ object IndexCache {
     })
   }
 
+  private val prunedFor =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** How long a superseded sibling must have been quiet (no writes)
+    * before the sweep deletes it. Protects a generation another JVM is
+    * STILL WRITING (its files' mtimes are fresh) from a concurrent
+    * prune; a pure reader does not bump mtimes, so cross-process readers
+    * of a superseded generation remain best-effort — acceptable because
+    * supersession only happens when the fixture itself was rewritten
+    * in place, which invalidates any reader's results anyway (ADVICE r8). */
+  private val PruneQuietMs = 10 * 60 * 1000L
+
   /** Index directory for one artifact family: sanitized path for human
     * legibility, fingerprint for correctness. Prunes superseded
     * generations of the same (family, path) — any sibling whose name
     * shares the family+sanitized-path prefix but not the current
     * fingerprint (including `_base` variants and pre-fingerprint legacy
-    * names) is deleted, so disk usage stays one generation deep. */
+    * names) is deleted, so disk usage stays one generation deep. The
+    * sweep runs ONCE per (process, name) — path() is called on every
+    * serve, and nothing can be newly superseded unless the fingerprint
+    * changed — and skips directories written to within [[PruneQuietMs]]
+    * (ADVICE r8: don't race a generation another process is building). */
   def path(s: SparkSession, dir: String, family: String, table: String,
       idCol: String): String = {
     val stem = s"${family}_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
     val name = stem + "_" + fingerprint(s, dir, table, idCol)
-    pruneLock.synchronized {
+    if (prunedFor.putIfAbsent(name, true) == null) pruneLock.synchronized {
       val root = new File("target/graft_index")
+      def newestMtime(f: File): Long =
+        if (f.isDirectory)
+          (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty)
+            .map(newestMtime).toSeq).max
+        else f.lastModified
       def del(f: File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(del)
         f.delete()
@@ -93,12 +114,14 @@ object IndexCache {
       // between two different corpora from cross-deleting; `n == stem`
       // sweeps pre-fingerprint legacy layouts
       val owned = f"${stem}_${fnv32(dir)}%08x_"
+      val now = System.currentTimeMillis()
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory)
         .filter { f =>
           val n = f.getName
           (n.startsWith(owned) || n == stem) && !n.startsWith(name)
         }
+        .filter(f => now - newestMtime(f) > PruneQuietMs)
         .foreach(del)
     }
     s"target/graft_index/$name"

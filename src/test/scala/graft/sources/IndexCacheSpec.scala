@@ -62,7 +62,12 @@ class IndexCacheSpec extends SparkSpec {
     assert(f1 != f2, "rewritten fixture must land on a fresh fingerprint")
   }
 
-  test("superseded index generations are pruned; other corpora are not") {
+  /** Back-date a directory past the prune quiet window. */
+  private def age(f: java.io.File): Unit =
+    assert(f.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+
+  test("superseded QUIET index generations are pruned; other corpora " +
+      "are not") {
     import java.io.File
     val dir = s"$base/pr"
     val other = s"$base/pr_other"
@@ -73,6 +78,9 @@ class IndexCacheSpec extends SparkSpec {
     new File(p1).mkdirs()
     new File(p1 + "_base").mkdirs()
     new File(pOther).mkdirs()
+    // a generation is only swept once it has been QUIET (ADVICE r8:
+    // don't delete under a process that is still writing it)
+    age(new File(p1)); age(new File(p1 + "_base")); age(new File(pOther))
     // regenerate the corpus -> new fingerprint -> old generation (and
     // its _base sibling) must be swept on the next path() call
     write(dir, 6)
@@ -82,5 +90,39 @@ class IndexCacheSpec extends SparkSpec {
     assert(!new File(p1 + "_base").exists(), "_base variant must be pruned")
     assert(new File(pOther).exists(),
       "a different corpus sharing the name prefix must survive the prune")
+  }
+
+  test("a superseded generation with RECENT writes survives the sweep — " +
+      "another process may still be building it (ADVICE r8)") {
+    import java.io.File
+    val dir = s"$base/prrec"
+    write(dir, 4)
+    val p1 = IndexCache.path(spark, dir, "prfam2", "embeddings", "vec_id")
+    new File(p1).mkdirs() // fresh mtime = a concurrent writer
+    write(dir, 6)
+    val p2 = IndexCache.path(spark, dir, "prfam2", "embeddings", "vec_id")
+    assert(p2 != p1)
+    assert(new File(p1).exists(),
+      "a recently-written sibling must not be deleted out from under a " +
+        "concurrent builder")
+  }
+
+  test("the sweep runs once per (process, generation name), not on " +
+      "every path() call (ADVICE r8: cost + race surface)") {
+    import java.io.File
+    val dir = s"$base/pronce"
+    write(dir, 4)
+    val p1 = IndexCache.path(spark, dir, "prfam3", "embeddings", "vec_id")
+    write(dir, 6)
+    val p2 = IndexCache.path(spark, dir, "prfam3", "embeddings", "vec_id")
+    assert(p2 != p1)
+    // recreate the superseded dir AFTER p2's sweep already ran: further
+    // path() calls for the same generation must not sweep again
+    new File(p1).mkdirs()
+    age(new File(p1))
+    IndexCache.path(spark, dir, "prfam3", "embeddings", "vec_id")
+    assert(new File(p1).exists(),
+      "repeat path() calls for an already-swept generation must be " +
+        "sweep-free")
   }
 }
