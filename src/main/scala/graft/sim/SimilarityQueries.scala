@@ -400,8 +400,17 @@ object SimilarityQueries {
   private[graft] def pprRun(s: SparkSession, eDeg: DataFrame): DataFrame = {
     import s.implicits._
     val seeds = graft.retrieval.RetrievalQueries.QueryDocs
+    // seed frames are |seeds|-row LocalRelations — no checkpoint jobs;
+    // the iterations stay LAZY so the whole [[PprIterations]]-round loop
+    // fuses into one job at the caller's action (the per-round 1e-12
+    // rounding lives in the expressions, not in materialization
+    // barriers). Rank vectors are seed-sparse (≤ K^i rows after i hops),
+    // so the fused plan's intermediate joins are tiny; what the fusion
+    // removes is PprIterations+1 scheduler round-trips — the dominant
+    // cost of the iterative queries at bench SF (round-9, the
+    // pagerank-family job-floor fix).
     val seedBase = seeds.map(q => (q, q, PprTeleport))
-      .toDF("seed", "node", "base").localCheckpoint()
+      .toDF("seed", "node", "base")
     var r = seeds.map(q => (q, q, 1.0)).toDF("seed", "node", "pr")
     for (_ <- 1 to PprIterations) {
       val contrib = eDeg.join(r, eDeg("vec_id") === r("node"))
@@ -412,7 +421,6 @@ object SimilarityQueries {
           round(coalesce(col("base"), lit(0.0)) +
             lit(PprDamping) * coalesce(col("inflow"), lit(0.0)), 12)
             .as("pr"))
-        .localCheckpoint()
     }
     val w = Window.partitionBy("seed").orderBy(col("pr").desc, col("node"))
     r.filter(col("node") =!= col("seed"))
