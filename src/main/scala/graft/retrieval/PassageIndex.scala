@@ -267,8 +267,7 @@ object PassageIndex {
       .join(cdstats, Seq("doc_id", "chunk"))
       .crossJoin(broadcast(c))
       .select(col("query_doc"), col("doc_id"), col("chunk"),
-        expr(s"((2*n_chunks - 2*df_chunk + 1) * (22 * tf * tl) * $Scale)" +
-          " div ((10*tl*tf + 3*tl + 9*dl*n_chunks) * (2*df_chunk + 1))")
+        expr(RetrievalQueries.bm25ContribExpr("n_chunks", "df_chunk"))
           .as("c"))
       .groupBy("query_doc", "doc_id", "chunk")
       .agg(count(lit(1)).as("n_terms"), sum("c").as("chunk_fp"))

@@ -23,15 +23,15 @@ import graft.sim.SimilarityQueries.cosine
   * BM25's idf is the RATIONAL (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)
   * rather than its log, and each per-term contribution is computed as
   * one exact integer product chain followed by a single `div` onto the
-  * 2^-14 fixed-point grid — bit-identical in Spark and DuckDB, and
-  * safely inside BIGINT at the 10× rehearsal scale (the reduced chain's
-  * worst factor ≈ 2N · 22 · tf · TL · 2^14 ≈ 1.5e18 at N = 5e4,
-  * TL = 2.7e6, ~6× under Long.Max; the build-time
-  * [[RetrievalQueries.assertBm25Headroom]] guard fails loudly — in BOTH
-  * engines' favor — if a corpus ever approaches the bound, where
-  * non-ANSI Spark would otherwise wrap silently while DuckDB errors; a
-  * 100× corpus would switch to a smaller scale or per-term
-  * pre-division).
+  * 2^-14 fixed-point grid — bit-identical in Spark and DuckDB. The
+  * chain's intermediates run 128-bit wide (decimal(38,0) in Spark,
+  * HUGEINT in DuckDB — [[RetrievalQueries.bm25ContribExpr]]; round 9,
+  * after the 30× rehearsal's ordinary corpus overflowed the earlier
+  * int64 chain), so the representable-corpus bound is 10^38 — a 100 TB
+  * corpus sits ~6 orders of magnitude under it. The build-time
+  * [[RetrievalQueries.assertBm25Headroom]] guard still fails loudly —
+  * in BOTH engines' favor — if a corpus ever approaches the widened
+  * bound or an un-widened int64 sub-expression's.
   * RRF and nDCG produce doubles only through single-operation
   * divisions of exact integers (and one fixed-order addition), and the
   * DCG discount weights 1/log2(r+1) are pre-baked 2^32 fixed-point
@@ -65,6 +65,38 @@ object RetrievalQueries {
   /** BM25 fixed-point scale (2^14). */
   val Scale = 16384L
 
+  /** The BM25 per-term contribution on the exact 2^-14 grid — ONE
+    * definition shared by every Spark-side scoring chain (doc and chunk
+    * granularity, exact and served). Intermediates are widened to
+    * decimal(38,0): the quotient is bit-identical to the int64 chain
+    * wherever that chain fits (floor division is invariant under a
+    * wider intermediate type), and the representable-corpus ceiling
+    * moves from ~1.2e19 (int64, hit at the 30× rehearsal's n=150 000,
+    * tl=8.1e6) to 10^38 — far past any physical corpus (a 100 TB corpus
+    * at ~1 KB/doc is n≈1e11, tl≈2.5e13 → num bound ≈ 6e31). The only
+    * int64 sub-expressions left are `2·n`, `22·tf` and `2·df+1`, loudly
+    * bounded by [[checkBm25Bound]]. Spark's `div` (IntegralDivide)
+    * accepts decimal operands and returns BIGINT, so downstream types
+    * are unchanged. Column names `tf`/`tl`/`dl` are fixed; `n`/`df`
+    * vary by granularity (doc: n/df, chunk: n_chunks/df_chunk). */
+  private[retrieval] def bm25ContribExpr(n: String, df: String): String =
+    s"(cast(2*$n - 2*$df + 1 as decimal(38,0)) * (22 * tf) * tl * $Scale)" +
+      s" div ((10 * cast(tl as decimal(38,0)) * tf" +
+      s" + 3 * cast(tl as decimal(38,0))" +
+      s" + 9 * cast(dl as decimal(38,0)) * $n) * (2*$df + 1))"
+
+  /** The DuckDB twin of [[bm25ContribExpr]] — HUGEINT (int128)
+    * intermediates, `//` floor division (identical to Spark's `div` on
+    * the all-positive operands here). Callers alias the result and
+    * CAST(sum(..) AS BIGINT) exactly as before; the widened type never
+    * escapes the contribution CTE. */
+  private[retrieval] def bm25ContribSql(n: String, df: String, tf: String,
+      tl: String, dl: String): String =
+    s"(CAST(2*$n - 2*$df + 1 AS HUGEINT) * (22 * $tf) * $tl * $Scale)" +
+      s" // ((10 * CAST($tl AS HUGEINT) * $tf" +
+      s" + 3 * CAST($tl AS HUGEINT)" +
+      s" + 9 * CAST($dl AS HUGEINT) * $n) * (2*$df + 1))"
+
   /** DCG discount weights: round(2^32 / log2(r+1)) for rank r = 1..10,
     * and their prefix sums (IDCG of r relevant docs). Literals, not
     * computed — the whole point is that neither engine evaluates a log. */
@@ -85,12 +117,20 @@ object RetrievalQueries {
     * fabricating a 3-billion-token fixture. */
   private[retrieval] def checkBm25Bound(n: BigInt, tl: BigInt,
       mtf: BigInt): Unit = {
+    // the chain's intermediates are decimal(38,0) / HUGEINT (see
+    // [[bm25ContribExpr]] — round-9: the int64 bound was hit by the 30×
+    // rehearsal's perfectly ordinary corpus, n=150 000 / tl=8.1e6, so
+    // the exact chain now runs 128-bit wide); what must still fit int64
+    // are the un-widened sub-expressions 2·n, 22·tf and 2·df+1 (df ≤ n,
+    // tf ≤ mtf), and the widened products must fit 38 decimal digits
     val numBound = 2 * n * 22 * mtf * tl * BigInt(Scale)
     val denBound = (10 * tl * mtf + 3 * tl + 9 * tl * n) * (2 * n + 1)
-    require(numBound < Long.MaxValue && denBound < Long.MaxValue,
-      s"BM25 fixed-point chain would overflow int64 on this corpus " +
-        s"(n=$n, tl=$tl, max tf=$mtf → num bound $numBound, den bound " +
-        s"$denBound): shrink Scale or pre-divide per term")
+    val dec38 = BigInt(10).pow(38)
+    require(numBound < dec38 && denBound < dec38 &&
+        2 * n < Long.MaxValue && 22 * mtf < Long.MaxValue,
+      s"BM25 fixed-point chain would overflow decimal(38,0) on this " +
+        s"corpus (n=$n, tl=$tl, max tf=$mtf → num bound $numBound, den " +
+        s"bound $denBound): shrink Scale or pre-divide per term")
   }
 
   /** How many times the guard actually aggregated corpus stats this
@@ -160,12 +200,11 @@ object RetrievalQueries {
     * The per-term contribution is the reduced form of
     * ((2N−2df+1)·44·tf·TL·Scale) div ((20·TL·tf+6·TL+18·dl·N)·(2df+1)):
     * numerator and denominator share the factor 2, and cancelling it
-    * (22 / (10·TL·tf+3·TL+9·dl·N)) leaves the quotient bit-identical
-    * while doubling the int64 headroom — worst factor ≈ 1.5e18 at the
-    * 10× rehearsal scale (N = 5e4, TL = 2.7e6), ~6× under Long.Max.
-    * [[assertBm25Headroom]] checks the actual corpus's bound loudly at
-    * build time (Spark would otherwise wrap silently where DuckDB
-    * errors). */
+    * (22 / (10·TL·tf+3·TL+9·dl·N)) leaves the quotient bit-identical —
+    * computed 128-bit wide by [[bm25ContribExpr]] (decimal(38,0) /
+    * HUGEINT) since round 9. [[assertBm25Headroom]] checks the actual
+    * corpus's bound loudly at build time (Spark would otherwise wrap
+    * silently where DuckDB errors). */
   private def sparseFrom(s: SparkSession, dir: String, t: DataFrame)
       : DataFrame = {
     assertBm25Headroom(s, dir, t)
@@ -213,8 +252,7 @@ object RetrievalQueries {
       .join(dl, "doc_id")
       .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
       .select(col("query_doc"), col("doc_id"),
-        expr(s"((2*n - 2*df + 1) * (22 * tf * tl) * $Scale) div " +
-          "((10*tl*tf + 3*tl + 9*dl*n) * (2*df + 1))").as("c"))
+        expr(bm25ContribExpr("n", "df")).as("c"))
       .groupBy("query_doc", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c").as("score_fp"))
   }
@@ -587,8 +625,7 @@ object RetrievalQueries {
       .join(dl, Seq("doc_id", "chunk"))
       .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
       .select(col("query_doc"), col("doc_id"), col("chunk"),
-        expr(s"((2*n - 2*df + 1) * (22 * tf * tl) * $Scale) div " +
-          "((10*tl*tf + 3*tl + 9*dl*n) * (2*df + 1))").as("c"))
+        expr(bm25ContribExpr("n", "df")).as("c"))
       .groupBy("query_doc", "doc_id", "chunk")
       .agg(count(lit(1)).as("n_terms"), sum("c").as("chunk_fp"))
       .withColumn("rn", row_number().over(wBest))
@@ -929,9 +966,7 @@ object RetrievalQueries {
        |),
        |contrib AS (
        |  SELECT kw.query_doc, t.doc_id,
-       |         ((2*st.n - 2*dfq.df + 1) * (22 * t.tf * st.tl) * $Scale)
-       |           // ((10*st.tl*t.tf + 3*st.tl + 9*dlq.dl*st.n)
-       |              * (2*dfq.df + 1)) AS c
+       |         ${bm25ContribSql("st.n", "dfq.df", "t.tf", "st.tl", "dlq.dl")} AS c
        |  FROM t JOIN kw USING (term) JOIN dfq USING (term)
        |         JOIN dlq ON t.doc_id = dlq.doc_id, st
        |  WHERE t.doc_id <> kw.query_doc
@@ -1126,9 +1161,7 @@ object RetrievalQueries {
          |               (SELECT CAST(sum(tf) AS BIGINT) FROM pctf) AS tl),
          |pcontrib AS (
          |  SELECT kw.query_doc, c.doc_id, c.chunk,
-         |         ((2*pst.n - 2*pdf.df + 1) * (22 * c.tf * pst.tl) * $Scale)
-         |           // ((10*pst.tl*c.tf + 3*pst.tl + 9*pdl.dl*pst.n)
-         |              * (2*pdf.df + 1)) AS c
+         |         ${bm25ContribSql("pst.n", "pdf.df", "c.tf", "pst.tl", "pdl.dl")} AS c
          |  FROM pctf c JOIN kw USING (term) JOIN pdf USING (term)
          |       JOIN pdl ON c.doc_id = pdl.doc_id AND c.chunk = pdl.chunk,
          |       pst
@@ -1324,9 +1357,7 @@ object RetrievalQueries {
          |),
          |contrib2 AS (
          |  SELECT kw2.query_doc, t.doc_id,
-         |         ((2*st.n - 2*dfq.df + 1) * (22 * t.tf * st.tl) * $Scale)
-         |           // ((10*st.tl*t.tf + 3*st.tl + 9*dlq.dl*st.n)
-         |              * (2*dfq.df + 1)) AS c
+         |         ${bm25ContribSql("st.n", "dfq.df", "t.tf", "st.tl", "dlq.dl")} AS c
          |  FROM t JOIN kw2 USING (term) JOIN dfq USING (term)
          |         JOIN dlq ON t.doc_id = dlq.doc_id, st
          |  WHERE t.doc_id <> kw2.query_doc

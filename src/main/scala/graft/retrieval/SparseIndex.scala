@@ -277,8 +277,7 @@ object SparseIndex {
       .join(dstats, "doc_id")
       .crossJoin(broadcast(c))
       .select(col("query_doc"), col("doc_id"),
-        expr(s"((2*n - 2*df + 1) * (22 * tf * tl) * $Scale) div " +
-          "((10*tl*tf + 3*tl + 9*dl*n) * (2*df + 1))").as("c"))
+        expr(RetrievalQueries.bm25ContribExpr("n", "df")).as("c"))
       .groupBy("query_doc", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c").as("score_fp"))
       .withColumn("rank", row_number().over(w).cast("long"))

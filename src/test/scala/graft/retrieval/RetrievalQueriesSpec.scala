@@ -439,11 +439,23 @@ class RetrievalQueriesSpec extends SparkSpec {
   test("the BM25 overflow guard fails loudly on a pathological corpus") {
     // stats whose worst factor chain exceeds int64: the guard must
     // refuse at build time instead of letting Spark wrap silently
+    // decimal(38,0) bound: tl·mtf products past 38 digits must refuse
     val e = intercept[IllegalArgumentException] {
       RetrievalQueries.checkBm25Bound(n = BigInt(2),
-        tl = BigInt("3000000001"), mtf = BigInt("3000000000"))
+        tl = BigInt("20000000000000000001"), mtf = BigInt("2000000000000000000"))
     }
     assert(e.getMessage.contains("overflow"), e.getMessage)
+    // int64 sub-expression bound: 22·tf must fit a long even when the
+    // 128-bit products would
+    val e2 = intercept[IllegalArgumentException] {
+      RetrievalQueries.checkBm25Bound(n = BigInt(2), tl = BigInt(10),
+        mtf = BigInt("500000000000000000"))
+    }
+    assert(e2.getMessage.contains("overflow"), e2.getMessage)
+    // the 30× rehearsal's corpus stats — the int64 chain's failure point
+    // (round 9) — now sit comfortably under the widened bound
+    RetrievalQueries.checkBm25Bound(n = BigInt(150000),
+      tl = BigInt(8121120), mtf = BigInt(14))
     // and the real fixtures sit comfortably under the bound
     queries("ret_bm25_topk")(spark, sf).collect()
   }
