@@ -43,6 +43,15 @@ case class WavDecoded(doc_id: Long, ok: Boolean, sample_rate: Long,
 case class Y4mDecoded(doc_id: Long, ok: Boolean, width: Long, height: Long,
     n_frames: Long, n_sampled: Long, luma_sum: Long)
 
+/** One frame-boundary row of the scene-cut detector: the L1 luma+chroma
+  * delta between a frame and its predecessor, and the cut decision. */
+case class SceneCut(doc_id: Long, frame: Long, delta_sum: Long,
+    is_cut: Boolean)
+
+/** Per-clip audio fingerprint: the energy-contour bits (bit w set when
+  * window w+1 is louder than window w) packed into one long. */
+case class AudioFp(doc_id: Long, n_windows: Long, fingerprint: Long)
+
 /** Multimodal-column plumbing: schema, partitioning, and batched decode.
   *
   * Every modality is real end-to-end: assets carry actual binary
@@ -166,6 +175,55 @@ object Multimodal {
     }
     Y4m.encode(w, h, frames)
   }
+
+  // -- segmented synthesis: the round-9 revival of the two ops dropped in
+  // round 8 as fixture-vacuous. The plain assets' frame bytes are
+  // (text[p] + f) % 256 — a uniform +1/frame ramp with NO scene
+  // structure (every frame delta identical → scene cuts undetectable),
+  // and the plain audio ramp collapsed the energy contour to ~80
+  // distinct values over 175 clips. These SEGMENTED variants jump the
+  // text read offset every few frames/samples, giving each clip real
+  // internal structure (cuts at known boundaries, a text-dependent
+  // loudness contour) while every byte keeps a closed-form DuckDB
+  // derivation — the same discipline as the plain assets.
+
+  /** Frames per scene segment and the per-segment text-offset jump. */
+  val SegLen = 4
+  val SegJump = 7
+
+  /** A frame boundary is a CUT when the mean per-byte delta clears this
+    * factor: within a segment the delta is exactly 1 per byte (the +f
+    * ramp, never wrapping — text bytes ≤ 0xF4 + f ≤ 10 < 256), across a
+    * segment boundary it is text-difference-sized. */
+  val CutFactor = 8L
+
+  def y4mCutPlaneByte(text: Array[Byte], f: Int, p: Int): Int = {
+    val len = text.length
+    ((if (len == 0) 0
+      else text((p + SegJump * (f / SegLen)) % len) & 0xff) + f) % 256
+  }
+
+  def encodeY4mCutAsset(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val w = y4mW(docId)
+    val h = y4mH(docId)
+    Y4m.encode(w, h, (0 until y4mFrames(docId)).map { f =>
+      Array.tabulate(3 * w * h)(p => y4mCutPlaneByte(text, f, p).toByte)
+    })
+  }
+
+  /** Samples per audio segment and its text-offset jump. */
+  val FpSegSamples = 50
+  val FpSegJump = 11
+
+  def wavFpSample(text: Array[Byte], i: Int): Int = {
+    val len = text.length
+    ((if (len == 0) 0
+      else text((i + FpSegJump * (i / FpSegSamples)) % len) & 0xff) + i) % 256
+  }
+
+  def encodeWavFpAsset(docId: Long, text: Array[Byte]): Array[Byte] =
+    Wav.encode(WavRate,
+      Array.tabulate(wavN(docId))(i => wavFpSample(text, i).toByte))
 
   /** The catalog with REAL payloads: every modality carries an actual
     * container — PPM images, RIFF/WAVE audio, YUV4MPEG2 video — each
@@ -855,6 +913,83 @@ object Multimodal {
           (xf("b") % 21 - lit(10)).as("brightness_pct"))
         .orderBy("doc_id")
     }),
+
+    // Scene-cut detection over REAL decoded video (round-9 revival):
+    // segmented Y4M assets (see encodeY4mCutAsset), one L1 delta per
+    // consecutive frame pair from the parsed planes, cut when the delta
+    // clears CutFactor bytes/pixel-byte. Map-only after the decode
+    // repartition — per-asset state never leaves its task, the 100 TB
+    // shape is (decode parallelism) × (frames/asset), and the fixture's
+    // segment geometry guarantees both cut and non-cut boundaries exist
+    // (non-vacuity spec-pinned).
+    "media_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      catalog(s, dir).filter(col("media_type") === "video")
+        .repartition(DecodeParallelism,
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.flatMap { r =>
+          val payload = encodeY4mCutAsset(r.doc_id, r.payload)
+          Y4m.parse(payload) match {
+            case Some(v) =>
+              val planeBytes = 3L * v.width * v.height
+              (1 until v.frames.length).map { f =>
+                val a = v.frames(f - 1)
+                val b = v.frames(f)
+                var d = 0L
+                var p = 0
+                while (p < a.length) {
+                  d += math.abs((b(p) & 0xff) - (a(p) & 0xff))
+                  p += 1
+                }
+                SceneCut(r.doc_id, f.toLong, d, d > CutFactor * planeBytes)
+              }
+            case None => Seq(SceneCut(r.doc_id, -1L, -1L, is_cut = false))
+          }
+        })
+        .toDF().orderBy("doc_id", "frame")
+    }),
+
+    // Energy-contour audio fingerprinting over REAL decoded WAV
+    // (round-9 revival): segmented PCM assets, AudioHop-sample window
+    // energies, contour bit w = [window w+1 louder than window w],
+    // packed into one BIGINT — the shazam-style clip dedup key. Same
+    // map-only decode shape as the VAD query; discriminative on this
+    // fixture (distinctness spec-pinned, the round-8 vacuity measure).
+    "media_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      catalog(s, dir).filter(col("media_type") === "audio")
+        .repartition(DecodeParallelism,
+          pmod(hash(col("doc_id")), lit(DecodeParallelism)))
+        .as[MediaRow]
+        .mapPartitions(_.map { r =>
+          Wav.parse(encodeWavFpAsset(r.doc_id, r.payload)) match {
+            case Some(a) =>
+              val n = a.samples.length
+              val nW = n / AudioHop // full windows only
+              val e = Array.tabulate(nW) { w =>
+                var s = 0L
+                var j = w * AudioHop
+                val end = j + AudioHop
+                while (j < end) {
+                  val c = (a.samples(j) & 0xff) - 128
+                  s += c.toLong * c
+                  j += 1
+                }
+                s
+              }
+              var fp = 0L
+              var w = 0
+              while (w < nW - 1 && w < 63) {
+                if (e(w + 1) > e(w)) fp |= 1L << w
+                w += 1
+              }
+              AudioFp(r.doc_id, nW.toLong, fp)
+            case None => AudioFp(r.doc_id, -1L, -1L)
+          }
+        })
+        .toDF().orderBy("doc_id")
+    }),
   )
 
   private val mediaTypeSql =
@@ -1353,5 +1488,71 @@ object Multimodal {
          |       CAST(255 * n - sum_r AS BIGINT) AS sum_g,
          |       n * (doc_id % 256) AS sum_b
          |FROM sums ORDER BY doc_id""".stripMargin,
+
+    // the segmented-asset frame bytes rebuilt closed-form (the engine
+    // decodes the REAL container; the oracle recomputes the synthesis —
+    // the media-family discipline), then the same L1 delta + threshold
+    "media_scene_cuts" ->
+      s"""WITH vids AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(4 + doc_id % 4 AS BIGINT) AS w,
+         |         CAST(3 + doc_id % 3 AS BIGINT) AS h,
+         |         CAST(4 + doc_id % 8 AS BIGINT) AS nf
+         |  FROM documents WHERE $mediaTypeSql = 'video'
+         |),
+         |fr AS (SELECT doc_id, text, len, w, h, nf,
+         |              unnest(range(1, nf)) AS f FROM vids)
+         |SELECT doc_id, f AS frame,
+         |  CAST(list_sum(list_transform(range(3 * w * h), p ->
+         |    abs(((CASE WHEN len = 0 THEN 0 ELSE unicode(substr(text,
+         |           CAST((p + $SegJump * (f // $SegLen)) % len + 1
+         |             AS INT), 1)) END + f) % 256)
+         |      - ((CASE WHEN len = 0 THEN 0 ELSE unicode(substr(text,
+         |           CAST((p + $SegJump * ((f - 1) // $SegLen)) % len + 1
+         |             AS INT), 1)) END + f - 1) % 256)))) AS BIGINT)
+         |    AS delta_sum,
+         |  CAST(list_sum(list_transform(range(3 * w * h), p ->
+         |    abs(((CASE WHEN len = 0 THEN 0 ELSE unicode(substr(text,
+         |           CAST((p + $SegJump * (f // $SegLen)) % len + 1
+         |             AS INT), 1)) END + f) % 256)
+         |      - ((CASE WHEN len = 0 THEN 0 ELSE unicode(substr(text,
+         |           CAST((p + $SegJump * ((f - 1) // $SegLen)) % len + 1
+         |             AS INT), 1)) END + f - 1) % 256)))) AS BIGINT)
+         |    > $CutFactor * 3 * w * h AS is_cut
+         |FROM fr ORDER BY doc_id, frame""".stripMargin,
+
+    // the segmented PCM rebuilt closed-form, window energies over the
+    // same AudioHop grid, contour bits packed into one BIGINT
+    "media_audio_fingerprint" ->
+      s"""WITH auds AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         CAST(200 + (doc_id % 100) * 4 AS BIGINT) AS n
+         |  FROM documents WHERE $mediaTypeSql = 'audio'
+         |),
+         |samps AS (
+         |  SELECT doc_id, n // $AudioHop AS nw,
+         |    list_transform(range(n), i ->
+         |      ((CASE WHEN len = 0 THEN 0
+         |             ELSE unicode(substr(text,
+         |               CAST((i + $FpSegJump * (i // $FpSegSamples))
+         |                 % len + 1 AS INT), 1))
+         |        END + i) % 256)::BIGINT) AS smp
+         |  FROM auds
+         |),
+         |en AS (
+         |  SELECT doc_id, nw,
+         |    list_transform(range(nw), w ->
+         |      CAST(list_sum(list_transform(range($AudioHop), j ->
+         |        (smp[CAST(w * $AudioHop + j + 1 AS INT)] - 128)
+         |          * (smp[CAST(w * $AudioHop + j + 1 AS INT)] - 128)))
+         |        AS BIGINT)) AS e
+         |  FROM samps
+         |)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+         |  CAST(coalesce(list_sum(list_transform(range(least(nw - 1, 63)),
+         |    w -> CASE WHEN e[CAST(w + 2 AS INT)] > e[CAST(w + 1 AS INT)]
+         |              THEN 1::BIGINT << w ELSE 0::BIGINT END)), 0)
+         |    AS BIGINT) AS fingerprint
+         |FROM en ORDER BY doc_id""".stripMargin,
   )
 }

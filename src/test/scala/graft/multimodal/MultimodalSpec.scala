@@ -193,4 +193,54 @@ class MultimodalSpec extends SparkSpec {
       assert(r._5, s"visually-near pair ${(r._1, r._2)} with differing dims")
     }
   }
+
+  test("scene cuts: non-vacuous both ways (the round-8 drop reason), " +
+      "every cut sits on a segment boundary, every decode succeeded") {
+    val rows = Multimodal.queries("media_scene_cuts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.forall(_._2 >= 1), "a -1 frame row means a parse failure")
+    val (cut, noCut) = rows.partition(_._4)
+    assert(cut.nonEmpty, "no cut detected at this SF — vacuous exhibit")
+    assert(noCut.nonEmpty, "every boundary a cut — threshold is vacuous")
+    // the synthesis only changes its text offset every SegLen frames, so
+    // a detected cut can ONLY sit where f % SegLen == 0; within-segment
+    // deltas are exactly 1/byte (the +f ramp), far under the gate
+    cut.foreach { case (d, f, _, _) =>
+      assert(f % Multimodal.SegLen == 0, s"cut at non-boundary ($d, $f)")
+    }
+    // within-segment deltas are exactly 1 per plane byte
+    rows.filterNot(_._2 % Multimodal.SegLen == 0).foreach {
+      case (d, f, delta, _) =>
+        val w = 4 + d % 4; val h = 3 + d % 3
+        assert(delta == 3 * w * h, s"within-segment delta ($d, $f) $delta")
+    }
+  }
+
+  test("audio fingerprints discriminate (the round-8 drop reason: 80 " +
+      "distinct / 175 clips) and replay the engine's bit packing") {
+    val rows = Multimodal.queries("media_audio_fingerprint")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 > 0), "a -1 window row means a parse failure")
+    val distinct = rows.map(_._3).distinct.length
+    assert(distinct * 10 >= rows.length * 9,
+      s"fingerprint collapse: $distinct distinct over ${rows.length} clips")
+    // replay one clip's fingerprint from the raw synthesis driver-side
+    val (d, nw, fp) = rows.head
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === d).head.getAs[String]("text")
+      .getBytes("UTF-8")
+    val n = Multimodal.wavN(d)
+    val e = Array.tabulate(n / Multimodal.AudioHop) { w =>
+      (0 until Multimodal.AudioHop).map { j =>
+        val c = Multimodal.wavFpSample(text, w * Multimodal.AudioHop + j) - 128
+        c.toLong * c
+      }.sum
+    }
+    assert(nw == e.length)
+    var expect = 0L
+    for (w <- 0 until math.min(e.length - 1, 63))
+      if (e(w + 1) > e(w)) expect |= 1L << w
+    assert(fp == expect, s"doc $d fingerprint $fp != replay $expect")
+  }
 }
