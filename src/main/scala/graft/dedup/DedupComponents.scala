@@ -396,35 +396,65 @@ object DedupComponents {
     }),
   )
 
-  /** Recursive-CTE chain computing (doc_id, component, is_canonical) from
-    * the documents table — shared by the components oracle and the
-    * pipeline oracle. Must follow a `WITH RECURSIVE` header. Composes the
-    * SAME `jaccardPairsSql` chain the pairwise oracle uses (non-recursive
-    * CTEs are legal under WITH RECURSIVE), so shingling, the MaxPosting
-    * cap, and the similarity formula exist in exactly one place. */
-  val componentsCteSql: String =
+  /** Unroll depth of the non-recursive components oracle. Min-label
+    * propagation reaches the component minimum in (eccentricity of the
+    * min vertex) rounds; near-dup components are small cliques (1–3
+    * hops), and the 10× ScaleUp fixture's copy-perturbed chains stay
+    * within single digits, so 16 is a ≥5× margin. A too-small unroll is
+    * LOUD, never silently wrong: the Spark side iterates to its true
+    * fixed point, so unconverged oracle labels mismatch at the gate. */
+  val ComponentsUnrollRounds = 16
+
+  /** CTE chain computing (doc_id, component, is_canonical) from the
+    * documents table — shared by the components oracle and the pipeline
+    * oracle. Composes the SAME `jaccardPairsSql` chain the pairwise
+    * oracle uses, so shingling, the MaxPosting cap, and the similarity
+    * formula exist in exactly one place.
+    *
+    * NOT recursive (though consumers' `WITH RECURSIVE` headers remain
+    * legal): the original `reach` transitive-closure CTE materializes
+    * O(Σ component²) states and at 10× scale DuckDB spilled >78 GB of
+    * temp and died. This is the iteration-bounded unroll the pagerank
+    * oracle family uses — [[ComponentsUnrollRounds]] rounds of the exact
+    * min-label propagation [[componentsFromAdj]] runs, one linear
+    * (edges ⋈ labels → group-by) pass per round. The fixed point is the
+    * unique component-minimum labeling, so at convergence the unroll is
+    * bit-identical to the closure it replaces. Every lab CTE is
+    * MATERIALIZED: each is referenced twice by the next round, and
+    * DuckDB 1.0 inlines plain CTEs — un-annotated, the jac chain would
+    * be duplicated 2^rounds times. */
+  val componentsCteSql: String = {
+    val rounds = (1 to ComponentsUnrollRounds).map { k =>
+      s"""lab$k AS MATERIALIZED (
+         |  SELECT l.id, least(l.label, min(n.label)) AS label
+         |  FROM lab${k - 1} l
+         |  JOIN und u ON u.s = l.id
+         |  JOIN lab${k - 1} n ON n.id = u.d
+         |  GROUP BY l.id, l.label
+         |)""".stripMargin
+    }.mkString(",\n")
     s"""${DedupQueries.jaccardPairsSql},
        |edges AS (
        |  SELECT doc_a, doc_b FROM jac
        |  WHERE jaccard >= ${DedupQueries.JaccardThreshold}
        |),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT doc_a AS s, doc_b AS d FROM edges
        |  UNION ALL SELECT doc_b, doc_a FROM edges
        |),
-       |reach(id, r) AS (
-       |  SELECT s, s FROM und
-       |  UNION
-       |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+       |lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT s AS id, s AS label FROM und
        |),
+       |$rounds,
        |components AS (
-       |  SELECT id AS doc_id, min(r) AS component,
-       |         id = min(r) AS is_canonical
-       |  FROM reach GROUP BY id
+       |  SELECT id AS doc_id, label AS component,
+       |         id = label AS is_canonical
+       |  FROM lab$ComponentsUnrollRounds
        |)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
-    // transitive closure by recursive CTE, then min label per vertex
+    // unrolled min-label propagation, then the converged label per vertex
     "dedup_components" -> (
       s"""WITH RECURSIVE
          |$componentsCteSql
