@@ -430,6 +430,54 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The LSH cap/recall trade-off, MEASURED (the open question behind
+    // the MaxPosting advisory): one row comparing the banded-minhash
+    // candidate path against the exact posting-join pair set on the same
+    // corpus. band_recall = what fraction of the exact near-dup pairs
+    // the 8×2 banding surfaces (its false-negative rate is 1 − this);
+    // band_precision = what fraction of banded candidates survive the
+    // exact-Jaccard verify (the wasted-verify cost of band collisions).
+    // n_lsh_only counts pairs the banding finds that the exact chain's
+    // posting cap dropped — the two candidate generators' caps are
+    // independent, so the diff is two-sided and both legs are reported.
+    // Scale shape: both pair sets are Σ bucket²-capped (never corpus²),
+    // the shingle pass is shared once, and the output is a single row of
+    // exact BIGINT counts + two DOUBLE ratios — the audit costs the same
+    // as running the two dedup paths it compares.
+    "dedup_lsh_recall_audit" -> ((s, dir) => {
+      val sh = shingled(s, dir).localCheckpoint()
+      val exact = jaccardPairsFrom(sh)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val cand = bandCandidates(sh).localCheckpoint()
+      val verified = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+            .cast("double") /
+            size(array_union(col("sa.shingles"), col("sb.shingles"))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nCand = cand.agg(count(lit(1)).as("n_lsh_cand"))
+      val nVer = verified.agg(count(lit(1)).as("n_lsh_verified"))
+      val nCommon = verified.join(exact, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      nExact.crossJoin(nCand).crossJoin(nVer).crossJoin(nCommon)
+        .select(col("n_exact"), col("n_lsh_cand"), col("n_lsh_verified"),
+          col("n_common"),
+          (col("n_lsh_verified") - col("n_common")).as("n_lsh_only"),
+          (col("n_exact") - col("n_common")).as("n_exact_only"),
+          when(col("n_exact") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_common").cast("double") / col("n_exact"))
+            .as("band_recall"),
+          when(col("n_lsh_cand") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_lsh_verified").cast("double") /
+              col("n_lsh_cand"))
+            .as("band_precision"))
+    }),
+
     // Edit-distance near-dup: the CHARACTER-level complement of the
     // token-level Jaccard verify. Same band-bucket candidate set (shared
     // bandCandidates — bounded Σ bucket², never corpus²); each pair is
@@ -904,6 +952,41 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // composes the LSH candidate chain (minhashSql carries shingled) and
+    // the exact pair chain (jaccardChainSql appends WITHOUT redefining
+    // shingled) so both candidate generators score the same shingle sets
+    "dedup_lsh_recall_audit" ->
+      (s"WITH $minhashSql,\n$lshCandSql,\n$jaccardChainSql,\n" +
+        s"""exact AS (
+           |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardThreshold
+           |),
+           |ver AS (
+           |  SELECT c.doc_a, c.doc_b FROM cand c
+           |  JOIN sigs sa ON c.doc_a = sa.doc_id
+           |  JOIN sigs sb ON c.doc_b = sb.doc_id
+           |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+           |    >= $JaccardThreshold
+           |),
+           |counts AS (
+           |  SELECT
+           |    (SELECT count(*) FROM exact) AS n_exact,
+           |    (SELECT count(*) FROM cand) AS n_lsh_cand,
+           |    (SELECT count(*) FROM ver) AS n_lsh_verified,
+           |    (SELECT count(*) FROM ver v JOIN exact e
+           |       ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b) AS n_common
+           |)
+           |SELECT n_exact, n_lsh_cand, n_lsh_verified, n_common,
+           |       n_lsh_verified - n_common AS n_lsh_only,
+           |       n_exact - n_common AS n_exact_only,
+           |       CASE WHEN n_exact = 0 THEN NULL
+           |            ELSE CAST(n_common AS DOUBLE) / n_exact END
+           |         AS band_recall,
+           |       CASE WHEN n_lsh_cand = 0 THEN NULL
+           |            ELSE CAST(n_lsh_verified AS DOUBLE) / n_lsh_cand END
+           |         AS band_precision
+           |FROM counts""".stripMargin),
 
     // same candidate CTEs as minhash_lsh; DuckDB has no thresholded
     // levenshtein, so the oracle computes the full distance and filters —

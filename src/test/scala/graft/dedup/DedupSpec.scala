@@ -43,6 +43,28 @@ class DedupSpec extends SparkSpec {
       s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("lsh recall audit: counts reconcile with the two paths it compares") {
+    val r = DedupQueries.queries("dedup_lsh_recall_audit")(spark, sf).first()
+    val (nExact, nCand, nVer, nCommon) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val exact = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf).count()
+    val lsh = DedupQueries.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(nExact === exact && nVer === lsh)
+    // set identities: the diffs are the counts minus the intersection
+    assert(r.getLong(4) === nVer - nCommon)   // n_lsh_only
+    assert(r.getLong(5) === nExact - nCommon) // n_exact_only
+    assert(nCommon <= math.min(nExact, nVer))
+    // banding emits candidates the verify rejects — precision is a real
+    // measurement, not vacuously 1 (the candidate set strictly contains
+    // the verified set on this corpus)
+    assert(nCand > nVer, s"cand=$nCand verified=$nVer")
+    assert(r.getDouble(6) === nCommon.toDouble / nExact)       // recall
+    assert(r.getDouble(7) === nVer.toDouble / nCand)           // precision
+    // the set-equality test above pins lsh === exact at this SF, so the
+    // audit must agree: recall exactly 1, no one-sided leftovers
+    assert(r.getDouble(6) === 1.0 && r.getLong(4) === 0L && r.getLong(5) === 0L)
+  }
+
   test("simhash: near-identical docs hash to near-identical signatures") {
     val exact = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
