@@ -212,8 +212,10 @@ object EventsQueries {
     }),
 
     // exact distribution statistics: Spark's `percentile` and DuckDB's
-    // `quantile_cont` share the linear-interpolation definition, so even
-    // the interpolated doubles match bit-for-bit. (At 100 TB swap in
+    // `quantile_cont` share the linear-interpolation DEFINITION but not
+    // the operation order (quantile_cont fuses the interpolation; Spark
+    // rounds the product then the add), so the oracle mirrors Spark's
+    // exact arithmetic via Ora.pct instead. (At 100 TB swap in
     // approx_percentile — exact percentile holds all values per group.)
     "events_value_quantiles" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
@@ -1408,12 +1410,22 @@ object EventsQueries {
          |FROM sessions GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin),
 
-    "events_value_quantiles" -> (s"WITH $eventsSql\n" +
-      """SELECT event_type,
-        |       quantile_cont(value, 0.5) AS p50,
-        |       quantile_cont(value, 0.9) AS p90,
-        |       quantile_cont(value, 0.99) AS p99
-        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // rank-and-interpolate with Spark's exact operation order (Ora.pct):
+    // quantile_cont's fused interpolation drifts 1 ulp at p90/p99 on
+    // fixture-dependent group sizes (first seen at the 10× gate)
+    "events_value_quantiles" -> (s"WITH $eventsSql,\n" +
+      s"""rkd AS (
+         |  SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY value) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev
+         |)
+         |SELECT event_type,
+         |       ${graft.oracle.Ora.pct("value", "0.5")} AS p50,
+         |       ${graft.oracle.Ora.pct("value", "0.9")} AS p90,
+         |       ${graft.oracle.Ora.pct("value", "0.99")} AS p99
+         |FROM rkd GROUP BY event_type, n ORDER BY event_type""".stripMargin),
 
     "events_window_kmv" -> (s"WITH $eventsSql,\n" +
       s"""h AS (

@@ -159,8 +159,10 @@ object SeasonalQueries {
     // residual series — the seasonality-aware upgrade of
     // events_mad_outliers (a normal Saturday dip no longer pages
     // anyone; a Saturday SPIKE now does). Residual medians interpolate
-    // over sorted values (percentile ≡ quantile_cont), so the fence is
-    // bit-portable like every statistic here.
+    // over sorted values; at p = 0.5 percentile ≡ quantile_cont
+    // bit-exactly (frac·(vhi−vlo) = 0.5·Δ is exact, so the fused and
+    // unfused interpolations round identically — NOT true of p90/p99
+    // sites, which use Ora.pct), so the fence is bit-portable.
     "events_seasonal_anomaly" -> ((s, dir) => {
       val (fits, _, _) = hwFits(s, dir)
       val resid = fits

@@ -433,8 +433,10 @@ object TrendQueries {
     // slopes (each one exact-int difference ratio → a single IEEE
     // division), intercept = median of per-point residuals n − b̂·day.
     // Medians interpolate over SORTED values (percentile ≡
-    // quantile_cont, the documented bit-equal pair), so no
-    // summation-order hazard exists anywhere. Up to ~29% of the points
+    // quantile_cont AT p=0.5: 0.5·Δ is exact, so fused vs unfused
+    // interpolation rounds identically — non-half fractions use
+    // Ora.pct), so no summation-order hazard exists anywhere. Up to
+    // ~29% of the points
     // can be arbitrarily corrupted before the estimate moves — the
     // throughput-trend fit a pipeline can trust through incident days
     // that wreck OLS. Same #days²-per-type pair shape as Mann-Kendall:
@@ -844,9 +846,10 @@ object TrendQueries {
          |                ELSE 0.0 END) > 1.96 AS has_trend
          |FROM vs ORDER BY event_type""".stripMargin),
 
-    // quantile_cont ≡ Spark percentile (documented bit-equal pair);
-    // every input to both medians is a single exact-int division or a
-    // fixed-order product-subtract — no summation anywhere
+    // quantile_cont ≡ Spark percentile at p=0.5 (0.5·Δ exact ⇒ fused
+    // and unfused interpolations round identically; non-half fractions
+    // need Ora.pct); every input to both medians is a single exact-int
+    // division or a fixed-order product-subtract — no summation anywhere
     "events_theilsen_trend" -> (s"WITH ${EventsQueries.eventsSql},\n" +
       s"""d AS (
          |  SELECT event_type, ts // ${EventsQueries.DayUs} AS day,

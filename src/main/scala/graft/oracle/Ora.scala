@@ -104,4 +104,43 @@ object Ora {
   /** Cosine similarity matching [[graft.sim.SimilarityQueries.cosine]]. */
   def cos64(a: String, b: String): String =
     s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+
+  /** Spark-definition interpolated percentile as an aggregate SQL
+    * expression — the EXACT formula `Percentile.getPercentile` evaluates
+    * (Spark sql/catalyst): with `pos = p · (n − 1)`, return the value at
+    * `floor(pos)` when pos is integral, else
+    * `(ceil(pos) − pos) · vlo + (pos − floor(pos)) · vhi` — the
+    * symmetric two-product form, NOT `vlo + (vhi − vlo) · frac`, and
+    * not DuckDB's `quantile_cont` fused interpolation; all three agree
+    * mathematically but round differently, drifting 1 ulp at
+    * fixture-dependent group sizes (first seen at the 10× gate:
+    * `events_value_quantiles` p99; then `profile_embeddings` norm_p99
+    * against the delta form at sf0.1). The two weights are computed by
+    * subtraction of doubles within a factor of 2 (Sterbenz ⇒ exact), so
+    * mirroring the product-product-add order reproduces Spark's bits.
+    * p = 0 / 0.5 / 1 cannot drift under any of the forms (the products
+    * are exact), which is why median-only sites keep `quantile_cont`.
+    *
+    * Requires the FROM source to be pre-ranked with `rn` (1-based
+    * row_number ordered by the value ASC within the group) and `n` (the
+    * group row count); `n` must be in the GROUP BY (it is functionally
+    * dependent on the group keys). */
+  def pct(v: String, p: String): String = {
+    // p MUST be a DOUBLE: a bare 0.9 literal is DECIMAL(2,1) in DuckDB,
+    // making pos exact-decimal where Spark's p·(n−1) carries the double
+    // representation error — a 24-ulp drift on the weights, not 1
+    val pos = s"($p::DOUBLE * (n - 1))"
+    val vlo = s"min(CASE WHEN rn = CAST(floor($pos) AS BIGINT) + 1 " +
+      s"THEN CAST($v AS DOUBLE) END)"
+    val vhi = s"min(CASE WHEN rn = least(CAST(floor($pos) AS BIGINT) + 2, n) " +
+      s"THEN CAST($v AS DOUBLE) END)"
+    // the vlo = vhi arm mirrors Spark's lowerKey == higherKey early-out
+    // (its counts-map holds one entry per DISTINCT value, so both
+    // indexes inside a repeated-value run resolve to the same key and
+    // return it UNinterpolated — the weighted sum of an equal pair can
+    // round 1 ulp away from the value itself)
+    s"""(CASE WHEN floor($pos) = ceil($pos) OR $vlo = $vhi THEN $vlo
+       |      ELSE (ceil($pos) - $pos) * $vlo + ($pos - floor($pos)) * $vhi
+       | END)""".stripMargin
+  }
 }

@@ -131,8 +131,10 @@ object ProfileQueries {
     // NaNs from overflowed encoders, zero vectors from empty inputs,
     // duplicated ids from retried writes) plus the norm profile.
     // One scan, one aggregate, unpivoted to (metric, value); counts are
-    // exact longs surfaced as exact doubles, the norm quantiles ride
-    // the percentile/quantile_cont bit-equal pair over Dot64 folds.
+    // exact longs surfaced as exact doubles, the norm quantiles mirror
+    // Spark percentile's exact operation order over Dot64 folds
+    // (Ora.pct — quantile_cont's fused interpolation drifts 1 ulp at
+    // non-half fractions).
     "profile_embeddings" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"),
@@ -204,6 +206,17 @@ object ProfileQueries {
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $sq AS sq FROM embeddings
          |),
+         |rkd AS (
+         |  SELECT sqrt(sq) AS nv,
+         |         row_number() OVER (ORDER BY sqrt(sq)) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM e
+         |),
+         |pq AS (
+         |  SELECT ${graft.oracle.Ora.pct("nv", "0.5")} AS norm_p50,
+         |         ${graft.oracle.Ora.pct("nv", "0.99")} AS norm_p99
+         |  FROM rkd GROUP BY n
+         |),
          |a AS (
          |  SELECT count(*) AS n_rows,
          |         CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
@@ -218,8 +231,8 @@ object ProfileQueries {
          |         CAST(sum(CASE WHEN sq = 0.0::DOUBLE THEN 1 ELSE 0 END)
          |              AS BIGINT) AS n_zero_vec,
          |         count(*) - count(DISTINCT vec_id) AS n_dup_ids,
-         |         quantile_cont(sqrt(sq), 0.5) AS norm_p50,
-         |         quantile_cont(sqrt(sq), 0.99) AS norm_p99
+         |         (SELECT norm_p50 FROM pq) AS norm_p50,
+         |         (SELECT norm_p99 FROM pq) AS norm_p99
          |  FROM e
          |)
          |SELECT u.metric, u.value FROM a, LATERAL (

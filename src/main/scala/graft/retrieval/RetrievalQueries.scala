@@ -1561,14 +1561,24 @@ object RetrievalQueries {
          |    FROM documents
          |  ) WHERE term <> '' GROUP BY doc_id, term
          |),
-         |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+         |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+         |rkd AS (
+         |  SELECT df, row_number() OVER (ORDER BY df) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM dfq
+         |),
+         |pq AS (
+         |  SELECT ${graft.oracle.Ora.pct("df", "0.5")} AS df_p50,
+         |         ${graft.oracle.Ora.pct("df", "0.9")} AS df_p90
+         |  FROM rkd GROUP BY n
+         |)
          |SELECT CAST(count(*) AS BIGINT) AS n_terms,
          |       CAST(sum(df) AS BIGINT) AS n_postings,
          |       CAST(max(df) AS BIGINT) AS max_df,
          |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS singleton_terms,
-         |       quantile_cont(df, 0.5) AS df_p50,
-         |       quantile_cont(df, 0.9) AS df_p90
+         |       (SELECT df_p50 FROM pq) AS df_p50,
+         |       (SELECT df_p90 FROM pq) AS df_p90
          |FROM dfq""".stripMargin,
 
     "ret_ndcg_eval" ->
