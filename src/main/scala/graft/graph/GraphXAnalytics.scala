@@ -156,7 +156,7 @@ object GraphXAnalytics {
       DedupComponents.oracle("dedup_components"),
 
     "graph_triangle_count" -> (s"WITH ${DedupQueries.jaccardPairsSql},\n" +
-      s"""e AS (SELECT doc_a, doc_b FROM jac
+      s"""e AS MATERIALIZED (SELECT doc_a, doc_b FROM jac
          |      WHERE jaccard >= ${DedupQueries.JaccardThreshold}),
          |tri AS (
          |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
@@ -178,7 +178,7 @@ object GraphXAnalytics {
          |FROM verts LEFT JOIN per USING (v) ORDER BY doc_id""".stripMargin),
 
     "graph_clustering_coeff" -> (s"WITH ${DedupQueries.jaccardPairsSql},\n" +
-      s"""e AS (SELECT doc_a, doc_b FROM jac
+      s"""e AS MATERIALIZED (SELECT doc_a, doc_b FROM jac
          |      WHERE jaccard >= ${DedupQueries.JaccardThreshold}),
          |tri AS (
          |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
