@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * round every vertex takes the min of its own label and its neighbors'
   * labels; convergence in O(component diameter) rounds (near-dup
   * components are overwhelmingly small cliques → 1–2 rounds). Each round
-  * is one shuffle join; `localCheckpoint` truncates the growing plan. This
+  * is one shuffle join, materialized per round via [[graft.Materialize]]
+  * (default `localCheckpoint` plan truncation; persist/reliable modes for
+  * preemptible clusters — see the helper's scaladoc). This
   * is the same computation GraphX's connectedComponents runs, expressed on
   * Datasets so it stays inside Catalyst/Tungsten.
   */
@@ -24,7 +26,7 @@ object DedupComponents {
     // without this the caller's whole pair pipeline (e.g. the Jaccard
     // posting-list join) appears as two subtrees of the union and is
     // computed twice in the adj job
-    val e = edges.localCheckpoint()
+    val e = edges.transform(graft.Materialize(_))
     componentsFromAdj(adjacency(e))
   }
 
@@ -35,12 +37,16 @@ object DedupComponents {
       .unionByName(
         e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
 
   private def componentsFromAdj(adj: DataFrame): DataFrame = {
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
+    // the materialized frame backing `labels` (labels itself becomes a
+    // cheap projection of it after round 1) — released once superseded,
+    // so persist-mode loops don't accumulate every round's cache
+    var mat = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -56,11 +62,21 @@ object DedupComponents {
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("new_label"),
           col("label").as("old_label"))
-        .localCheckpoint()
+        .transform(graft.Materialize(_))
       changed = next.filter(col("new_label") =!= col("old_label")).count()
+      graft.Materialize.release(mat)
+      mat = next
       labels = next.select(col("id"), col("new_label").as("label"))
       rounds += 1
     }
+    // The round cap is a runaway guard, not a silent truncation: the
+    // documented loudness contract (a too-small oracle unroll mismatches
+    // because Spark reached the TRUE fixed point) only holds if we refuse
+    // to return an unconverged labeling here.
+    require(changed == 0L,
+      s"componentsFromAdj: not converged after $rounds rounds " +
+        s"($changed labels still changing) — component eccentricity " +
+        "exceeds the cap; raise it or use componentsStar for this graph")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
@@ -92,7 +108,7 @@ object DedupComponents {
     // the canonical edge set are three subtrees over it, and an
     // un-checkpointed pair cascade (the usual caller) would re-run per
     // subtree (measured: 5.9 s vs 2.5 s on the Jaccard pair input)
-    val src = edges.localCheckpoint()
+    val src = edges.transform(graft.Materialize(_))
     // every vertex incident to ANY input edge — kept aside so vertices
     // whose only edges are self-loops still label themselves, exactly as
     // the label-propagation twin does (its adjacency retains (v, v))
@@ -108,7 +124,7 @@ object DedupComponents {
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
     // order-free edge-set signature: count + XOR-checksum of the
     // canonical pairs (XOR never overflows under ANSI mode; the pairs are
     // distinct so cancellation can't mask a change; collision odds ~2^-64
@@ -136,7 +152,7 @@ object DedupComponents {
         .select(col("m").as("lo"), col("nbr").as("hi"))
         .filter(col("lo") =!= col("hi"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Materialize(_))
       // small-star: orient larger→smaller, m = min neighbor of x; edge
       // (v, m) for every smaller neighbor v plus x itself.
       val dirSmall = large.select(col("hi").as("x"), col("lo").as("nbr"))
@@ -146,11 +162,13 @@ object DedupComponents {
         .unionByName(mSmall.select(col("m").as("lo"), col("x").as("hi")))
         .filter(col("lo") =!= col("hi"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Materialize(_))
       // fixed point: the star set is invariant under both half-rounds
       val next = signature(small)
       converged = next == sig
       sig = next
+      graft.Materialize.release(large) // consumed building `small`
+      graft.Materialize.release(e)     // superseded by `small`
       e = small
       rounds += 1
     }
@@ -178,14 +196,14 @@ object DedupComponents {
     * label-propagation loop. Rounds = max eccentricity of a canonical
     * vertex (near-dup components are small cliques → 1-2). */
   def bfsFromCanonicals(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.transform(graft.Materialize(_))
     // one adjacency serves both the seed-finding label propagation and
     // the frontier expansion
     val adj = adjacency(e)
     var reached = componentsFromAdj(adj)
       .filter(col("doc_id") === col("component"))
       .select(col("doc_id").as("id"), lit(0L).as("hops"))
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
     // expand only the newest frontier: joining the whole reached set each
     // round would redo every earlier round's neighbor derivation (O(R×E)
     // total instead of O(E))
@@ -199,10 +217,15 @@ object DedupComponents {
         .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
         .groupBy("id").agg(min("hops").as("hops"))
         .join(reached.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.Materialize(_))
       grew = next.count() > 0
       if (grew) {
-        reached = reached.unionByName(next).localCheckpoint()
+        val merged = reached.unionByName(next).transform(graft.Materialize(_))
+        // release superseded frames (round 1: frontier eq reached — a
+        // second release of the same frame is a harmless no-op)
+        graft.Materialize.release(frontier)
+        graft.Materialize.release(reached)
+        reached = merged
         frontier = next
       }
       rounds += 1
@@ -233,18 +256,18 @@ object DedupComponents {
     * checkpoint-truncated like the components loop. */
   private[graft] def ssspFromCanonicalsWithRounds(
       scored: DataFrame): (DataFrame, Int) = {
-    val e = scored.localCheckpoint()
+    val e = scored.transform(graft.Materialize(_))
     val wgt = floor((lit(1.0) - col("jaccard")) * lit(SsspFp) + lit(0.5))
       .cast("long")
     val und = e
       .select(col("doc_a").as("s"), col("doc_b").as("d"), wgt.as("w"))
       .unionByName(
         e.select(col("doc_b").as("s"), col("doc_a").as("d"), wgt.as("w")))
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
     var dist = componentsFromAdj(adjacency(e.select("doc_a", "doc_b")))
       .filter(col("doc_id") === col("component"))
       .select(col("doc_id").as("id"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
     // order-free table signature: (row count, exact integer dist sum) —
     // both monotone under relaxation, so equality is a fixed point
     def sig(df: DataFrame): (Long, Long) = {
@@ -261,10 +284,11 @@ object DedupComponents {
         .select(col("d").as("id"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .transform(graft.Materialize(_))
       val s1 = sig(next)
       converged = s1 == s0
       s0 = s1
+      graft.Materialize.release(dist)
       dist = next
       rounds += 1
     }
@@ -372,7 +396,7 @@ object DedupComponents {
     // dup-graph-sized, never corpus-sized.
     "graph_assortativity" -> ((s, dir) => {
       val pairs = DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
-        .select("doc_a", "doc_b").localCheckpoint()
+        .select("doc_a", "doc_b").transform(graft.Materialize(_))
       val und = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       val deg = und.groupBy(col("doc_a").as("v"))

@@ -1415,11 +1415,13 @@ object EventsQueries {
     // fixture-dependent group sizes (first seen at the 10× gate)
     "events_value_quantiles" -> (s"WITH $eventsSql,\n" +
       s"""rkd AS (
+         |  -- NULL-skip guard to mirror Spark percentile's rank space
+         |  -- (value is never NULL here; kept for scaffold uniformity).
          |  SELECT event_type, value,
          |         row_number() OVER (PARTITION BY event_type
          |                            ORDER BY value) AS rn,
          |         count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM ev
+         |  FROM ev WHERE value IS NOT NULL
          |)
          |SELECT event_type,
          |       ${graft.oracle.Ora.pct("value", "0.5")} AS p50,

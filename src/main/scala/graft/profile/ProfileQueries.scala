@@ -207,10 +207,13 @@ object ProfileQueries {
          |  SELECT vec_id, embedding, $sq AS sq FROM embeddings
          |),
          |rkd AS (
+         |  -- WHERE sq IS NOT NULL: Spark's percentile skips NULLs, so the
+         |  -- rank space must exclude NULL embeddings (which this profile
+         |  -- explicitly anticipates via n_null_vec) or every pct index shifts.
          |  SELECT sqrt(sq) AS nv,
          |         row_number() OVER (ORDER BY sqrt(sq)) AS rn,
          |         count(*) OVER () AS n
-         |  FROM e
+         |  FROM e WHERE sq IS NOT NULL
          |),
          |pq AS (
          |  SELECT ${graft.oracle.Ora.pct("nv", "0.5")} AS norm_p50,

@@ -53,4 +53,44 @@ class PctFormulaSpec extends SparkSpec {
         s"trial $trial n=$n p=$p: spark=$got mirror=$want")
     }
   }
+
+  test("the EMITTED Ora.pct SQL string bit-matches Spark and the mirror") {
+    // The first test pins pctMirror (a Scala re-implementation) against
+    // Spark; this one executes the SQL STRING Ora.pct actually emits, so
+    // drift in the emission itself (the DECIMAL-literal cast pitfall, the
+    // rn/least clamping) is caught at unit level, not only at the
+    // integration gate. The string is DuckDB-dialect only in its
+    // `p::DOUBLE` cast — shimmed to CAST(p AS DOUBLE), which yields the
+    // same double bits — and otherwise valid Spark SQL evaluated over the
+    // same rkd (rn, n) scaffold the oracles build. Both engines ignore
+    // NULLs in min() and share IEEE-754 semantics, so bit-equality here
+    // transfers to DuckDB as long as the operation ORDER in the string is
+    // what both engines execute — which is exactly what the string pins.
+    import spark.implicits._
+    val rng = new scala.util.Random(20260817)
+    for (trial <- 1 to 20) {
+      val n = 2 + rng.nextInt(60)
+      val vals = if (trial % 3 == 0)
+        IndexedSeq.fill(n)((rng.nextInt(5) * 10 + 100).toDouble / 7.0)
+      else IndexedSeq.fill(n)(rng.nextDouble() * 300.0)
+      val pStr = Seq("0.5", "0.9", "0.99", "0.37")(trial % 4)
+      val emitted = graft.oracle.Ora.pct("v", pStr)
+        .replace(s"$pStr::DOUBLE", s"CAST($pStr AS DOUBLE)")
+      vals.toDF("v").createOrReplaceTempView("pct_vals")
+      val fromSql = spark.sql(
+        s"""SELECT ($emitted) AS q FROM (
+           |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+           |         count(*) OVER () AS n
+           |  FROM pct_vals
+           |) GROUP BY n""".stripMargin).head().getDouble(0)
+      val fromSpark = vals.toDF("v")
+        .selectExpr(s"percentile(v, ${pStr}D)").head().getDouble(0)
+      val fromMirror = pctMirror(vals.sorted, pStr.toDouble)
+      def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+      assert(bits(fromSql) === bits(fromSpark) &&
+        bits(fromSql) === bits(fromMirror),
+        s"trial $trial n=$n p=$pStr: sql=$fromSql spark=$fromSpark " +
+          s"mirror=$fromMirror")
+    }
+  }
 }
