@@ -96,19 +96,21 @@ object DedupQueries {
 
   /** Same pipeline over an already-shingled (possibly checkpointed)
     * frame, so a caller can share one shingle pass across consumers. */
-  private[graft] def jaccardPairsFrom(sh: DataFrame): DataFrame =
-    jaccardScoredFrom(sh).filter(col("jaccard") >= JaccardThreshold)
+  private[graft] def jaccardPairsFrom(sh: DataFrame,
+      cap: Int = MaxPosting): DataFrame =
+    jaccardScoredFrom(sh, cap).filter(col("jaccard") >= JaccardThreshold)
 
   /** Candidate pairs with raw overlap evidence: (doc_a, doc_b, shared,
     * n_a, n_b) for every pair sharing ≥1 shingle under the posting-cap
     * contract — the ONE pair chain both the symmetric (Jaccard) and
     * asymmetric (containment) similarities derive from. */
-  private[graft] def pairOverlapFrom(sh: DataFrame): DataFrame = {
+  private[graft] def pairOverlapFrom(sh: DataFrame,
+      cap: Int = MaxPosting): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val posting = sh
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, MaxPosting))
+      .filter(size(col("ids")).between(2, cap))
     val pairs = posting
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
@@ -128,8 +130,9 @@ object DedupQueries {
     * shingle, posting-cap contract applied) with its exact Jaccard. The
     * dedups consume it thresholded ([[jaccardPairsFrom]]); the LSH
     * s-curve calibration consumes the full score range. */
-  private[graft] def jaccardScoredFrom(sh: DataFrame): DataFrame =
-    pairOverlapFrom(sh)
+  private[graft] def jaccardScoredFrom(sh: DataFrame,
+      cap: Int = MaxPosting): DataFrame =
+    pairOverlapFrom(sh, cap)
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")))
@@ -153,10 +156,11 @@ object DedupQueries {
     * Jaccard-verified LSH dedup and the edit-distance verify layer, so
     * the two verification semantics are guaranteed to see the SAME
     * candidate set. */
-  private[graft] def bandCandidates(sh: DataFrame): DataFrame =
+  private[graft] def bandCandidates(sh: DataFrame,
+      cap: Int = MaxPosting): DataFrame =
     bandSignatures(sh)
       .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, MaxPosting))
+      .filter(size(col("ids")).between(2, cap))
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -444,39 +448,8 @@ object DedupQueries {
     // the shingle pass is shared once, and the output is a single row of
     // exact BIGINT counts + two DOUBLE ratios — the audit costs the same
     // as running the two dedup paths it compares.
-    "dedup_lsh_recall_audit" -> ((s, dir) => {
-      val sh = shingled(s, dir).localCheckpoint()
-      val exact = jaccardPairsFrom(sh)
-        .select("doc_a", "doc_b").localCheckpoint()
-      val cand = bandCandidates(sh).localCheckpoint()
-      val verified = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-            .cast("double") /
-            size(array_union(col("sa.shingles"), col("sb.shingles"))))
-            .as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select("doc_a", "doc_b").localCheckpoint()
-      val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      val nCand = cand.agg(count(lit(1)).as("n_lsh_cand"))
-      val nVer = verified.agg(count(lit(1)).as("n_lsh_verified"))
-      val nCommon = verified.join(exact, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      nExact.crossJoin(nCand).crossJoin(nVer).crossJoin(nCommon)
-        .select(col("n_exact"), col("n_lsh_cand"), col("n_lsh_verified"),
-          col("n_common"),
-          (col("n_lsh_verified") - col("n_common")).as("n_lsh_only"),
-          (col("n_exact") - col("n_common")).as("n_exact_only"),
-          when(col("n_exact") === 0L, lit(null).cast("double"))
-            .otherwise(col("n_common").cast("double") / col("n_exact"))
-            .as("band_recall"),
-          when(col("n_lsh_cand") === 0L, lit(null).cast("double"))
-            .otherwise(col("n_lsh_verified").cast("double") /
-              col("n_lsh_cand"))
-            .as("band_precision"))
-    }),
+    "dedup_lsh_recall_audit" -> ((s, dir) =>
+      recallAuditFrom(shingled(s, dir).localCheckpoint(), MaxPosting)),
 
     // Edit-distance near-dup: the CHARACTER-level complement of the
     // token-level Jaccard verify. Same band-bucket candidate set (shared
@@ -678,6 +651,45 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
   )
+
+
+  /** The recall-audit body over an already-shingled frame, cap
+    * parametrized so LshSkewSpec can exercise cap pressure on a
+    * fixture-scaled corpus (the production entry always passes
+    * [[MaxPosting]]; what the measurement varies is the cap/corpus
+    * RATIO, the quantity that decides whether a bucket is dropped). */
+  private[graft] def recallAuditFrom(sh: DataFrame, cap: Int): DataFrame = {
+      val exact = jaccardPairsFrom(sh, cap)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val cand = bandCandidates(sh, cap).localCheckpoint()
+      val verified = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+            .cast("double") /
+            size(array_union(col("sa.shingles"), col("sb.shingles"))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nCand = cand.agg(count(lit(1)).as("n_lsh_cand"))
+      val nVer = verified.agg(count(lit(1)).as("n_lsh_verified"))
+      val nCommon = verified.join(exact, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      nExact.crossJoin(nCand).crossJoin(nVer).crossJoin(nCommon)
+        .select(col("n_exact"), col("n_lsh_cand"), col("n_lsh_verified"),
+          col("n_common"),
+          (col("n_lsh_verified") - col("n_common")).as("n_lsh_only"),
+          (col("n_exact") - col("n_common")).as("n_exact_only"),
+          when(col("n_exact") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_common").cast("double") / col("n_exact"))
+            .as("band_recall"),
+          when(col("n_lsh_cand") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_lsh_verified").cast("double") /
+              col("n_lsh_cand"))
+            .as("band_precision"))
+  }
 
   // ---- oracles -----------------------------------------------------------
 

@@ -673,13 +673,72 @@ object RetrievalQueries {
     * MMR score is two multiplies and a subtract of those doubles, so
     * the greedy argmax decisions are deterministic across engines.
     *
-    * Scale shape: the candidate set is |queries|·k rows and the pair
-    * matrix |queries|·k² — CONSTANT in corpus size — so after the dense
-    * top-k (one distributed vector scan) the greedy runs as a
-    * control-plane step on collected candidates, exactly like the
-    * IVF probe-cell selection in [[graft.sim.IvfPqIndex.serveMulti]];
-    * at 1000 executors the k² matrix is still ~300 rows. */
+    * Scale shape: the per-query greedy is embarrassingly parallel
+    * across queries, so it runs EXECUTOR-SIDE as a `flatMapGroups` over
+    * `query_doc` — each group is ≤ k candidate rows with their vectors
+    * attached, the k² pair similarities are computed in-memory inside
+    * the group, and NOTHING in this plan touches the driver: the
+    * candidate-vector prune is a broadcast semi-join (the distributed
+    * twin of the literal-IN fetch), not a collected id list. The
+    * in-group cosine is a strict-left-fold double dot — the exact
+    * operation order of [[graft.sim.Dot64]] — so the greedy argmax
+    * decisions stay bit-identical to the collected cross-check variant
+    * ([[mmrRerankCollected]], spec-pinned equal) and to the oracle. */
   def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val de = denseTopk(s, dir).localCheckpoint()
+    val cand = de.select(col("query_doc"), col("rank").as("dense_rank"),
+      col("doc_id"), col("cos_sim").as("relevance"))
+    val vecs = emb(s, dir).join(
+        broadcast(cand.select(col("doc_id").as("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val rows = cand.join(vecs, col("doc_id") === col("vec_id"))
+      .select(col("query_doc"), col("dense_rank"), col("doc_id"),
+        col("relevance"), col("embedding"))
+      .as[(Long, Long, Long, Double, Array[Float])]
+    rows.groupByKey(_._1).flatMapGroups {
+      (q: Long, it: Iterator[(Long, Long, Long, Double, Array[Float])]) =>
+        val cs = it.toArray // ≤ TopK rows per query by construction
+        // strict left fold ((0 + x₁y₁) + x₂y₂) + … — Dot64's exact order
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var i = 0; var acc = 0.0
+          while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        def cos(a: Array[Float], b: Array[Float]): Double =
+          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        val byId = cs.map(c => c._3 -> c).toMap
+        val simCache = scala.collection.mutable.Map.empty[(Long, Long), Double]
+        def sim(x: Long, y: Long): Double =
+          simCache.getOrElseUpdate((x, y), cos(byId(x)._5, byId(y)._5))
+        val remaining = scala.collection.mutable.Set(cs.map(_._3): _*)
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (1 to cs.length).map { step =>
+          val (bestId, bestScore) = remaining.toSeq.map { c =>
+            val rel = byId(c)._4
+            val pen =
+              if (picked.isEmpty) 0.0
+              else picked.map(p => sim(c, p)).max
+            c -> (MmrLambda * rel - MmrMu * pen)
+          }.minBy { case (id, sc) => (-sc, id) }
+          remaining -= bestId; picked += bestId
+          val (_, dRank, _, rel, _) = byId(bestId)
+          (q, step.toLong, bestId, dRank, rel, bestScore)
+        }
+    }.toDF("query_doc", "mmr_rank", "doc_id", "dense_rank",
+        "relevance", "mmr_score")
+      .orderBy("query_doc", "mmr_rank")
+  }
+
+  /** The original driver-side MMR — two bounded collects (≤ |q|·k
+    * candidates, ≤ |q|·k² pair sims, CollectBoundsSpec-pinned), then the
+    * sequential greedy on the driver. Kept as the CROSS-CHECK for the
+    * executor-side [[mmrRerank]]: MmrEquivalenceSpec asserts the two are
+    * bit-identical, so the served path's in-group Scala cosine is pinned
+    * against the Catalyst-expression arithmetic this variant uses. */
+  private[retrieval] def mmrRerankCollected(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val de = denseTopk(s, dir).localCheckpoint()
     val cand = de.select(col("query_doc"), col("rank").as("dense_rank"),
@@ -943,14 +1002,17 @@ object RetrievalQueries {
   /** Shared CTE chain: tf/df/dl/corpus stats → keywords → BM25 top-k
     * (`stopk`) and cosine top-k (`dtopk`). */
   private val listsCte =
-    s"""t AS (
+    s"""t AS MATERIALIZED (
+       |  -- MATERIALIZED: referenced by dfq/dlq/st/kw/contrib; DuckDB 1.0
+       |  -- inlines plain CTEs, so un-annotated the full corpus tokenize
+       |  -- would run five times -- the 100x cert's temp-disk ceiling.
        |  SELECT doc_id, term, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
        |    FROM documents
        |  ) WHERE term <> '' GROUP BY doc_id, term
        |),
-       |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),
-       |dlq AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |dfq AS MATERIALIZED (SELECT term, count(*) AS df FROM t GROUP BY term),
+       |dlq AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
        |        FROM t GROUP BY doc_id),
        |st AS (SELECT (SELECT count(*) FROM documents) AS n,
        |              (SELECT CAST(sum(tf) AS BIGINT) FROM t) AS tl),
@@ -971,7 +1033,7 @@ object RetrievalQueries {
        |         JOIN dlq ON t.doc_id = dlq.doc_id, st
        |  WHERE t.doc_id <> kw.query_doc
        |),
-       |stopk AS (
+       |stopk AS MATERIALIZED (
        |  SELECT query_doc, rank, doc_id, n_terms, score_fp FROM (
        |    SELECT query_doc, doc_id, count(*) AS n_terms,
        |           CAST(sum(c) AS BIGINT) AS score_fp,
@@ -980,7 +1042,7 @@ object RetrievalQueries {
        |    FROM contrib GROUP BY query_doc, doc_id
        |  ) WHERE rank <= $TopK
        |),
-       |dtopk AS (
+       |dtopk AS MATERIALIZED (
        |  SELECT query_doc, rank, doc_id, cos_sim FROM (
        |    SELECT q.vec_id AS query_doc, e.vec_id AS doc_id,
        |           ${Ora.cos64("e.embedding", "q.embedding")} AS cos_sim,
@@ -1563,9 +1625,11 @@ object RetrievalQueries {
          |),
          |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),
          |rkd AS (
+         |  -- NULL-skip guard to mirror Spark percentile's rank space
+         |  -- (df is never NULL here; kept for scaffold uniformity).
          |  SELECT df, row_number() OVER (ORDER BY df) AS rn,
          |         count(*) OVER () AS n
-         |  FROM dfq
+         |  FROM dfq WHERE df IS NOT NULL
          |),
          |pq AS (
          |  SELECT ${graft.oracle.Ora.pct("df", "0.5")} AS df_p50,

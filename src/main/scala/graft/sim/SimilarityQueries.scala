@@ -1597,7 +1597,10 @@ object SimilarityQueries {
     // sim_hard_negatives exactly as the Spark helper is
     val bucketPairsSql =
       s"""$bucketedSql,
-         |blabeled AS (
+         |blabeled AS MATERIALIZED (
+         |  -- MATERIALIZED: self-joined (a, b) plus the ok subquery --
+         |  -- un-annotated, DuckDB recomputes the 8-hyperplane bucketing
+         |  -- and the norm dot three times over the corpus.
          |  SELECT b.vec_id, b.embedding, b.bucket,
          |         CAST(e.label AS BIGINT) AS label,
          |         sqrt(${Ora.dot64("b.embedding", "b.embedding")}) AS nrm
@@ -1607,7 +1610,10 @@ object SimilarityQueries {
          |  SELECT bucket FROM blabeled GROUP BY bucket
          |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
          |),
-         |bpairs AS (
+         |bpairs AS MATERIALIZED (
+         |  -- MATERIALIZED narrow (5 scalars/row): the sigma-bucket-squared
+         |  -- pair set is computed once and stored without embeddings, so
+         |  -- downstream window sorts spill ~40 B/row, not ~1 KB/row.
          |  SELECT a.vec_id, a.label, b.vec_id AS nbr, b.label AS nbr_label,
          |         ${Ora.dot64("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
          |           AS cos_sim

@@ -20,8 +20,11 @@ class CollectBoundsSpec extends SparkSpec {
 
   private val nq = QueryDocs.size
 
-  test("MMR's collected candidate matrix is ≤ |q|·k rows and its pair " +
-      "matrix ≤ |q|·k·(k−1) — constant in corpus size") {
+  test("MMR cross-check variant's collected candidate matrix is ≤ |q|·k " +
+      "rows and its pair matrix ≤ |q|·k·(k−1) — constant in corpus size") {
+    // round 10: the SERVING path (mmrRerank) is executor-side with zero
+    // collects — these bounds now pin mmrRerankCollected, the
+    // bit-equality cross-check (MmrEquivalenceSpec), which still collects
     val cand = RetrievalQueries.denseTopk(spark, sf)
       .select("query_doc", "doc_id")
     val n = cand.count()
