@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fixed-size-delta scale measurement for the incremental index paths
+  * (round-9 verdict #6). The fixture convention sizes the delta as a
+  * FRACTION of the corpus (`doc_id % 10`, `vec_id > max·9/10`), so the
+  * 30×/100× rehearsal numbers for `dedup_lsh_incremental` and
+  * `sim_knn_join_incremental` track corpus/10 — which measures the
+  * convention, not the architecture. Production deltas track the
+  * ARRIVAL RATE: this main re-runs both incremental paths with the
+  * ABSOLUTE delta sizes the sf0.1 runs used (5 000 docs / 2 000
+  * vectors — the last D ids play the arrivals), so a flat-ish number
+  * across 1×/30×/100× certifies "cost follows the delta, not the
+  * corpus".
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.FixedDeltaBench"
+  * Prints one JSON line: {"metric":"fixed_delta","lsh_sec":…,
+  * "knn_sec":…,"lsh_rows":…,"knn_rows":…,"n_docs":…,"n_vecs":…}.
+  * Measurement-only — not part of the query surface or the gate.
+  */
+object FixedDeltaBench {
+
+  val DeltaDocs = 5000L
+  val DeltaVecs = 2000L
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val maxDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val maxVec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(max("vec_id")).head().getLong(0)
+
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // warm the JVM/codegen the same way Bench does (untimed)
+    spark.read.parquet(s"$dir/documents.parquet").count()
+
+    // the kNN-graph base build for the fixed cutoff is serve-time-0
+    // infrastructure (built once, like the convention index) — pay it
+    // OUTSIDE the timed serve, exactly as the rehearsal table's
+    // incremental rows do for the convention cutoff
+    val knnCut = maxVec - DeltaVecs
+    graft.sim.KnnGraphIndex.buildBaseIfMissingAt(spark, dir, knnCut, "_fd")
+
+    val (knnRows, knnSec) = time {
+      graft.sim.SimilarityQueries.knnTopK(
+        graft.sim.KnnGraphIndex.pairsWithDeltaAt(spark, dir, knnCut, "_fd"))
+        .count()
+    }
+
+    val (lshRows, lshSec) = time {
+      graft.dedup.DedupQueries.lshIncrementalWith(spark, dir,
+        col("doc_id") > lit(maxDoc - DeltaDocs)).count()
+    }
+
+    println(s"""{"metric":"fixed_delta","sf_dir":"$dir",""" +
+      s""""delta_docs":$DeltaDocs,"delta_vecs":$DeltaVecs,""" +
+      s""""lsh_sec":$lshSec,"knn_sec":$knnSec,""" +
+      s""""lsh_rows":$lshRows,"knn_rows":$knnRows,""" +
+      s""""n_docs":$nDocs,"n_vecs":$nVecs}""")
+    spark.stop()
+  }
+}

@@ -170,8 +170,8 @@ object DedupQueries {
     * posting lists — the probe stage of `dedup_lsh_incremental`, split
     * out so the streaming twin's spec can assert set-equality against
     * the exact batch derivation. */
-  private[graft] def incrementalCandidates(banded: DataFrame): DataFrame = {
-    val isNew = col("doc_id") % 10 === 0
+  private[graft] def incrementalCandidates(banded: DataFrame,
+      isNew: Column = col("doc_id") % 10 === 0): DataFrame = {
     val idxPosting = banded.filter(!isNew)
       .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= MaxPosting)
@@ -180,6 +180,29 @@ object DedupQueries {
       .select(col("doc_id").as("new_doc"),
         explode(col("ids")).as("idx_doc"))
       .distinct()
+  }
+
+  /** The full incremental LSH probe (candidates against the standing
+    * index + exact-Jaccard verify) with the new/standing split as a
+    * PARAMETER: the query entry passes the fixture convention
+    * (doc_id % 10 = 0, a fixed FRACTION of the corpus); the fixed-delta
+    * scale measurement ([[graft.FixedDeltaBench]]) passes "the last D
+    * doc ids" — the production shape, where the delta tracks the
+    * ARRIVAL RATE, not the corpus size. */
+  private[graft] def lshIncrementalWith(s: SparkSession, dir: String,
+      isNew: Column): DataFrame = {
+    val sh = shingled(s, dir).localCheckpoint()
+    val cand = incrementalCandidates(bandSignatures(sh), isNew)
+    cand
+      .join(sh.as("sa"), col("new_doc") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("idx_doc") === col("sb.doc_id"))
+      .select(col("new_doc"), col("idx_doc"),
+        (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("double") /
+          size(array_union(col("sa.shingles"), col("sb.shingles"))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("new_doc", "idx_doc")
   }
 
   /** (doc_id, h0..h15) minhash signatures over an already-shingled frame.
@@ -545,20 +568,8 @@ object DedupQueries {
     // bit-identical to dedup_lsh_incremental, which retrains per call
     "dedup_lsh_served" -> ((s, dir) => LshIndex.probe(s, dir)),
 
-    "dedup_lsh_incremental" -> ((s, dir) => {
-      val sh = shingled(s, dir).localCheckpoint()
-      val cand = incrementalCandidates(bandSignatures(sh))
-      cand
-        .join(sh.as("sa"), col("new_doc") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("idx_doc") === col("sb.doc_id"))
-        .select(col("new_doc"), col("idx_doc"),
-          (size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-            .cast("double") /
-            size(array_union(col("sa.shingles"), col("sb.shingles"))))
-            .as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .orderBy("new_doc", "idx_doc")
-    }),
+    "dedup_lsh_incremental" -> ((s, dir) =>
+      lshIncrementalWith(s, dir, col("doc_id") % 10 === 0)),
 
     // MinHash fidelity measurement: for the verified near-dup pairs, the
     // signature-agreement estimate (matching components / NumMinhash)

@@ -118,13 +118,18 @@ object KnnGraphIndex {
       .agg(max("vec_id")).head().getLong(0) * 9 / 10
 
   def buildBaseIfMissing(s: SparkSession, dir: String): String =
+    buildBaseIfMissingAt(s, dir, baseCutoff(s, dir), "")
+
+  /** Cutoff-parametrized base build — `tag` keeps fixed-delta
+    * measurement indexes ([[graft.FixedDeltaBench]]) from colliding with
+    * the convention-cutoff index in the cache. */
+  private[graft] def buildBaseIfMissingAt(s: SparkSession, dir: String,
+      cut: Long, tag: String): String =
     lock.synchronized {
-      val path = indexPath(s, dir) + "_base"
-      if (!new java.io.File(s"$path/degrees/_SUCCESS").exists()) {
-        val cut = baseCutoff(s, dir)
+      val path = indexPath(s, dir) + s"_base$tag"
+      if (!new java.io.File(s"$path/degrees/_SUCCESS").exists())
         writeTables(pairMembers(s, dir).filter(col("vec_id") <= cut)
           .localCheckpoint(), path)
-      }
       path
     }
 
@@ -134,9 +139,15 @@ object KnnGraphIndex {
     * delta — bit-identical to a full rebuild (see object doc). The
     * touched-bucket collect is the documented ≤ 2^NumPlanes-value
     * control-plane fetch. */
-  def pairsWithDelta(s: SparkSession, dir: String): DataFrame = {
-    val path = buildBaseIfMissing(s, dir)
-    val cut = baseCutoff(s, dir)
+  def pairsWithDelta(s: SparkSession, dir: String): DataFrame =
+    pairsWithDeltaAt(s, dir, baseCutoff(s, dir), "")
+
+  /** Cutoff-parametrized delta serve — the fixed-delta scale
+    * measurement passes cut = maxId − D so the delta is D rows (the
+    * production arrival-rate shape) instead of 10% of the corpus. */
+  private[graft] def pairsWithDeltaAt(s: SparkSession, dir: String,
+      cut: Long, tag: String): DataFrame = {
+    val path = buildBaseIfMissingAt(s, dir, cut, tag)
     val dm = pairMembers(s, dir).filter(col("vec_id") > cut)
       .localCheckpoint()
     val touched = dm.select("bucket").distinct()

@@ -1610,6 +1610,15 @@ object SimilarityQueries {
          |  SELECT bucket FROM blabeled GROUP BY bucket
          |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
          |),
+         |bmem AS MATERIALIZED (
+         |  -- in-cap members ONLY, restricted BEFORE the self-join: with the
+         |  -- cap filter left as a third join the optimizer may pair the
+         |  -- full buckets first, and one over-cap value-duplicated bucket
+         |  -- (the kind the cap exists to drop) emits its members² pairs
+         |  -- before the filter — the 100x cert's temp-disk blowout. Here
+         |  -- the self-join INPUT provably holds no bucket above the cap.
+         |  SELECT bl.* FROM blabeled bl JOIN ok o USING (bucket)
+         |),
          |bpairs AS MATERIALIZED (
          |  -- MATERIALIZED narrow (5 scalars/row): the sigma-bucket-squared
          |  -- pair set is computed once and stored without embeddings, so
@@ -1617,9 +1626,8 @@ object SimilarityQueries {
          |  SELECT a.vec_id, a.label, b.vec_id AS nbr, b.label AS nbr_label,
          |         ${Ora.dot64("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
          |           AS cos_sim
-         |  FROM blabeled a
-         |  JOIN blabeled b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-         |  JOIN ok o ON a.bucket = o.bucket
+         |  FROM bmem a
+         |  JOIN bmem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |)""".stripMargin
 
     def distSql(v: String, c: String) =
