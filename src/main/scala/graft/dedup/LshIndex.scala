@@ -41,8 +41,14 @@ object LshIndex {
     * incremental query fixes: every 10th doc plays the new batch). */
   private def isNew = col("doc_id") % 10 === 0
 
-  def build(s: SparkSession, dir: String, path: String): Unit = {
-    val shIdx = shingled(s, dir).filter(!isNew).localCheckpoint()
+  def build(s: SparkSession, dir: String, path: String): Unit =
+    buildWith(s, dir, path, isNew)
+
+  /** Build with a caller-chosen new/standing split — the fixed-delta
+    * measurement ([[graft.FixedDeltaBench]]) passes "the last D ids". */
+  private[graft] def buildWith(s: SparkSession, dir: String, path: String,
+      isNewCol: org.apache.spark.sql.Column): Unit = {
+    val shIdx = shingled(s, dir).filter(!isNewCol).localCheckpoint()
     val postings = bandSignatures(shIdx)
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -67,11 +73,17 @@ object LshIndex {
     * the stored posting lists, Jaccard verification against the stored
     * shingles — zero re-shingling of the standing corpus, bit-identical
     * to `dedup_lsh_incremental`. */
-  def probe(s: SparkSession, dir: String): DataFrame = {
-    val path = buildIfMissing(s, dir)
+  def probe(s: SparkSession, dir: String): DataFrame =
+    probeWith(s, dir, isNew, buildIfMissing(s, dir))
+
+  /** Probe with a caller-chosen new/standing split against a
+    * caller-chosen index path (the fixed-delta measurement builds its
+    * index under a tag so it cannot collide with the convention one). */
+  private[graft] def probeWith(s: SparkSession, dir: String,
+      isNewCol: org.apache.spark.sql.Column, path: String): DataFrame = {
     val postings = s.read.parquet(s"$path/postings")
     val idxShingles = s.read.parquet(s"$path/shingles")
-    val shNew = shingled(s, dir).filter(isNew).localCheckpoint()
+    val shNew = shingled(s, dir).filter(isNewCol).localCheckpoint()
     val cand = bandSignatures(shNew)
       .join(postings, Seq("band", "sig"))
       .select(col("doc_id").as("new_doc"), explode(col("ids")).as("idx_doc"))
