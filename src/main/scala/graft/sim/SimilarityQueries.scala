@@ -1422,18 +1422,24 @@ object SimilarityQueries {
 
   /** Mirror of assignedCells — one definition, all consumers. */
   private[graft] lazy val assignedCellsSql =
-    s"""centroids AS (
+    s"""centroids AS MATERIALIZED (
        |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
        |  WHERE vec_id < $NumCells
        |),
-       |scored AS (
+       |scored AS MATERIALIZED (
+       |  -- MATERIALIZED (with every reused CTE below): DuckDB 1.0 inlines
+       |  -- plain CTEs per reference, and these chains are consumed by
+       |  -- k-means/PQ iteration CTEs that reference their predecessor
+       |  -- multiple times -- un-annotated the corpus-sized subtrees
+       |  -- recompute near-exponentially with iteration depth (the sf1
+       |  -- residual-PQ oracle ran >1 h before this annotation).
        |  SELECT e.vec_id, e.embedding, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${Ora.cos64("e.embedding", "c.c_emb")} DESC,
        |                    c.cell) AS rk
        |  FROM embeddings e, centroids c
        |),
-       |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1)""".stripMargin
+       |assigned AS MATERIALIZED (SELECT vec_id, embedding, cell FROM scored WHERE rk = 1)""".stripMargin
 
   // product quantization: the per-subspace mirror of the same
   // assign/update chain, run on 16-dim slices (sv{j}); pcode{j} is the
@@ -1460,16 +1466,16 @@ object SimilarityQueries {
     val lo = j * PqSubDim + 1
     val hi = (j + 1) * PqSubDim
     val iters = (1 to PqIters).map { i =>
-      s"pa$j$i AS (${pqAssignSql(j, s"pc$j${i - 1}")}),\n" +
-        s"pc$j$i AS (${pqUpdateSql(j, s"pa$j$i")})"
+      s"pa$j$i AS MATERIALIZED (${pqAssignSql(j, s"pc$j${i - 1}")}),\n" +
+        s"pc$j$i AS MATERIALIZED (${pqUpdateSql(j, s"pa$j$i")})"
     }.mkString(",\n")
-    s"""sv$j AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
-       |pc${j}0 AS (
+    s"""sv$j AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
+       |pc${j}0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS BIGINT) AS cluster, emb AS c
        |  FROM sv$j WHERE vec_id < $PqK
        |),
        |$iters,
-       |pcode$j AS (${pqAssignSql(j, s"pc$j$PqIters")})""".stripMargin
+       |pcode$j AS MATERIALIZED (${pqAssignSql(j, s"pc$j$PqIters")})""".stripMargin
   }.mkString(",\n")
 
   /** Multi-query IVF-PQ ADC candidate lists as a CTE chain — the
@@ -1787,29 +1793,29 @@ object SimilarityQueries {
         val lo = j * PqSubDim + 1
         val hi = (j + 1) * PqSubDim
         val iters = (1 to PqIters).map { i =>
-          s"rpa$j$i AS (${pqAssignSql(j, s"rpc$j${i - 1}", "rsv")}),\n" +
-            s"rpc$j$i AS (${pqUpdateSql(j, s"rpa$j$i", "rsv")})"
+          s"rpa$j$i AS MATERIALIZED (${pqAssignSql(j, s"rpc$j${i - 1}", "rsv")}),\n" +
+            s"rpc$j$i AS MATERIALIZED (${pqUpdateSql(j, s"rpa$j$i", "rsv")})"
         }.mkString(",\n")
-        s"""rsv$j AS (SELECT vec_id, r[$lo:$hi] AS emb FROM rbase),
-           |rpc${j}0 AS (
+        s"""rsv$j AS MATERIALIZED (SELECT vec_id, r[$lo:$hi] AS emb FROM rbase),
+           |rpc${j}0 AS MATERIALIZED (
            |  SELECT CAST(vec_id - $NumCells AS BIGINT) AS cluster, emb AS c
            |  FROM rsv$j
            |  WHERE vec_id >= $NumCells AND vec_id < ${NumCells + PqK}
            |),
            |$iters,
-           |rpcode$j AS (${pqAssignSql(j, s"rpc$j$PqIters", "rsv")})""".stripMargin
+           |rpcode$j AS MATERIALIZED (${pqAssignSql(j, s"rpc$j$PqIters", "rsv")})""".stripMargin
       }.mkString(",\n")
       val qluts = (0 until PqM).map { j =>
         val lo = j * PqSubDim + 1
         val hi = (j + 1) * PqSubDim
         s"""qrs$j AS (SELECT cell, qr[$lo:$hi] AS emb FROM qres),
-           |rlut$j AS (
+           |rlut$j AS MATERIALIZED (
            |  SELECT q.cell, c.cluster, ${pqDist("q.emb", "c.c")} AS d
            |  FROM rpc$j$PqIters c, qrs$j q
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH $assignedCellsSql,
-         |rbase AS (
+         |rbase AS MATERIALIZED (
          |  SELECT a.vec_id,
          |         list_transform(range($Dim), i ->
          |           a.embedding[i+1]::DOUBLE - c.c_emb[i+1]::DOUBLE) AS r
