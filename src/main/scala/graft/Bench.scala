@@ -313,7 +313,9 @@ object Bench {
           // blocks behind; dropping them between runs keeps each timing
           // independent instead of degrading late queries under accumulated
           // storage-memory pressure. blocking=true so the removal itself
-          // finishes outside the next query's timed region.
+          // finishes outside the next query's timed region. The
+          // Materialize reap clears persist-mode CacheManager entries too.
+          Materialize.reapAll(spark)
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           if (failed) -1.0 else t
         }

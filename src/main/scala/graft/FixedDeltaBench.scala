@@ -57,12 +57,16 @@ object FixedDeltaBench {
     // infrastructure (built once, like the convention index) — pay it
     // OUTSIDE the timed serve, exactly as the rehearsal table's
     // incremental rows do for the convention cutoff
+    // the _fd tags embed the delta constants: a change to DeltaVecs /
+    // DeltaDocs (and hence the derived cutoff) must force a rebuild, not
+    // silently serve an index built for the old split
+    val knnTag = s"_fd$DeltaVecs"
     val knnCut = maxVec - DeltaVecs
-    graft.sim.KnnGraphIndex.buildBaseIfMissingAt(spark, dir, knnCut, "_fd")
+    graft.sim.KnnGraphIndex.buildBaseIfMissingAt(spark, dir, knnCut, knnTag)
 
     val (knnRows, knnSec) = time {
       graft.sim.SimilarityQueries.knnTopK(
-        graft.sim.KnnGraphIndex.pairsWithDeltaAt(spark, dir, knnCut, "_fd"))
+        graft.sim.KnnGraphIndex.pairsWithDeltaAt(spark, dir, knnCut, knnTag))
         .count()
     }
 
@@ -71,7 +75,7 @@ object FixedDeltaBench {
     // retrain-per-call incremental twin re-tokenizes the corpus BY
     // DESIGN and is reported alongside for contrast
     val isNewFd = col("doc_id") > lit(maxDoc - DeltaDocs)
-    val lshPath = graft.dedup.LshIndex.indexPath(spark, dir) + "_fd"
+    val lshPath = graft.dedup.LshIndex.indexPath(spark, dir) + s"_fd$DeltaDocs"
     if (!new java.io.File(s"$lshPath/shingles/_SUCCESS").exists())
       graft.dedup.LshIndex.buildWith(spark, dir, lshPath, isNewFd)
     val (lshRows, lshSec) = time {

@@ -28,7 +28,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop localCheckpoint blocks so one query's cached intermediates
-      // don't squeeze the next query's execution memory
+      // don't squeeze the next query's execution memory; the Materialize
+      // reap additionally clears persist-mode CacheManager entries (the
+      // RDD sweep alone frees blocks but leaves the cached-plan entry)
+      Materialize.reapAll(spark)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

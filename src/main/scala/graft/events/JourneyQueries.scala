@@ -51,12 +51,20 @@ object JourneyQueries {
     // relative to the corpus' last day), frequency (event count), and
     // monetary (exact DECIMAL sum of value — double summation is
     // order-dependent, so the decimal cast is what makes the two engines
-    // agree), each cut into quartiles by ntile(4) under a total order
+    // agree), each cut into quartiles under a strict total order
     // (metric, then user_id — the tiebreak both engines resolve
-    // identically). Output is the 4x4x4 segment rollup: cell sizes and
-    // the exact monetary mass per cell. The global max day is a 1-row
-    // aggregate broadcast into the user-sized table — no second
-    // fact-sized pass.
+    // identically). The quartile is ntile(4), but computed as
+    // [[graft.Ranks.ntileFromRank]] over three two-stage
+    // [[graft.Ranks.rowNumber]] ranks instead of three global
+    // `ntile(4).over(Window.orderBy(...))` windows: a global ntile is a
+    // SINGLE-partition sort of every user row — three one-task sorts of
+    // 10⁹ users at 100 TB — while the two-stage rank range-partitions
+    // each sort and stays parallel, bit-equal to the oracle's ntile by
+    // the positional-bucket formula. Output is the 4x4x4 segment
+    // rollup: cell sizes and the exact monetary mass per cell. The
+    // global max day is a 1-row aggregate broadcast into the user-sized
+    // table; the user total rides the first rank's materialization —
+    // still no second fact-sized pass.
     "events_rfm_segments" -> ((s, dir) => {
       val e = ev(s, dir)
         .withColumn("day", expr(s"ts div ${EventsQueries.DayUs}"))
@@ -67,15 +75,21 @@ object JourneyQueries {
       val maxDay = perUser.agg(max("last_day").as("corpus_last_day"))
       val scored = perUser.crossJoin(broadcast(maxDay))
         .withColumn("recency", col("corpus_last_day") - col("last_day"))
-      val rW = Window.orderBy(col("recency").asc, col("user_id").asc)
-      val fW = Window.orderBy(col("frequency").desc, col("user_id").asc)
-      val mW = Window.orderBy(col("monetary").desc, col("user_id").asc)
-      scored
-        // ntile is IntegerType in Spark but BIGINT in DuckDB; cast so the
-        // compared schemas agree
-        .withColumn("r_q", ntile(4).over(rW).cast("long"))
-        .withColumn("f_q", ntile(4).over(fW).cast("long"))
-        .withColumn("m_q", ntile(4).over(mW).cast("long"))
+      val rRank = graft.Ranks.rowNumber(scored, "r_rank",
+        col("recency").asc, col("user_id").asc)
+      // user-count total read off the first rank's checkpoint — cheap
+      val nUsers = rRank.agg(count(lit(1)).as("n_u"))
+      val ranked = graft.Ranks.rowNumber(
+        graft.Ranks.rowNumber(rRank, "f_rank",
+          col("frequency").desc, col("user_id").asc),
+        "m_rank", col("monetary").desc, col("user_id").asc)
+      ranked.crossJoin(broadcast(nUsers))
+        .withColumn("r_q",
+          graft.Ranks.ntileFromRank(col("r_rank"), col("n_u"), 4))
+        .withColumn("f_q",
+          graft.Ranks.ntileFromRank(col("f_rank"), col("n_u"), 4))
+        .withColumn("m_q",
+          graft.Ranks.ntileFromRank(col("m_rank"), col("n_u"), 4))
         .groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"),
           sum("monetary").cast("double").as("total_monetary"))

@@ -40,15 +40,24 @@ object HitsQueries {
         .select(concat(lit("c:"), col("o_custkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst"))
         .distinct()
-        .localCheckpoint() // 2 joins per iteration read this
+        .transform(graft.Materialize(_)) // 2 joins per iteration read this
       var hubs = edges.select(col("src").as("node")).distinct()
         .withColumn("score", lit(1.0))
       var auths: DataFrame = null
+      // persist-mode hygiene: each round's raw-score materialization
+      // supersedes the previous round's — release it as soon as the new
+      // one exists (round i's aRaw feeds only auths(i), which hRaw(i)
+      // consumed before hRaw(i) was materialized). The LAST round's
+      // frames back the result and stay until the driver's reapAll.
+      var prevA: DataFrame = null
+      var prevH: DataFrame = null
       for (_ <- 1 to Iterations) {
         val aRaw = edges.join(broadcast(hubs), edges("src") === hubs("node"))
           .groupBy(col("dst").as("anode"))
           .agg(round(sum("score"), 12).as("raw"))
-          .localCheckpoint() // feeds max AND the normalized scores
+          .transform(graft.Materialize(_)) // feeds max AND the scores
+        if (prevA != null) graft.Materialize.release(prevA)
+        prevA = aRaw
         val aMax = aRaw.agg(max("raw").as("mx"))
         auths = aRaw.crossJoin(broadcast(aMax))
           .select(col("anode").as("node"),
@@ -56,12 +65,17 @@ object HitsQueries {
         val hRaw = edges.join(broadcast(auths), edges("dst") === auths("node"))
           .groupBy(col("src").as("hnode"))
           .agg(round(sum("score"), 12).as("raw"))
-          .localCheckpoint()
+          .transform(graft.Materialize(_))
+        if (prevH != null) graft.Materialize.release(prevH)
+        prevH = hRaw
         val hMax = hRaw.agg(max("raw").as("mx"))
         hubs = hRaw.crossJoin(broadcast(hMax))
           .select(col("hnode").as("node"),
             round(col("raw") / col("mx"), 12).as("score"))
       }
+      // the result reads only the final raw-score frames; the edge
+      // table is dead once the loop exits
+      graft.Materialize.release(edges)
       val topA = auths.orderBy(col("score").desc, col("node"))
         .limit(TopK).withColumn("role", lit("authority"))
       val topH = hubs.orderBy(col("score").desc, col("node"))

@@ -52,7 +52,10 @@ object IvfPqIndex {
     val e = s.read.parquet(s"$dir/embeddings.parquet")
     val centroids = coarseCentroids(e)
     val assigned = assignedCells(e).select("vec_id", "cell")
-    val sv = pqSubVecs(e.select("vec_id", "embedding")).localCheckpoint()
+    // loop-invariant input to every pqCodebooks Lloyd round → the
+    // mode-selectable materialization, like the loop's own rounds
+    val sv = pqSubVecs(e.select("vec_id", "embedding"))
+      .transform(graft.Materialize(_))
     val cb = pqCodebooks(sv)
     val codes = pqAssign(sv, cb).select("vec_id", "sub", "cluster")
       .join(assigned, "vec_id")
@@ -109,7 +112,8 @@ object IvfPqIndex {
     val base = s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") <= cut)
     val centroids = coarseCentroids(base)
-    val sv = pqSubVecs(base.select("vec_id", "embedding")).localCheckpoint()
+    val sv = pqSubVecs(base.select("vec_id", "embedding"))
+      .transform(graft.Materialize(_))
     val cb = pqCodebooks(sv)
     val codes = pqAssign(sv, cb).select("vec_id", "sub", "cluster")
       .join(assignCellsWith(base, centroids), "vec_id")

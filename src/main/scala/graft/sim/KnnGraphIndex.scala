@@ -103,6 +103,32 @@ object KnnGraphIndex {
     pprRun(s, eDeg)
   }
 
+  /** The planes-grow-with-log-N index generation — the production
+    * posture the object scaladoc documents, built for real instead of
+    * only argued: bucket geometry follows
+    * [[SimilarityQueries.planesFor]] (expected bucket load held
+    * ~constant as the corpus grows), so at 100× the PPR seeds still
+    * land in in-cap buckets where the fixed-8-plane graph is empty.
+    * At gate SF the schedule floors at 8 planes and this index equals
+    * the fixed one bit-for-bit. */
+  def buildScaledIfMissing(s: SparkSession, dir: String): String =
+    lock.synchronized {
+      val path = indexPath(s, dir) + "_scaled"
+      if (!new java.io.File(s"$path/degrees/_SUCCESS").exists())
+        writeTables(SimilarityQueries.pairMembersScaled(s, dir)
+          .localCheckpoint(), path)
+      path
+    }
+
+  /** `ret_graph_ppr` served from the planes-scaled index generation. */
+  def servePprScaled(s: SparkSession, dir: String): DataFrame = {
+    val path = buildScaledIfMissing(s, dir)
+    val eDeg = s.read.parquet(s"$path/edges").select("vec_id", "nbr")
+      .join(s.read.parquet(s"$path/degrees"), "vec_id")
+      .localCheckpoint()
+    pprRun(s, eDeg)
+  }
+
   /** `sim_hard_negatives` from the persisted pair table. */
   def serveHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val path = buildIfMissing(s, dir)
@@ -201,6 +227,7 @@ object KnnGraphIndex {
       knnTopK(pairsWithDelta(s, dir)).orderBy("vec_id", "rk")),
     "sim_knn_join_compacted" -> ((s, dir) => serveKnnJoinCompacted(s, dir)),
     "ret_graph_ppr_served" -> ((s, dir) => servePpr(s, dir)),
+    "ret_graph_ppr_scaled" -> ((s, dir) => servePprScaled(s, dir)),
     "sim_hard_negatives_served" -> ((s, dir) => serveHardNegatives(s, dir)))
 
   val oracle: Map[String, String] = Map(
@@ -208,6 +235,8 @@ object KnnGraphIndex {
     "sim_knn_join_incremental" -> SimilarityQueries.oracle("sim_knn_join"),
     "sim_knn_join_compacted" -> SimilarityQueries.oracle("sim_knn_join"),
     "ret_graph_ppr_served" -> SimilarityQueries.oracle("ret_graph_ppr"),
+    // ret_graph_ppr_scaled's oracle lives in SimilarityQueries.oracle
+    // (built next to the fixed-plane chain it shares CTEs with)
     "sim_hard_negatives_served" ->
       SimilarityQueries.oracle("sim_hard_negatives"))
 }

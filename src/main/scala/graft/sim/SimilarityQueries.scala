@@ -126,7 +126,9 @@ object SimilarityQueries {
     val cov = tri
       .union(tri.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .localCheckpoint() // 4096 rows, consumed by every multiply
+      // 4096 rows, consumed by every power-iteration multiply — the
+      // loop-invariant input gets the mode-selectable materialization
+      .transform(graft.Materialize(_))
     def multiply(v: DataFrame): DataFrame =
       cov.join(v, "j").groupBy("i")
         .agg(sum(col("c") * col("v")).as("w"))
@@ -137,6 +139,7 @@ object SimilarityQueries {
     val whole = Window.partitionBy(lit(1))
     var v: DataFrame = s.range(Dim)
       .select(col("id").as("j"), lit(1048576L).as("v"))
+    var lastMat: DataFrame = null
     for (k <- 1 to PowerIters) {
       v = multiply(v)
         .select(col("i").as("j"),
@@ -144,8 +147,13 @@ object SimilarityQueries {
             max(abs(col("w"))).over(whole).cast("double") + lit(0.5))
             .cast("long").as("v"))
       // bound optimizer/codegen cost on the growing chain; the
-      // checkpointed frame is 64 rows
-      if (k % 8 == 0) v = v.localCheckpoint()
+      // materialized frame is 64 rows. Each segment barrier supersedes
+      // the previous one (the chain between barriers is lazy over it).
+      if (k % 8 == 0) {
+        v = graft.Materialize(v)
+        if (lastMat != null) graft.Materialize.release(lastMat)
+        lastMat = v
+      }
     }
     (v, multiply)
   }
@@ -333,6 +341,37 @@ object SimilarityQueries {
     bucketed(s, dir)
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
 
+  /** log-N plane schedule for the SCALED kNN-graph variant: the plane
+    * count grows with corpus size so the expected bucket load stays
+    * ~[[PlanesTargetLoad]] vectors — the production posture the
+    * [[KnnGraphIndex]] scaladoc documents (bucket sizes ~constant, the
+    * bucket SPACE grows). At the fixture SFs (≤ 2 000 vectors) the
+    * schedule floors at [[NumPlanes]], so the scaled graph coincides
+    * bit-for-bit with the 8-plane one at gate scale and diverges
+    * exactly where the fixed-plane geometry collapses (at 100× every
+    * 8-plane bucket is over-cap and the fixed graph is empty).
+    * Integer-exact on both engines: bitLength64 semantics here,
+    * `length(format('{:b}', …))` in the DuckDB oracle. */
+  val PlanesTargetLoad = 8L
+  private[graft] def planesFor(n: Long): Int =
+    math.min(NumPlanesAnn, math.max(NumPlanes,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, (n - 1) / PlanesTargetLoad))))
+
+  /** [[pairMembers]] under the [[planesFor]] schedule: buckets from the
+    * first planesFor(n) ANN planes (whose first [[NumPlanes]] coincide
+    * with [[hyperplanes]] — same seed strings). The corpus count is a
+    * 1-scalar control-plane fetch, the bounded-collect idiom. */
+  private[graft] def pairMembersScaled(s: SparkSession, dir: String): DataFrame = {
+    val p = planesFor(emb(s, dir).count())
+    val bits = (0 until p).map { j =>
+      when(dotLit(col("embedding"), annPlanes(j)) >= 0, 1L << j)
+        .otherwise(0L)
+    }
+    emb(s, dir).withColumn("bucket", bits.reduce(_ + _))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+  }
+
   /** Bucket-local scored pairs from a members view — both directions,
     * per-bucket posting lists under the [[graft.dedup.DedupQueries.MaxPosting]]
     * cap. Keeps `bucket` in the output: pair generation is bucket-local
@@ -470,9 +509,14 @@ object SimilarityQueries {
       .filter(col("vec_id") >= seedOffset && col("vec_id") < seedOffset + PqK)
       .select(col("sub"), (col("vec_id") - lit(seedOffset)).cast("long")
         .as("cluster"), col("embedding").as("c"))
-      .localCheckpoint()
-    for (_ <- 1 to PqIters)
-      cents = pqUpdate(pqAssign(vecs, cents), vecs).localCheckpoint()
+      .transform(graft.Materialize(_))
+    for (_ <- 1 to PqIters) {
+      val prev = cents
+      cents = pqUpdate(pqAssign(vecs, cents), vecs)
+        .transform(graft.Materialize(_))
+      // persist-mode hygiene: round i's codebook supersedes round i-1's
+      graft.Materialize.release(prev)
+    }
     cents
   }
 
@@ -514,7 +558,7 @@ object SimilarityQueries {
     // the doubles match the oracle's left-assoc `+` chain bit-for-bit.
     "sim_pq_codes" -> ((s, dir) => {
       val sv = pqSubVecs(emb(s, dir).select("vec_id", "embedding"))
-        .localCheckpoint()
+        .transform(graft.Materialize(_)) // Lloyd-loop input
       val a = pqAssign(sv, pqCodebooks(sv))
       val pivots =
         (0 until PqM).map(j =>
@@ -540,7 +584,7 @@ object SimilarityQueries {
     // broadcast join + TakeOrdered, shuffle-free until the final top-k.
     "sim_pq_ann" -> ((s, dir) => {
       val sv = pqSubVecs(emb(s, dir).select("vec_id", "embedding"))
-        .localCheckpoint()
+        .transform(graft.Materialize(_)) // Lloyd-loop input
       val cb = pqCodebooks(sv)
       val q = sv.filter(col("vec_id") === 0)
         .select(col("sub"), col("embedding").as("qe"))
@@ -589,7 +633,8 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= QueryVec)
         .select("vec_id")
       // PQ leg: codebooks + corpus codes + the query's per-subspace LUT
-      val sv = pqSubVecs(e.select("vec_id", "embedding")).localCheckpoint()
+      val sv = pqSubVecs(e.select("vec_id", "embedding"))
+        .transform(graft.Materialize(_)) // Lloyd-loop input
       val cb = pqCodebooks(sv)
       val q = sv.filter(col("vec_id") === QueryVec)
         .select(col("sub"), col("embedding").as("qe"))
@@ -652,7 +697,7 @@ object SimilarityQueries {
       val resid = assigned.join(broadcast(centroids), "cell")
         .select(col("vec_id"), col("cell"), sub.as("embedding"))
       val rsv = pqSubVecs(resid.select("vec_id", "embedding"))
-        .localCheckpoint()
+        .transform(graft.Materialize(_)) // Lloyd-loop input
       val cb = pqCodebooks(rsv, seedOffset = NumCells)
       // query side: NProbe nearest cells, each with its own residual
       val qres = e.filter(col("vec_id") === QueryVec)
@@ -710,7 +755,8 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           sqDist(col("embedding"), col("q_emb")).as("dist")), col("dist"))
-      val sv = pqSubVecs(e.select("vec_id", "embedding")).localCheckpoint()
+      val sv = pqSubVecs(e.select("vec_id", "embedding"))
+        .transform(graft.Materialize(_)) // Lloyd-loop input
       val cb = pqCodebooks(sv)
       val qsv = sv.filter(sampled)
         .select(col("vec_id").as("q_id"), col("sub"),
@@ -761,13 +807,18 @@ object SimilarityQueries {
     // the unrolled DuckDB oracle. Per iteration: one broadcast join + one
     // aggregation; nothing quadratic, nothing driver-side.
     "sim_kmeans_cells" -> ((s, dir) => {
-      val vecs = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
+      val vecs = emb(s, dir).select("vec_id", "embedding")
+        .transform(graft.Materialize(_))
       var cents = vecs.filter(col("vec_id") < KmeansK)
         .select(col("vec_id").cast("long").as("cluster"),
           col("embedding").as("c"))
-        .localCheckpoint()
-      for (_ <- 1 to KmeansIters)
-        cents = kmeansUpdate(kmeansAssign(vecs, cents), vecs).localCheckpoint()
+        .transform(graft.Materialize(_))
+      for (_ <- 1 to KmeansIters) {
+        val prev = cents
+        cents = kmeansUpdate(kmeansAssign(vecs, cents), vecs)
+          .transform(graft.Materialize(_))
+        graft.Materialize.release(prev) // superseded round
+      }
       kmeansAssign(vecs, cents)
         .groupBy("cluster").agg(count("*").as("n_members"))
         .join(cents.select(col("cluster"),
@@ -1599,11 +1650,31 @@ object SimilarityQueries {
          |$iters""".stripMargin
     }
 
+    // the [[planesFor]] schedule in SQL: integer bit-length via binary
+    // format (transcendental-free), planes applied as a per-plane CASE
+    // gate over the full 16-plane bit sum — at p = 8 this reproduces
+    // bitsSql exactly (the first 8 ANN planes ARE the hyperplanes)
+    val scaledBucketedSql = {
+      val cases = (0 until NumPlanesAnn).map { j =>
+        s"CASE WHEN $j < np.p AND " +
+          s"${Ora.dotLit64("e.embedding", annPlanes(j))} >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""nv AS (SELECT count(*) AS n FROM embeddings),
+         |np AS (SELECT least($NumPlanesAnn, greatest($NumPlanes,
+         |  length(format('{:b}',
+         |    greatest(1, (n - 1) // $PlanesTargetLoad))))) AS p FROM nv),
+         |bucketed AS (
+         |  SELECT e.vec_id, e.embedding, CAST($cases AS BIGINT) AS bucket
+         |  FROM embeddings e, np)""".stripMargin
+    }
+
     // mirror of bucketCosinePairs — shared by sim_knn_join and
-    // sim_hard_negatives exactly as the Spark helper is
-    val bucketPairsSql =
-      s"""$bucketedSql,
-         |blabeled AS MATERIALIZED (
+    // sim_hard_negatives exactly as the Spark helper is; the chain below
+    // hangs off whichever `bucketed` CTE precedes it (fixed-plane or
+    // planes-scaled)
+    val pairsChainSql =
+      s"""blabeled AS MATERIALIZED (
          |  -- MATERIALIZED: self-joined (a, b) plus the ok subquery --
          |  -- un-annotated, DuckDB recomputes the 8-hyperplane bucketing
          |  -- and the norm dot three times over the corpus.
@@ -1635,6 +1706,56 @@ object SimilarityQueries {
          |  FROM bmem a
          |  JOIN bmem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |)""".stripMargin
+
+    val bucketPairsSql = s"$bucketedSql,\n$pairsChainSql"
+    val scaledBucketPairsSql = s"$scaledBucketedSql,\n$pairsChainSql"
+
+    // the kNN-edge + personalized-PageRank chain over whatever `bpairs`
+    // precedes it — shared verbatim by the fixed-plane and planes-scaled
+    // PPR oracles (the graph derivation is the ONLY thing that differs)
+    val pprChainSql: String = {
+      val seedList = graft.retrieval.RetrievalQueries.QueryDocs
+        .map(q => s"$q").mkString("[", ", ", "]")
+      val iters = (1 to PprIterations).map { i =>
+        s"""pp$i AS MATERIALIZED (
+           |  SELECT coalesce(b.seed, c.seed) AS seed,
+           |         coalesce(b.node, c.node) AS node,
+           |         round(coalesce(b.base, 0.0::DOUBLE)
+           |               + $PprDamping::DOUBLE
+           |                 * coalesce(c.inflow, 0.0::DOUBLE), 12) AS pr
+           |  FROM (SELECT seed, seed AS node, $PprTeleport::DOUBLE AS base
+           |        FROM pseeds) b
+           |  FULL JOIN (
+           |    SELECT r.seed, e.nbr AS node, sum(r.pr / dg.deg) AS inflow
+           |    FROM pknn e
+           |    JOIN pp${i - 1} r ON e.vec_id = r.node
+           |    JOIN pkdeg dg ON e.vec_id = dg.vec_id
+           |    GROUP BY r.seed, e.nbr
+           |  ) c ON b.seed = c.seed AND b.node = c.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""pknn AS MATERIALIZED (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_sim DESC, nbr) AS rk FROM bpairs
+         |  ) WHERE rk <= $KnnK
+         |),
+         |pkdeg AS MATERIALIZED (
+         |  SELECT vec_id, count(*) AS deg FROM pknn GROUP BY vec_id
+         |),
+         |pseeds AS (SELECT CAST(unnest($seedList) AS BIGINT) AS seed),
+         |pp0 AS MATERIALIZED (
+         |  SELECT seed, seed AS node, 1.0::DOUBLE AS pr FROM pseeds
+         |),
+         |$iters
+         |SELECT seed AS query_doc, rank, node AS doc_id, pr AS ppr
+         |FROM (
+         |  SELECT seed, node, pr, row_number() OVER (PARTITION BY seed
+         |    ORDER BY pr DESC, node) AS rank
+         |  FROM pp$PprIterations WHERE node <> seed
+         |) WHERE rank <= $PprTopK
+         |ORDER BY query_doc, rank""".stripMargin
+    }
 
     def distSql(v: String, c: String) =
       s"${Ora.dot64(v, v)} - 2 * ${Ora.dot64(v, c)} + ${Ora.dot64(c, c)}"
@@ -2124,50 +2245,14 @@ object SimilarityQueries {
            |SELECT vec_id, nbr, cos_sim, rk FROM ranked WHERE rk <= $KnnK
            |ORDER BY vec_id, rk""".stripMargin),
 
-      "ret_graph_ppr" -> {
-        val seedList = graft.retrieval.RetrievalQueries.QueryDocs
-          .map(q => s"$q").mkString("[", ", ", "]")
-        val iters = (1 to PprIterations).map { i =>
-          s"""pp$i AS MATERIALIZED (
-             |  SELECT coalesce(b.seed, c.seed) AS seed,
-             |         coalesce(b.node, c.node) AS node,
-             |         round(coalesce(b.base, 0.0::DOUBLE)
-             |               + $PprDamping::DOUBLE
-             |                 * coalesce(c.inflow, 0.0::DOUBLE), 12) AS pr
-             |  FROM (SELECT seed, seed AS node, $PprTeleport::DOUBLE AS base
-             |        FROM pseeds) b
-             |  FULL JOIN (
-             |    SELECT r.seed, e.nbr AS node, sum(r.pr / dg.deg) AS inflow
-             |    FROM pknn e
-             |    JOIN pp${i - 1} r ON e.vec_id = r.node
-             |    JOIN pkdeg dg ON e.vec_id = dg.vec_id
-             |    GROUP BY r.seed, e.nbr
-             |  ) c ON b.seed = c.seed AND b.node = c.node
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"WITH $bucketPairsSql,\n" +
-          s"""pknn AS MATERIALIZED (
-             |  SELECT vec_id, nbr FROM (
-             |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY cos_sim DESC, nbr) AS rk FROM bpairs
-             |  ) WHERE rk <= $KnnK
-             |),
-             |pkdeg AS MATERIALIZED (
-             |  SELECT vec_id, count(*) AS deg FROM pknn GROUP BY vec_id
-             |),
-             |pseeds AS (SELECT CAST(unnest($seedList) AS BIGINT) AS seed),
-             |pp0 AS MATERIALIZED (
-             |  SELECT seed, seed AS node, 1.0::DOUBLE AS pr FROM pseeds
-             |),
-             |$iters
-             |SELECT seed AS query_doc, rank, node AS doc_id, pr AS ppr
-             |FROM (
-             |  SELECT seed, node, pr, row_number() OVER (PARTITION BY seed
-             |    ORDER BY pr DESC, node) AS rank
-             |  FROM pp$PprIterations WHERE node <> seed
-             |) WHERE rank <= $PprTopK
-             |ORDER BY query_doc, rank""".stripMargin
-      },
+      "ret_graph_ppr" -> (s"WITH $bucketPairsSql,\n$pprChainSql"),
+
+      // the planes-scaled serve path ([[KnnGraphIndex.servePprScaled]]):
+      // identical PPR chain over the [[planesFor]]-scheduled graph —
+      // coincides with ret_graph_ppr at gate SF (p floors at 8) and
+      // stays in-cap at 100×, where the fixed-plane graph is empty
+      "ret_graph_ppr_scaled" ->
+        (s"WITH $scaledBucketPairsSql,\n$pprChainSql"),
 
       "sim_hard_negatives" -> (s"WITH $bucketPairsSql,\n" +
         """ranked AS (

@@ -74,26 +74,36 @@ object KnnGraphStream {
     val fresh = rows.toList.filter(r => !known.contains(r.vecId))
       .groupBy(_.vecId).values.map(_.head)
       .map(r => (r.vecId, r.label, r.embedding))
-    val members = prev.members ++ fresh
-    val gen = prev.gen + 1
-    state.update(BucketState(gen, members))
-    // exact whole-bucket recompute, batch cap semantics: only bucket
-    // sizes in [2, MaxPosting] yield pairs; both directions, no diagonal
-    val out: List[BucketPairEmit] =
-      if (members.size >= 2 && members.size <= cap) {
-        val nrm = members.map { case (id, _, e) =>
-          id -> math.sqrt(dot(e, e))
-        }.toMap
-        for {
-          (ia, la, ea) <- members
-          (ib, lb, eb) <- members
-          if ia != ib
-        } yield BucketPairEmit(bucket, gen, alive = true, ia, la, ib, lb,
-          dot(ea, eb) / (nrm(ia) * nrm(ib)))
-      } else
-        List(BucketPairEmit(bucket, gen, alive = false, -1L, -1L, -1L,
-          -1L, 0.0))
-    out.iterator
+    // a replay-only micro-batch (every vecId already registered) leaves
+    // the bucket untouched: no generation bump, no re-emission — the
+    // standing generation already reflects the membership. Without this
+    // an at-least-once source replaying a hot bucket re-emits its full
+    // O(members²) pair set per replay with zero change to the serving
+    // view. (state.exists guards the first-ever batch: with no prior
+    // state `known` is empty, so fresh can only be empty if rows was.)
+    if (fresh.isEmpty && state.exists) Iterator.empty
+    else {
+      val members = prev.members ++ fresh
+      val gen = prev.gen + 1
+      state.update(BucketState(gen, members))
+      // exact whole-bucket recompute, batch cap semantics: only bucket
+      // sizes in [2, MaxPosting] yield pairs; both directions, no diagonal
+      val out: List[BucketPairEmit] =
+        if (members.size >= 2 && members.size <= cap) {
+          val nrm = members.map { case (id, _, e) =>
+            id -> math.sqrt(dot(e, e))
+          }.toMap
+          for {
+            (ia, la, ea) <- members
+            (ib, lb, eb) <- members
+            if ia != ib
+          } yield BucketPairEmit(bucket, gen, alive = true, ia, la, ib, lb,
+            dot(ea, eb) / (nrm(ia) * nrm(ib)))
+        } else
+          List(BucketPairEmit(bucket, gen, alive = false, -1L, -1L, -1L,
+            -1L, 0.0))
+      out.iterator
+    }
   }
 
   /** Per-touched-bucket recomputed pair generations. The serving view is

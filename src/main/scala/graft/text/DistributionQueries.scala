@@ -47,10 +47,16 @@ object DistributionQueries {
       val freqs = words(s, dir).groupBy("w").agg(count(lit(1)).as("freq"))
         .localCheckpoint()
       val total = freqs.agg(sum("freq").as("total"))
+      // top-k FIRST: orderBy+limit plans as TakeOrderedAndProject (the
+      // corpus_epoch_order idiom), so the rank/cumulate window below
+      // runs over the ZipfHead kept rows — ranking the WHOLE vocabulary
+      // and then filtering rank <= k would single-partition-sort
+      // vocab-sized data to keep k rows
+      val head = freqs.orderBy(col("freq").desc, col("w").asc)
+        .limit(ZipfHead)
       val wRank = Window.orderBy(col("freq").desc, col("w").asc)
-      freqs
+      head
         .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= ZipfHead)
         .withColumn("cum_freq",
           sum("freq").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
         .crossJoin(broadcast(total))

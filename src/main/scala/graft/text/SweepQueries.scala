@@ -126,18 +126,20 @@ object SweepQueries {
     // deal that keeps training-shard sizes near-equal when doc lengths
     // are heavy-tailed (a hash deal can land several whales on one
     // writer; the size-ranked deal separates them by construction).
-    // One corpus scan to per-doc tokens, one global rank (the rank IS
-    // the operator — a total order over doc sizes; at 100 TB this is a
-    // range-partitioned sort over doc-count rows, not corpus bytes),
-    // then a shard-sized rollup with the imbalance read off as
-    // max/mean of exact BIGINT sums.
+    // One corpus scan to per-doc tokens, then the rank IS the operator —
+    // a total order over doc sizes — computed as the two-stage
+    // [[graft.Ranks.rowNumber]] (range-partitioned parallel sort +
+    // per-partition offsets), NOT a global `Window.orderBy` whose
+    // physical plan is a single-partition WindowExec over every doc.
+    // Bit-identical deal; the one-task sort is gone. Then a shard-sized
+    // rollup with the imbalance read off as max/mean of exact BIGINT
+    // sums.
     "corpus_shard_plan" -> ((s, dir) => {
-      val w = Window.orderBy(col("n_tok").desc, col("doc_id"))
-      val planned = docs(s, dir)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("shard",
-          pmod(row_number().over(w).cast("long") - 1L, lit(OutShards)))
+      val planned = graft.Ranks.rowNumber(
+          docs(s, dir).select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+          "rank", col("n_tok").desc, col("doc_id"))
+        .withColumn("shard", pmod(col("rank") - 1L, lit(OutShards)))
       val hist = planned.groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .localCheckpoint() // feeds the rollup and the imbalance broadcast

@@ -980,6 +980,69 @@ class PlanAuditSpec extends SparkSpec {
       s"counts + ranking may scan at most twice\n${p.take(2000)}")
   }
 
+  test("no unpartitioned WindowExec over unbounded input anywhere on the board") {
+    // A WindowExec with an empty partitionSpec moves EVERY input row to
+    // one task — fine over a day histogram or k kept rows, a one-task
+    // sort over 10⁹ rows at 100 TB. Sweep every query's physical plan:
+    // an unpartitioned window is legal only when (a) its subtree
+    // contains an explicit limit/top-k (machine-checkable bound), or
+    // (b) the query is allowlisted below with the reason its window
+    // input is bounded by construction. The round-10 rewrites
+    // (events_rfm_segments, corpus_shard_plan) must need NEITHER.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    val bounded: Map[String, String] = Map(
+      "auto_assign_unassigned" -> "cluster metadata: shards×nodes rows",
+      "broadcast_time_budget" -> "node-count rows (4 at any corpus scale)",
+      "corpus_budget_waterfill" -> "source-dimension rows (plan-pinned: one corpus scan, dimension windows)",
+      "corpus_global_ids" -> "IdBuckets-row histogram prefix-sum — the query IS the two-stage rank",
+      "corpus_quality_sweep" -> "<= QBins-row checkpointed histogram (plan-pinned scans==0)",
+      "corpus_stratified_quota" -> "strata-sized (lang x source) checkpointed quota table",
+      "corpus_stratified_sample" -> "same strata-sized quota derivation; the draw window is stratum-partitioned",
+      "corpus_token_pareto" -> "token-count histogram walk, bins not docs",
+      "dedup_threshold_sweep" -> "<= 11-row threshold histogram (plan-pinned scans==0)",
+      "events_conversion_lag" -> "lag-histogram bins, not conversions",
+      "events_forecast_backtest" -> "day-sized series (<= #days)",
+      "events_holt_linear" -> "day-sized series fold",
+      "events_holt_winters" -> "day-sized series fold (plan-pinned off the day checkpoint)",
+      "events_kaplan_meier" -> "day-sized risk table (plan-pinned off the day checkpoint)",
+      "events_ks_values" -> "two day-sized CDF walks",
+      "events_late_arrivals" -> "micro-batch-count watermark series",
+      "events_new_users_curve" -> "day-sized first-seen histogram",
+      "events_pareto_share" -> "count-value histogram walk (documented: never ranks users)",
+      "events_weekday_permtest" -> "weekday slots x fixed replicas, day-sized",
+      "redistribute_on_failure" -> "cluster metadata: shard assignment rows",
+      "route_failover_load" -> "node-count load rollup",
+      "route_hinted_handoff" -> "replica-set-sized handoff ledger",
+      "route_quorum_availability" -> "quorum scenarios over node-count rows",
+      "route_ring_keys" -> "<= 64-vnode ring walk",
+      "route_ring_weighted" -> "<= 64-vnode weighted ring walk")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val naked = fn(spark, sf).queryExecution.sparkPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty =>
+              val limited = w.collectFirst {
+                case _: GlobalLimitExec => ()
+                case _: TakeOrderedAndProjectExec => ()
+                case _: CollectLimitExec => ()
+              }.isDefined
+              (w, limited)
+          }.filter(!_._2)
+          if (naked.nonEmpty && !bounded.contains(name)) Some(name) else None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name (failed to plan: ${String.valueOf(e.getMessage).take(100)})")
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned un-limited WindowExec outside the bounded allowlist:\n" +
+        offenders.mkString("\n"))
+    for (q <- Seq("events_rfm_segments", "corpus_shard_plan"))
+      assert(!bounded.contains(q),
+        s"$q was rewritten two-stage and must not re-enter the allowlist")
+  }
+
   test("dsv2 scan: source pushdown visible as a single BatchScan") {
     val df = graft.sources.KvGenQueries
       .queries("kv_dsv2_shard_scan")(spark, sf)

@@ -92,13 +92,19 @@ class KnnGraphStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("knng_replay")
       .outputMode("append").start()
     input.addData(vecs.toSeq); q.processAllAvailable()
-    val before = latestAlive(
-      spark.table("knng_replay").as[BucketPairEmit].collect().toSeq)
+    val beforeRows = spark.table("knng_replay").as[BucketPairEmit]
+      .collect().toSeq
+    val before = latestAlive(beforeRows)
     input.addData(vecs.toSeq); q.processAllAvailable() // at-least-once replay
     q.stop()
-    val after = latestAlive(
-      spark.table("knng_replay").as[BucketPairEmit].collect().toSeq)
-    assert(after === before)
+    val afterRows = spark.table("knng_replay").as[BucketPairEmit]
+      .collect().toSeq
+    assert(latestAlive(afterRows) === before)
+    // a replay-only micro-batch must be SILENT: no generation bump, no
+    // re-emission of the buckets' O(members²) pair sets — the standing
+    // generations already reflect the membership
+    assert(afterRows.size === beforeRows.size,
+      s"replay re-emitted ${afterRows.size - beforeRows.size} rows")
   }
 
   test("bucket state survives a session restart (kill-and-recover)") {
