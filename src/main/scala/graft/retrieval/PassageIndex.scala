@@ -92,13 +92,19 @@ object PassageIndex {
   /** Build the BASE index over documents up to [[SparseIndex.baseCutoff]]
     * only — the same newest-10%-arrive-later convention as every other
     * incremental story here. */
-  def buildBase(s: SparkSession, dir: String, path: String): Unit = {
-    val cut = SparseIndex.baseCutoff(s, dir)
+  def buildBase(s: SparkSession, dir: String, path: String): Unit =
+    buildBaseAt(s, dir, path, SparseIndex.baseCutoff(s, dir), "")
+
+  /** Cutoff-parametrized base build — `tag` keeps fixed-delta
+    * measurement indexes ([[graft.FixedDeltaBench]]) from colliding
+    * with the convention-cutoff index (and its headroom memo key). */
+  private[graft] def buildBaseAt(s: SparkSession, dir: String,
+      path: String, cut: Long, tag: String): Unit = {
     val baseDocs = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") <= cut)
     val ct = chunkTfOf(baseDocs)
     // guard the standalone base generation like build() (ADVICE r8)
-    assertBm25Headroom(s, dir, ct, tag = "chunk_base",
+    assertBm25Headroom(s, dir, ct, tag = s"chunk_base$tag",
       nCollection = Some(() =>
         ct.select("doc_id", "chunk").distinct().count()))
     val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
@@ -122,10 +128,14 @@ object PassageIndex {
   }
 
   def buildBaseIfMissing(s: SparkSession, dir: String): String =
+    buildBaseIfMissingAt(s, dir, SparseIndex.baseCutoff(s, dir), "")
+
+  private[graft] def buildBaseIfMissingAt(s: SparkSession, dir: String,
+      cut: Long, tag: String): String =
     lock.synchronized {
-      val path = indexPath(s, dir) + "_base"
+      val path = indexPath(s, dir) + s"_base$tag"
       if (!new java.io.File(s"$path/cstats/_SUCCESS").exists())
-        buildBase(s, dir, path)
+        buildBaseAt(s, dir, path, cut, tag)
       path
     }
 
@@ -134,9 +144,15 @@ object PassageIndex {
     * rows are disjoint and union IS the merge; df and the corpus totals
     * merge by exact addition. */
   def serveWithDelta(s: SparkSession, dir: String, k: Int = TopK)
-      : DataFrame = {
-    val path = buildBaseIfMissing(s, dir)
-    val cut = SparseIndex.baseCutoff(s, dir)
+      : DataFrame =
+    serveWithDeltaAt(s, dir, SparseIndex.baseCutoff(s, dir), "", k)
+
+  /** Cutoff-parametrized delta serve — the fixed-delta scale
+    * measurement passes cut = maxId − D so the delta is D rows (the
+    * production arrival-rate shape) instead of 10% of the corpus. */
+  private[graft] def serveWithDeltaAt(s: SparkSession, dir: String,
+      cut: Long, tag: String, k: Int = TopK): DataFrame = {
+    val path = buildBaseIfMissingAt(s, dir, cut, tag)
     val deltaDocs = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") > cut)
     val dt = chunkTfOf(deltaDocs)
@@ -146,7 +162,7 @@ object PassageIndex {
     // merged postings = the full corpus's chunk tf rows — same bound and
     // memo key as build(), so the incremental path is guarded too
     // (ADVICE r8)
-    assertBm25Headroom(s, dir, postings, tag = "chunk",
+    assertBm25Headroom(s, dir, postings, tag = s"chunk$tag",
       nCollection = Some(() =>
         postings.select("doc_id", "chunk").distinct().count()))
     val forward = s.read.parquet(s"$path/forward").unionByName(dtDoc)

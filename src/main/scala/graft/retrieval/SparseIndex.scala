@@ -104,14 +104,20 @@ object SparseIndex {
       .agg(max("doc_id")).head().getLong(0) * 9 / 10
 
   /** Build the BASE index over documents up to the cutoff only. */
-  def buildBase(s: SparkSession, dir: String, path: String): Unit = {
-    val cut = baseCutoff(s, dir)
+  def buildBase(s: SparkSession, dir: String, path: String): Unit =
+    buildBaseAt(s, dir, path, baseCutoff(s, dir), "")
+
+  /** Cutoff-parametrized base build — `tag` keeps fixed-delta
+    * measurement indexes ([[graft.FixedDeltaBench]]) from colliding
+    * with the convention-cutoff index (and its headroom memo key). */
+  private[graft] def buildBaseAt(s: SparkSession, dir: String,
+      path: String, cut: Long, tag: String): Unit = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") <= cut)
     val t = tokenize(docs).localCheckpoint()
     // the base generation serves standalone until the delta arrives —
     // guard it like build() does (ADVICE r8), with the BASE doc count
-    RetrievalQueries.assertBm25Headroom(s, dir, t, tag = "doc_base",
+    RetrievalQueries.assertBm25Headroom(s, dir, t, tag = s"doc_base$tag",
       nCollection = Some(() => docs.count()))
     t.repartitionByRange(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
@@ -127,10 +133,14 @@ object SparseIndex {
   }
 
   def buildBaseIfMissing(s: SparkSession, dir: String): String =
+    buildBaseIfMissingAt(s, dir, baseCutoff(s, dir), "")
+
+  private[graft] def buildBaseIfMissingAt(s: SparkSession, dir: String,
+      cut: Long, tag: String): String =
     lock.synchronized {
-      val path = indexPath(s, dir) + "_base"
+      val path = indexPath(s, dir) + s"_base$tag"
       if (!new java.io.File(s"$path/cstats/_SUCCESS").exists())
-        buildBase(s, dir, path)
+        buildBaseAt(s, dir, path, cut, tag)
       path
     }
 
@@ -139,9 +149,15 @@ object SparseIndex {
     * postings/forward while df/dl/n/tl merge by exact aggregation, so
     * the served lists equal a full rebuild's bit-for-bit (BM25 has no
     * frozen trained state to approximate around). */
-  def serveWithDelta(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val path = buildBaseIfMissing(s, dir)
-    val cut = baseCutoff(s, dir)
+  def serveWithDelta(s: SparkSession, dir: String, k: Int = TopK): DataFrame =
+    serveWithDeltaAt(s, dir, baseCutoff(s, dir), "", k)
+
+  /** Cutoff-parametrized delta serve — the fixed-delta scale
+    * measurement passes cut = maxId − D so the delta is D rows (the
+    * production arrival-rate shape) instead of 10% of the corpus. */
+  private[graft] def serveWithDeltaAt(s: SparkSession, dir: String,
+      cut: Long, tag: String, k: Int = TopK): DataFrame = {
+    val path = buildBaseIfMissingAt(s, dir, cut, tag)
     val deltaDocs = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") > cut)
     val dt = tokenize(deltaDocs).localCheckpoint()
@@ -149,7 +165,7 @@ object SparseIndex {
     // merged postings = the full corpus's tf rows: check the same bound
     // build() checks, under the same memo key, so the incremental path
     // cannot silently wrap where the full build would refuse (ADVICE r8)
-    RetrievalQueries.assertBm25Headroom(s, dir, postings)
+    RetrievalQueries.assertBm25Headroom(s, dir, postings, tag = s"doc$tag")
     val forward = s.read.parquet(s"$path/forward").unionByName(dt)
     val dstats = s.read.parquet(s"$path/dstats")
       .unionByName(dt.groupBy("doc_id").agg(sum("tf").as("dl")))
