@@ -152,6 +152,11 @@ object Materialize {
       while (it.hasNext) {
         val e = it.next()
         if (e.getValue.sparkSession eq s) { buf += e.getValue; it.remove() }
+        // entries of a STOPPED session can never be released by their
+        // owner again (and their blocks died with the session) — drop
+        // the registry references so a JVM that recycles sessions
+        // doesn't pin dead plan trees for its lifetime
+        else if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
       }
       buf
     }

@@ -75,21 +75,21 @@ object JourneyQueries {
       val maxDay = perUser.agg(max("last_day").as("corpus_last_day"))
       val scored = perUser.crossJoin(broadcast(maxDay))
         .withColumn("recency", col("corpus_last_day") - col("last_day"))
-      val rRank = graft.Ranks.rowNumber(scored, "r_rank",
+      // the first rank's offset fold already knows the user total
+      // exactly — no separate counting job, no broadcast join
+      val (rRank, nUsers) = graft.Ranks.rowNumberAndCount(scored, "r_rank",
         col("recency").asc, col("user_id").asc)
-      // user-count total read off the first rank's checkpoint — cheap
-      val nUsers = rRank.agg(count(lit(1)).as("n_u"))
       val ranked = graft.Ranks.rowNumber(
         graft.Ranks.rowNumber(rRank, "f_rank",
           col("frequency").desc, col("user_id").asc),
         "m_rank", col("monetary").desc, col("user_id").asc)
-      ranked.crossJoin(broadcast(nUsers))
+      ranked
         .withColumn("r_q",
-          graft.Ranks.ntileFromRank(col("r_rank"), col("n_u"), 4))
+          graft.Ranks.ntileFromRank(col("r_rank"), lit(nUsers), 4))
         .withColumn("f_q",
-          graft.Ranks.ntileFromRank(col("f_rank"), col("n_u"), 4))
+          graft.Ranks.ntileFromRank(col("f_rank"), lit(nUsers), 4))
         .withColumn("m_q",
-          graft.Ranks.ntileFromRank(col("m_rank"), col("n_u"), 4))
+          graft.Ranks.ntileFromRank(col("m_rank"), lit(nUsers), 4))
         .groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"),
           sum("monetary").cast("double").as("total_monetary"))
