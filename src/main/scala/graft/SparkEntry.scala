@@ -12,7 +12,7 @@ import graft.profile.{PrivacyQueries, ProfileQueries}
 import graft.sources.KvGenQueries
 import graft.retrieval.{RagPipeline, RetrievalQueries}
 import graft.relational.{AsOfQueries, BasketQueries, PageRank, PartSuppQueries, RangeJoinQueries, RelationalQueries, TpchMoreQueries}
-import graft.sim.{KnnGraphIndex, MatryoshkaQueries, SimilarityQueries}
+import graft.sim.{BeamSearch, KnnGraphIndex, MatryoshkaQueries, SimilarityQueries}
 import graft.text.{BudgetQueries, CollocationQueries, DistributionQueries, MaskingQueries, PipelineQueries, SweepQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -38,7 +38,7 @@ object SparkEntry {
       DedupQueries.queries, DedupComponents.queries,
       GraphXAnalytics.queries, HitsQueries.queries,
       AsOfQueries.queries, SimilarityQueries.queries,
-      KnnGraphIndex.queries,
+      KnnGraphIndex.queries, BeamSearch.queries,
       MatryoshkaQueries.queries, CollocationQueries.queries,
       MaskingQueries.queries,
       Multimodal.queries, EventsQueries.queries, EventsQueries.moreQueries,
@@ -62,7 +62,7 @@ object SparkEntry {
       DedupQueries.oracle, DedupComponents.oracle,
       GraphXAnalytics.oracle, HitsQueries.oracle,
       AsOfQueries.oracle, SimilarityQueries.oracle,
-      KnnGraphIndex.oracle,
+      KnnGraphIndex.oracle, BeamSearch.oracle,
       MatryoshkaQueries.oracle, CollocationQueries.oracle,
       MaskingQueries.oracle,
       Multimodal.oracle, EventsQueries.oracle, EventsQueries.moreOracle,

@@ -74,7 +74,7 @@ object SimilarityQueries {
   private def dotLit(a: Column, w: Seq[Double]): Column =
     Dot64.dot64(a, typedLit(w))
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[sim] def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Upper-triangle covariance cells (i, j, e_xy, cov) — the whitening/PCA
@@ -1585,16 +1585,88 @@ object SimilarityQueries {
        |)""".stripMargin
   }
 
-  val oracle: Map[String, String] = {
+  /** The fixed-plane LSH bucketing as a DuckDB CTE — object-level so
+    * sibling modules whose oracles hang off the same graph derivation
+    * ([[BeamSearch]]) compose it verbatim rather than re-deriving it. */
+  private[sim] lazy val bucketedSql: String = {
     val bitsSql = (0 until NumPlanes).map { j =>
       s"CASE WHEN ${Ora.dotLit64("embedding", hyperplanes(j))} >= 0 " +
         s"THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
     // CAST: the CASE literals sum as INTEGER in DuckDB while Spark's
     // bit-or chain is BIGINT — align the declared type, not just values
-    val bucketedSql =
-      s"bucketed AS (SELECT vec_id, embedding, " +
-        s"CAST($bitsSql AS BIGINT) AS bucket FROM embeddings)"
+    s"bucketed AS (SELECT vec_id, embedding, " +
+      s"CAST($bitsSql AS BIGINT) AS bucket FROM embeddings)"
+  }
+
+  /** Mirror of [[bucketCosinePairs]] — shared by sim_knn_join and
+    * sim_hard_negatives exactly as the Spark helper is; the chain hangs
+    * off whichever `bucketed` CTE precedes it (fixed-plane or
+    * planes-scaled). Object-level for the same reason as [[bucketedSql]]. */
+  private[sim] lazy val pairsChainSql: String =
+    s"""blabeled AS MATERIALIZED (
+       |  -- MATERIALIZED: self-joined (a, b) plus the ok subquery --
+       |  -- un-annotated, DuckDB recomputes the 8-hyperplane bucketing
+       |  -- and the norm dot three times over the corpus.
+       |  SELECT b.vec_id, b.embedding, b.bucket,
+       |         CAST(e.label AS BIGINT) AS label,
+       |         sqrt(${Ora.dot64("b.embedding", "b.embedding")}) AS nrm
+       |  FROM bucketed b JOIN embeddings e USING (vec_id)
+       |),
+       |ok AS (
+       |  SELECT bucket FROM blabeled GROUP BY bucket
+       |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
+       |),
+       |bmem AS MATERIALIZED (
+       |  -- in-cap members ONLY, restricted BEFORE the self-join: with the
+       |  -- cap filter left as a third join the optimizer may pair the
+       |  -- full buckets first, and one over-cap value-duplicated bucket
+       |  -- (the kind the cap exists to drop) emits its members² pairs
+       |  -- before the filter — the 100x cert's temp-disk blowout. Here
+       |  -- the self-join INPUT provably holds no bucket above the cap.
+       |  SELECT bl.* FROM blabeled bl JOIN ok o USING (bucket)
+       |),
+       |bpairs AS MATERIALIZED (
+       |  -- MATERIALIZED narrow (5 scalars/row): the sigma-bucket-squared
+       |  -- pair set is computed once and stored without embeddings, so
+       |  -- downstream window sorts spill ~40 B/row, not ~1 KB/row.
+       |  SELECT a.vec_id, a.label, b.vec_id AS nbr, b.label AS nbr_label,
+       |         ${Ora.dot64("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |           AS cos_sim
+       |  FROM bmem a
+       |  JOIN bmem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |)""".stripMargin
+
+  /** Fixed-plane bucketing + scored in-cap pair set, ending at `bpairs`. */
+  private[sim] lazy val bucketPairsSql: String =
+    s"$bucketedSql,\n$pairsChainSql"
+
+  /** The [[planesFor]] schedule in SQL: integer bit-length via binary
+    * format (transcendental-free), planes applied as a per-plane CASE
+    * gate over the full 16-plane bit sum — at p = 8 this reproduces the
+    * fixed-plane [[bucketedSql]] exactly (the first 8 ANN planes ARE
+    * the hyperplanes). Object-level so the planes-scaled twins outside
+    * this file ([[BeamSearch]]) compose it. */
+  private[sim] lazy val scaledBucketedSql: String = {
+    val cases = (0 until NumPlanesAnn).map { j =>
+      s"CASE WHEN $j < np.p AND " +
+        s"${Ora.dotLit64("e.embedding", annPlanes(j))} >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""nv AS (SELECT count(*) AS n FROM embeddings),
+       |np AS (SELECT least($NumPlanesAnn, greatest($NumPlanes,
+       |  length(format('{:b}',
+       |    greatest(1, (n - 1) // $PlanesTargetLoad))))) AS p FROM nv),
+       |bucketed AS (
+       |  SELECT e.vec_id, e.embedding, CAST($cases AS BIGINT) AS bucket
+       |  FROM embeddings e, np)""".stripMargin
+  }
+
+  /** Planes-scaled bucketing + scored in-cap pair set, ending at `bpairs`. */
+  private[sim] lazy val scaledBucketPairsSql: String =
+    s"$scaledBucketedSql,\n$pairsChainSql"
+
+  val oracle: Map[String, String] = {
 
     // SQL mirror of covarianceCells — shared by embed_covariance and the
     // power-iteration eigenvector exactly as the Spark helper is
@@ -1654,61 +1726,6 @@ object SimilarityQueries {
     // format (transcendental-free), planes applied as a per-plane CASE
     // gate over the full 16-plane bit sum — at p = 8 this reproduces
     // bitsSql exactly (the first 8 ANN planes ARE the hyperplanes)
-    val scaledBucketedSql = {
-      val cases = (0 until NumPlanesAnn).map { j =>
-        s"CASE WHEN $j < np.p AND " +
-          s"${Ora.dotLit64("e.embedding", annPlanes(j))} >= 0 " +
-          s"THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"""nv AS (SELECT count(*) AS n FROM embeddings),
-         |np AS (SELECT least($NumPlanesAnn, greatest($NumPlanes,
-         |  length(format('{:b}',
-         |    greatest(1, (n - 1) // $PlanesTargetLoad))))) AS p FROM nv),
-         |bucketed AS (
-         |  SELECT e.vec_id, e.embedding, CAST($cases AS BIGINT) AS bucket
-         |  FROM embeddings e, np)""".stripMargin
-    }
-
-    // mirror of bucketCosinePairs — shared by sim_knn_join and
-    // sim_hard_negatives exactly as the Spark helper is; the chain below
-    // hangs off whichever `bucketed` CTE precedes it (fixed-plane or
-    // planes-scaled)
-    val pairsChainSql =
-      s"""blabeled AS MATERIALIZED (
-         |  -- MATERIALIZED: self-joined (a, b) plus the ok subquery --
-         |  -- un-annotated, DuckDB recomputes the 8-hyperplane bucketing
-         |  -- and the norm dot three times over the corpus.
-         |  SELECT b.vec_id, b.embedding, b.bucket,
-         |         CAST(e.label AS BIGINT) AS label,
-         |         sqrt(${Ora.dot64("b.embedding", "b.embedding")}) AS nrm
-         |  FROM bucketed b JOIN embeddings e USING (vec_id)
-         |),
-         |ok AS (
-         |  SELECT bucket FROM blabeled GROUP BY bucket
-         |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxPosting}
-         |),
-         |bmem AS MATERIALIZED (
-         |  -- in-cap members ONLY, restricted BEFORE the self-join: with the
-         |  -- cap filter left as a third join the optimizer may pair the
-         |  -- full buckets first, and one over-cap value-duplicated bucket
-         |  -- (the kind the cap exists to drop) emits its members² pairs
-         |  -- before the filter — the 100x cert's temp-disk blowout. Here
-         |  -- the self-join INPUT provably holds no bucket above the cap.
-         |  SELECT bl.* FROM blabeled bl JOIN ok o USING (bucket)
-         |),
-         |bpairs AS MATERIALIZED (
-         |  -- MATERIALIZED narrow (5 scalars/row): the sigma-bucket-squared
-         |  -- pair set is computed once and stored without embeddings, so
-         |  -- downstream window sorts spill ~40 B/row, not ~1 KB/row.
-         |  SELECT a.vec_id, a.label, b.vec_id AS nbr, b.label AS nbr_label,
-         |         ${Ora.dot64("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-         |           AS cos_sim
-         |  FROM bmem a
-         |  JOIN bmem b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-         |)""".stripMargin
-
-    val bucketPairsSql = s"$bucketedSql,\n$pairsChainSql"
-    val scaledBucketPairsSql = s"$scaledBucketedSql,\n$pairsChainSql"
 
     // the kNN-edge + personalized-PageRank chain over whatever `bpairs`
     // precedes it — shared verbatim by the fixed-plane and planes-scaled
