@@ -149,11 +149,22 @@ object BeamSearch {
     * consumers (id collect, pair broadcast, union) share one execution. */
   private[sim] def beamBatch(s: SparkSession, dir: String,
       edges: DataFrame): DataFrame = {
-    val e = emb(s, dir)
     val sampled = col("vec_id") % 50 === 0 && col("vec_id") < 500
-    val qs = e.filter(sampled)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .localCheckpoint() // ≤ 10 rows, read every hop
+    beamBatchOver(s, dir, edges, emb(s, dir).filter(sampled)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+  }
+
+  /** The batch walk over an ARBITRARY query set (q_id, q_emb) — shared
+    * by the fixed-sample batch query above and the streaming serving
+    * twin ([[graft.streaming.BeamServeStream]]), whose micro-batches
+    * each walk the standing graph through this exact code path. Queries
+    * are independent (no cross-query state in the walk), so any
+    * partition of a query set into batches yields bit-identical
+    * per-query rows — the property the streaming spec pins. */
+  private[graft] def beamBatchOver(s: SparkSession, dir: String,
+      edges: DataFrame, qsIn: DataFrame): DataFrame = {
+    val e = emb(s, dir)
+    val qs = qsIn.localCheckpoint() // ≤ |q| rows, read every hop
     def topB(scoredPairs: DataFrame): DataFrame = {
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos_sim").desc, col("vec_id"))
