@@ -48,7 +48,7 @@ object DedupQueries {
     * the equivalent transform/concat_ws/array_distinct HOF pipeline costs
     * an interpreted lambda per shingle and dominated the whole query). */
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    graft.Par.spread(docs(s, dir), col("doc_id")).select(col("doc_id"),
       graft.functions.WordNgrams.wordNgrams(split(col("text"), " "), 3)
         .as("shingles"))
 
@@ -107,8 +107,8 @@ object DedupQueries {
   private[graft] def pairOverlapFrom(sh: DataFrame,
       cap: Int = MaxPosting): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val posting = sh
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val posting = graft.Par.pin(sh
+      .select(col("doc_id"), explode(col("shingles")).as("sh")), col("sh"))
       .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, cap))
     val pairs = posting
@@ -158,7 +158,7 @@ object DedupQueries {
     * candidate set. */
   private[graft] def bandCandidates(sh: DataFrame,
       cap: Int = MaxPosting): DataFrame =
-    bandSignatures(sh)
+    graft.Par.pin(bandSignatures(sh), col("band"), col("sig"))
       .groupBy("band", "sig").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, cap))
       .select(explode(col("ids")).as("doc_a"), col("ids"))
@@ -614,7 +614,8 @@ object DedupQueries {
         explode(sequence(lit(0), lit(3))).as("c"))
         .withColumn("chunk",
           expr("shiftright(simhash, CAST(8 * c AS INT)) & 255"))
-      val cand = chunks.groupBy("c", "chunk")
+      val cand = graft.Par.pin(chunks, col("c"), col("chunk"))
+        .groupBy("c", "chunk")
         .agg(collect_list(struct(col("doc_id"), col("simhash")))
           .as("members"))
         .filter(size(col("members")).between(2, MaxPosting))
@@ -644,7 +645,8 @@ object DedupQueries {
         explode(sequence(lit(0), lit(3))).as("c"))
         .withColumn("chunk",
           expr("shiftright(simhash64, CAST(16 * c AS INT)) & 65535"))
-      val cand = chunks.groupBy("c", "chunk")
+      val cand = graft.Par.pin(chunks, col("c"), col("chunk"))
+        .groupBy("c", "chunk")
         .agg(collect_list(struct(col("doc_id"), col("simhash64")))
           .as("members"))
         .filter(size(col("members")).between(2, MaxPosting))

@@ -51,31 +51,42 @@ object RagPipeline {
 
   def ledger(s: SparkSession, dir: String): DataFrame = {
     val docsAll = s.read.parquet(s"$dir/documents.parquet")
-    // -- build side: the curation census ---------------------------------
-    val scored = TextQueries.tokenize(docsAll)
-      .select(col("doc_id"), TextQueries.qualityCol.as("quality"),
-        TextQueries.langPredCol.as("lang_pred"))
-      .localCheckpoint()
-    val clean = scored
-      .filter(col("quality") >= PipelineQueries.QualityThreshold &&
-        col("lang_pred") === "en")
-      .select("doc_id")
-    val dupDrops = DedupComponents.components(
-        DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
-          .select("doc_a", "doc_b"))
-      .filter(col("doc_id") =!= col("component"))
-      .select("doc_id")
-    val elig = clean.join(dupDrops, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    // chunk census from the PERSISTED passage index (one row per chunk
-    // in cdstats) — no re-tokenize for the chunk stage
-    val ppath = PassageIndex.buildIfMissing(s, dir)
+    // The four build legs share no lineage (census+suppression vs the
+    // persisted passage index vs the two serve indexes): overlap them as
+    // concurrent jobs (guide §2.6) — the composition's stages are the
+    // same, only the wall-clock overlap differs.
+    val legs = graft.Par.together[AnyRef](
+      () => {
+        // -- build side: the curation census -----------------------------
+        val scored = TextQueries.tokenize(docsAll)
+          .select(col("doc_id"), TextQueries.qualityCol.as("quality"),
+            TextQueries.langPredCol.as("lang_pred"))
+          .localCheckpoint()
+        val clean = scored
+          .filter(col("quality") >= PipelineQueries.QualityThreshold &&
+            col("lang_pred") === "en")
+          .select("doc_id")
+        val dupDrops = DedupComponents.components(
+            DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
+              .select("doc_a", "doc_b"))
+          .filter(col("doc_id") =!= col("component"))
+          .select("doc_id")
+        val elig = clean.join(dupDrops, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        (clean, elig)
+      },
+      // chunk census comes from the PERSISTED passage index (one row per
+      // chunk in cdstats) — no re-tokenize for the chunk stage
+      () => PassageIndex.buildIfMissing(s, dir),
+      // -- serve side: nothing corpus-sized beyond the index legs --------
+      () => RetrievalQueries.hybridIndexed(s, dir)
+        .select("query_doc", "rank", "doc_id").localCheckpoint())
+    val (clean, elig) = legs(0).asInstanceOf[(DataFrame, DataFrame)]
+    val ppath = legs(1).asInstanceOf[String]
+    val lists = legs(2).asInstanceOf[DataFrame]
     val chunks = s.read.parquet(s"$ppath/cdstats")
       .select("doc_id", "chunk")
       .join(elig, Seq("doc_id"), "left_semi")
-    // -- serve side: nothing corpus-sized beyond the index legs ----------
-    val lists = RetrievalQueries.hybridIndexed(s, dir)
-      .select("query_doc", "rank", "doc_id").localCheckpoint()
     val candIds = lists.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ |queries|·k, CollectBoundsSpec
     val eligCand = elig.filter(col("doc_id").isin(candIds: _*))

@@ -181,6 +181,14 @@ object RetrievalQueries {
     * keywords, and scoring all reuse it. */
   private def tf(s: SparkSession, dir: String): DataFrame = {
     tfBuilds.incrementAndGet()
+    // Measured both ways at sf0.1 (full warm bench, this round): forcing
+    // full parallelism here (spread the scan + pin the checkpoint on
+    // doc_id) REGRESSED the whole BM25 family ~40-120% — the table is
+    // small enough that per-stage task dispatch on 32-way stages costs
+    // more than the serial work it displaces, and AQE's coalesced layout
+    // is the right local answer. Left as-is deliberately; at cluster
+    // scale the same chain gets its parallelism from the natural input
+    // splits, not from this plan.
     docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
       .filter(col("term") =!= "")
@@ -293,9 +301,13 @@ object RetrievalQueries {
     * Σ 1/(RrfK + rank) over the lists containing the doc — computed as
     * ONE fixed-order addition of two single-division doubles, so the
     * doubles stay bit-exact. */
-  def rrfFusion(s: SparkSession, dir: String): DataFrame =
-    rrfFrom(sparseTopk(s, dir).localCheckpoint(),
-      denseTopk(s, dir).localCheckpoint())
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    // the two legs share no lineage: overlap them (guide §2.6)
+    val Seq(sp, de) = graft.Par.together(
+      () => sparseTopk(s, dir).localCheckpoint(),
+      () => denseTopk(s, dir).localCheckpoint())
+    rrfFrom(sp, de)
+  }
 
   /** Fusion over ALREADY-MATERIALIZED top-k lists (≤ |queries|·k rows
     * each) — shared by [[rrfFusion]] and [[ndcgEval]] so the sparse and
@@ -331,8 +343,9 @@ object RetrievalQueries {
     // one sparse build + one dense build, checkpointed (≤ |queries|·k
     // rows each); the fused list derives from the SAME materialized
     // pair — the corpus is tokenized once and vector-scanned once
-    val sp = sparseTopk(s, dir).localCheckpoint()
-    val de = denseTopk(s, dir).localCheckpoint()
+    val Seq(sp, de) = graft.Par.together(
+      () => sparseTopk(s, dir).localCheckpoint(),
+      () => denseTopk(s, dir).localCheckpoint())
     val lists =
       sp.select(lit("sparse").as("method"),
           col("query_doc"), col("rank"), col("doc_id"))
@@ -371,10 +384,13 @@ object RetrievalQueries {
     * of the exact full-scan, fused with the BM25 list by the same RRF
     * formula as [[rrfFusion]]. The exact dense leg remains available as
     * eval ground truth (`ret_dense_topk`); this is the serving path. */
-  def hybridServed(s: SparkSession, dir: String): DataFrame =
-    rrfFrom(sparseTopk(s, dir).localCheckpoint(),
-      graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
+  def hybridServed(s: SparkSession, dir: String): DataFrame = {
+    val Seq(sp, ann) = graft.Par.together(
+      () => sparseTopk(s, dir).localCheckpoint(),
+      () => graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
         .localCheckpoint())
+    rrfFrom(sp, ann)
+  }
 
   /** MRR and recall@k per (query, method), across all four list
     * sources — the exact sparse/dense/fused lists AND the
@@ -384,10 +400,11 @@ object RetrievalQueries {
     * is the same embedding-cluster label as [[ndcgEval]]. The only
     * doubles are single divisions of exact integers. */
   def mrrEval(s: SparkSession, dir: String): DataFrame = {
-    val sp = sparseTopk(s, dir).localCheckpoint()
-    val de = denseTopk(s, dir).localCheckpoint()
-    val ann = graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
-      .localCheckpoint()
+    val Seq(sp, de, ann) = graft.Par.together(
+      () => sparseTopk(s, dir).localCheckpoint(),
+      () => denseTopk(s, dir).localCheckpoint(),
+      () => graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
+        .localCheckpoint())
     def leg(df: DataFrame, m: String) =
       df.select(lit(m).as("method"), col("query_doc"), col("rank"),
         col("doc_id"))
@@ -431,10 +448,15 @@ object RetrievalQueries {
     * 100 TB RAG deployment. Because the served BM25 lists are
     * bit-identical to the exact ones, this shares `ret_hybrid_served`'s
     * oracle. */
-  def hybridIndexed(s: SparkSession, dir: String): DataFrame =
-    rrfFrom(SparseIndex.serve(s, dir).localCheckpoint(),
-      graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
+  def hybridIndexed(s: SparkSession, dir: String): DataFrame = {
+    // the two persisted indexes are distinct paths (no build race) and
+    // the serve legs share no lineage: overlap them (guide §2.6)
+    val Seq(sp, ann) = graft.Par.together(
+      () => SparseIndex.serve(s, dir).localCheckpoint(),
+      () => graft.sim.IvfPqIndex.serveMulti(s, dir, QueryDocs, TopK)
         .localCheckpoint())
+    rrfFrom(sp, ann)
+  }
 
   /** Snippet-window geometry: the best [[SnippetWindow]]-token span per
     * (query, result) over the top [[SnippetDocs]] served results. */
@@ -649,6 +671,8 @@ object RetrievalQueries {
     * the delta-ingest entry point for [[PassageIndex]]. */
   private[retrieval] def chunkTfOf(d: DataFrame): DataFrame = {
     tfBuilds.incrementAndGet()
+    // same decision as [[tf]]: measured, forced parallelism regressed —
+    // see the comment there.
     d.select(col("doc_id"),
         posexplode(split(col("text"), "\\s+")).as(Seq("p", "term")))
       .filter(col("term") =!= "")
@@ -834,12 +858,13 @@ object RetrievalQueries {
     val ct = chunkTf(s, dir)
     val tDoc = ct.groupBy("doc_id", "term").agg(sum("tf").as("tf"))
       .localCheckpoint()
-    val sp = sparseFrom(s, dir, tDoc)
-      .select(col("query_doc"), col("doc_id"), col("rank").as("rs"))
-      .localCheckpoint()
-    val pp = passageFrom(s, dir, ct)
-      .select(col("query_doc"), col("doc_id"), col("rank").as("rp"))
-      .localCheckpoint()
+    val Seq(sp, pp) = graft.Par.together(
+      () => sparseFrom(s, dir, tDoc)
+        .select(col("query_doc"), col("doc_id"), col("rank").as("rs"))
+        .localCheckpoint(),
+      () => passageFrom(s, dir, ct)
+        .select(col("query_doc"), col("doc_id"), col("rank").as("rp"))
+        .localCheckpoint())
     val common = sp.join(pp, Seq("query_doc", "doc_id")).localCheckpoint()
     val a = common.select(col("query_doc"), col("doc_id").as("da"),
       col("rs").as("rsa"), col("rp").as("rpa"))
