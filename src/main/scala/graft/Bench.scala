@@ -238,8 +238,24 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // A/B switch for the explosion-pin repartitions (Par.pin); default
+      // off — the measured-faster layout at every SF actually benched.
+      // Env-settable so scale rehearsals can measure both ways without a
+      // rebuild; the driver's invocation never sets it.
+      .config(Par.PinKey, sys.env.getOrElse("SPARK_GRAFT_PIN", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The reap between timed runs unpersists locally-checkpointed RDDs,
+    // and every unpersist logs a WARN ("locally checkpointed … cannot be
+    // recomputed after unpersisting") — hundreds of lines that flood the
+    // driver's last-2000-chars stdout capture and can push the one-line
+    // JSON out of it (the round-10/11 parsed:null failures). The released
+    // frames are never re-read (each timed run rebuilds its query from
+    // scratch — pinned by LocalCheckpointReleaseSpec), so the warning
+    // carries no information here; silence the rdd loggers for this
+    // process only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // Committed clean-run records (bench_record.json = a clean run's
     // bench_detail.json, updated only when a quiet-host run is committed).
@@ -371,7 +387,16 @@ object Bench {
         if (only.isEmpty) "bench_detail.json" else "bench_detail_subset.json"),
       detail.getBytes("UTF-8"))
 
-    val budget = 1800
+    // ≤1200 chars total for the stdout line (round-11 verdict item 2):
+    // the driver captures the LAST 2000 characters of the run's output
+    // and parses the JSON line out of it; at ~1800 chars the line plus
+    // sbt's trailing "[success]" line left almost no slack for any
+    // interleaved logging, and the driver recorded parsed:null two
+    // rounds running. 1200 + the ~80-char trailer leaves ~700 chars of
+    // headroom. The complete per-query record still goes to
+    // bench_detail.json above — nothing is lost, only the stdout
+    // truncation point moves.
+    val budget = 1200
     val byTime = results.sortBy { case (_, t) => -t }
     val shown = ArrayBuffer[(String, Double)]()
     var used = 0

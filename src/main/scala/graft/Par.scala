@@ -34,14 +34,32 @@ object Par {
   def parts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Opt-in switch for [[pin]]. Default OFF: round 11 measured the pin
+    * sites as a net wall-clock REGRESSION at sf0.1 on a quiet host
+    * (dedup_simhash_pairs 0.56×, dedup_minhash_lsh 0.64×,
+    * dedup_simhash64_pairs 0.73×, plus their corpus_* consumers
+    * 0.68–0.83×): with AQE's coalesced 1–2 task layout the serial pair
+    * work costs less than 32-way task dispatch across the chain's many
+    * small stages. The explosion-blindness diagnosis (AQE sizes the
+    * post-shuffle stage by bytes entering the exchange, blind to the
+    * O(k²) pair fan-out after it) remains correct — but at real corpus
+    * scale the exchange input is large enough that AQE keeps the stage
+    * wide on its own, so the pin only matters in a mid-scale band. A
+    * cluster operator in that band can turn it on; the default keeps
+    * the measured-faster layout. */
+  val PinKey = "spark.graft.pinExplosions"
+
   /** Pin the exchange feeding an explosion-bearing aggregate: an
     * explicit-count hash repartition on the aggregate's keys that AQE
     * will not coalesce, so pair generation after the aggregate runs at
     * the configured parallelism instead of at 1-2 AQE-coalesced tasks.
     * The aggregate itself recognizes the child partitioning and adds no
-    * second exchange. */
+    * second exchange. No-op unless [[PinKey]] is set true — see its
+    * scaladoc for the measured evidence. */
   def pin(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(parts(df), keys: _*)
+    if (df.sparkSession.conf.get(PinKey, "false").toBoolean)
+      df.repartition(parts(df), keys: _*)
+    else df
 
   /** Run independent eager legs (localCheckpoint / index-serve
     * materializations) of ONE query as concurrent Spark jobs
@@ -62,13 +80,20 @@ object Par {
       th.start()
       (th, box)
     }
-    threads.map { case (th, box) =>
-      th.join()
+    // join ALL legs before inspecting any result: throwing at the first
+    // failed leg would unwind the caller while later daemon threads are
+    // still running Spark jobs (localCheckpoint actions), racing the
+    // driver's Materialize.reapAll/unpersist and contaminating the next
+    // query's timing — the documented "rethrows after all legs settle"
+    // contract, now actually implemented that way.
+    threads.foreach(_._1.join())
+    threads.foreach { case (_, box) =>
       box.get() match {
-        case Right(a) => a
-        case Left(e)  => throw e
+        case Left(e) => throw e
+        case _       => ()
       }
     }
+    threads.map(_._2.get().toOption.get)
   }
 
   /** Repartition an unsplittably-read frame before compute-heavy

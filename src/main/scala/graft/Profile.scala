@@ -26,6 +26,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config(Par.PinKey, sys.env.getOrElse("SPARK_GRAFT_PIN", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -70,6 +71,11 @@ object Profile {
         val t0 = System.nanoTime()
         run(fn(spark, sfDir))
         val t = (System.nanoTime() - t0) / 1e9
+        // drain the async listener bus before turning collection off —
+        // without this, tail stages whose completion events are still
+        // queued would be silently missing from the breakdown
+        org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+          spark.sparkContext)
         collecting = false
         t
       }

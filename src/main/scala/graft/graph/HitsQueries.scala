@@ -34,29 +34,43 @@ object HitsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits" -> ((s, dir) => {
+      // long node ids inside the loop (guide §2.3 — shuffle narrower
+      // types): customers even (2·custkey), suppliers odd (2·suppkey+1),
+      // the same bijective encoding PageRank uses; the "c:"/"s:" labels
+      // are re-derived only on the final 2·TopK rows, BEFORE the
+      // string-ordered top-K so tie-breaking matches the oracle exactly
       val edges = s.read.parquet(s"$dir/lineitem.parquet")
         .join(s.read.parquet(s"$dir/orders.parquet"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
         .transform(graft.Materialize(_)) // 2 joins per iteration read this
       var hubs = edges.select(col("src").as("node")).distinct()
         .withColumn("score", lit(1.0))
       var auths: DataFrame = null
-      // With [[Iterations]] fixed and small, the whole loop stays LAZY
-      // and fuses into ONE plan — the PageRank.ranks treatment (round-8
-      // verdict's prescribed fix for job-floor-dominated fixed loops;
-      // measured this round: the 6 per-round materializations were 6
-      // scheduler round-trips for node-sized tables). Each round's raw
-      // aggregate subtree appears twice (under the broadcast max and
-      // under the scores), but both branches end at the SAME shuffle
-      // exchange, so ReuseExchange computes it once; determinism lives
-      // in the round(…,12) expressions, not in checkpoint barriers.
+      // Per-round materialization, NOT the lazy fixed-loop fusion: the
+      // round-11 rewrite that kept the whole loop lazy (the
+      // PageRank.ranks treatment) was a measured REGRESSION (3.04 → 3.70 s
+      // quiet host, 3.68 → 8.70 s in the driver's bench) — each round's
+      // broadcast(aMax)/broadcast(auths) still needs its own
+      // broadcast-build job, so the scheduler round-trips were not
+      // removed, while the ~4^Iterations nested plan added optimizer
+      // cost. Reverted per the round-11 verdict; persist-mode hygiene:
+      // each round's raw-score materialization supersedes the previous
+      // round's — release it as soon as the new one exists (round i's
+      // aRaw feeds only auths(i), which hRaw(i) consumed before hRaw(i)
+      // was materialized). The LAST round's frames back the result and
+      // stay until the driver's reapAll.
+      var prevA: DataFrame = null
+      var prevH: DataFrame = null
       for (_ <- 1 to Iterations) {
         val aRaw = edges.join(broadcast(hubs), edges("src") === hubs("node"))
           .groupBy(col("dst").as("anode"))
           .agg(round(sum("score"), 12).as("raw"))
+          .transform(graft.Materialize(_)) // feeds max AND the scores
+        if (prevA != null) graft.Materialize.release(prevA)
+        prevA = aRaw
         val aMax = aRaw.agg(max("raw").as("mx"))
         auths = aRaw.crossJoin(broadcast(aMax))
           .select(col("anode").as("node"),
@@ -64,17 +78,23 @@ object HitsQueries {
         val hRaw = edges.join(broadcast(auths), edges("dst") === auths("node"))
           .groupBy(col("src").as("hnode"))
           .agg(round(sum("score"), 12).as("raw"))
+          .transform(graft.Materialize(_))
+        if (prevH != null) graft.Materialize.release(prevH)
+        prevH = hRaw
         val hMax = hRaw.agg(max("raw").as("mx"))
         hubs = hRaw.crossJoin(broadcast(hMax))
           .select(col("hnode").as("node"),
             round(col("raw") / col("mx"), 12).as("score"))
       }
-      // the edge table is dead once the result is consumed; the final
-      // frames are lazy over it, so release happens via the driver's
-      // reapAll after the query's sink action completes
-      val topA = auths.orderBy(col("score").desc, col("node"))
+      // the result reads only the final raw-score frames; the edge
+      // table is dead once the loop exits
+      graft.Materialize.release(edges)
+      val label = graft.relational.PageRank.nodeLabel(col("node"))
+      val topA = auths.select(label.as("node"), col("score"))
+        .orderBy(col("score").desc, col("node"))
         .limit(TopK).withColumn("role", lit("authority"))
-      val topH = hubs.orderBy(col("score").desc, col("node"))
+      val topH = hubs.select(label.as("node"), col("score"))
+        .orderBy(col("score").desc, col("node"))
         .limit(TopK).withColumn("role", lit("hub"))
       topA.unionAll(topH)
         .select(col("role"), col("node"), col("score"))

@@ -58,14 +58,18 @@ object RagPipeline {
     val legs = graft.Par.together[AnyRef](
       () => {
         // -- build side: the curation census -----------------------------
-        val scored = TextQueries.tokenize(docsAll)
+        // checkpoint `clean`, not the wider `scored` it derives from:
+        // scored has exactly one consumer (this filter), so a checkpoint
+        // there was one extra eager job storing quality/lang columns
+        // nothing re-reads; clean (doc_id only) is the frame consumed
+        // twice (stage 2's count + the eligibility anti-join)
+        val clean = TextQueries.tokenize(docsAll)
           .select(col("doc_id"), TextQueries.qualityCol.as("quality"),
             TextQueries.langPredCol.as("lang_pred"))
-          .localCheckpoint()
-        val clean = scored
           .filter(col("quality") >= PipelineQueries.QualityThreshold &&
             col("lang_pred") === "en")
           .select("doc_id")
+          .localCheckpoint()
         val dupDrops = DedupComponents.components(
             DedupQueries.queries("dedup_ngram_jaccard")(s, dir)
               .select("doc_a", "doc_b"))

@@ -157,15 +157,21 @@ object RetrievalQueries {
       nCollection: Option[() => Long] = None): Unit = {
     val key = graft.sources.IndexCache.fingerprint(s, dir, "documents",
       "doc_id") + "|" + tag
-    if (!headroomChecked.containsKey(key)) {
+    // computeIfAbsent, not containsKey-then-put: under Par.together two
+    // concurrent legs could both pass a check-then-act guard and run the
+    // guard aggregate twice (double-counting headroomAggs, which a memo
+    // spec pins). A mapper that throws leaves the key absent, so a
+    // FAILED check is still never memoized and re-throws on every build.
+    headroomChecked.computeIfAbsent(key, _ => {
       headroomAggs.incrementAndGet()
       val r = t.agg(max("tf"), sum("tf")).head
       checkBm25Bound(
         n = BigInt(nCollection.map(_.apply())
           .getOrElse(docs(s, dir).count())),
         tl = BigInt(r.getLong(1)), mtf = BigInt(r.getLong(0)))
-      headroomChecked.put(key, true)
-    }
+      true
+    })
+    ()
   }
 
   /** Build-count metrics: how many times the corpus tokenize (sparse)

@@ -25,9 +25,9 @@ class PageRankSpec extends SparkSpec {
       s"no fixed point within ${PageRank.ConvergeMaxIters} iterations")
     // pin the count: drift signals a changed fixture or changed rounding.
     // the TRUE fixed point is 26; the loop probes every ConvergeCheckEvery
-    // iterations, so it stops at the next probe boundary (28), the two
+    // (= 8) iterations, so it stops at the next probe boundary (32), the
     // extra steps being exact identities on the rounded grid
-    assert(iters === 28, s"fixed point moved: $iters iterations")
+    assert(iters === 32, s"fixed point moved: $iters iterations")
     assert(iters % PageRank.ConvergeCheckEvery == 0,
       "loop must stop on a probe boundary")
     // fixed point: one more application of the update changes nothing
@@ -37,10 +37,14 @@ class PageRankSpec extends SparkSpec {
 
   test("high-degree nodes outrank low-degree nodes on average") {
     val deg = PageRank.edges(spark, sf).groupBy("src").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val top = PageRank.queries("pagerank_trade_graph")(spark, sf)
       .collect().map(_.getString(0))
-    val avgTopDeg = top.map(deg).sum.toDouble / top.length
+    // invert the display label back to the encoded long id
+    def id(n: String): Long =
+      if (n.startsWith("c:")) 2 * n.drop(2).toLong
+      else 2 * n.drop(2).toLong + 1
+    val avgTopDeg = top.map(n => deg(id(n))).sum.toDouble / top.length
     val avgDeg = deg.values.sum.toDouble / deg.size
     assert(avgTopDeg > avgDeg, s"top-ranked avg degree $avgTopDeg <= global $avgDeg")
   }
