@@ -106,24 +106,32 @@ object DedupQueries {
     * asymmetric (containment) similarities derive from. */
   private[graft] def pairOverlapFrom(sh: DataFrame,
       cap: Int = MaxPosting): DataFrame = {
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    // ONE corpus pass (round 12, guide §2.3/§2.4): each posting entry
+    // carries its doc's shingle count, so n_a/n_b ride the pair explode
+    // and the chain needs neither a second evaluation of the shingle
+    // derivation (the old `sizes` subtree re-ran the WordNgrams scan —
+    // the single heaviest stage of every consumer) nor the two
+    // pair-sized join shuffles that attached the counts afterwards.
+    // Cost: +one int per posting entry in the groupBy(sh) exchange,
+    // against a whole corpus scan and two joins — the right trade at
+    // any scale. Emitted rows are bit-identical (exact integer counts;
+    // n_a is functionally dependent on doc_a, so adding it to the pair
+    // group-by keys changes no groups).
     val posting = graft.Par.pin(sh
-      .select(col("doc_id"), explode(col("shingles")).as("sh")), col("sh"))
-      .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh")), col("sh"))
+      .groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
       .filter(size(col("ids")).between(2, cap))
-    val pairs = posting
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count("*").as("shared"))
-    // no broadcast hint: locally the 1-row-per-doc `sizes` side is tiny and
-    // auto-broadcasts; at 100 TB it is corpus-sized while `pairs` is small,
-    // and AQE picks the right side at runtime.
-    pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    posting
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
-        col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
+        col("n_a"), col("n_b"))
   }
 
   /** The pre-threshold pair stage: every candidate pair (docs sharing ≥1

@@ -136,14 +136,14 @@ object PageRank {
   val ConvergeMaxIters = 60
   /** Convergence-probe cadence for [[convergedRanks]] — see the loop
     * comment; must divide into a stop at or past the true fixed point.
-    * 4 → 8 in round 12 (guide §1.3/§2.6: the query's cost is scheduler
-    * round-trips, not data — the builder's Profile measured 155 jobs):
-    * between probes the steps are LAZY over node-sized frames, so a
-    * deeper segment halves the probe count while each probe job's extra
-    * plan depth is noise. Past the exact fixed point extra iterations
-    * are the identity on the rounded grid, so a later detection changes
-    * the iteration COUNT, never the emitted ranks. */
-  val ConvergeCheckEvery = 8
+    * Measured at 4 AND 8 in round 12: deepening to 8 does NOT pay
+    * (5.29 s vs 5.44 s at 4, both subset-bench) because under AQE every
+    * shuffle stage of the lazy segment is its own job regardless of
+    * where the probes fall — the probe count is not the job driver; the
+    * per-step exchanges are. Kept at 4 so a converged fixture stops as
+    * early as possible (extra identity steps are bit-harmless but not
+    * free). */
+  val ConvergeCheckEvery = 4
 
   /** Directed partner-graph edges: nation → its top-k partners. */
   def partnerEdges(s: SparkSession, dir: String): DataFrame = {
@@ -187,8 +187,25 @@ object PageRank {
   def convergedRanks(s: SparkSession, dir: String): (DataFrame, Int) = {
     val e = partnerEdges(s, dir).transform(graft.Materialize(_))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).transform(graft.Materialize(_))
-    val eDeg = e.join(deg, "src")
     val nodes = deg.select(col("src").as("node"))
+    // ONE join per step, not two: a zero-weight self-loop per node makes
+    // the inflow aggregate emit a row for EVERY node (its own 0.0 term —
+    // which never changes a double sum, and rounds identically to the
+    // coalesce(inflow, 0.0) it replaces), so the per-step
+    // nodes-left-join (a broadcast-build job per iteration — the
+    // measured cost of this query is jobs, not data) disappears. Every
+    // dst is also a src in the partner graph (each nation has out-edges
+    // and partners are nations), so the aggregate's key set equals the
+    // node set — pinned by the oracle compare.
+    // checkpointed, NOT the ranks() persist-partitioned treatment: that
+    // variant was measured at 10.9 s here vs 5.3 s for the checkpoint
+    // (nation-sized rows make the cached-layout InMemoryTableScan pure
+    // overhead; ranks() keeps it because its edge table is corpus-scaled)
+    val eDeg = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"), lit(1.0).as("w"))
+      .unionByName(nodes.select(col("node").as("src"),
+        col("node").as("dst"), lit(1L).as("deg"), lit(0.0).as("w")))
+      .transform(graft.Materialize(_))
     val n = nodes.count()
     var r = nodes.select(col("node"), round(lit(1.0) / n, 12).as("pr"))
       .transform(graft.Materialize(_))
@@ -204,36 +221,45 @@ object PageRank {
       // not every one: past the exact fixed point further iterations are
       // the IDENTITY on the rounded grid — running up to CheckEvery-1
       // extra identity steps is bit-harmless (the oracle unrolls to the
-      // cap). Between probes the steps stay LAZY; a probe round runs
-      // exactly TWO jobs (round 12, down from round 9's three): the
-      // probe step joins the new ranks against the previous iteration's
-      // on node and the COMBINED (node, pr, prev_pr) frame is
-      // materialized once, then the L∞ delta is a 1-scalar agg over
-      // that checkpoint. The segment subtree is evaluated twice inside
-      // the one materialization job (once under the step, once under
-      // the prev side) — node-sized data, while each job saved is a
-      // full scheduler round-trip, which is where this query's cost
-      // lives (measured: 155 jobs at cadence 4 with the 3-job probe).
+      // cap). Between probes the steps stay LAZY; a probe round
+      // materializes the segment in exactly two fused jobs (the first
+      // CheckEvery−1 steps, checkpointed BEFORE the probe step, then
+      // the probe step itself) and the delta is a tiny node-sized join
+      // over the two checkpoints. Round 12 measured the alternatives:
+      // a fused single-materialization probe (carry prev_pr through the
+      // step) and a deeper cadence both LOST — under AQE every shuffle
+      // stage of the lazy segment is its own job, so the per-step
+      // exchange count, not the probe count, drives the job total.
       val isProbe =
         iters % ConvergeCheckEvery == 0 || iters == ConvergeMaxIters
-      val contrib = eDeg.join(r, eDeg("src") === r("node"))
-        .groupBy("dst").agg(sum(col("pr") / col("deg")).as("inflow"))
-      val next = nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          round(lit((1.0 - Damping)) / n +
-            lit(Damping) * coalesce(col("inflow"), lit(0.0)), 12).as("pr"))
       if (isProbe) {
-        val combined = next
-          .join(r.select(col("node"), col("pr").as("prev_pr")), Seq("node"))
-          .transform(graft.Materialize(_))
-        val delta = combined
-          .agg(max(abs(col("pr") - col("prev_pr"))).as("d"))
+        r = r.transform(graft.Materialize(_))
+        graft.Materialize.release(lastMat)
+        lastMat = r
+      }
+      // one step = one join + one aggregate (self-loop rows carry each
+      // node's 0.0 term, so the aggregate is already complete over the
+      // node set — no second join). The ranks side is explicitly
+      // broadcast: node-sized by construction, and the hint spares the
+      // join both sides' shuffle stages (Profile: 111 → 99 jobs; the
+      // remaining floor is the per-step aggregate exchange plus the
+      // broadcast build, each its own scheduler round-trip under AQE).
+      val next = eDeg.join(broadcast(r), eDeg("src") === r("node"))
+        .groupBy(col("dst"))
+        .agg(round(lit((1.0 - Damping)) / n +
+          lit(Damping) * sum(col("w") * col("pr") / col("deg")), 12)
+          .as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+      if (isProbe) {
+        val nextC = next.transform(graft.Materialize(_))
+        val delta = nextC.alias("na")
+          .join(r.alias("ob"), col("na.node") === col("ob.node"))
+          .agg(max(abs(col("na.pr") - col("ob.pr"))).as("d"))
           .collect()(0).getDouble(0)
         converged = delta == 0.0
         graft.Materialize.release(lastMat)
-        lastMat = combined
-        r = combined.select("node", "pr")
+        lastMat = nextC
+        r = nextC
       } else r = next
     }
     (r, iters)

@@ -25,9 +25,9 @@ class PageRankSpec extends SparkSpec {
       s"no fixed point within ${PageRank.ConvergeMaxIters} iterations")
     // pin the count: drift signals a changed fixture or changed rounding.
     // the TRUE fixed point is 26; the loop probes every ConvergeCheckEvery
-    // (= 8) iterations, so it stops at the next probe boundary (32), the
+    // iterations, so it stops at the next probe boundary (28), the two
     // extra steps being exact identities on the rounded grid
-    assert(iters === 32, s"fixed point moved: $iters iterations")
+    assert(iters === 28, s"fixed point moved: $iters iterations")
     assert(iters % PageRank.ConvergeCheckEvery == 0,
       "loop must stop on a probe boundary")
     // fixed point: one more application of the update changes nothing
