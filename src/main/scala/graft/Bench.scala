@@ -243,6 +243,13 @@ object Bench {
       // Env-settable so scale rehearsals can measure both ways without a
       // rebuild; the driver's invocation never sets it.
       .config(Par.PinKey, sys.env.getOrElse("SPARK_GRAFT_PIN", "false"))
+      // ObjectHashAggregate (collect_list posting builds) falls back to
+      // sort-based aggregation after this many distinct groups per task
+      // (Spark default 128 — observed firing on every posting build).
+      // Env-parameterised for the A/B the round-11 verdict asked for;
+      // the default stays Spark's until a both-SF win is recorded.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The reap between timed runs unpersists locally-checkpointed RDDs,
